@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-table loaders + determinism helpers shared by all queries.
+  *
+  * Determinism discipline (SURVEY.md §5, §7.3): every oracle-checked query
+  * aggregates doubles through an exact DECIMAL cast so Spark and DuckDB
+  * produce bit-identical results regardless of partial-aggregation order,
+  * and ends in a total ORDER BY.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table from an sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------
+  // Exact aggregation helpers.
+  //
+  // SUM over doubles is order-dependent in IEEE arithmetic; Spark's partial
+  // aggregation order differs from DuckDB's, so raw double sums hash-
+  // mismatch. Casting each input double to DECIMAL first makes the sum
+  // exact (order-independent); casting the exact decimal back to double is
+  // a deterministic IEEE rounding, identical in both engines.
+  //
+  // DuckDB oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+  // ---------------------------------------------------------------------
+
+  private val dec = DecimalType(30, 6)
+
+  /** Order-independent, engine-exact SUM of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  /** Order-independent AVG: exact decimal sum divided by count, in double.
+    * DuckDB: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}
+
+/** One named engine capability: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  */
+final case class QDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+object QDef {
+  /** oracle == null or "" means rows-only check (non-SQL-expressible op). */
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, Option(oracle).map(_.trim).filter(_.nonEmpty), fn)
+}

@@ -1,0 +1,504 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.Tables.{davg, dsum, t}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The delegated query surface of the reference (SURVEY.md §2B): everything
+  * Athena answers over the curated lake, provided natively via Spark SQL.
+  * Reference evidence: IAM Athena grants `serverless.yml:94-101`, the sole
+  * in-repo query `purchase_orders.py:22`.
+  *
+  * Every query here is declarative DataFrame API — Catalyst does predicate
+  * pushdown, column pruning and join selection; no RDDs, no UDFs.
+  * Determinism: exact-decimal aggregation (see [[graft.Tables.dsum]]) and a
+  * total ORDER BY, mirrored verbatim in the DuckDB oracle SQL.
+  */
+object Relational {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Scan / projection / filter
+    // ------------------------------------------------------------------
+
+    // Flagship: TPC-H Q1-style pricing summary. scan -> filter -> agg -> sort.
+    QDef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Partition-prunable scan with IN / BETWEEN / LIKE predicates; all
+    // filters reach the parquet reader as PushedFilters.
+    QDef(
+      "q02_scan_filter",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QDef(
+      "q03_project_alias",
+      """SELECT c_custkey, UPPER(c_name) AS name_uc, c_acctbal,
+        |  CASE WHEN c_acctbal < 0 THEN 'debit' ELSE 'credit' END AS bal_class
+        |FROM customer
+        |WHERE c_mktsegment LIKE 'B%'
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").like("B%"))
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_uc"),
+          col("c_acctbal"),
+          when(col("c_acctbal") < 0, "debit").otherwise("credit").as("bal_class"))
+        .orderBy("c_custkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Joins
+    // ------------------------------------------------------------------
+
+    // 3-way inner join up the star schema; dims are broadcast by Catalyst.
+    QDef(
+      "q04_join_inner",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+
+    // Left outer join keeping customers without orders.
+    QDef(
+      "q05_join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS total_spend
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Left-semi: customers with at least one finished order.
+    QDef(
+      "q06_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti: customers with no orders at all.
+    QDef(
+      "q07_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Explicit broadcast of the dimension side (SURVEY §2B joins row).
+    QDef(
+      "q08_join_broadcast",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS brand_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice")).as("brand_revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    },
+
+    // Theta/range join (non-equi): per supplier, how many BUILDING-segment
+    // customers hold a larger balance. Broadcast-nested-loop on the small side.
+    QDef(
+      "q09_join_range",
+      """SELECT s_suppkey, COUNT(*) AS n_richer_customers
+        |FROM supplier
+        |JOIN customer ON c_acctbal > s_acctbal AND c_mktsegment = 'BUILDING'
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_richer_customers"))
+        .orderBy("s_suppkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Aggregation
+    // ------------------------------------------------------------------
+
+    QDef(
+      "q10_agg_groupby",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    },
+
+    QDef(
+      "q11_agg_distinct",
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ROLLUP subtotals; NULL grouping keys coalesced to a sentinel so both
+    // engines agree on sort position.
+    QDef(
+      "q12_agg_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // HLL++ sketch — implementations differ across engines, so rows-only
+    // check (no oracle). Sanity-bounded in the ScalaTest spec instead.
+    QDef("q13_agg_approx_distinct", null) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ------------------------------------------------------------------
+    // Window functions
+    // ------------------------------------------------------------------
+
+    QDef(
+      "q14_window_rank",
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 10
+        |ORDER BY c_mktsegment, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 10)
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // Running sum with an explicit frame + lag/lead. The window SUM goes
+    // through DECIMAL: DuckDB evaluates window aggregates with segment
+    // trees (different add order), decimal keeps it exact in both.
+    QDef(
+      "q15_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_orderkey) OVER w AS prev_order,
+        |  LEAD(o_orderkey) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).over(wf).cast("double").as("running_spend"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Per-group top-k (SURVEY §2B sort/limit/top-k).
+    QDef(
+      "q16_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Set operations
+    // ------------------------------------------------------------------
+
+    // Schema-evolving union — core to the lake model (SURVEY §2B set ops):
+    // supplier rows lack acctbal-segment columns, filled with NULL.
+    QDef(
+      "q17_union_evolve",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS src, c_custkey AS id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name
+        |  FROM supplier)
+        |ORDER BY src, id""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        lit("customer").as("src"), col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      val p = t(s, dir, "supplier").select(
+        lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("name"))
+      c.unionByName(p, allowMissingColumns = true).orderBy("src", "id")
+    },
+
+    // INTERSECT (distinct semantics in both engines).
+    QDef(
+      "q18_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    QDef(
+      "q19_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar functions (the reference's normalize path uses exactly these:
+    // O-6 sanitize, O-8 coerce — utils.py:192-201,205)
+    // ------------------------------------------------------------------
+
+    QDef(
+      "q20_scalar_string",
+      """SELECT p_partkey,
+        |  LOWER(p_name) AS name_lc,
+        |  SUBSTRING(p_name, 1, 8) AS name_pfx,
+        |  TRIM(CONCAT(p_brand, ' ', p_type)) AS brand_type,
+        |  REGEXP_REPLACE(LOWER(p_name), '[aeiou]', '', 'g') AS name_novowel,
+        |  LENGTH(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          trim(concat(col("p_brand"), lit(" "), col("p_type"))).as("brand_type"),
+          regexp_replace(lower(col("p_name")), "[aeiou]", "").as("name_novowel"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    QDef(
+      "q21_scalar_date",
+      """SELECT CAST(STRFTIME(o_orderdate, '%Y') AS VARCHAR) AS y,
+        |  CAST(STRFTIME(o_orderdate, '%m') AS VARCHAR) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY y, m""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          date_format(col("o_orderdate"), "yyyy").as("y"),
+          date_format(col("o_orderdate"), "MM").as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("y", "m")
+    },
+
+    // JSON extraction over the schema-on-read props column (events.props —
+    // the staging-zone model stores records as JSON strings, utils.py:141).
+    QDef(
+      "q22_json_extract",
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Incremental-load dedup: latest event per user (SURVEY §2B dedup —
+    // implied by the reference's append-only `_incremental` staging tables,
+    // utils.py:153,170).
+    QDef(
+      "q23_dedup_latest",
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Grouping sets / cube (completes the §2B aggregation row)
+    // ------------------------------------------------------------------
+
+    QDef(
+      "q24_agg_cube",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+
+    // Correlated scalar subquery (Athena/Presto surface).
+    QDef(
+      "q25_subquery_agg",
+      """SELECT c_mktsegment, c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      // Spark-first form: window average instead of a correlated subquery —
+      // same semantics, one shuffle. AVG here only gates a filter (never
+      // output), so raw double avg is safe: both engines see identical
+      // per-partition value sets... but order still matters for FP; use the
+      // exact-decimal mean to keep the predicate bit-identical.
+      val w = Window.partitionBy("c_mktsegment")
+      t(s, dir, "customer")
+        .withColumn("seg_avg",
+          sum(col("c_acctbal").cast("decimal(30,6)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .filter(col("c_acctbal") > col("seg_avg"))
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "c_custkey")
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  def oracle: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}
