@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Per-round benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * emits ONE JSON line for the driver.
+  *
+  * Each query is fully executed via a noop-format write: unlike `count()`,
+  * which lets Catalyst prune projections and drop final sorts, the noop sink
+  * materializes every output column of every row, so the measured time is
+  * the real query cost. Failures are reported per-query in an `errors` map
+  * instead of being silently folded into a wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/codegen warm-up on the smallest SF so the first timed query isn't
+    // charged for classloading and whole-stage-codegen compilation.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> execute(n))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results
+      .map { case (k, (sec, _)) => s"${jstr(k)}:$sec" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

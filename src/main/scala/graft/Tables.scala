@@ -17,9 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one fixture table from an sf directory. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Load one fixture table from an sf directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
+    * the nanosAsLong escape hatch (the column arrives as LongType epoch
+    * nanos — fine for ordering/dedup; convert via timestamp_micros(ns/1000)
+    * when a real timestamp is needed).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -175,7 +175,18 @@ object Relational {
     },
 
     // Theta/range join (non-equi): per supplier, how many BUILDING-segment
-    // customers hold a larger balance. Broadcast-nested-loop on the small side.
+    // customers hold a larger balance.
+    //
+    // Scale-safe band-join plan (no BroadcastNestedLoopJoin): a naive
+    // `c_acctbal > s_acctbal` join is O(n*m). Instead we range-bucket both
+    // sides on acctbal (fixed width => bounded bucket count regardless of
+    // row count), then
+    //   richer(s) = (# customers in buckets strictly above s's bucket)
+    //             + (# same-bucket customers with c_acctbal > s_acctbal).
+    // The first term is an equi-join against a tiny cumulative bucket
+    // histogram; the second is an equi-join on bucket with a residual
+    // predicate. Both shuffles are on bounded/bucketed keys, so the plan
+    // survives a 100x scale-up where the BNL join would not.
     QDef(
       "q09_join_range",
       """SELECT s_suppkey, COUNT(*) AS n_richer_customers
@@ -183,12 +194,38 @@ object Relational {
         |JOIN customer ON c_acctbal > s_acctbal AND c_mktsegment = 'BUILDING'
         |GROUP BY s_suppkey
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
-      t(s, dir, "supplier")
-        .join(
-          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
-          col("c_acctbal") > col("s_acctbal"))
-        .groupBy("s_suppkey")
-        .agg(count(lit(1)).as("n_richer_customers"))
+      val bucketWidth = 1000.0
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_acctbal"),
+          floor(col("c_acctbal") / bucketWidth).as("bucket"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          floor(col("s_acctbal") / bucketWidth).as("bucket"))
+      // Tiny per-bucket histogram over ALL buckets seen on either side
+      // (bounded: acctbal range / width, independent of row count).
+      val allBuckets = cust.select("bucket").union(supp.select("bucket")).distinct()
+      val perBucket = cust.groupBy("bucket").agg(count(lit(1)).as("n_in_bucket"))
+      val hist = allBuckets.join(perBucket, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_in_bucket"))
+      // Cumulative "# customers in strictly higher buckets". Single-partition
+      // window is fine: the histogram has O(#buckets) rows, not O(#rows).
+      val wAbove = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("n_above", coalesce(sum(col("n_in_bucket")).over(wAbove), lit(0L)))
+        .select("bucket", "n_above")
+      // Same-bucket residual: equi-join on bucket + residual `>` predicate.
+      val same = supp
+        .join(cust.select(col("bucket"), col("c_acctbal")), Seq("bucket"))
+        .filter(col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_same"))
+      supp.join(broadcast(cum), Seq("bucket"))
+        .join(same, Seq("s_suppkey"), "left")
+        .na.fill(0L, Seq("n_same"))
+        .withColumn("n_richer_customers", col("n_above") + col("n_same"))
+        .filter(col("n_richer_customers") > 0) // inner-join oracle drops 0-match suppliers
+        .select("s_suppkey", "n_richer_customers")
         .orderBy("s_suppkey")
     },
 
@@ -226,25 +263,33 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
-    // ROLLUP subtotals; NULL grouping keys coalesced to a sentinel so both
-    // engines agree on sort position.
+    // ROLLUP subtotals. GROUPING() ids (not a sentinel value) distinguish
+    // subtotal rows from genuine NULL/-sentinel data values, and lead the
+    // ORDER BY so both engines agree on row order even if the data ever
+    // contains a literal 'ALL' or NULL key.
     QDef(
       "q12_agg_rollup",
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .select(
+          col("g_rf"), col("g_ls"),
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
-        .orderBy("returnflag", "linestatus")
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
     },
 
     // HLL++ sketch — implementations differ across engines, so rows-only
@@ -275,9 +320,10 @@ object Relational {
       t(s, dir, "customer")
         .select(
           col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          row_number().over(w).as("rn"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"))
+          // DuckDB window ranks are BIGINT, Spark's are INT — cast to match.
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
         .filter(col("rn") <= 10)
         .orderBy("c_mktsegment", "rn")
     },
@@ -394,7 +440,8 @@ object Relational {
           substring(col("p_name"), 1, 8).as("name_pfx"),
           trim(concat(col("p_brand"), lit(" "), col("p_type"))).as("brand_type"),
           regexp_replace(lower(col("p_name")), "[aeiou]", "").as("name_novowel"),
-          length(col("p_name")).as("name_len"))
+          // DuckDB LENGTH is BIGINT, Spark's is INT — cast to match.
+          length(col("p_name")).cast("long").as("name_len"))
         .orderBy("p_partkey")
     },
 
@@ -420,7 +467,7 @@ object Relational {
     QDef(
       "q22_json_extract",
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
@@ -457,20 +504,26 @@ object Relational {
 
     QDef(
       "q24_agg_cube",
-      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      """SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+        |ORDER BY g_st, g_pr, status, priority""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_st"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pr"),
+          count(lit(1)).as("n"))
         .select(
+          col("g_st"), col("g_pr"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"))
-        .orderBy("status", "priority")
+        .orderBy("g_st", "g_pr", "status", "priority")
     },
 
     // Correlated scalar subquery (Athena/Presto surface).
@@ -478,22 +531,47 @@ object Relational {
       "q25_subquery_agg",
       """SELECT c_mktsegment, c_custkey, c_acctbal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        |WHERE c_mktsegment IS NOT NULL
+        |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
         |                   FROM customer WHERE c_mktsegment = c.c_mktsegment)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
       // Spark-first form: window average instead of a correlated subquery —
-      // same semantics, one shuffle. AVG here only gates a filter (never
-      // output), so raw double avg is safe: both engines see identical
-      // per-partition value sets... but order still matters for FP; use the
-      // exact-decimal mean to keep the predicate bit-identical.
+      // same semantics, one shuffle. The IS NOT NULL guard matches the
+      // correlated oracle, where a NULL segment correlates to an empty
+      // subquery (NULL avg) and the row is excluded; Spark's partitionBy
+      // would otherwise group NULL segments together and let them pass.
       val w = Window.partitionBy("c_mktsegment")
       t(s, dir, "customer")
+        .filter(col("c_mktsegment").isNotNull)
         .withColumn("seg_avg",
           sum(col("c_acctbal").cast("decimal(30,6)")).over(w).cast("double")
             / count(lit(1)).over(w))
         .filter(col("c_acctbal") > col("seg_avg"))
         .select("c_mktsegment", "c_custkey", "c_acctbal")
         .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // SQL-text scan over registered views — the reference's only in-repo
+    // query shape (O-1: wr.athena.read_sql_query over v_synnex_po_numbers,
+    // purchase_orders.py:22-24). Here the whole Athena delegate collapses to
+    // spark.sql over temp views: Catalyst parse -> analyze -> optimize ->
+    // Tungsten, same pushdown/pruning as the DataFrame path.
+    QDef(
+      "q26_sql_view",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          |FROM orders
+          |WHERE o_orderstatus = 'O'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
