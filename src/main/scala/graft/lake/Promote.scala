@@ -1,0 +1,80 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+
+/** The staging -> curated promote pipeline (SURVEY.md §2A O-15/16/17/18,
+  * EP-1/EP-3): scan staging JSON (all-string) -> normalize -> enrich ->
+  * empty gate -> partitioned Parquet append -> catalog create/evolve/repair.
+  *
+  * In the reference this is two code paths (wrangler utils.py:147-172 for
+  * small loads, a dispatched Glue job staging_to_curated.py:82-175 for big
+  * ones); on Spark the same DataFrame pipeline IS both — scale comes from
+  * the cluster, not from a dispatch hop.
+  */
+object Promote {
+
+  final case class Result(table: String, curatedPath: String,
+                          rows: Long, addedColumns: Seq[(String, String)])
+
+  /** Run the promote for `table`. Returns None when staging is empty (the
+    * count gate, staging_to_curated.py:97-101 — implemented with isEmpty,
+    * which only materializes one partition's first row, not a full count).
+    *
+    * @param asOf        processing timestamp (defaults to wall clock; pin a
+    *                    literal for deterministic tests)
+    * @param register    when true, create/evolve/MSCK the catalog table
+    * @param dropNa      the reference's flag-gated NA-column drop (off)
+    */
+  def promote(spark: SparkSession, zones: Zones, table: String,
+              asOf: Column = current_timestamp(),
+              register: Boolean = false,
+              dropNa: Boolean = false): Option[Result] = {
+    // Count gate (staging_to_curated.py:97-101). An absent/empty staging
+    // prefix makes the JSON reader throw (no schema to infer) — that is the
+    // same "nothing to promote" outcome, not an error.
+    val staged =
+      try {
+        val df = Writer.readStagingJson(spark, zones.stagingIncremental(table))
+        if (df.schema.isEmpty || df.isEmpty) return None
+        df
+      } catch { case _: org.apache.spark.sql.AnalysisException => return None }
+
+    val normalized = Normalize.normalize(staged, dropNa = dropNa)
+    val enriched = Enrich.withAuditColumns(normalized, asOf)
+
+    val curatedPath = zones.curated(table)
+    Writer.writeCurated(enriched, curatedPath, SaveMode.Append,
+      Enrich.PartitionColumns)
+
+    val added =
+      if (register) {
+        val dataCols = CatalogOps.dataColumns(enriched.schema, Enrich.PartitionColumns)
+        val partCols = Enrich.PartitionColumns.map(_ -> "string")
+        val created = CatalogOps.createParquetTableIfAbsent(
+          spark, table, curatedPath, dataCols, partCols)
+        val evolved =
+          if (created) Seq.empty
+          else CatalogOps.evolveSchema(spark, table, dataCols)
+        CatalogOps.repairPartitions(spark, table)
+        evolved
+      } else Seq.empty
+
+    // Partition values must stay strings on read-back (SURVEY §1.3).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val back = spark.read.parquet(curatedPath)
+    Some(Result(table, curatedPath, back.count(), added))
+  }
+
+  /** Ingest driver-side records (the REST/XML source boundary, O-2/O-12/
+    * O-11): dump the verbatim payload to raw, stage the records as gzip
+    * JSON. The vendor-API fetch itself is driver I/O outside the engine;
+    * this is the `Seq[String] -> lake` seam it feeds.
+    */
+  def ingest(spark: SparkSession, zones: Zones, table: String,
+             rawPayload: String, records: DataFrame,
+             year: String, month: String): Unit = {
+    Writer.writeRaw(spark, rawPayload, zones.raw(table, year, month))
+    Writer.writeStagingJson(records, zones.stagingIncremental(table))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Zone sinks and sources (SURVEY.md §2A O-10/11/12/13/14/17/19).
+  *
+  * All writes are distributed `df.write` paths — executors write their own
+  * partitions in parallel; nothing funnels through the driver.
+  */
+object Writer {
+
+  /** Partitioned snappy-Parquet curated sink (reference utils.py:72-83
+    * overwrite, utils.py:241-252 append, staging_to_curated.py:104-115).
+    */
+  def writeCurated(df: DataFrame, path: String, mode: SaveMode,
+                   partitionCols: Seq[String] = Enrich.PartitionColumns): Unit =
+    df.write.mode(mode)
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Gzip-JSON staging sink (utils.py:118-144): records as JSON lines,
+    * gzip-compressed, appended.
+    */
+  def writeStagingJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", "gzip")
+      .json(path)
+
+  /** Raw-zone verbatim payload dump (utils.py:210-220): the payload is
+    * stored exactly as received, one gzip text object.
+    */
+  def writeRaw(spark: SparkSession, payload: String, path: String): Unit = {
+    import spark.implicits._
+    Seq(payload).toDF("value").write.mode(SaveMode.Append)
+      .option("compression", "gzip").text(path)
+  }
+
+  /** Staging truncate (utils.py:108-115): recursive delete of the staging
+    * prefix for `table` and its `_incremental` twin.
+    */
+  def truncateStaging(spark: SparkSession, zones: Zones, table: String): Unit =
+    Seq(zones.staging(table), zones.stagingIncremental(table)).foreach { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  /** Staging JSON scan with the reference's all-string model
+    * (utils.py:156-160, `dtype=str`): primitives parse as strings; nested
+    * objects stay structs for [[Normalize.flatten]] to unpack.
+    * Parallelism is Spark-native (no use_threads knob needed).
+    */
+  def readStagingJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("primitivesAsString", "true").json(path)
+
+  /** Grouped-file JSON scan (staging_to_curated.py:85-95): recursive read
+    * with small files coalesced into ~`groupBytes` input partitions — the
+    * Spark-native equivalent of Glue's groupFiles/groupSize.
+    */
+  def readGroupedJson(spark: SparkSession, path: String,
+                      groupBytes: Long = 104857600L): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("primitivesAsString", "true")
+      .option("maxPartitionBytes", groupBytes)
+      .json(path)
+
+  /** Schema extraction (staging_to_curated.py:61-70): name -> simple type
+    * string for catalog ops.
+    */
+  def schemaMap(df: DataFrame): Map[String, String] =
+    df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+  /** Partition-column exclusion (staging_to_curated.py:73-79). */
+  def excludePartitionColumns(schema: Map[String, String],
+                              partitionCols: Seq[String]): Map[String, String] =
+    schema -- partitionCols
+
+  /** All-string schema for a known column list (the staging read contract
+    * when the producer's schema is already known).
+    */
+  def allStringSchema(cols: Seq[String]): StructType =
+    StructType(cols.map(StructField(_, StringType, nullable = true)))
+}

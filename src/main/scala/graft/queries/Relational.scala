@@ -146,14 +146,19 @@ object Relational {
         .orderBy("c_custkey")
     },
 
-    // Left-anti: customers with no orders at all.
+    // Left-anti: customers with no in-progress ('P') order. (Anti against
+    // ALL orders is vacuous at every fixture SF — each customer has >=1
+    // order — so the predicate narrows the right side to keep the test
+    // non-empty.)
     QDef(
       "q07_join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

@@ -1,0 +1,117 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end EP-3 promote pipeline + catalog evolution
+  * (SURVEY.md §3 EP-1/EP-3; reference utils.py:147-172,
+  * staging_to_curated.py:82-175).
+  */
+class PromoteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpZones(): Zones =
+    Zones(Files.createTempDirectory("graft-lake").toString)
+
+  test("enrich adds processed_at/year/month from a pinned timestamp") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val out = Enrich.withAuditColumns(df, to_timestamp(lit("2026-03-15 10:30:00")))
+    val r = out.head()
+    r.getAs[String]("processed_at") shouldBe "2026-03-15 10:30:00"
+    r.getAs[String]("processed_year") shouldBe "2026"
+    // %m month — NOT the reference's %M minutes bug (SURVEY §8)
+    r.getAs[String]("processed_month") shouldBe "03"
+  }
+
+  test("promote: staging JSON -> curated partitioned parquet, all-string, audit cols") {
+    val zones = tmpZones()
+    val records = Seq(
+      """{"po":"P-1","detail":{"status":"OK","qty":3}}""",
+      """{"po":"P-2","detail":{"status":"LATE","qty":9}}""").toDF("value")
+    // stage as raw JSON lines (one object per line, like the reference's
+    // to_json(orient=records) output)
+    records.select(col("value")).write.mode("append")
+      .text(zones.stagingIncremental("po_status"))
+
+    val res = Promote.promote(spark, zones, "po_status",
+      asOf = to_timestamp(lit("2026-03-15 10:30:00"))).get
+    res.rows shouldBe 2L
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val back = spark.read.parquet(res.curatedPath)
+    back.columns.sorted.toSeq shouldBe
+      Seq("detail_qty", "detail_status", "po", "processed_at", "processed_month", "processed_year")
+    back.schema.fields.forall(_.dataType.typeName == "string") shouldBe true
+    // Hive-style partition dirs exist
+    val partDir = new java.io.File(s"${res.curatedPath}/processed_year=2026/processed_month=03")
+    partDir.isDirectory shouldBe true
+    back.where(col("po") === "P-1").head().getAs[String]("detail_qty") shouldBe "3"
+  }
+
+  test("promote: empty staging -> None (count gate)") {
+    val zones = tmpZones()
+    // directory exists but holds no records
+    new java.io.File(zones.stagingIncremental("empty_t")).mkdirs()
+    Promote.promote(spark, zones, "empty_t") shouldBe None
+  }
+
+  test("promote with catalog: create, then evolve when a new column appears; old partitions stay readable") {
+    val zones = tmpZones()
+    val table = "po_evolve"
+    Seq("""{"po":"P-1","amount":"10"}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental(table))
+    val r1 = Promote.promote(spark, zones, table,
+      asOf = to_timestamp(lit("2026-01-10 00:00:00")), register = true).get
+    r1.addedColumns shouldBe empty
+    spark.catalog.tableExists(table) shouldBe true
+
+    // batch 2 brings a brand-new column (ship_date)
+    Writer.truncateStaging(spark, zones, table)
+    Seq("""{"po":"P-2","amount":"20","ship_date":"2026-02-01"}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental(table))
+    val r2 = Promote.promote(spark, zones, table,
+      asOf = to_timestamp(lit("2026-02-10 00:00:00")), register = true).get
+    r2.addedColumns shouldBe Seq("ship_date" -> "string")
+
+    val cols = spark.catalog.listColumns(table).collect().map(_.name)
+    cols should contain("ship_date")
+    // catalogued read sees both partitions; old rows have NULL ship_date
+    val all = spark.sql(s"SELECT po, ship_date FROM $table ORDER BY po").collect()
+    all.length shouldBe 2
+    all(0).getString(0) shouldBe "P-1"
+    all(0).isNullAt(1) shouldBe true
+    all(1).getString(1) shouldBe "2026-02-01"
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("catalog type clamp: whitelisted types pass, nested types degrade to string") {
+    CatalogOps.clampType("bigint") shouldBe "bigint"
+    CatalogOps.clampType("decimal(30,6)") shouldBe "decimal(30,6)"
+    CatalogOps.clampType("struct<a:int>") shouldBe "string"
+    CatalogOps.clampType("array<double>") shouldBe "string"
+    CatalogOps.clampType("map<string,int>") shouldBe "string"
+    CatalogOps.clampType("TIMESTAMP") shouldBe "timestamp"
+  }
+
+  test("writer: staging truncate removes both staging prefixes") {
+    val zones = tmpZones()
+    Seq("""{"a":"1"}""").toDF("value").write.mode("append")
+      .text(zones.staging("t1"))
+    Seq("""{"a":"2"}""").toDF("value").write.mode("append")
+      .text(zones.stagingIncremental("t1"))
+    Writer.truncateStaging(spark, zones, "t1")
+    new java.io.File(zones.staging("t1")).exists() shouldBe false
+    new java.io.File(zones.stagingIncremental("t1")).exists() shouldBe false
+  }
+
+  test("writer: raw sink stores the verbatim payload") {
+    val zones = tmpZones()
+    val payload = """<xml><po>P-9</po></xml>"""
+    Writer.writeRaw(spark, payload, zones.raw("po_status", "2026", "03"))
+    val back = spark.read.text(zones.raw("po_status", "2026", "03"))
+      .as[String].collect()
+    back.toSeq shouldBe Seq(payload)
+  }
+}

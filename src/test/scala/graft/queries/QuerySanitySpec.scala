@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sanity checks the DuckDB oracle can't express (SURVEY.md §5):
+  * HLL bound for q13, and structural checks on the contract maps.
+  */
+class QuerySanitySpec extends SparkSpec {
+
+  test("q13 approx_count_distinct is within 15% of exact per group") {
+    val dir = sf("sf0.01")
+    val approx = SparkEntry.queries("q13_agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      // HLL++ default rsd is 5%; allow 3 sigma
+      math.abs(ap - ex) / ex should be <= 0.15
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
+  }
+
+  test("entry returns rows (driver smoke check)") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
