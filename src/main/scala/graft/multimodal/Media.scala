@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (§2C): media as opaque `binary` payloads with
+  * typed metadata, plus a batched decode/feature-extract seam.
+  *
+  * Design for 100 TB: payloads stay opaque binary all the way through the
+  * lake (partition pruning and column projection never touch the bytes);
+  * metadata is a plain struct column usable in filters; decode runs
+  * per-partition in bounded-size batches so a real codec (JNI/image lib)
+  * amortizes init cost and caps memory. The codec itself is STUBBED
+  * deterministically — this container ships no image/audio libraries — but
+  * the schema, batching shape and partition behavior are real.
+  */
+object Media {
+
+  /** Metadata carried next to every payload. */
+  final case class MediaMeta(format: String, nBytes: Long)
+
+  /** One media record entering the decode stage. */
+  final case class MediaRecord(id: Long, payload: Array[Byte], format: String)
+
+  /** Extracted features leaving the decode stage. */
+  final case class MediaFeatures(
+      id: Long, nBytes: Long, checksum: Long, histogram4: Array[Double])
+
+  /** Attach an opaque binary payload + metadata struct to `documents`-like
+    * input (text stands in for undecoded media bytes in the fixtures).
+    */
+  def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        lit("txt").as("format"),
+        octet_length(col("payload")).cast("long").as("nBytes")))
+
+  /** Deterministic stand-in for a real decoder: byte checksum + a 4-bin
+    * byte-value histogram. A production build swaps ONLY this function for
+    * the codec call; batching/partitioning above it is unchanged.
+    */
+  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val hist = new Array[Double](4)
+      var sum = 0L
+      r.payload.foreach { b =>
+        val u = b & 0xff
+        sum += u
+        hist(u >> 6) += 1.0
+      }
+      MediaFeatures(r.id, r.payload.length.toLong, sum, hist)
+    }
+
+  /** Batched per-partition feature extraction: groups each partition's rows
+    * into `batchSize` chunks (the mapInPandas/Arrow-batch shape) and runs
+    * the decoder once per chunk. No shuffle — decode is a narrow transform.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+  }
+}

@@ -1,15 +1,101 @@
 package graft.queries
 
 import graft.QDef
+import graft.Tables.t
+import graft.lake.{Enrich, Normalize, Promote, Writer, Zones}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Oracle-checkable demonstrations of the lake/ETL operator surface
-  * (SURVEY.md §2A): normalize flatten, string coercion, audit enrichment,
-  * and the staging->curated promote round trip.
+/** Oracle-checked demonstrations of the lake/ETL operator surface
+  * (SURVEY.md §2A) running through the REAL `graft.lake` code paths:
+  * normalize flatten+coerce, audit enrichment, and the full staging ->
+  * curated promote round trip on a scratch zone root.
   */
 object Lake {
 
-  val defs: Seq[QDef] = Seq()
+  val defs: Seq[QDef] = Seq(
+
+    // O-5/O-6/O-8 end-to-end: parse the schema-on-read props JSON, flatten
+    // the struct to props_k, coerce everything to the all-string model.
+    QDef(
+      "q27_normalize_flatten",
+      """SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
+        |  CAST(value AS VARCHAR) AS value,
+        |  json_extract_string(props, '$.k') AS props_k
+        |FROM events ORDER BY CAST(event_id AS BIGINT)""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("props"))
+      Normalize.normalize(ev)
+        .orderBy(col("event_id").cast("long"))
+    },
+
+    // O-3: audit-column enrichment with a pinned processing timestamp
+    // (deterministic twin of the wall-clock production path).
+    QDef(
+      "q28_enrich_audit",
+      """SELECT event_id, '2026-02-03 04:05:06' AS processed_at,
+        |  '2026' AS processed_year, '02' AS processed_month
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Enrich.withAuditColumns(
+        t(s, dir, "events").select("event_id"),
+        to_timestamp(lit("2026-02-03 04:05:06")))
+        .orderBy("event_id")
+    },
+
+    // EP-3 promote round trip (O-11/14/15/18/19 + O-3): stage `documents`
+    // as gzip JSON, promote through normalize+enrich to partitioned
+    // curated Parquet on a scratch root, read back through the partition
+    // scheme. The oracle states the invariant: the round trip loses and
+    // invents nothing.
+    QDef(
+      "q29_promote_roundtrip",
+      """SELECT '2026' AS processed_year, '01' AS processed_month, lang,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val zones = Zones(s"/tmp/graft_lake_demo")
+      val table = "docs_demo"
+      // idempotent scratch zone: truncate staging AND curated before the run
+      Writer.truncateStaging(s, zones, table)
+      val curated = new Path(zones.curated(table))
+      val fs = curated.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(curated)) fs.delete(curated, true)
+
+      Writer.writeStagingJson(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        zones.stagingIncremental(table))
+      Promote.promote(s, zones, table,
+        asOf = to_timestamp(lit("2026-01-15 00:00:00")))
+
+      s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      s.read.parquet(zones.curated(table))
+        .groupBy("processed_year", "processed_month", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // Multimodal column plumbing (§2C): opaque binary payload + typed
+    // metadata; features extracted with codegen'd binary functions. The
+    // batched decode seam for real image/audio codecs lives in
+    // graft.multimodal.Media (stubbed decode, tested in MediaSpec).
+    QDef(
+      "q43_multimodal_features",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS fp,
+        |  lower(hex(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Media.withPayload(t(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("fp"),
+          lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
+        .orderBy("doc_id")
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

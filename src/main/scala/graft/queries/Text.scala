@@ -1,15 +1,337 @@
 package graft.queries
 
-import graft.QDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QDef, Tables}
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** North-star text-analysis + deduplication operators over `documents`
-  * (SURVEY.md §2C): text stats, token counting, exact/MinHash/SimHash/
-  * n-gram-Jaccard dedup, language ID, quality scoring, fingerprinting.
+  * (SURVEY.md §2C; BASELINE.json north_star): text stats, token counting,
+  * language-ID heuristic, quality scoring, fingerprinting, exact dedup,
+  * n-gram-Jaccard dedup, MinHash+LSH dedup, SimHash dedup.
+  *
+  * Scale design (100 TB): every operator is expressed as narrow projections
+  * plus equi-joins/aggregations on bounded keys — tokenize/shingle are
+  * per-row codegen'd projections; near-dup candidate generation is an
+  * equi-join on shingle / LSH-band / SimHash-chunk (never an all-pairs
+  * cross join); verification touches only candidate pairs.
   */
 object Text {
 
-  val defs: Seq[QDef] = Seq()
+  /** Whitespace tokens. Fixture text is single-space separated. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word-trigram shingles ("a b c"), the unit for Jaccard/MinHash.
+    * 0-based subscripts in the SQL expr; guarded for texts under 3 tokens.
+    */
+  private val shinglesExpr =
+    """CASE WHEN size(toks) >= 3
+      |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+      |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |  ELSE array() END""".stripMargin
+
+  /** (doc_id, sh: array<string>, n_sh) — shared scan for the dedup family. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+
+  /** Exact trigram-shingle Jaccard >= `threshold` for a candidate-pair
+    * frame with columns (doc_a, doc_b): joins the shingle arrays back on
+    * both sides and verifies with array_intersect — only candidate pairs
+    * are touched, never the full cross product.
+    */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("n_sh").as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("n_sh").as("n_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle prelude: tokenized + shingled documents (1-based
+    * subscripts; mirrors [[shinglesExpr]]).
+    */
+  private val oracleShingles =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                       for i in range(1, greatest(len(toks)-1, 1))]) AS sh
+      |      FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
+      |             count(*) AS inter
+      |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // MinHash family: 64 permutations approximated by seeded xxhash64; bands
+  // of 4 rows => 16 bands. P(candidate | J=0.9) ≈ 1-(1-0.9^4)^16 ≈ 1-4e-8,
+  // so verified output == the exact-Jaccard pair set (deterministically:
+  // the hash family is fixed, so a local pass at a given SF is exact).
+  private val NumHashes = 64
+  private val RowsPerBand = 4
+  private val NumBands = NumHashes / RowsPerBand
+
+  val defs: Seq[QDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Text analysis
+    // ------------------------------------------------------------------
+
+    // Corpus stats per language: doc counts, char mass, token averages.
+    QDef(
+      "q30_text_stats",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(size(toks(col("text"))).cast("long")).as("total_tokens"),
+          (sum(size(toks(col("text"))).cast("long")).cast("double") / count(lit(1)))
+            .as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // Per-doc token counting: whitespace tokens + a BPE-ish regex pass
+    // (letter runs / digit runs / single non-alnum symbols).
+    QDef(
+      "q31_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+            .as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: stopword-profile scores -> argmax (fixed
+    // priority on ties), reported as a lang x predicted confusion matrix.
+    QDef(
+      "q32_lang_id",
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','des'))) AS s_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |    WHEN s_de >= s_fr THEN 'de'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM scored)
+        |SELECT lang, lang_pred, COUNT(*) AS n
+        |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin) { (s, dir) =>
+      def score(words: Seq[String]): String =
+        s"size(filter(split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      t(s, dir, "documents")
+        .withColumn("s_en", expr(score(Seq("the", "a", "of", "and", "is"))))
+        .withColumn("s_es", expr(score(Seq("el", "la", "de", "que", "y"))))
+        .withColumn("s_de", expr(score(Seq("der", "die", "und", "ist"))))
+        .withColumn("s_fr", expr(score(Seq("le", "les", "et", "des"))))
+        .withColumn("lang_pred",
+          when(col("s_en") === 0 && col("s_es") === 0 && col("s_de") === 0 && col("s_fr") === 0, "und")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // Quality scoring: length band, stopword ratio, mean token length,
+    // symbol ratio -> one deterministic composite in [0,1].
+    QDef(
+      "q33_quality_score",
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS avg_token_len,
+        |  ROUND(CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS stopword_ratio,
+        |  ROUND(CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / LENGTH(text), 6) AS symbol_ratio,
+        |  ROUND(0.5 * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0)
+        |      + 0.5 * LEAST(CAST(len(list_filter(string_split(text,' '),
+        |            t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |          / len(string_split(text,' ')) * 5.0, 1.0), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nt = size(toks(col("text"))).cast("long")
+      val stop = expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','and','is')))")
+        .cast("long")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          nt.as("n_tokens"),
+          round((length(col("text")).cast("double") - nt + lit(1)) / nt, 6)
+            .as("avg_token_len"),
+          round(stop.cast("double") / nt, 6).as("stopword_ratio"),
+          round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+            / length(col("text")), 6).as("symbol_ratio"),
+          round(lit(0.5) * least(nt.cast("double") / 50.0, lit(1.0))
+            + lit(0.5) * least(stop.cast("double") / nt * 5.0, lit(1.0)), 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: whole-text digest plus head/tail chunk
+    // digests (the cheap shift-detector pattern).
+    QDef(
+      "q34_fingerprint",
+      """SELECT doc_id,
+        |  md5(text) AS fp,
+        |  md5(substr(text, 1, 64)) AS fp_head,
+        |  md5(substr(text, GREATEST(LENGTH(text)-63, 1))) AS fp_tail
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("fp"),
+          md5(substring(col("text"), 1, 64)).as("fp_head"),
+          md5(col("text").substr(greatest(length(col("text")) - 63, lit(1)),
+            length(col("text")))).as("fp_tail"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Deduplication
+    // ------------------------------------------------------------------
+
+    // Exact dedup: hash-groupBy on the text digest, keep the lowest doc_id.
+    // One shuffle on the digest; scales as a plain aggregation.
+    QDef(
+      "q35_dedup_exact",
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    },
+
+    // n-gram Jaccard near-dup pairs: explode shingles -> equi-join on
+    // shingle -> per-pair intersection count -> Jaccard >= 0.5. At 100 TB
+    // the shingle join's fan-out on ultra-common shingles is the risk; the
+    // production path is q37 (MinHash bands bound every bucket).
+    QDef("q36_dedup_jaccard", oracleShingles) { (s, dir) =>
+      val docs = shingled(s, dir)
+      val e = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+      pairs.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH banding: 64 seeded-hash mins -> 16 band signatures ->
+    // equi-join on (band, signature) for candidates -> exact-Jaccard
+    // verification of candidates only. Never an all-pairs comparison; every
+    // shuffle key (shingle-min, band signature) is bounded by band count x
+    // bucket population. Oracle: identical to q36 — the fixed hash family
+    // makes candidate recall exact at these similarity gaps (see NumHashes).
+    QDef("q37_dedup_minhash", oracleShingles) { (s, dir) =>
+      val docs = shingled(s, dir).cache()
+      val e = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sig = e.groupBy("doc_id")
+        .agg(
+          min(xxhash64(lit(0), col("shingle"))).as("m0"),
+          (1 until NumHashes).map(i =>
+            min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*)
+      val bandCols = (0 until NumBands).map { b =>
+        val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        xxhash64(lit(b) +: ms: _*)
+      }
+      val banded = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, docs, 0.5)
+    },
+
+    // SimHash near-dup: 64-bit signature from per-shingle hash bit votes
+    // (trigram shingles — unigram features degenerate on low-entropy
+    // vocabularies: unrelated docs share whole token SETS); candidates
+    // block on 4x16-bit chunks (a pair within Hamming distance 3 must
+    // agree on >= 1 chunk), verified with bit_count(xor) <= 3.
+    // Rows-only here (bit-vote SQL has no tractable DuckDB twin); the
+    // ScalaTest spec cross-checks it against the q36 exact pair set.
+    QDef("q38_dedup_simhash", null) { (s, dir) =>
+      val e = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitVotes = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"v$i"))
+      val sig = e.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(i =>
+            when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L): Column)
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk", "cval")))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
