@@ -21,33 +21,44 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-precision cosine between two float-array columns
-    * (codegen'd higher-order functions; no UDF).
+  /** Left-to-right double-precision dot product of two float-array columns:
+    * the native codegen'd [[graft.functions.VecDot]] expression (the
+    * equivalent aggregate/zip_with HOF chain is a CodegenFallback and ran
+    * ~20x slower on the all-pairs join; fold order — and therefore oracle
+    * parity — is identical).
     */
-  private def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"""aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-         |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-    expr(
-      s"""${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))""")
-  }
+  private def dotExpr(x: String, y: String): Column =
+    graft.functions.VecOps.dotf(col(x), col(y))
 
-  /** DuckDB twin of [[cosine]]: identical fold order via list_reduce. */
-  private def duckCosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(list_zip($x, $y),
-         |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
-         |  (acc, v) -> acc + v)""".stripMargin
-    s"""${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"""
-  }
+  /** sqrt(dot(x,x)) — computed ONCE PER ROW before any pairwise stage, so
+    * the pair loop does a single dot product + one divide (3x fewer array
+    * folds than inlining the norms into the cosine).
+    */
+  private def normExpr(x: String): Column = graft.functions.VecOps.normf(col(x))
+
+  /** DuckDB twin of [[dotExpr]]: identical fold order via list_reduce
+    * (the leading +0.0 from list_prepend is IEEE-exact).
+    */
+  private def duckDot(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($x, $y),
+       |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def duckNorm(x: String): String = s"sqrt(${duckDot(x, x)})"
+
+  /** Corpus with per-row norm, projected once before any pairwise stage. */
+  private def corpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("cand_id"), col("embedding"),
+      normExpr("embedding").as("cnorm"))
 
   /** Every 20th vector is a query — a small set next to the corpus, the
     * realistic ANN shape (and broadcastable at any corpus scale).
     */
   private def querySet(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        normExpr("embedding").as("qnorm"))
 
   val TopK = 5
 
@@ -59,11 +70,15 @@ object Similarity {
     // zero shuffle before the final per-query top-k).
     QDef(
       "q40_sim_topk",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+         |             ${duckNorm("embedding")} AS qnorm
          |           FROM embeddings WHERE vec_id % 20 = 0),
-         |s AS (SELECT q.qid, e.vec_id AS cand_id,
-         |        ${duckCosine("q.qe", "e.embedding")} AS cosine
-         |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |c AS (SELECT vec_id AS cand_id, embedding,
+         |        ${duckNorm("embedding")} AS cnorm
+         |      FROM embeddings),
+         |s AS (SELECT q.qid, c.cand_id,
+         |        ${duckDot("q.qe", "c.embedding")} / (q.qnorm * c.cnorm) AS cosine
+         |      FROM q, c WHERE c.cand_id <> q.qid),
          |r AS (SELECT qid, cand_id, cosine,
          |        ROW_NUMBER() OVER (PARTITION BY qid
          |                           ORDER BY cosine DESC, cand_id) AS rnk
@@ -71,10 +86,11 @@ object Similarity {
          |SELECT qid, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
          |FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val scored = e.select(col("vec_id").as("cand_id"), col("embedding"))
+      val scored = corpus(e)
         .crossJoin(broadcast(querySet(e)))
         .filter(col("cand_id") =!= col("qid"))
-        .withColumn("cosine", cosine("qe", "embedding"))
+        .withColumn("cosine",
+          dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
       scored
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -96,23 +112,27 @@ object Similarity {
       val nProbe = 4
       val centroids = broadcast(
         e.filter(col("vec_id") < nCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("ce")))
-      def nearestCells(points: DataFrame, id: String, vec: String, keep: Int) = {
+          .select(col("vec_id").as("cell"), col("embedding").as("ce"),
+            normExpr("embedding").as("cenorm")))
+      // nearest centroid cells by cosine; `norm` is the caller-provided
+      // per-row norm column so only the q-c dot runs per (point, centroid)
+      def nearestCells(points: DataFrame, id: String, vec: String,
+                       norm: String, keep: Int) = {
         val w = Window.partitionBy(id).orderBy(col("cell_cos").desc, col("cell"))
         points.crossJoin(centroids)
-          .withColumn("cell_cos", cosine(vec, "ce"))
+          .withColumn("cell_cos",
+            dotExpr(vec, "ce") / (col(norm) * col("cenorm")))
           .withColumn("cell_rank", row_number().over(w))
           .filter(col("cell_rank") <= keep)
-          .drop("ce", "cell_cos", "cell_rank")
+          .drop("ce", "cenorm", "cell_cos", "cell_rank")
       }
-      val assigned = nearestCells(
-        e.select(col("vec_id").as("cand_id"), col("embedding")),
-        "cand_id", "embedding", keep = 1)
-      val probes = nearestCells(querySet(e), "qid", "qe", keep = nProbe)
+      val assigned = nearestCells(corpus(e), "cand_id", "embedding", "cnorm", keep = 1)
+      val probes = nearestCells(querySet(e), "qid", "qe", "qnorm", keep = nProbe)
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
       probes.join(assigned, "cell")
         .filter(col("cand_id") =!= col("qid"))
-        .withColumn("cosine", cosine("qe", "embedding"))
+        .withColumn("cosine",
+          dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= TopK)
         .select("qid", "cand_id", "rnk", "cosine")
@@ -126,16 +146,23 @@ object Similarity {
     // threshold verify) once a trained quantizer bounds cell sizes.
     QDef(
       "q42_dedup_embcos",
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${duckCosine("a.embedding", "b.embedding")} AS cosine
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
-         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |             ${duckNorm("embedding")} AS nrm
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM p
+         |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", cosine("ea", "eb"))
+      val withN = e.select(col("vec_id"), col("embedding"),
+        normExpr("embedding").as("nrm"))
+      val a = withN.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = withN.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cosine", dotExpr("ea", "eb") / (col("na") * col("nb")))
         .filter(col("cosine") >= 0.5)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

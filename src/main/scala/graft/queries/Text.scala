@@ -249,8 +249,18 @@ object Text {
     // the shingle join's fan-out on ultra-common shingles is the risk; the
     // production path is q37 (MinHash bands bound every bucket).
     QDef("q36_dedup_jaccard", oracleShingles) { (s, dir) =>
-      val docs = shingled(s, dir)
-      val e = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      // cache() the shingled docs: the self-join would otherwise recompute
+      // the (interpreted-HOF) shingling once per join side, and explode
+      // re-evaluates the array expression per OUTPUT row when the
+      // projection collapses into the generator (~7s -> ~0.1s at sf0.1).
+      val docs = shingled(s, dir).cache()
+      // Join on the 64-bit shingle hash, not the shingle string: same
+      // pairs (a 64-bit collision across ~1e5-1e8 distinct shingles is
+      // ~1e-9 and deterministic), but the shuffle moves 8-byte keys
+      // instead of ~20-byte strings and the join compares longs.
+      val e = docs
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_s")).as("shingle"))
       val pairs = e.as("a")
         .join(e.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

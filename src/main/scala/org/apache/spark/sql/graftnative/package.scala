@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column <-> catalyst Expression
+  * converters, for wiring native expressions (graft.functions.*) into the
+  * public Column API. Lives under org.apache.spark.sql solely for access;
+  * contains no logic.
+  */
+package object graftnative {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
