@@ -577,6 +577,113 @@ object Relational {
           |WHERE o_orderstatus = 'O'
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Full outer join: customers' finished vs in-progress order counts —
+    // either side may be absent, both sides preserved.
+    QDef(
+      "q44_join_full",
+      """SELECT COALESCE(f.o_custkey, p.o_custkey) AS custkey,
+        |  COALESCE(f.n_f, 0) AS n_finished, COALESCE(p.n_p, 0) AS n_inprogress
+        |FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, COUNT(*) AS n_p FROM orders
+        |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        |ON f.o_custkey = p.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey").as("ck_p")).agg(count(lit(1)).as("n_p"))
+      f.join(p, col("ck_f") === col("ck_p"), "full_outer")
+        .select(
+          coalesce(col("ck_f"), col("ck_p")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_finished"),
+          coalesce(col("n_p"), lit(0L)).as("n_inprogress"))
+        .orderBy("custkey")
+    },
+
+    // Explicit GROUPING SETS (beyond rollup/cube): by-flag, by-status, and
+    // grand total in one pass.
+    QDef(
+      "q45_grouping_sets",
+      """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"))
+        .select(
+          col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"))
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+    },
+
+    // JSON source scan (SURVEY §2B scans row): snapshot events to JSON
+    // lines, read back with an explicit schema, aggregate — the oracle over
+    // the original parquet states the round trip is lossless.
+    QDef(
+      "q46_json_scan",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val snap = s"/tmp/graft_src_demo/events_json"
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(snap)
+      s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(snap)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // CSV source scan with header + explicit schema.
+    QDef(
+      "q47_csv_scan",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val snap = s"/tmp/graft_src_demo/documents_csv"
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("header", "true").csv(snap)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("header", "true")
+        .csv(snap)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // Pivot: event_type counts as columns per user (DataFrame pivot; the
+    // oracle is the equivalent conditional aggregation).
+    QDef(
+      "q48_pivot",
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy("user_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.lake.{Writer, Zones}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: file-stream promote (AvailableNow),
+  * watermarked windowed aggregation, and stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming promote drains staged JSON into curated partitioned parquet") {
+    val zones = Zones(Files.createTempDirectory("graft-stream").toString)
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val table = "po_stream"
+    Seq("""{"po":"P-1","amount":"10"}""", """{"po":"P-2","amount":"20"}""")
+      .toDF("value").write.mode("append")
+      .text(zones.stagingIncremental(table))
+
+    val q = StreamingPromote.run(spark, zones, table,
+      Writer.allStringSchema(Seq("po", "amount")), checkpoint)
+    q.awaitTermination(60000)
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val back = spark.read.parquet(zones.curated(table))
+    back.count() shouldBe 2L
+    back.columns.sorted.toSeq shouldBe
+      Seq("amount", "po", "processed_at", "processed_month", "processed_year")
+
+    // second micro-load: only NEW files are processed (checkpointed offsets)
+    Seq("""{"po":"P-3","amount":"30"}""").toDF("value").write.mode("append")
+      .text(zones.stagingIncremental(table))
+    val q2 = StreamingPromote.run(spark, zones, table,
+      Writer.allStringSchema(Seq("po", "amount")), checkpoint)
+    q2.awaitTermination(60000)
+    spark.read.parquet(zones.curated(table)).count() shouldBe 3L
+  }
+
+  test("windowed counts with watermark aggregate per 5-minute window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingPromote.windowedCounts(events)
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.0),
+      (ts("2024-01-01 00:02:00"), "click", 2.0),
+      (ts("2024-01-01 00:03:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first window
+    mem.addData((ts("2024-01-01 01:00:00"), "click", 9.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("win_counts")
+      .orderBy("window_start", "event_type")
+      .select("event_type", "n", "sum_value").collect()
+    q.stop()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq(("click", 2L, 3.0), ("view", 1L, 5.0))
+  }
+
+  test("sessionization splits on gap and emits after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(mem.toDS(),
+      gapMs = 10 * 60 * 1000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // one user, two bursts 30 min apart -> two sessions
+    mem.addData(
+      Sessionize.Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+      Sessionize.Event(1L, ts("2024-01-01 00:05:00"), "click", 2.0),
+      Sessionize.Event(1L, ts("2024-01-01 00:35:00"), "view", 3.0))
+    q.processAllAvailable()
+    // push the watermark beyond the second session's gap
+    mem.addData(Sessionize.Event(2L, ts("2024-01-01 02:00:00"), "click", 0.5))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(2L, ts("2024-01-01 04:00:00"), "click", 0.5))
+    q.processAllAvailable()
+
+    val rows = spark.table("sessions")
+      .filter(col("user_id") === 1L)
+      .orderBy("session_start")
+      .collect()
+    q.stop()
+    rows.length shouldBe 2
+    rows(0).getAs[Long]("n_events") shouldBe 2L
+    rows(0).getAs[Double]("total_value") shouldBe 3.0
+    rows(1).getAs[Long]("n_events") shouldBe 1L
+    rows(1).getAs[Timestamp]("session_start") shouldBe ts("2024-01-01 00:35:00")
+  }
+}
