@@ -60,4 +60,40 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
   }
+
+  /** Deterministic "resize" stub: keep every ceil(n/target)-th byte so the
+    * payload shrinks to <= `targetBytes` (stands in for image resampling;
+    * the real implementation swaps the byte loop for the codec resize).
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    require(targetBytes > 0)
+    if (payload.length <= targetBytes) payload
+    else {
+      val stride = math.ceil(payload.length.toDouble / targetBytes).toInt
+      payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+    }
+  }
+
+  /** Deterministic "frame sampling" stub: split the payload into `nFrames`
+    * contiguous chunks (stand-in for video frame extraction), dropping a
+    * ragged tail shorter than a full frame only when unavoidable.
+    */
+  def frameSampleStub(payload: Array[Byte], nFrames: Int): Seq[Array[Byte]] = {
+    require(nFrames > 0)
+    if (payload.isEmpty) Seq.empty
+    else {
+      val size = math.max(1, payload.length / nFrames)
+      payload.grouped(size).take(nFrames).toSeq
+    }
+  }
+
+  /** Batched resize over a Dataset — same per-partition chunking as
+    * [[extractFeatures]]; narrow, shuffle-free.
+    */
+  def resizeAll(ds: Dataset[MediaRecord], targetBytes: Int,
+                batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(r =>
+      r.copy(payload = resizeStub(r.payload, targetBytes)))))
+  }
 }
