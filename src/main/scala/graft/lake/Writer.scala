@@ -58,15 +58,20 @@ object Writer {
 
   /** Grouped-file JSON scan (staging_to_curated.py:85-95): recursive read
     * with small files coalesced into ~`groupBytes` input partitions — the
-    * Spark-native equivalent of Glue's groupFiles/groupSize.
+    * Spark-native equivalent of Glue's groupFiles/groupSize. Partition
+    * sizing is a session conf, not a reader option (file splits come from
+    * `spark.sql.files.maxPartitionBytes` + openCostInBytes), so it is set
+    * on the session; pass `groupBytes = None` to keep the current setting.
     */
   def readGroupedJson(spark: SparkSession, path: String,
-                      groupBytes: Long = 104857600L): DataFrame =
+                      groupBytes: Option[Long] = Some(104857600L)): DataFrame = {
+    groupBytes.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
     spark.read
       .option("recursiveFileLookup", "true")
       .option("primitivesAsString", "true")
-      .option("maxPartitionBytes", groupBytes)
       .json(path)
+  }
 
   /** Schema extraction (staging_to_curated.py:61-70): name -> simple type
     * string for catalog ops.

@@ -95,6 +95,28 @@ object Lake {
           md5(col("payload")).as("fp"),
           lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
         .orderBy("doc_id")
+    },
+
+    // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
+    // batches with different schemas in one table directory, unified by
+    // mergeSchema — rows from the narrow batch read NULL for the column
+    // they predate. The oracle states the merged view's invariant.
+    QDef(
+      "q49_merge_schema",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val snap = "/tmp/graft_src_demo/evolve_parquet"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(snap)
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+        .write.mode("append").parquet(snap)
+      s.read.option("mergeSchema", "true").parquet(snap)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_with_source"))
+        .orderBy("lang")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
