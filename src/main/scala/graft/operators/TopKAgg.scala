@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed per-group top-k as an Aggregator (SURVEY.md §2B UDF/UDAF row).
+  *
+  * Why it exists next to the window form (q16): `row_number() OVER
+  * (PARTITION BY g ORDER BY v) <= k` must SORT every partition in full —
+  * at 100 TB that is a total sort of the fact table. This aggregator keeps
+  * a bounded k-element buffer per group (insert + drop-min, O(k) state),
+  * gets map-side partial aggregation for free (reduce/merge), and never
+  * holds more than k elements per group per task. The window form remains
+  * right when the input is pre-sorted or k is unbounded.
+  */
+object TopKAgg {
+
+  /** Keeps the k largest (value, id) pairs; descending by value, ties
+    * broken by ascending id — deterministic, matching
+    * `ORDER BY v DESC, id` window semantics.
+    */
+  final case class TopK(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+    override def zero: List[(Double, Long)] = Nil
+
+    private def insert(buf: List[(Double, Long)],
+                       e: (Double, Long)): List[(Double, Long)] = {
+      val merged = (e :: buf).sortBy { case (v, id) => (-v, id) }
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(buf: List[(Double, Long)],
+                        e: (Double, Long)): List[(Double, Long)] = insert(buf, e)
+
+    override def merge(a: List[(Double, Long)],
+                       b: List[(Double, Long)]): List[(Double, Long)] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      ExpressionEncoder[List[(Double, Long)]]()
+
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Untyped convenience: top-k rows of `valueCol` per `groupCol`, output
+    * as (group, rank, id, value) — one shuffle, bounded per-group state.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val agg = udaf(TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    df.groupBy(col(groupCol))
+      .agg(agg(col(valueCol).cast("double"), col(idCol).cast("long")).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "pair")))
+      .select(
+        col(groupCol),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("pair._2").as(idCol),
+        col("pair._1").as(valueCol))
+  }
+}

@@ -669,6 +669,26 @@ object Relational {
         .orderBy("lang")
     },
 
+    // Event-time tumbling window over the nanosecond event timestamps
+    // (read as epoch-nanos longs per the Tables.t nanosAsLong contract;
+    // `ts div 1000` stays integral — a double division would lose
+    // precision above 2^53 ns).
+    QDef(
+      "q50_time_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Pivot: event_type counts as columns per user (DataFrame pivot; the
     // oracle is the equivalent conditional aggregation).
     QDef(

@@ -312,7 +312,8 @@ object Text {
     // Rows-only here (bit-vote SQL has no tractable DuckDB twin); the
     // ScalaTest spec cross-checks it against the q36 exact pair set.
     QDef("q38_dedup_simhash", null) { (s, dir) =>
-      val e = shingled(s, dir)
+      // cache before explode for the same HOF re-evaluation reason as q36
+      val e = shingled(s, dir).cache()
         .select(col("doc_id"), explode(col("sh")).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       val bitVotes = (0 until 64).map(i =>
