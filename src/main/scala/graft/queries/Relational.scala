@@ -704,6 +704,27 @@ object Relational {
         .agg(count(lit(1)))
         .na.fill(0L, Seq("click", "view", "purchase"))
         .orderBy("user_id")
+    },
+
+    // UDAF row (SURVEY §2B): same semantics as q16's window top-k, computed
+    // by the bounded-state TopKAgg Aggregator — one shuffle with map-side
+    // partial aggregation and O(k) per-group state instead of a full
+    // per-partition sort. The oracle is deliberately the window form.
+    QDef(
+      "q51_topk_agg",
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey,
+        |       o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rank""".stripMargin) { (s, dir) =>
+      graft.operators.TopKAgg
+        .topKPerGroup(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+                      "o_orderkey", k = 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rank")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis + deduplication operators over `documents`
@@ -342,6 +343,57 @@ object Text {
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Deterministic stratified sampling: per-language keep-rates applied as
+    // a pure narrow filter on the key (no shuffle, no state — the sample
+    // decision is a projection, so it runs at scan speed on any cluster
+    // size and is reproducible run-to-run). doc_id % 100 stands in for the
+    // production key-hash (fixture ids are uniform); swap in
+    // pmod(xxhash64(key), 100) when ids are not.
+    QDef(
+      "q52_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id % 100) <
+        |  CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 50 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 100 <
+          when(col("lang") === "en", 20)
+            .when(col("lang") === "es", 50)
+            .otherwise(100))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing for pretraining: greedy sequential assignment of
+    // docs to fixed token-budget bins per language — bin id is the running
+    // token total (exclusive of the current doc) div the budget. One
+    // shuffle on lang; within a partition the window is a single sorted
+    // pass, which is exactly how a sharded corpus would be packed at
+    // 100 TB (pack within shard, shard = partition key).
+    QDef(
+      "q53_pack_sequences",
+      """WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, n_tok,
+        |    (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+        |          - n_tok) // 2048 AS bin
+        |  FROM sized)
+        |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+        |FROM packed GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 2048).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("lang", "bin")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
