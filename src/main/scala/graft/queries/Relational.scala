@@ -725,6 +725,71 @@ object Relational {
                       "o_orderkey", k = 3)
         .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rank")
+    },
+
+    // As-of join (an operator Spark lacks natively): each purchase matched
+    // to the same user's most recent click at-or-before it. Implemented by
+    // COMPOSING built-ins — tag both sides, union, and take a running
+    // last-click window per user — which costs exactly ONE shuffle on the
+    // join key. The naive alternative (theta-join on user_id + ts>=ts,
+    // then max per purchase) degenerates to a per-user cross product; the
+    // union+window form is the standard scale-safe rewrite and is also
+    // AQE-friendly (plain hash partitioning on user_id). Ties: clicks sort
+    // before purchases at equal ts (kind 0 < 1), matching ts >= ts
+    // inclusivity; the fixture has no duplicate (user, ts) click pairs.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    QDef(
+      "q54_asof_join",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val tagged = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id")))
+      val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"),
+          // per-value micro truncation BEFORE subtracting — DuckDB reads
+          // the TIMESTAMP(NANOS) column at microsecond precision, so the
+          // oracle's epoch_us values are per-value-truncated too
+          (expr("ts div 1000") - expr("click_ts div 1000")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    // Exact percentiles per group (SURVEY §2B aggregation family): Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` share the
+    // lower + frac * (upper - lower) interpolation on the (n-1)*p rank,
+    // so the doubles match bit-for-bit. At scale exact percentiles imply a
+    // per-group sort of the values; the sketch alternative is q13's
+    // approx_count_distinct cousin `percentile_approx` (one pass, mergeable
+    // — the 100 TB default when +/-0.1% is acceptable).
+    QDef(
+      "q55_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+        .orderBy("l_returnflag")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

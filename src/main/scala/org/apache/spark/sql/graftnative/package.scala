@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftnative {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function into an ALREADY-RUNNING session's registry —
+    * the runtime counterpart of `spark.sql.extensions` for sessions the
+    * caller didn't build (notebooks, shells, tests).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: catalyst.FunctionIdentifier,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }
