@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan shape assertions: the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast, no accidental nested-loop joins, shuffle
+  * counts) checked mechanically, so a regression in plan shape fails CI
+  * even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 scan has pushed filters and a pruned read schema") {
+    val p = plan("q02_scan_filter")
+    p should include("PushedFilters: [")
+    p should not include "PushedFilters: []"
+    // projection pruning: the lineitem scan must not read all 16 columns
+    p should include("ReadSchema")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema:").last
+    readSchema.count(_ == ',') should be < 8
+  }
+
+  test("q08 broadcasts the dimension side") {
+    plan("q08_join_broadcast") should include("BroadcastHashJoin")
+  }
+
+  test("q09 range join is banded: no broadcast nested loop") {
+    val p = plan("q09_join_range")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("dedup candidate joins are equi-joins, never all-pairs") {
+    for (q <- Seq("q36_dedup_jaccard", "q37_dedup_minhash", "q38_dedup_simhash")) {
+      val p = plan(q)
+      withClue(q) {
+        p should not include "BroadcastNestedLoopJoin"
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("q41 IVF candidate generation is an equi-join on cell id") {
+    val p = plan("q41_sim_topk_ivf")
+    // the centroid assignment is an INTENDED broadcast cross join (16
+    // centroids); the corpus-side candidate join must be hash/merge
+    (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")) shouldBe true
+    p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) should be <= 2
+  }
+
+  test("q54 as-of join costs one hash shuffle plus the final sort") {
+    val p = plan("q54_asof_join")
+    p should include("Window")
+    p should not include "BroadcastNestedLoopJoin"
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("q51 aggregator plan has a map-side partial aggregate") {
+    // the whole point of TopKAgg vs the window form: partial aggregation
+    // before the shuffle bounds per-group state
+    val p = plan("q51_topk_agg")
+    p.toLowerCase should include("partial")
+    p should not include "Window"
+  }
+}
