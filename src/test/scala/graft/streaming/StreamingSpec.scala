@@ -69,6 +69,28 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L, 3.0), ("view", 1L, 5.0))
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes",
+      Seq("doc_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), 1L, "a"),
+      (ts("2024-01-01 00:02:00"), 1L, "a dup"),   // dup within watermark
+      (ts("2024-01-01 00:03:00"), 2L, "b"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:04:00"), 2L, "b dup"))
+    q.processAllAvailable()
+    val emitted = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    emitted shouldBe Seq(1L, 2L)
+  }
+
   test("sessionization splits on gap and emits after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
