@@ -64,13 +64,17 @@ object Relational {
         |WHERE l_quantity BETWEEN 10 AND 20
         |  AND l_returnflag IN ('A','R')
         |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_quantity").between(10, 20)
           && col("l_returnflag").isin("A", "R")
           && col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture at
+        // sf >= 0.1 — order by the full output row so the contract sort is
+        // deterministic across engines
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
     },
 
     QDef(
