@@ -752,20 +752,15 @@ object Relational {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
-      val tagged = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
-        .unionByName(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id")))
-      val w = Window.partitionBy("user_id").orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_ts",
-          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("click_id"),
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightValues = Seq("click_id", "click_ts"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
           // per-value micro truncation BEFORE subtracting — DuckDB reads
           // the TIMESTAMP(NANOS) column at microsecond precision, so the
           // oracle's epoch_us values are per-value-truncated too
