@@ -402,6 +402,49 @@ object Text {
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
         .orderBy("lang", "bin")
+    },
+
+    // Training-mixture sampling: given target MIX WEIGHTS per source group
+    // and a total budget, derive each group's keep-rate from its actual
+    // row count (rate = weight * budget / n_g, clamped to 1) and apply it
+    // as a deterministic key filter. The rate table is a tiny aggregation
+    // broadcast back onto a narrow scan — the corpus is never shuffled, so
+    // the op runs at scan speed at any size; changing the mix re-plans
+    // only the rate table. Rates are computed in per-mille to keep the
+    // threshold integral and engine-exact.
+    QDef(
+      "q56_weighted_mix",
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'web'
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 'books'
+        |         ELSE 'code' END AS grp FROM documents),
+        |c AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(FLOOR(0.4 * SUM(n)) AS BIGINT) AS budget FROM c),
+        |r AS (SELECT grp, LEAST(1000, CAST(FLOOR(
+        |        (CASE grp WHEN 'web' THEN 0.6 WHEN 'books' THEN 0.3 ELSE 0.1 END)
+        |        * budget * 1000.0 / n) AS BIGINT)) AS thresh
+        |      FROM c, t)
+        |SELECT d.doc_id, d.grp, d.source FROM d JOIN r USING (grp)
+        |WHERE d.doc_id % 1000 < r.thresh ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val grpExpr = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), "web")
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), "books")
+        .otherwise("code")
+      val wExpr = when(col("grp") === "web", 0.6)
+        .when(col("grp") === "books", 0.3).otherwise(0.1)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), grpExpr.as("grp"))
+      val counts = d.groupBy("grp").agg(count(lit(1)).as("n"))
+      val budget = counts.agg(
+        floor(lit(0.4) * sum(col("n"))).cast("long").as("budget"))
+      val rates = counts.crossJoin(budget)
+        .select(col("grp"),
+          least(lit(1000L),
+            floor(wExpr * col("budget") * lit(1000.0) / col("n")).cast("long"))
+            .as("thresh"))
+      d.join(broadcast(rates), Seq("grp"))
+        .filter(col("doc_id") % 1000 < col("thresh"))
+        .select("doc_id", "grp", "source")
+        .orderBy("doc_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
