@@ -768,13 +768,19 @@ object Relational {
         .orderBy("purchase_id")
     },
 
-    // Exact percentiles per group (SURVEY §2B aggregation family): Spark's
-    // exact `percentile` and DuckDB's `quantile_cont` share the
-    // lower + frac * (upper - lower) interpolation on the (n-1)*p rank,
-    // so the doubles match bit-for-bit. At scale exact percentiles imply a
-    // per-group sort of the values; the sketch alternative is q13's
-    // approx_count_distinct cousin `percentile_approx` (one pass, mergeable
-    // — the 100 TB default when +/-0.1% is acceptable).
+    // Exact percentiles per group (SURVEY §2B aggregation family), computed
+    // by DISTRIBUTED SORT + rank selection: row_number per group, pick the
+    // floor/ceil ranks of h = p*(n-1), interpolate
+    // lower*(1-frac) + upper*frac — the exact formula DuckDB's
+    // quantile_cont (and Spark's `percentile`) use, so the doubles match
+    // bit-for-bit (the algebraically-equal lower + frac*(upper-lower)
+    // rounds differently in the last ulp). Why not the built-in
+    // exact `percentile`: it aggregates a per-group value->count map, which
+    // on a mostly-distinct column (l_extendedprice) means the whole group's
+    // values in one executor's memory — the window form sorts
+    // distributively and selects 2 rows per group, which is the shape that
+    // survives 100 TB. (`percentile_approx` remains the one-pass sketch
+    // alternative when +/-0.1% is acceptable.)
     QDef(
       "q55_percentiles",
       """SELECT l_returnflag,
@@ -782,12 +788,36 @@ object Relational {
         |  quantile_cont(l_quantity, 0.95) AS p95_qty,
         |  quantile_cont(l_extendedprice, 0.95) AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      // one window sort per VALUE column, shared by all its percentiles
+      def pcts(vcol: String, ps: Seq[(Double, String)]): DataFrame = {
+        val w = Window.partitionBy("l_returnflag").orderBy(vcol)
+        val wn = Window.partitionBy("l_returnflag")
+        val ranked = base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nm1", (count(lit(1)).over(wn) - 1).cast("double"))
+        val hCol = (p: Double) => lit(p) * col("nm1")
+        val needed = ps.map { case (p, _) =>
+          (col("rn") === floor(hCol(p)) + 1) || (col("rn") === ceil(hCol(p)) + 1)
+        }.reduce(_ || _)
+        val aggs = ps.flatMap { case (p, out) =>
+          Seq(
+            min(when(col("rn") === floor(hCol(p)) + 1, col(vcol))).as(s"__lo_$out"),
+            min(when(col("rn") === ceil(hCol(p)) + 1, col(vcol))).as(s"__hi_$out"),
+            first(hCol(p)).as(s"__h_$out"))
+        }
+        val outs = ps.map { case (_, out) =>
+          val frac = col(s"__h_$out") - floor(col(s"__h_$out"))
+          (col(s"__lo_$out") * (lit(1.0) - frac) + col(s"__hi_$out") * frac).as(out)
+        }
+        ranked.filter(needed)
+          .groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag") +: outs: _*)
+      }
+      pcts("l_quantity", Seq(0.5 -> "p50_qty", 0.95 -> "p95_qty"))
+        .join(pcts("l_extendedprice", Seq(0.95 -> "p95_price")), "l_returnflag")
         .orderBy("l_returnflag")
     })
 
