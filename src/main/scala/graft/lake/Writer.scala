@@ -54,7 +54,21 @@ object Writer {
     * Parallelism is Spark-native (no use_threads knob needed).
     */
   def readStagingJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("primitivesAsString", "true").json(path)
+    dropCorruptColumn(
+      spark.read.option("primitivesAsString", "true").json(path))
+
+  /** A malformed staged line makes Spark add the internal
+    * `_corrupt_record` column to the inferred schema, and any query that
+    * references only that column (e.g. the count gate) throws
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN. Drop it: the bad line still lands
+    * as an all-null row (PERMISSIVE), which the all-string coercion maps
+    * to empty strings — one garbled vendor line must not fail the batch.
+    */
+  private def dropCorruptColumn(df: DataFrame): DataFrame = {
+    val corrupt = df.sparkSession.conf
+      .get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    if (df.columns.contains(corrupt)) df.drop(corrupt) else df
+  }
 
   /** Grouped-file JSON scan (staging_to_curated.py:85-95): recursive read
     * with small files coalesced into ~`groupBytes` input partitions — the
@@ -67,10 +81,11 @@ object Writer {
                       groupBytes: Option[Long] = Some(104857600L)): DataFrame = {
     groupBytes.foreach(b =>
       spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
-    spark.read
-      .option("recursiveFileLookup", "true")
-      .option("primitivesAsString", "true")
-      .json(path)
+    dropCorruptColumn(
+      spark.read
+        .option("recursiveFileLookup", "true")
+        .option("primitivesAsString", "true")
+        .json(path))
   }
 
   /** Schema extraction (staging_to_curated.py:61-70): name -> simple type

@@ -819,6 +819,37 @@ object Relational {
       pcts("l_quantity", Seq(0.5 -> "p50_qty", 0.95 -> "p95_qty"))
         .join(pcts("l_extendedprice", Seq(0.95 -> "p95_price")), "l_returnflag")
         .orderBy("l_returnflag")
+    },
+
+    // UNPIVOT (wide->long reshape, the inverse of q48's pivot): per-flag
+    // measure sums melted into (measure, value) rows via Dataset.unpivot —
+    // a narrow projection+generate over the already-aggregated frame, no
+    // extra shuffle. Oracle: the equivalent UNION ALL.
+    QDef(
+      "q57_unpivot",
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS quantity,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS extendedprice,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS discount
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'quantity' AS measure, quantity AS value FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice', extendedprice FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount', discount FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("quantity"),
+          dsum(col("l_extendedprice")).as("extendedprice"),
+          dsum(col("l_discount")).as("discount"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

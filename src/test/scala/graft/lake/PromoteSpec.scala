@@ -50,6 +50,31 @@ class PromoteSpec extends SparkSpec {
     back.where(col("po") === "P-1").head().getAs[String]("detail_qty") shouldBe "3"
   }
 
+  test("staging scan survives malformed JSON lines (PERMISSIVE semantics)") {
+    // A vendor feed WILL eventually ship a truncated/garbled line; the scan
+    // must not fail the batch. Spark's default PERMISSIVE mode turns the
+    // bad line into an all-null row, which normalize's all-string coercion
+    // then maps to empty strings — the batch lands, nothing throws.
+    val zones = tmpZones()
+    val dir = zones.stagingIncremental("perm")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"po": "1", "amount": "10"}
+        |{"po": "2", "amount": NOT_JSON}
+        |{"po": "3", "amount": "30"}
+        |""".stripMargin)
+    val raw = Writer.readStagingJson(spark, dir)
+    raw.count() shouldBe 3L
+    val good = raw.filter(col("po").isNotNull)
+    good.count() shouldBe 2L
+    val landed = Normalize.coerceToString(raw)
+    landed.count() shouldBe 3L
+    // coercion leaves no nulls anywhere, so downstream writes cannot choke
+    landed.columns.foreach { c =>
+      landed.filter(col(c).isNull).count() shouldBe 0L
+    }
+  }
+
   test("promote: empty staging -> None (count gate)") {
     val zones = tmpZones()
     // directory exists but holds no records
