@@ -850,6 +850,25 @@ object Relational {
           Array(col("quantity"), col("extendedprice"), col("discount")),
           "measure", "value")
         .orderBy("l_returnflag", "measure")
+    },
+
+    // Mergeable sketches — the canonical 100 TB distinct-count pattern:
+    // build a compact HLL sketch per (event_type, day) partition (one
+    // linear pass, each sketch a few KB), then MERGE sketches instead of
+    // re-scanning history for every rollup window. Incremental loads only
+    // sketch the new day. Rows-only (approximate — no SQL oracle);
+    // QuerySanitySpec bounds the estimates against exact countDistinct.
+    QDef("q58_sketch_union", null) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("date_trunc('DAY', timestamp_micros(ts div 1000))"))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily
+        .groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   */
 class QuerySanitySpec extends SparkSpec {
 
+  test("q58 merged HLL sketches are within 5% of exact distinct users") {
+    val dir = sf("sf0.01")
+    val approx = SparkEntry.queries("q58_sketch_union")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, ex) =>
+      // datasketches HLL at default lgk=12 has rsd ~1.6%; allow 3 sigma
+      math.abs(approx(k).toDouble - ex) / ex should be <= 0.05
+    }
+  }
+
   test("q13 approx_count_distinct is within 15% of exact per group") {
     val dir = sf("sf0.01")
     val approx = SparkEntry.queries("q13_agg_approx_distinct")(spark, dir)
