@@ -58,6 +58,14 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Per-SF scratch path for the source-snapshot demo queries (q29/q46/
+    * q47/q49): keyed by the input dir so runs over different SFs (e.g. a
+    * Verify at sf0.01 interleaved with a Bench at sf0.1) never clobber
+    * each other's snapshots.
+    */
+  def scratch(dir: String, name: String): String =
+    s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}/$name"
+
   // ---------------------------------------------------------------------
   // Exact aggregation helpers.
   //

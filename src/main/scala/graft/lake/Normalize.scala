@@ -56,13 +56,9 @@ object Normalize {
 
   /** Keep the first of any columns that collide by (sanitized) name. */
   def dropDuplicatedColumns(df: DataFrame): DataFrame = {
-    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    val keep = df.columns.zipWithIndex.collect {
-      case (n, i) if seen.add(n) => col(df.columns(i)).as(n)
-    }
     // Positional dedup needs unambiguous refs; go through the underlying
     // attribute order instead of (ambiguous) name lookups.
-    if (seen.size == df.columns.length) df
+    if (df.columns.distinct.length == df.columns.length) df
     else {
       val indexed = df.toDF(df.columns.zipWithIndex
         .map { case (n, i) => s"__c$i" }.toIndexedSeq: _*)

@@ -41,11 +41,18 @@ object Promote {
       } catch { case _: org.apache.spark.sql.AnalysisException => return None }
 
     val normalized = Normalize.normalize(staged, dropNa = dropNa)
-    val enriched = Enrich.withAuditColumns(normalized, asOf)
-
+    // cache: the batch is both written and counted (Result.rows must be
+    // THIS batch's size — a read-back count of the curated path would
+    // report all historical partitions, and at scale would re-scan the
+    // whole table on every incremental promote)
+    val enriched = Enrich.withAuditColumns(normalized, asOf).cache()
     val curatedPath = zones.curated(table)
-    Writer.writeCurated(enriched, curatedPath, SaveMode.Append,
-      Enrich.PartitionColumns)
+    val batchRows =
+      try {
+        Writer.writeCurated(enriched, curatedPath, SaveMode.Append,
+          Enrich.PartitionColumns)
+        enriched.count()
+      } finally enriched.unpersist()
 
     val added =
       if (register) {
@@ -62,8 +69,7 @@ object Promote {
 
     // Partition values must stay strings on read-back (SURVEY §1.3).
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val back = spark.read.parquet(curatedPath)
-    Some(Result(table, curatedPath, back.count(), added))
+    Some(Result(table, curatedPath, batchRows, added))
   }
 
   /** Ingest driver-side records (the REST/XML source boundary, O-2/O-12/

@@ -82,7 +82,9 @@ object Media {
     require(nFrames > 0)
     if (payload.isEmpty) Seq.empty
     else {
-      val size = math.max(1, payload.length / nFrames)
+      // ceil division: floor would shrink frames and silently drop up to
+      // (nFrames-1) trailing bytes that a slightly larger frame covers
+      val size = math.max(1, (payload.length + nFrames - 1) / nFrames)
       payload.grouped(size).take(nFrames).toSeq
     }
   }

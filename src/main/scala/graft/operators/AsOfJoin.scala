@@ -28,14 +28,27 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightValues: Seq[String], tolerance: Option[Long] = None): DataFrame = {
     require(rightValues.nonEmpty, "rightValues must name at least one column")
+    // Precision-preserving time normalization: cast("long") would truncate
+    // TimestampType to whole SECONDS (sub-second order lost -> a right row
+    // 0.5s after the left row would "match"); use unix_micros for
+    // timestamps. Tolerance is therefore in MICROSECONDS for timestamp
+    // columns, in the column's own units for numeric ones.
+    def asLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
     val leftCols = left.columns.toSeq
     val l = left.select(
-      col(key).as("__k"), col(leftTime).cast("long").as("__t"),
+      col(key).as("__k"), asLong(left, leftTime).as("__t"),
       lit(1).as("__kind"),
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(rightStructType(right, rightValues)).as("__rv"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTime).cast("long").as("__t"),
+    // NULL keys never join in SQL (NULL = NULL is not true): drop null-key
+    // right rows up front; null-key left rows then share a partition with
+    // no right rows and emit unmatched, matching ASOF JOIN semantics.
+    val r = right.filter(col(key).isNotNull).select(
+      col(key).as("__k"), asLong(right, rightTime).as("__t"),
       lit(0).as("__kind"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
         .as("__lrow"),

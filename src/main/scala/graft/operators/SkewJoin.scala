@@ -23,6 +23,11 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
+    // right/full outer would emit each unmatched SMALL row once per salt
+    // replica (`factor` duplicates) — reject rather than silently corrupt.
+    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     // salt is only a distribution device, never part of the result; spread
     // rows deterministically-enough with a cheap per-row counter hash.
     val salted = large.withColumn("__salt",

@@ -54,7 +54,12 @@ object TopKAgg {
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                    idCol: String, k: Int): DataFrame = {
     val agg = udaf(TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    df.groupBy(col(groupCol))
+    df
+      // null value/id rows cannot rank (and the primitive tuple encoder
+      // would throw on them) — drop them, mirroring `ORDER BY v DESC`
+      // nulls-last semantics for any k <= the non-null count
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(agg(col(valueCol).cast("double"), col(idCol).cast("long")).as("topk"))
       .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "pair")))
       .select(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
 import graft.Tables.t
 import graft.lake.{Enrich, Normalize, Promote, Writer, Zones}
 import org.apache.hadoop.fs.Path
@@ -55,7 +55,7 @@ object Lake {
       """SELECT '2026' AS processed_year, '01' AS processed_month, lang,
         |  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val zones = Zones(s"/tmp/graft_lake_demo")
+      val zones = Zones(Tables.scratch(dir, "lake_demo"))
       val table = "docs_demo"
       // idempotent scratch zone: truncate staging AND curated before the run
       Writer.truncateStaging(s, zones, table)
@@ -106,7 +106,7 @@ object Lake {
       """SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val snap = "/tmp/graft_src_demo/evolve_parquet"
+      val snap = Tables.scratch(dir, "evolve_parquet")
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
         .write.mode("overwrite").parquet(snap)

@@ -645,7 +645,7 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val snap = s"/tmp/graft_src_demo/events_json"
+      val snap = Tables.scratch(dir, "events_json")
       t(s, dir, "events").select("event_id", "event_type", "value")
         .write.mode("overwrite").json(snap)
       s.read
@@ -661,7 +661,7 @@ object Relational {
       "q47_csv_scan",
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val snap = s"/tmp/graft_src_demo/documents_csv"
+      val snap = Tables.scratch(dir, "documents_csv")
       t(s, dir, "documents").select("doc_id", "lang", "n_chars")
         .write.mode("overwrite").option("header", "true").csv(snap)
       s.read

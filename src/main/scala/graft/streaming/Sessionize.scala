@@ -59,7 +59,9 @@ object Sessionize {
         closed += toSession(user, cur)
         cur = SessionAgg(t, t, 1L, e.value)
       } else {
-        cur = SessionAgg(cur.startMs, math.max(cur.endMs, t),
+        // min() the start too: a late-but-in-watermark event from an
+        // earlier micro-batch can predate the running session's start
+        cur = SessionAgg(math.min(cur.startMs, t), math.max(cur.endMs, t),
           cur.nEvents + 1, cur.totalValue + e.value)
       }
     }

@@ -48,6 +48,17 @@ class PromoteSpec extends SparkSpec {
     val partDir = new java.io.File(s"${res.curatedPath}/processed_year=2026/processed_month=03")
     partDir.isDirectory shouldBe true
     back.where(col("po") === "P-1").head().getAs[String]("detail_qty") shouldBe "3"
+
+    // A SECOND incremental promote must report only ITS batch's rows, not
+    // a whole-table read-back count (1 new staged row -> rows == 1, even
+    // though the table now holds 3).
+    Writer.truncateStaging(spark, zones, "po_status")
+    Seq("""{"po":"P-3","detail":{"status":"OK","qty":1}}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental("po_status"))
+    val res2 = Promote.promote(spark, zones, "po_status",
+      asOf = to_timestamp(lit("2026-04-02 08:00:00"))).get
+    res2.rows shouldBe 1L
+    spark.read.parquet(res2.curatedPath).count() shouldBe 3L
   }
 
   test("staging scan survives malformed JSON lines (PERMISSIVE semantics)") {
