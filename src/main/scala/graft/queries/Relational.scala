@@ -869,6 +869,44 @@ object Relational {
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
           count(lit(1)).as("n_days"))
         .orderBy("event_type")
+    },
+
+    // Batch sessionization (the oracle-checked twin of the streaming
+    // flatMapGroupsWithState form in streaming/Sessionize): a session
+    // boundary is a >30min event-time gap; session id = running count of
+    // boundaries per user. Two windows over ONE shuffle on user_id, then a
+    // per-session aggregate — the standard lag+cumsum rewrite that scales
+    // as a plain keyed window. Times in microseconds (DuckDB reads the
+    // nanos column at micro precision).
+    QDef(
+      "q59_sessionize_batch",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |b AS (SELECT user_id, t, value,
+        |        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 30*60*1000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, t, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(t) AS start_us, MAX(t) AS end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy("user_id").orderBy("t")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+        .withColumn("brk",
+          when(col("t") - lag(col("t"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(wRun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
