@@ -69,6 +69,38 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L, 3.0), ("view", 1L, 5.0))
   }
 
+  test("stream-stream interval join matches clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamJoin.intervalJoin(
+      purchases.toDF().toDF("p_ts", "p_user", "p_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "c_id"),
+      leftKey = "p_user", rightKey = "c_user",
+      leftTime = "p_ts", rightTime = "c_ts",
+      watermark = "10 minutes", windowSpec = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+
+    clicks.addData(
+      (ts("2024-01-01 00:00:00"), 1L, 100L),   // in window for p 00:20
+      (ts("2024-01-01 00:19:00"), 1L, 101L),   // in window
+      (ts("2024-01-01 00:01:00"), 2L, 102L))   // other user
+    purchases.addData((ts("2024-01-01 00:20:00"), 1L, 900L))
+    q.processAllAvailable()
+    // advance both watermarks so results flush
+    clicks.addData((ts("2024-01-01 02:00:00"), 9L, 999L))
+    purchases.addData((ts("2024-01-01 02:00:00"), 9L, 998L))
+    q.processAllAvailable()
+
+    val rows = spark.table("sj_out")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    rows should contain allOf ((900L, 100L), (900L, 101L))
+    rows should not contain ((900L, 102L))
+  }
+
   test("streaming dedup drops in-watermark duplicates with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
