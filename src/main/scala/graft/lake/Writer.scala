@@ -29,6 +29,42 @@ object Writer {
       .option("compression", "gzip")
       .json(path)
 
+  /** Partition-level upsert: overwrite ONLY the partitions present in
+    * `df`, leaving all other history untouched (dynamic partition
+    * overwrite — the parquet-lake stand-in for MERGE when the grain is a
+    * partition, e.g. a corrected daily reload). A static Overwrite would
+    * truncate the whole table; Append would duplicate the reloaded rows.
+    */
+  def upsertPartitions(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Enrich.PartitionColumns): Unit = {
+    val prev = df.sparkSession.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeCurated(df, path, SaveMode.Overwrite, partitionCols)
+    finally df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Small-file compaction of one Hive partition: incremental appends
+    * leave one file per (load, task); over months a hot partition
+    * accumulates thousands of small files and every scan pays per-file
+    * open cost. Rewrite the partition's data into ~`targetFiles` files via
+    * the same dynamic-overwrite path (repartition, not coalesce: coalesce
+    * would narrow the READ parallelism of the rewrite itself).
+    */
+  def compactPartition(spark: SparkSession, path: String,
+                       partitionValues: Seq[(String, String)],
+                       targetFiles: Int = 1): Unit = {
+    require(partitionValues.nonEmpty, "compaction targets a specific partition")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val full = spark.read.parquet(path)
+    val part = partitionValues.foldLeft(full) { case (d, (k, v)) =>
+      d.filter(org.apache.spark.sql.functions.col(k) === v)
+    }
+    upsertPartitions(part.repartition(targetFiles), path,
+      partitionValues.map(_._1))
+  }
+
   /** Raw-zone verbatim payload dump (utils.py:210-220): the payload is
     * stored exactly as received, one gzip text object.
     */

@@ -131,6 +131,34 @@ class PromoteSpec extends SparkSpec {
     CatalogOps.clampType("TIMESTAMP") shouldBe "timestamp"
   }
 
+  test("upsertPartitions overwrites only the loaded partitions; compaction shrinks file count") {
+    val root = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val day1 = Seq(("a", "2026", "01"), ("b", "2026", "01")).toDF("k", "y", "m")
+    val day2 = Seq(("c", "2026", "02")).toDF("k", "y", "m")
+    Writer.writeCurated(day1, root, org.apache.spark.sql.SaveMode.Append, Seq("y", "m"))
+    Writer.writeCurated(day2, root, org.apache.spark.sql.SaveMode.Append, Seq("y", "m"))
+
+    // corrected reload of month 01 only: month 02 must survive
+    val fix = Seq(("a2", "2026", "01")).toDF("k", "y", "m")
+    Writer.upsertPartitions(fix, root, Seq("y", "m"))
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val back = spark.read.parquet(root)
+    back.count() shouldBe 2L
+    back.select("k").collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("a2", "c")
+
+    // fragment month 02 with many small appends, then compact to 1 file
+    (1 to 5).foreach { i =>
+      Writer.writeCurated(Seq((s"x$i", "2026", "02")).toDF("k", "y", "m"),
+        root, org.apache.spark.sql.SaveMode.Append, Seq("y", "m"))
+    }
+    def partFiles() = new java.io.File(s"$root/y=2026/m=02")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    partFiles() should be >= 6
+    Writer.compactPartition(spark, root, Seq("y" -> "2026", "m" -> "02"))
+    partFiles() shouldBe 1
+    spark.read.parquet(root).count() shouldBe 7L
+  }
+
   test("writer: staging truncate removes both staging prefixes") {
     val zones = tmpZones()
     Seq("""{"a":"1"}""").toDF("value").write.mode("append")
