@@ -181,6 +181,46 @@ object Similarity {
         .filter(col("cosine") >= 0.5)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Int8 scalar-quantized top-k: per-vector min/max quantization to
+    // 8-bit codes (4x smaller than float32 — at a 100 TB embedding store
+    // the scan is usually IO-bound, so the quantized representation is
+    // what actually gets scanned; the float originals live cold). The
+    // search dequantizes on the fly and runs the same broadcast top-k
+    // shape as q40. Rows-only (quantization error has no SQL oracle);
+    // SimilaritySpec bounds top-k agreement against the exact q40.
+    QDef("q60_sim_topk_quant", null) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      def quantized(idAs: String, pfx: String) = e.select(
+        col("vec_id").as(idAs),
+        array_min(col("embedding")).as(s"${pfx}min"),
+        ((array_max(col("embedding")) - array_min(col("embedding"))) / 255.0)
+          .as(s"${pfx}scale"))
+        .join(e.select(col("vec_id").as(idAs), col("embedding")), idAs)
+        .select(col(idAs), col(s"${pfx}min"), col(s"${pfx}scale"),
+          // the int8 code array — this is what a quantized store persists
+          transform(col("embedding"),
+            x => round((x - col(s"${pfx}min")) / col(s"${pfx}scale")).cast("int"))
+            .as(s"${pfx}q"))
+        // dequantized reconstruction used by the scan-time dot product
+        .withColumn(s"${pfx}deq",
+          transform(col(s"${pfx}q"),
+            v => (col(s"${pfx}min") + v * col(s"${pfx}scale")).cast("float")))
+        .withColumn(s"${pfx}norm",
+          graft.functions.VecOps.normf(col(s"${pfx}deq")))
+      val cand = quantized("cand_id", "c")
+      val qs = quantized("qid", "q").filter(col("qid") % 20 === 0)
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
+      cand.crossJoin(broadcast(qs))
+        .filter(col("cand_id") =!= col("qid"))
+        .withColumn("cosine",
+          graft.functions.VecOps.dotf(col("qdeq"), col("cdeq"))
+            / (col("qnorm") * col("cnorm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "cand_id", "rnk", "cosine")
+        .orderBy("qid", "rnk")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -48,4 +48,17 @@ class NorthStarSpec extends SparkSpec {
     // with cluster structure, recall rises with trained centroids/nprobe.
     ivf.intersect(brute).size.toDouble / brute.size should be >= 0.4
   }
+
+  test("q60 int8-quantized top-k stays close to the exact q40 results") {
+    def hits(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits("q40_sim_topk")
+    val quant = hits("q60_sim_topk_quant")
+    brute.size shouldBe quant.size
+    // 8-bit min/max quantization perturbs cosines by ~1/255 per element;
+    // most of the exact top-k must survive
+    quant.intersect(brute).size.toDouble / brute.size should be >= 0.8
+  }
 }
