@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
+  test("q55 percentiles run as distributed window sorts, not a value-map aggregate") {
+    val p = plan("q55_percentiles")
+    p should include("Window")
+    p.toLowerCase should not include "percentile"
+  }
+
+  test("q56 mixing broadcasts the tiny rate table onto the corpus scan") {
+    plan("q56_weighted_mix") should include("BroadcastHashJoin")
+  }
+
   test("q51 aggregator plan has a map-side partial aggregate") {
     // the whole point of TopKAgg vs the window form: partial aggregation
     // before the shuffle bounds per-group state
