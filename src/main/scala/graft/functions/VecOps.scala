@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftnative.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product of two `array<float>` columns, accumulated
   * left-to-right in double precision.
@@ -60,6 +60,81 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane (SimHash-for-vectors, Charikar) LSH band signatures
+  * for an `array<float>` embedding: `numBits` sign bits — bit k is the
+  * sign of the dot product with a Rademacher (±1) hyperplane whose signs
+  * are derived from a seeded hash of (bit index, dimension) — grouped into
+  * bands of `rowsPerBand` bits, each band packed into one long (band index
+  * mixed into the high bits so signatures from different bands never
+  * collide by accident).
+  *
+  * P(bit agrees) = 1 - angle/pi, so a band of r bits collides with
+  * probability (1 - theta/pi)^r and any-of-b-bands recall is
+  * 1-(1-p^r)^b — the usual LSH S-curve; with r=8, b=16 a pair at
+  * cosine 0.99 is recalled with P ~ 1-1e-9 while background pairs
+  * (cosine ~0) collide at ~6%. Same narrow-projection rationale as
+  * [[graft.functions.MinHashBands]]: signatures at scan speed, only the
+  * small (vec_id, band, sig) table is shuffled.
+  */
+case class HyperplaneBands(child: Expression, numBits: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numBits % rowsPerBand == 0, "numBits must divide into bands")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "hyperplane_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecOpsUtil.hyperplaneBands(input.asInstanceOf[ArrayData], numBits, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOpsUtil.hyperplaneBands($c, $numBits, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+object VecOpsUtil {
+
+  /** See [[HyperplaneBands]]. Public + static-shaped so generated code can
+    * call it directly. The hyperplane family is fixed (pure function of
+    * bit index x dimension), so signatures are deterministic across runs
+    * and executors with no broadcast of a projection matrix.
+    */
+  def hyperplaneBands(arr: ArrayData, numBits: Int, rowsPerBand: Int): ArrayData = {
+    val d = arr.numElements()
+    val numBands = numBits / rowsPerBand
+    val bands = new Array[Long](numBands)
+    var b = 0
+    var k = 0
+    while (b < numBands) {
+      var sig = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          // Rademacher +-1 from the sign bit of a seeded hash of (bit, dim)
+          val h = XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L * k + 42L)
+          val v = arr.getFloat(i).toDouble
+          acc += (if (h < 0) -v else v)
+          i += 1
+        }
+        sig = (sig << 1) | (if (acc > 0) 1L else 0L)
+        r += 1
+        k += 1
+      }
+      bands(b) = sig ^ (b.toLong << 32)
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+}
+
 object VecOps {
 
   /** `vec_dot(a, b)` as a Column. */
@@ -69,4 +144,8 @@ object VecOps {
   /** L2 norm of an `array<float>` column (sqrt of the self dot product). */
   def normf(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotf(a, a))
+
+  /** `hyperplane_bands(vec)` as a Column. */
+  def hyperplaneBandsf(vec: Column, numBits: Int, rowsPerBand: Int): Column =
+    toColumn(HyperplaneBands(toExpression(vec), numBits, rowsPerBand))
 }

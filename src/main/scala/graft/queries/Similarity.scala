@@ -55,16 +55,31 @@ object Similarity {
     * each pair stage does a single dot + divide.
     */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def withNorms(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir), {
+    memo.getOrElseUpdate((s, dir, "norms"), {
       val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       t(s, dir, "embeddings")
         .repartition(n, col("vec_id"))
         .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+        // Degenerate-vector guard: a zero-norm embedding has no direction,
+        // and dot/(0*n) = NaN — which Spark orders ABOVE every real double,
+        // so one all-zero row would top every descending cosine top-k.
+        // Excluded here once for every similarity query (oracles carry the
+        // same nrm > 0 predicate).
+        .filter(col("nrm") > 0)
         .cache()
     })
+
+  /** Drop cached per-dir feature frames (test/benchmark hygiene: a
+    * long-lived JVM serving many dirs would otherwise pin executor
+    * storage memory forever).
+    */
+  def clearCache(): Unit = {
+    memo.values.foreach(_.unpersist())
+    memo.clear()
+  }
 
   /** Corpus with per-row norm, projected once before any pairwise stage. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -80,6 +95,110 @@ object Similarity {
         col("nrm").as("qnorm"))
 
   val TopK = 5
+
+  /** Train the IVF coarse quantizer: spherical k-means (Spark ML KMeans
+    * over unit-normalized vectors, fixed seed) on the corpus. Returns a
+    * centroid-count-sized (cell, ce, cenorm) frame — metadata-sized by
+    * construction, safe to broadcast at any corpus scale. At 100 TB the
+    * only change is `.sample(...)` before `fit` (k-means quality needs a
+    * few-hundred-k sample, not the corpus); the fixtures are already
+    * sample-sized. Memoized per (session, dir, k) so the bench's repeat
+    * runs don't retrain.
+    */
+  def trainedCentroids(s: SparkSession, dir: String, nCells: Int): DataFrame =
+    memo.getOrElseUpdate((s, dir, s"centroids$nCells"),
+      trainCentroids(withNorms(s, dir), nCells))
+
+  /** Spherical k-means over any (vec_id, embedding, nrm) frame — the
+    * trainable half of [[trainedCentroids]], exposed so specs can train on
+    * synthetic clustered corpora.
+    */
+  def trainCentroids(embs: DataFrame, nCells: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = embs
+      .select(array_to_vector(
+        transform(col("embedding"), x => x / col("nrm"))).as("features"))
+    val model = new KMeans()
+      .setK(nCells).setMaxIter(10).setSeed(42L).setFeaturesCol("features")
+      .fit(unit)
+    val s = embs.sparkSession
+    import s.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "ce")
+      .select(col("cell"), col("ce"), normExpr("ce").as("cenorm"))
+      .filter(col("cenorm") > 0)
+  }
+
+  /** IVF ANN top-k over a centroid table: corpus vectors are assigned to
+    * their single nearest cell, queries probe their `nProbe` nearest
+    * cells, and candidates are the cell-id EQUI-JOIN of the two — the
+    * shuffle keys are bounded by the centroid count and the per-cell work
+    * is AQE-splittable. Exposed as an operator (not just a query) so specs
+    * can drive it with synthetic clustered corpora.
+    *
+    * Expects `corpus` = (cand_id, embedding, cnorm),
+    * `queries` = (qid, qe, qnorm), `centroids` = (cell, ce, cenorm).
+    */
+  def ivfTopK(corpusDf: DataFrame, queriesDf: DataFrame, centroidsDf: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val centroids = broadcast(centroidsDf)
+    // nearest centroid cells by cosine; `norm` is the caller-provided
+    // per-row norm column so only the point-centroid dot runs per pair
+    def nearestCells(points: DataFrame, id: String, vec: String,
+                     norm: String, keep: Int) = {
+      val w = Window.partitionBy(id).orderBy(col("cell_cos").desc, col("cell"))
+      points.crossJoin(centroids)
+        .withColumn("cell_cos",
+          dotExpr(vec, "ce") / (col(norm) * col("cenorm")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("ce", "cenorm", "cell_cos", "cell_rank")
+    }
+    val assigned = nearestCells(corpusDf, "cand_id", "embedding", "cnorm", keep = 1)
+    val probes = nearestCells(queriesDf, "qid", "qe", "qnorm", keep = nProbe)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, "cell")
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("cosine",
+        dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "cand_id", "rnk", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  // Hyperplane-LSH parameters for q61: 128 sign bits as 16 bands of 8.
+  // At the planted-pair similarity (cosine ~0.992 -> bit-agreement
+  // p ~ 0.96) per-pair recall is 1-(1-p^8)^16 ~ 1-1e-9; background pairs
+  // (|cosine| <~ 0.5) collide in some band ~6% of the time and are
+  // rejected by the exact verify.
+  private val LshBits = 128
+  private val LshRowsPerBand = 8
+
+  /** q61's corpus: the embeddings plus a deterministic planted near-dup
+    * for every 40th vector (same vector with element 0 zeroed — cosine
+    * ~ sqrt(1 - v0^2/|v|^2) ~ 0.99, and crucially every element is
+    * bit-identical to engine-independent values, so the DuckDB oracle
+    * reproduces the corpus exactly). Cached with the per-row LSH band
+    * signatures so the explode/self-join stages never recompute them.
+    */
+  private def lshCorpus(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "lsh"), {
+      val base = withNorms(s, dir).select("vec_id", "embedding", "nrm")
+      val pert = base.filter(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(0f)).otherwise(x)).as("embedding"))
+        .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+        .filter(col("nrm") > 0)
+      base.unionAll(pert)
+        .withColumn("bands",
+          graft.functions.VecOps.hyperplaneBandsf(col("embedding"),
+            LshBits, LshRowsPerBand))
+        .cache()
+    })
 
   val defs: Seq[QDef] = Seq(
 
@@ -97,7 +216,8 @@ object Similarity {
          |      FROM embeddings),
          |s AS (SELECT q.qid, c.cand_id,
          |        ${duckDot("q.qe", "c.embedding")} / (q.qnorm * c.cnorm) AS cosine
-         |      FROM q, c WHERE c.cand_id <> q.qid),
+         |      FROM q, c
+         |      WHERE c.cand_id <> q.qid AND q.qnorm > 0 AND c.cnorm > 0),
          |r AS (SELECT qid, cand_id, cosine,
          |        ROW_NUMBER() OVER (PARTITION BY qid
          |                           ORDER BY cosine DESC, cand_id) AS rnk
@@ -117,50 +237,34 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
-    // IVF approximate top-k — the scale path. Coarse quantizer = the first
-    // 16 vectors (deterministic stand-in for trained centroids); every
-    // vector is assigned to its nearest centroid cell (broadcast map-side
-    // pass), queries probe their 4 nearest cells, and candidate generation
-    // is an EQUI-JOIN on cell id. Shuffle keys are bounded by the centroid
-    // count; skewed cells are AQE-splittable. Rows-only check (approximate
-    // results have no SQL oracle); SimilaritySpec asserts recall vs q40.
+    // IVF approximate top-k — the scale path. Coarse quantizer = k-means
+    // centroids TRAINED on the corpus (spherical: unit-normalized inputs,
+    // fixed seed — at 100 TB you train on a sample, then broadcast the tiny
+    // centroid table exactly as here); every vector is assigned to its
+    // nearest centroid cell (broadcast map-side pass), queries probe their
+    // 4 nearest cells, and candidate generation is an EQUI-JOIN on cell id.
+    // Shuffle keys are bounded by the centroid count; skewed cells are
+    // AQE-splittable. Rows-only check (approximate results have no SQL
+    // oracle); NorthStarSpec asserts recall vs q40 on the uniform fixture
+    // and >=0.8 on a clusterable corpus.
     QDef("q41_sim_topk_ivf", null) { (s, dir) =>
-      val nCells = 16
-      val nProbe = 4
-      val centroids = broadcast(
-        withNorms(s, dir).filter(col("vec_id") < nCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("ce"),
-            col("nrm").as("cenorm")))
-      // nearest centroid cells by cosine; `norm` is the caller-provided
-      // per-row norm column so only the q-c dot runs per (point, centroid)
-      def nearestCells(points: DataFrame, id: String, vec: String,
-                       norm: String, keep: Int) = {
-        val w = Window.partitionBy(id).orderBy(col("cell_cos").desc, col("cell"))
-        points.crossJoin(centroids)
-          .withColumn("cell_cos",
-            dotExpr(vec, "ce") / (col(norm) * col("cenorm")))
-          .withColumn("cell_rank", row_number().over(w))
-          .filter(col("cell_rank") <= keep)
-          .drop("ce", "cenorm", "cell_cos", "cell_rank")
-      }
-      val assigned = nearestCells(corpus(s, dir), "cand_id", "embedding", "cnorm", keep = 1)
-      val probes = nearestCells(querySet(s, dir), "qid", "qe", "qnorm", keep = nProbe)
-      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
-      probes.join(assigned, "cell")
-        .filter(col("cand_id") =!= col("qid"))
-        .withColumn("cosine",
-          dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "cand_id", "rnk", "cosine")
-        .orderBy("qid", "rnk")
+      val centroids = trainedCentroids(s, dir, nCells = 16)
+      ivfTopK(corpus(s, dir), querySet(s, dir), centroids, TopK, nProbe = 4)
     },
 
     // Embedding-cosine near-dup pairs (the §2C dedup family's embedding
-    // member): exact threshold self-join. This is the correctness baseline
-    // — all-pairs is intentional and oracle-checked; at 100 TB the same
-    // output comes from the q41 cell structure (equi-join candidates +
-    // threshold verify) once a trained quantizer bounds cell sizes.
+    // member): EXACT threshold self-join organized as a BLOCK-PAIR
+    // EQUI-JOIN. At a 60-degree threshold over near-uniform vectors there
+    // is no sub-quadratic exact algorithm (the fixture's qualifying pairs
+    // sit AT the threshold, so LSH-candidate recall cannot be made exact)
+    // — the O(n^2) compute is inherent; what scales is its ORGANIZATION.
+    // Each vector hashes into one of B blocks and is replicated to its
+    // (block, block)-pair keys, so the join is a plain equi-join: memory
+    // per task is two blocks (nothing corpus-sized is ever broadcast,
+    // unlike a nested-loop plan), the B(B+1)/2 pair cells are balanced by
+    // construction and spread across the cluster, and B tunes per-task
+    // compute independently of corpus size. The sub-quadratic APPROXIMATE
+    // path at production thresholds is q61 (hyperplane LSH).
     QDef(
       "q42_dedup_embcos",
       s"""WITH c AS (SELECT vec_id, embedding,
@@ -168,18 +272,76 @@ object Similarity {
          |           FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |        ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-         |      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         |      FROM c a JOIN c b
+         |        ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val withN = withNorms(s, dir)
-      val a = withN.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = withN.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      // B block-pair cells; at 1000 executors raise B so B(B+1)/2 covers
+      // the cluster (B=45 -> 1035 cells). Replication per side is ~B/2.
+      val B = 8
+      val withB = withNorms(s, dir)
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val left = withB.select(
+        col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("blk").as("b1"),
+        explode(sequence(col("blk"), lit(B - 1))).as("b2"))
+      val right = withB.select(
+        col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("blk").as("b2"),
+        explode(sequence(lit(0), col("blk"))).as("b1"))
+      // A cross-block pair meets exactly once, at key (min blk, max blk) —
+      // possibly with vec_a > vec_b, canonicalized after the symmetric
+      // cosine. A same-block pair meets twice at the diagonal key; the
+      // vec_a < vec_b guard keeps one copy.
+      left.join(right, Seq("b1", "b2"))
+        .filter(col("b1") =!= col("b2") || col("vec_a") < col("vec_b"))
         .withColumn("cosine", dotExpr("ea", "eb") / (col("na") * col("nb")))
         .filter(col("cosine") >= 0.5)
+        .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Hyperplane-LSH embedding near-dup — the sub-quadratic production
+    // path (q42's approximate twin, at the high thresholds real near-dup
+    // corpora use). Candidates are an equi-join on (band, band-signature);
+    // only colliding pairs get the exact cosine verify, mirroring how q37
+    // (MinHash) relates to q36 (exact Jaccard). The fixture's organic
+    // pairs top out at cosine ~0.6, so the corpus plants a deterministic
+    // near-dup per 40th vector (element 0 zeroed — reproduced exactly by
+    // the oracle, which stays EXACT SQL over the same constructed corpus).
+    QDef(
+      "q61_dedup_emblsh",
+      s"""WITH pert AS (SELECT vec_id + 1000000 AS vec_id,
+         |        [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END
+         |         for i in range(1, len(embedding) + 1)] AS embedding
+         |      FROM embeddings WHERE vec_id % 40 = 0),
+         |u AS (SELECT vec_id, embedding FROM embeddings
+         |      UNION ALL SELECT vec_id, embedding FROM pert),
+         |c AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM u),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |      FROM c a JOIN c b
+         |        ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0)
+         |SELECT vec_a, vec_b, cosine FROM p
+         |WHERE cosine >= 0.8 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val corpus = lshCorpus(s, dir)
+      val banded = corpus.select(col("vec_id"), explode(col("bands")).as("bsig"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bsig") === col("b.bsig") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine", dotExpr("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.8)
         .select("vec_a", "vec_b", "cosine")
+        // candidate pairs can collide in several bands; dedup AFTER the
+        // cheap verify so only the final near-dup pair set is shuffled
+        .distinct()
         .orderBy("vec_a", "vec_b")
     },
 
@@ -192,16 +354,25 @@ object Similarity {
     // SimilaritySpec bounds top-k agreement against the exact q40.
     QDef("q60_sim_topk_quant", null) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      def quantized(idAs: String, pfx: String) = e.select(
-        col("vec_id").as(idAs),
-        array_min(col("embedding")).as(s"${pfx}min"),
-        ((array_max(col("embedding")) - array_min(col("embedding"))) / 255.0)
-          .as(s"${pfx}scale"))
-        .join(e.select(col("vec_id").as(idAs), col("embedding")), idAs)
+      // Quantization params + codes + dequantized reconstruction in ONE
+      // narrow projection chain — no join anywhere before the top-k (each
+      // select only references columns the previous one produced, so
+      // Catalyst collapses the chain into a single scan-time project).
+      def quantized(idAs: String, pfx: String) = e
+        .select(col("vec_id").as(idAs), col("embedding"),
+          array_min(col("embedding")).as(s"${pfx}min"),
+          array_max(col("embedding")).as(s"${pfx}max"))
+        // scale 0 (constant embedding) would put NaN in every code; such
+        // vectors carry no direction, so keep codes at 0 and let the
+        // zero-norm filter below drop them from the search.
+        .select(col(idAs), col("embedding"), col(s"${pfx}min"),
+          ((col(s"${pfx}max") - col(s"${pfx}min")) / 255.0).as(s"${pfx}scale"))
         .select(col(idAs), col(s"${pfx}min"), col(s"${pfx}scale"),
           // the int8 code array — this is what a quantized store persists
           transform(col("embedding"),
-            x => round((x - col(s"${pfx}min")) / col(s"${pfx}scale")).cast("int"))
+            x => when(col(s"${pfx}scale") === 0, lit(0))
+              .otherwise(round((x - col(s"${pfx}min")) / col(s"${pfx}scale")))
+              .cast("int"))
             .as(s"${pfx}q"))
         // dequantized reconstruction used by the scan-time dot product
         .withColumn(s"${pfx}deq",
@@ -209,6 +380,7 @@ object Similarity {
             v => (col(s"${pfx}min") + v * col(s"${pfx}scale")).cast("float")))
         .withColumn(s"${pfx}norm",
           graft.functions.VecOps.normf(col(s"${pfx}deq")))
+        .filter(col(s"${pfx}norm") > 0)
       val cand = quantized("cand_id", "c")
       val qs = quantized("qid", "q").filter(col("qid") % 20 === 0)
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))

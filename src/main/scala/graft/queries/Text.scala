@@ -393,10 +393,11 @@ object Text {
         |  FROM documents),
         |packed AS (
         |  SELECT lang, n_tok,
-        |    (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
-        |          - n_tok) // 2048 AS bin
+        |    CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+        |          - n_tok) // 2048 AS BIGINT) AS bin
         |  FROM sized)
-        |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+        |SELECT lang, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
         |FROM packed GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("lang").orderBy("doc_id")
       t(s, dir, "documents")

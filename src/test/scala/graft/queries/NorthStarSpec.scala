@@ -49,6 +49,53 @@ class NorthStarSpec extends SparkSpec {
     ivf.intersect(brute).size.toDouble / brute.size should be >= 0.4
   }
 
+  test("trained IVF reaches recall >= 0.8 on a clusterable corpus") {
+    // Synthetic clustered corpus: 12 deterministic unit-ish centers in
+    // d=32, 25 points each = center + small per-coordinate offset. This is
+    // the data shape IVF is FOR (the uniform fixture is its worst case);
+    // trained centroids must recover the cluster structure well enough
+    // that probing 3/12 cells keeps >= 80% of the exact top-k.
+    import org.apache.spark.sql.functions._
+    val d = 32
+    def noise(seed: Int, i: Int): Float = {
+      val h = (seed * 2654435761L + i * 1315423911L) & 0xFFFF
+      (h.toFloat / 0xFFFF.toFloat - 0.5f) * 0.2f
+    }
+    val rows = for {
+      cluster <- 0 until 12
+      p <- 0 until 25
+    } yield {
+      val id = (cluster * 25 + p).toLong
+      val center = Array.tabulate(d)(i => noise(cluster + 7919, i) * 10f)
+      val vec = Array.tabulate(d)(i => center(i) + noise(id.toInt + 104729, i))
+      (id, vec)
+    }
+    import spark.implicits._
+    val embs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.VecOps.dotf(col("embedding"), col("embedding")))
+          .as("nrm"))
+      .filter(col("nrm") > 0)
+      .cache()
+    val corpus = embs.select(col("vec_id").as("cand_id"), col("embedding"),
+      col("nrm").as("cnorm"))
+    val queries = embs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnorm"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force exact top-k as ground truth: one giant cell, probe it
+    val oneCell = embs.limit(1).select(lit(0).as("cell"),
+      col("embedding").as("ce"), col("nrm").as("cenorm"))
+    val brute = hits(Similarity.ivfTopK(corpus, queries, oneCell, 5, nProbe = 1))
+    val centroids = Similarity.trainCentroids(embs, nCells = 12)
+    val ivf = hits(Similarity.ivfTopK(corpus, queries, centroids, 5, nProbe = 3))
+    brute.nonEmpty shouldBe true
+    ivf.intersect(brute).size.toDouble / brute.size should be >= 0.8
+    embs.unpersist()
+  }
+
   test("q60 int8-quantized top-k stays close to the exact q40 results") {
     def hits(name: String): Set[(Long, Long)] =
       graft.SparkEntry.queries(name)(spark, dir)

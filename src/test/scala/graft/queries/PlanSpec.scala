@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q42 exact near-dup is a block-pair equi-join, not a nested loop") {
+    val p = plan("q42_dedup_embcos")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q61 LSH near-dup candidates come from a signature equi-join") {
+    val p = plan("q61_dedup_emblsh")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("q41 IVF candidate generation is an equi-join on cell id") {
     val p = plan("q41_sim_topk_ivf")
     // the centroid assignment is an INTENDED broadcast cross join (16
