@@ -21,7 +21,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String): (Double, Option[String]) = {
+    def executeOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
@@ -34,6 +34,16 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+
+    // Best-of-2 FULL PASSES per query: one sample can be wrecked by
+    // unrelated machine contention (a contended round once recorded a
+    // 15k-row projection at 75 s; measured run-to-run totals swing 2.5x
+    // with background load), and the min of two runs is a far better
+    // estimator of plan cost than any single sample. The two samples come
+    // from two passes over the whole query list — back-to-back repeats
+    // share one contention window, separated passes decorrelate it. A
+    // second pass costs ~1x baseline total — cheap insurance for a
+    // trustworthy record.
 
     // Hot-table configuration: fixture tables cached + repartitioned once
     // (see Tables.enableHotCache — the raw single-row-group files scan as
@@ -52,7 +62,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> execute(n))
+    val pass1 = names.map(n => n -> executeOnce(n)).toMap
+    val results = names.map { n =>
+      val (t1, e1) = pass1(n)
+      n -> (if (e1.isDefined) (t1, e1)
+            else {
+              val (t2, e2) = executeOnce(n)
+              if (e2.isDefined) (t1, e1) else (math.min(t1, t2), None)
+            })
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -37,6 +37,19 @@ object Tables {
     */
   def enableHotCache(): Unit = { hotEnabled = true }
 
+  /** Leave hot-cache mode and release every cached fixture table (plus the
+    * query modules' derived feature frames, which build on them) — the
+    * undo for [[enableHotCache]], so a long-lived JVM serving many dirs or
+    * alternating bench/verify work doesn't pin executor storage forever.
+    */
+  def disableHotCache(): Unit = {
+    hotEnabled = false
+    hotMemo.values.foreach(_.unpersist())
+    hotMemo.clear()
+    graft.queries.Text.clearCache()
+    graft.queries.Similarity.clearCache()
+  }
+
   /** Load one fixture table from an sf directory.
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
@@ -45,7 +58,10 @@ object Tables {
     * when a real timestamp is needed).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // idempotent session default, set once (not per-call) to avoid a
+    // racy-looking repeated write on the hot path
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def raw = spark.read.parquet(s"$dir/$name.parquet")
     if (!hotEnabled) raw
     else hotMemo.getOrElseUpdate((spark, dir, name), {

@@ -67,8 +67,8 @@ object Promote {
         evolved
       } else Seq.empty
 
-    // Partition values must stay strings on read-back (SURVEY §1.3).
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // Partition values stay strings on read-back via Writer.readCurated
+    // (scoped inference-off), not a session-wide conf mutation here.
     Some(Result(table, curatedPath, batchRows, added))
   }
 

@@ -56,13 +56,26 @@ object Writer {
                        partitionValues: Seq[(String, String)],
                        targetFiles: Int = 1): Unit = {
     require(partitionValues.nonEmpty, "compaction targets a specific partition")
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val full = spark.read.parquet(path)
+    val full = readCurated(spark, path)
     val part = partitionValues.foldLeft(full) { case (d, (k, v)) =>
       d.filter(org.apache.spark.sql.functions.col(k) === v)
     }
     upsertPartitions(part.repartition(targetFiles), path,
       partitionValues.map(_._1))
+  }
+
+  /** Read back a curated path with partition values kept as STRINGS
+    * (SURVEY §1.3's all-string partition scheme). Partition-column types
+    * resolve eagerly when the relation is created, so the inference
+    * setting is scoped to this call and restored — a later unrelated
+    * query in the same session must not silently inherit it.
+    */
+  def readCurated(spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path)
+    finally spark.conf.set(key, prev)
   }
 
   /** Raw-zone verbatim payload dump (utils.py:210-220): the payload is
@@ -106,22 +119,31 @@ object Writer {
     if (df.columns.contains(corrupt)) df.drop(corrupt) else df
   }
 
-  /** Grouped-file JSON scan (staging_to_curated.py:85-95): recursive read
-    * with small files coalesced into ~`groupBytes` input partitions — the
-    * Spark-native equivalent of Glue's groupFiles/groupSize. Partition
-    * sizing is a session conf, not a reader option (file splits come from
-    * `spark.sql.files.maxPartitionBytes` + openCostInBytes), so it is set
-    * on the session; pass `groupBytes = None` to keep the current setting.
+  /** Grouped-file JSON scan (staging_to_curated.py:85-95): recursive read;
+    * the small-file coalescing half of Glue's groupFiles/groupSize comes
+    * from [[withGroupedScan]] wrapped around the CONSUMING ACTION —
+    * file-split sizing is a session conf read at action time, not a
+    * reader option, so it cannot be baked into the returned (lazy) frame.
     */
-  def readGroupedJson(spark: SparkSession, path: String,
-                      groupBytes: Option[Long] = Some(104857600L)): DataFrame = {
-    groupBytes.foreach(b =>
-      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
+  def readGroupedJson(spark: SparkSession, path: String): DataFrame =
     dropCorruptColumn(
       spark.read
         .option("recursiveFileLookup", "true")
         .option("primitivesAsString", "true")
         .json(path))
+
+  /** Run `body` with `spark.sql.files.maxPartitionBytes` set to
+    * `groupBytes` (the Spark-native equivalent of Glue's
+    * groupFiles/groupSize, staging_to_curated.py:90-91) and restore the
+    * previous value after — one load's scan granularity must not leak
+    * into every later query on the session.
+    */
+  def withGroupedScan[T](spark: SparkSession,
+                         groupBytes: Long = 104857600L)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, groupBytes.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Schema extraction (staging_to_curated.py:61-70): name -> simple type

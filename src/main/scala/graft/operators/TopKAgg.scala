@@ -26,10 +26,21 @@ object TopKAgg {
 
     override def zero: List[(Double, Long)] = Nil
 
+    // descending by value, ascending id on ties
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    /** One insertion step into an already-sorted buffer — O(k) per input
+      * row (a full re-sort per row is O(k log k) and was the previous
+      * shape; irrelevant at k=3, wrong to offer for large k).
+      */
     private def insert(buf: List[(Double, Long)],
                        e: (Double, Long)): List[(Double, Long)] = {
-      val merged = (e :: buf).sortBy { case (v, id) => (-v, id) }
-      if (merged.length > k) merged.take(k) else merged
+      if (buf.lengthCompare(k) >= 0 && !before(e, buf.last)) buf
+      else {
+        val (hi, lo) = buf.span(before(_, e))
+        (hi ::: e :: lo).take(k)
+      }
     }
 
     override def reduce(buf: List[(Double, Long)],

@@ -69,8 +69,7 @@ object Lake {
       Promote.promote(s, zones, table,
         asOf = to_timestamp(lit("2026-01-15 00:00:00")))
 
-      s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      s.read.parquet(zones.curated(table))
+      Writer.readCurated(s, zones.curated(table))
         .groupBy("processed_year", "processed_month", "lang")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"))

@@ -30,6 +30,15 @@ object Text {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop cached per-dir feature frames (test/benchmark hygiene: a
+    * long-lived JVM serving many dirs would otherwise pin executor
+    * storage memory forever).
+    */
+  def clearCache(): Unit = {
+    memo.values.foreach(_.unpersist())
+    memo.clear()
+  }
+
   /** (doc_id, shs: sorted distinct array<long>, n_sh) — hashed trigram
     * shingles via the native [[graft.functions.ShingleHash]] expression:
     * 8-byte hashes instead of ~20-byte strings (identical pair results —
@@ -104,16 +113,18 @@ object Text {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // MinHash family: 64 permutations approximated by seeded hashes; bands
-  // of 4 rows => 16 bands. P(candidate | J=0.9) ≈ 1-(1-0.9^4)^16 ≈ 1-4e-8;
-  // at the q36 threshold itself P(candidate | J=0.5) is only ~0.64, so
-  // q37's oracle equality additionally relies on the fixtures' near-dup
-  // pairs being high-J (they are: template docs with small perturbations)
-  // — verified to hold at sf0.001/sf0.01/sf0.1 (the hash family is fixed,
-  // so a pass at a given SF is deterministic). A fixture whose dup pairs
-  // sat near J=0.5 would need wider bands (more, shorter) at the cost of
-  // more false candidates.
+  // of 2 rows => 32 bands. Band width is chosen so the LSH S-curve is
+  // ~1 AT the q36 verify threshold itself, not just for high-J pairs:
+  // P(candidate | J=0.5) = 1-(1-0.5^2)^32 ≈ 0.99990, so oracle equality
+  // with the exact-Jaccard pair set holds for any fixture whose dup pairs
+  // clear the threshold (previously 16x4 bands gave only ~0.64 at J=0.5
+  // and leaned on the fixtures' dups being high-J). The cost is a fatter
+  // candidate set (background pairs at J≈0.1 collide in some band ~27% of
+  // the time) — acceptable because candidates are verified by a cheap
+  // narrow merge-count, and at production thresholds (J >= 0.8) the band
+  // shape would be re-tuned anyway.
   private val NumHashes = 64
-  private val RowsPerBand = 4
+  private val RowsPerBand = 2
   private val NumBands = NumHashes / RowsPerBand
 
   val defs: Seq[QDef] = Seq(

@@ -39,8 +39,7 @@ class PromoteSpec extends SparkSpec {
       asOf = to_timestamp(lit("2026-03-15 10:30:00"))).get
     res.rows shouldBe 2L
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val back = spark.read.parquet(res.curatedPath)
+    val back = Writer.readCurated(spark, res.curatedPath)
     back.columns.sorted.toSeq shouldBe
       Seq("detail_qty", "detail_status", "po", "processed_at", "processed_month", "processed_year")
     back.schema.fields.forall(_.dataType.typeName == "string") shouldBe true
@@ -141,8 +140,7 @@ class PromoteSpec extends SparkSpec {
     // corrected reload of month 01 only: month 02 must survive
     val fix = Seq(("a2", "2026", "01")).toDF("k", "y", "m")
     Writer.upsertPartitions(fix, root, Seq("y", "m"))
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val back = spark.read.parquet(root)
+    val back = Writer.readCurated(spark, root)
     back.count() shouldBe 2L
     back.select("k").collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("a2", "c")
 

@@ -42,8 +42,14 @@ def main(sf_dir, out_dir):
         s_cols = sorted(spark_rel.columns)
         s_rows = spark_rel.select(", ".join(f'"{c}"' for c in s_cols)).fetchall()
         if name not in oracle:
-            print(f"  OK(rows-only) {name}: {len(s_rows)} rows")
-            n_pass += 1
+            # mirror the driver's rows>0 smoke check: an empty rows-only
+            # dump is a silent regression, not a pass
+            if len(s_rows) == 0:
+                print(f"FAIL {name}: rows-only dump has 0 rows")
+                n_fail += 1
+            else:
+                print(f"  OK(rows-only) {name}: {len(s_rows)} rows")
+                n_pass += 1
             continue
         try:
             o_rel = con.sql(oracle[name])
