@@ -63,25 +63,40 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> executeOnce(n)).toMap
+    // Pass 2 runs fully warm (hot-table cache + memoized feature frames
+    // populated in pass 1), so pass1/pass2 are recorded SEPARATELY next to
+    // the best-of min: the record stays auditable against single-pass
+    // rounds, and a pass-2 error is surfaced instead of silently falling
+    // back to the pass-1 sample.
+    val pass2 = names.map { n =>
+      n -> (if (pass1(n)._2.isDefined) (Double.NaN, Option.empty[String])
+            else executeOnce(n))
+    }.toMap
+    // A pass-2 error does NOT fail the query (pass 1 is a valid success
+    // sample — the record just degrades to best-of-1); it is logged in its
+    // own pass2_errors map so the degradation is visible in the JSON.
     val results = names.map { n =>
       val (t1, e1) = pass1(n)
-      n -> (if (e1.isDefined) (t1, e1)
-            else {
-              val (t2, e2) = executeOnce(n)
-              if (e2.isDefined) (t1, e1) else (math.min(t1, t2), None)
-            })
+      val (t2, e2) = pass2(n)
+      n -> (if (e1.isDefined || e2.isDefined) (t1, e1)
+            else (math.min(t1, t2), None))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    def jnum(d: Double): String = if (d.isNaN) "null" else d.toString
     val qs = results
-      .map { case (k, (sec, _)) => s"${jstr(k)}:$sec" }.mkString("{", ",", "}")
+      .map { case (k, (sec, _)) => s"${jstr(k)}:${jnum(sec)}" }.mkString("{", ",", "}")
+    val p1 = names.map(n => s"${jstr(n)}:${jnum(pass1(n)._1)}").mkString("{", ",", "}")
+    val p2 = names.map(n => s"${jstr(n)}:${jnum(pass2(n)._1)}").mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val p2errs = names.flatMap(n => pass2(n)._2.map(e => s"${jstr(n)}:${jstr(e)}"))
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1,"pass2":$p2,"errors":$errs,"pass2_errors":$p2errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,13 +100,48 @@ case class HyperplaneBands(child: Expression, numBits: Int, rowsPerBand: Int)
 
 object VecOpsUtil {
 
+  /** Lazily-built Rademacher sign matrix, one per (numBits, dimension):
+    * entry [k*d + i] is the ±1.0 hyperplane sign for (bit k, dim i),
+    * derived from the same seeded XXH64 as before. Computed ONCE per JVM
+    * (per executor — no broadcast needed, the matrix is a pure function of
+    * its key) instead of numBits × d hash calls PER ROW, which made
+    * signature generation hash-bound rather than FLOP-bound (~10x on the
+    * q61 projection stage). ~numBits × d × 8 bytes, e.g. 128 × 64 = 64 KiB.
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  private def signTable(numBits: Int, d: Int): Array[Double] = {
+    val key = java.lang.Long.valueOf((numBits.toLong << 32) | d.toLong)
+    var t = signCache.get(key)
+    if (t == null) {
+      t = new Array[Double](numBits * d)
+      var k = 0
+      while (k < numBits) {
+        var i = 0
+        while (i < d) {
+          // Rademacher +-1 from the sign bit of a seeded hash of (bit, dim)
+          val h = XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L * k + 42L)
+          t(k * d + i) = if (h < 0) -1.0 else 1.0
+          i += 1
+        }
+        k += 1
+      }
+      signCache.putIfAbsent(key, t)
+    }
+    t
+  }
+
   /** See [[HyperplaneBands]]. Public + static-shaped so generated code can
     * call it directly. The hyperplane family is fixed (pure function of
     * bit index x dimension), so signatures are deterministic across runs
-    * and executors with no broadcast of a projection matrix.
+    * and executors with no broadcast of a projection matrix. ±1.0 × v is
+    * IEEE-identical to the previous branch-select (including -0.0), so
+    * signatures are bit-for-bit unchanged.
     */
   def hyperplaneBands(arr: ArrayData, numBits: Int, rowsPerBand: Int): ArrayData = {
     val d = arr.numElements()
+    val signs = signTable(numBits, d)
     val numBands = numBits / rowsPerBand
     val bands = new Array[Long](numBands)
     var b = 0
@@ -117,11 +152,9 @@ object VecOpsUtil {
       while (r < rowsPerBand) {
         var acc = 0.0
         var i = 0
+        val base = k * d
         while (i < d) {
-          // Rademacher +-1 from the sign bit of a seeded hash of (bit, dim)
-          val h = XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L * k + 42L)
-          val v = arr.getFloat(i).toDouble
-          acc += (if (h < 0) -v else v)
+          acc += signs(base + i) * arr.getFloat(i).toDouble
           i += 1
         }
         sig = (sig << 1) | (if (acc > 0) 1L else 0L)

@@ -29,7 +29,20 @@ object Promote {
   def promote(spark: SparkSession, zones: Zones, table: String,
               asOf: Column = current_timestamp(),
               register: Boolean = false,
-              dropNa: Boolean = false): Option[Result] = {
+              dropNa: Boolean = false): Option[Result] =
+    // Glue's groupFiles/groupSize file-grouping (staging_to_curated.py:
+    // 90-91) is a SCAN-TIME setting, so it wraps the promote's consuming
+    // actions (count gate, curated write): a staging prefix of thousands
+    // of small gzip-JSON objects coalesces into ~100 MiB read splits
+    // instead of one task per file, and the setting is restored after so
+    // later queries on the session keep their own scan granularity.
+    Writer.withGroupedScan(spark) {
+      promoteInner(spark, zones, table, asOf, register, dropNa)
+    }
+
+  private def promoteInner(spark: SparkSession, zones: Zones, table: String,
+                           asOf: Column, register: Boolean,
+                           dropNa: Boolean): Option[Result] = {
     // Count gate (staging_to_curated.py:97-101). An absent/empty staging
     // prefix makes the JSON reader throw (no schema to infer) — that is the
     // same "nothing to promote" outcome, not an error.

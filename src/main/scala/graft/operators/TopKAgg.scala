@@ -26,9 +26,18 @@ object TopKAgg {
 
     override def zero: List[(Double, Long)] = Nil
 
-    // descending by value, ascending id on ties
-    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // descending by value, ascending id on ties; NaN sorts LAST (a bare
+    // `>` is false for every NaN comparison, which would let a NaN row
+    // insert at the HEAD while the buffer is under k — the operator is
+    // generic, so it must keep the total-order nulls/NaN-last semantics
+    // even though current callers never feed it NaN)
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val an = a._1.isNaN
+      val bn = b._1.isNaN
+      if (an != bn) bn
+      else if (an) a._2 < b._2
+      else a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    }
 
     /** One insertion step into an already-sorted buffer — O(k) per input
       * row (a full re-sort per row is O(k log k) and was the previous

@@ -187,6 +187,18 @@ object Similarity {
   private def lshCorpus(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir, "lsh"), {
       val base = withNorms(s, dir).select("vec_id", "embedding", "nrm")
+      // Fixture contract for the EXACT oracle over this constructed corpus:
+      // (a) planted ids live at vec_id + 1,000,000 — assert the id spaces
+      // cannot collide (a corpus with vec_id >= 1e6 would alias planted
+      // onto organic rows and silently corrupt the pair set);
+      // (b) no ORGANIC pair reaches cosine 0.8 (fixture max ~0.6) and every
+      // planted pair (~0.992) collides in >= 1 band with P ~ 1-1e-9, so the
+      // probabilistic candidate set equals the exact-threshold pair set. If
+      // fixtures ever grow organic pairs near the threshold, this oracle
+      // must become a recall-style spec instead of exact equality.
+      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxId < 1000000L,
+        s"q61 planted-id space collision: max vec_id $maxId >= 1000000")
       val pert = base.filter(col("vec_id") % 40 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"),
@@ -276,9 +288,13 @@ object Similarity {
          |        ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      // B block-pair cells; at 1000 executors raise B so B(B+1)/2 covers
-      // the cluster (B=45 -> 1035 cells). Replication per side is ~B/2.
-      val B = 8
+      // B block-pair cells, derived from cluster parallelism the same way
+      // withNorms sizes its repartition: smallest B with B(B+1)/2 >= the
+      // configured shuffle parallelism (32 partitions -> B=8 -> 36 cells;
+      // a 1000-core cluster conf -> B=45 -> 1035 cells). Replication per
+      // side is ~B/2, so B also tunes per-task compute vs fan-out.
+      val cores = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val B = math.ceil((math.sqrt(8.0 * cores + 1) - 1) / 2).toInt.max(2)
       val withB = withNorms(s, dir)
         .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
       val left = withB.select(
@@ -362,9 +378,12 @@ object Similarity {
         .select(col("vec_id").as(idAs), col("embedding"),
           array_min(col("embedding")).as(s"${pfx}min"),
           array_max(col("embedding")).as(s"${pfx}max"))
-        // scale 0 (constant embedding) would put NaN in every code; such
-        // vectors carry no direction, so keep codes at 0 and let the
-        // zero-norm filter below drop them from the search.
+        // scale 0 (constant embedding) would put NaN in every code, so
+        // codes are kept at 0 and the reconstruction is all-min — EXACT for
+        // any constant vector. A constant NONZERO vector therefore survives
+        // the norm filter below (|min|*sqrt(d) > 0) with exact
+        // reconstruction; only the all-zero vector (no direction) is
+        // dropped by it.
         .select(col(idAs), col("embedding"), col(s"${pfx}min"),
           ((col(s"${pfx}max") - col(s"${pfx}min")) / 255.0).as(s"${pfx}scale"))
         .select(col(idAs), col(s"${pfx}min"), col(s"${pfx}scale"),

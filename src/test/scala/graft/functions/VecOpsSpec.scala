@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Native vector expressions: HyperplaneBands' precomputed sign matrix
+  * must reproduce the original per-row hash derivation bit-for-bit
+  * (signatures are persisted implicitly through q61's oracle — any drift
+  * would silently change the candidate pair set).
+  */
+class VecOpsSpec extends SparkSpec {
+
+  /** The original definition: signs derived per (bit, dim) inside the row
+    * loop — the spec's independent reference for the cached sign table.
+    */
+  private def referenceBands(vec: Array[Float], numBits: Int,
+                             rowsPerBand: Int): Seq[Long] = {
+    val numBands = numBits / rowsPerBand
+    val out = new Array[Long](numBands)
+    var b = 0
+    var k = 0
+    while (b < numBands) {
+      var sig = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        var acc = 0.0
+        var i = 0
+        while (i < vec.length) {
+          val h = XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L * k + 42L)
+          val v = vec(i).toDouble
+          acc += (if (h < 0) -v else v)
+          i += 1
+        }
+        sig = (sig << 1) | (if (acc > 0) 1L else 0L)
+        r += 1
+        k += 1
+      }
+      out(b) = sig ^ (b.toLong << 32)
+      b += 1
+    }
+    out.toSeq
+  }
+
+  test("HyperplaneBands sign-table signatures are bit-identical to the per-row hash derivation") {
+    val gen = Gen.chooseNum(1, 96).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-4.0f, 4.0f)))
+    (0 until 40).foreach { i =>
+      val vec = gen(Gen.Parameters.default, Seed(i.toLong)).get.toArray
+      val got = VecOpsUtil
+        .hyperplaneBands(new GenericArrayData(vec.map(_.toDouble.toFloat)), 128, 8)
+        .toLongArray().toSeq
+      got shouldBe referenceBands(vec, 128, 8)
+    }
+  }
+
+  test("HyperplaneBands: zero vector and repeated calls are deterministic") {
+    val zero = new GenericArrayData(Array.fill(16)(0.0f))
+    val a = VecOpsUtil.hyperplaneBands(zero, 128, 8).toLongArray().toSeq
+    val b = VecOpsUtil.hyperplaneBands(zero, 128, 8).toLongArray().toSeq
+    a shouldBe b
+    a.length shouldBe 16
+    // all-zero dots never satisfy acc > 0 -> every band is just its index mix
+    a.zipWithIndex.foreach { case (sig, band) => sig shouldBe (band.toLong << 32) }
+  }
+}

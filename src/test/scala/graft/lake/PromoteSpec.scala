@@ -168,6 +168,20 @@ class PromoteSpec extends SparkSpec {
     new java.io.File(zones.stagingIncremental("t1")).exists() shouldBe false
   }
 
+  test("withGroupedScan applies the 100 MiB grouping conf inside the action and restores after") {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    var inside: String = null
+    Writer.withGroupedScan(spark) { inside = spark.conf.get(key) }
+    inside shouldBe "104857600"
+    spark.conf.get(key) shouldBe prev
+    // restored even when the consuming action throws
+    intercept[RuntimeException] {
+      Writer.withGroupedScan(spark) { throw new RuntimeException("boom") }
+    }
+    spark.conf.get(key) shouldBe prev
+  }
+
   test("writer: raw sink stores the verbatim payload") {
     val zones = tmpZones()
     val payload = """<xml><po>P-9</po></xml>"""

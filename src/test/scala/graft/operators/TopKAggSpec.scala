@@ -31,6 +31,18 @@ class TopKAggSpec extends SparkSpec {
     viaAgg.toSeq shouldBe viaWindow.toSeq
   }
 
+  test("NaN values sort last, never ranking above real values") {
+    val agg = TopKAgg.TopK(3)
+    // NaN arrives FIRST while the buffer is under k — the naive `>`
+    // ordering would pin it at the head
+    val buf = List(Double.NaN -> 1L, 2.0 -> 2L, 5.0 -> 3L, 1.0 -> 4L)
+      .foldLeft(agg.zero)(agg.reduce)
+    agg.finish(buf) shouldBe Seq(5.0 -> 3L, 2.0 -> 2L, 1.0 -> 4L)
+    // a group with < k real values still lists NaN after them
+    val sparse = List(Double.NaN -> 9L, 4.0 -> 8L).foldLeft(agg.zero)(agg.reduce)
+    agg.finish(sparse).map(_._2) shouldBe Seq(8L, 9L)
+  }
+
   test("buffer never exceeds k and merge order does not matter") {
     val agg = TopKAgg.TopK(2)
     val a = List(1.0 -> 10L, 5.0 -> 2L).foldLeft(agg.zero)(agg.reduce)
