@@ -80,7 +80,16 @@ object Tables {
     * each other's snapshots.
     */
   def scratch(dir: String, name: String): String =
-    s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}/$name"
+    s"${scratchRoot(dir)}/$name"
+
+  /** The per-SF scratch root itself — also the expansion of the
+    * `__SCRATCH__` token in oracle SQL (see [[Verify]]): a query that
+    * exports an intermediate frame for DuckDB to recheck (q38's simhash
+    * features) writes under here, and Verify rewrites the token to the
+    * concrete path for the sf dir it actually ran.
+    */
+  def scratchRoot(dir: String): String =
+    s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}"
 
   // ---------------------------------------------------------------------
   // Exact aggregation helpers.

@@ -127,6 +127,31 @@ object Text {
   private val RowsPerBand = 2
   private val NumBands = NumHashes / RowsPerBand
 
+  /** q38's DuckDB twin, from the engine-exported feature frame
+    * (`__SCRATCH__` expands to the per-SF scratch root in [[graft.Verify]]):
+    * per-(doc, bit) majority votes over the shingle hashes, vote signs
+    * packed into 4 x 16-bit chunk values, then an all-pairs hamming join.
+    * `h >> j` is DuckDB's arithmetic shift on signed BIGINT — correct for
+    * every bit index because the `& 1` masks the sign extension.
+    */
+  private val oracleSimhash =
+    """WITH f AS (SELECT doc_id, unnest(shs) AS h
+      |           FROM read_parquet('__SCRATCH__/q38_features/*.parquet')),
+      |v AS (SELECT doc_id, j,
+      |             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |      FROM f, range(64) t(j) GROUP BY doc_id, j),
+      |ch AS (SELECT doc_id, CAST(j // 16 AS INT) AS chunk,
+      |              SUM(CASE WHEN vote > 0
+      |                       THEN (1 << CAST(j % 16 AS INT)) ELSE 0 END) AS cval
+      |       FROM v GROUP BY doc_id, chunk),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             SUM(bit_count(xor(CAST(a.cval AS BIGINT),
+      |                               CAST(b.cval AS BIGINT)))) AS hamming
+      |      FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -336,16 +361,28 @@ object Text {
     // vocabularies: unrelated docs share whole token SETS); candidates
     // block on 4x16-bit chunks (a pair within Hamming distance 3 must
     // agree on >= 1 chunk), verified with bit_count(xor) <= 3.
-    // Rows-only here (bit-vote SQL has no tractable DuckDB twin); the
-    // ScalaTest spec cross-checks it against the q36 exact pair set.
-    QDef("q38_dedup_simhash", null) { (s, dir) =>
+    //
+    // Oracle contract: the XXH64 shingle hashing itself is not
+    // SQL-expressible (wrapping 64-bit multiplies), so the query EXPORTS
+    // its feature frame (doc_id, shs) and DuckDB independently recomputes
+    // EVERYTHING downstream of it — the per-bit majority vote, the
+    // signature packing, and the pair verify as an ALL-PAIRS hamming join
+    // (which also proves the chunk blocking loses nothing: hamming <= 3
+    // forces >= 1 agreeing 16-bit chunk by pigeonhole). The features are
+    // the same frame q36/q37 build on, whose pair-set fidelity is
+    // oracle-checked directly.
+    QDef("q38_dedup_simhash", oracleSimhash) { (s, dir) =>
+      val feats = hashShingled(s, dir).filter(col("n_sh") > 0)
+      // metadata-sized export for the DuckDB recheck (see oracle above);
+      // written per run so the oracle always sees THIS run's features
+      feats.select("doc_id", "shs").coalesce(1).write.mode("overwrite")
+        .parquet(Tables.scratch(dir, "q38_features"))
       // The ShingleHash longs are already uniform 64-bit hashes, and the
       // native SimHash64 projection folds the per-bit majority vote into a
       // single per-row pass — signatures at scan speed, no explode shuffle.
       // Empty-shingle docs are filtered: an all-zero signature would make
       // every sub-3-token doc a candidate pair of every other.
-      val sig = hashShingled(s, dir)
-        .filter(col("n_sh") > 0)
+      val sig = feats
         .select(col("doc_id"),
           graft.functions.TextHash.simHash64f(col("shs")).as("simhash"))
       val chunks = sig.select(col("doc_id"), col("simhash"),
