@@ -583,6 +583,29 @@ object Relational {
           |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // PERSISTENT view over the session catalog — the reference's actual
+    // query surface: its one in-repo query reads the persistent Athena
+    // view v_synnex_po_numbers (purchase_orders.py:22-24, intended SQL per
+    // SURVEY §8: SELECT po_number FROM view). Unlike q26's temp view, this
+    // exercises CREATE VIEW DDL against catalog objects: a catalog TABLE
+    // over the parquet location (persistent views cannot reference temp
+    // views), then a named view projecting PO numbers from open orders.
+    // DROP + CREATE per run so a session serving several sf dirs re-points
+    // the location idempotently.
+    QDef(
+      "q63_persistent_view",
+      """SELECT o_orderkey AS po_number FROM orders
+        |WHERE o_orderstatus = 'O' ORDER BY po_number""".stripMargin) { (s, dir) =>
+      s.sql("DROP VIEW IF EXISTS v_po_numbers")
+      s.sql("DROP TABLE IF EXISTS graft_orders_src")
+      s.sql(s"CREATE TABLE graft_orders_src USING parquet LOCATION '$dir/orders.parquet'")
+      s.sql(
+        """CREATE VIEW v_po_numbers AS
+          |SELECT o_orderkey AS po_number
+          |FROM graft_orders_src WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql("SELECT po_number FROM v_po_numbers ORDER BY po_number")
+    },
+
     // Full outer join: customers' finished vs in-progress order counts —
     // either side may be absent, both sides preserved.
     QDef(
