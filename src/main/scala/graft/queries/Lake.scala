@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.Tables.t
-import graft.lake.{Enrich, Normalize, Promote, Writer, Zones}
+import graft.lake.{Enrich, Normalize, Promote, TxLog, Writer, Zones}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,6 +94,41 @@ object Lake {
           md5(col("payload")).as("fp"),
           lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
         .orderBy("doc_id")
+    },
+
+    // ACID commit-log table (lake/TxLog): the reference's
+    // catalog_versioning=True promise realized as snapshot isolation +
+    // time travel + rollback. The demo corrupts a partition via a
+    // versioned upsert, then ROLLS BACK and reads the latest snapshot —
+    // which must equal the pure-fixture state of version 0 (so the oracle
+    // is plain SQL over `nation`, and would NOT match if rollback or the
+    // upsert's logical remove misbehaved: the corrupt upsert rewrites
+    // every n_name in partition rk=0).
+    QDef(
+      "q62_time_travel",
+      """SELECT CAST(n_regionkey AS VARCHAR) AS rk, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name, MAX(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "txdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val nat = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("string").as("rk"))
+      TxLog.append(s, nat, root, Seq("rk"))                       // v0: good
+      TxLog.upsertPartitions(s,                                   // v1: bad
+        nat.filter(col("rk") === "0").withColumn("n_name", lit("CORRUPTED")),
+        root, Seq("rk"))
+      TxLog.rollback(s, root, 0L)                                 // v2: undo
+
+      TxLog.readLatest(s, root)
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy("rk")
     },
 
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet

@@ -1,0 +1,131 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** ACID commit-log table format: snapshot isolation, time travel,
+  * rollback, schema evolution, concurrent commits, vacuum.
+  */
+class TxLogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-txlog").toString
+
+  test("append + readLatest roundtrip; versions increment from 0") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val v1 = TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root)
+    v0 shouldBe 0L
+    v1 shouldBe 1L
+    TxLog.readLatest(spark, root).orderBy("id").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+  }
+
+  test("uncommitted files are invisible: readers resolve the log, not the directory") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    // simulate a writer that crashed after moving data files into place
+    // but BEFORE the commit point (the log create): drop an orphan parquet
+    // file straight into the table dir
+    Seq((99L, "orphan")).toDF("id", "s").write.parquet(s"$root/_stage_orphan")
+    val orphan = new java.io.File(s"$root/_stage_orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(orphan.toPath,
+      java.nio.file.Paths.get(s"$root/zzz_orphan.parquet"))
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "a"))
+  }
+
+  test("upsert snapshot isolation: a pinned pre-upsert version reads the OLD partition after the upsert commits") {
+    val root = tmpRoot()
+    val base = Seq((1L, "x", "p1"), (2L, "y", "p1"), (3L, "z", "p2"))
+      .toDF("id", "s", "part")
+    TxLog.append(spark, base, root, Seq("part"))
+    val before = TxLog.latestVersion(spark, root).get
+    // a reader resolves its snapshot at `before`...
+    val pinned = TxLog.readAt(spark, root, before)
+    // ...while a writer rewrites partition p1 (delete+write in one commit)
+    TxLog.upsertPartitions(spark,
+      Seq((1L, "X2", "p1")).toDF("id", "s", "part"), root, Seq("part"))
+    // the pinned snapshot still sees the complete old p1 (old files are
+    // logically removed, never physically) — no torn partition possible
+    pinned.filter(col("part") === "p1").orderBy("id")
+      .select("id", "s").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "x"), (2L, "y"))
+    // the latest snapshot sees exactly the new p1, untouched p2
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "s").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "X2"), (3L, "z"))
+  }
+
+  test("time travel reproduces every version across two schema evolutions") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)               // v0
+    TxLog.append(spark, Seq((2L, "b", 7.5)).toDF("id", "s", "score"), root) // v1
+    TxLog.append(spark,
+      Seq((3L, "c", 9.0, "en")).toDF("id", "s", "score", "lang"), root)     // v2
+    val v0 = TxLog.readAt(spark, root, 0)
+    v0.columns.toSeq shouldBe Seq("id", "s")
+    v0.as[(Long, String)].collect().toSeq shouldBe Seq((1L, "a"))
+    val v1 = TxLog.readAt(spark, root, 1)
+    v1.columns.toSeq shouldBe Seq("id", "s", "score")
+    v1.orderBy("id").collect().map(_.toSeq).toSeq shouldBe Seq(
+      Seq(1L, "a", null), Seq(2L, "b", 7.5))
+    val v2 = TxLog.readAt(spark, root, 2)
+    v2.columns.toSeq shouldBe Seq("id", "s", "score", "lang")
+    v2.count() shouldBe 3L
+  }
+
+  test("rollback restores a prior snapshot as a NEW commit; rolled-back versions stay readable") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "good")).toDF("id", "s"), root)      // v0
+    TxLog.overwrite(spark, Seq((1L, "bad")).toDF("id", "s"), root)    // v1
+    val v2 = TxLog.rollback(spark, root, 0L)                          // v2
+    v2 shouldBe 2L
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "good"))
+    // history is append-only: the bad version remains time-travelable
+    TxLog.readAt(spark, root, 1).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "bad"))
+    TxLog.history(spark, root).map(_.operation) shouldBe
+      Seq("append", "overwrite", "rollback")
+  }
+
+  test("concurrent appends race on the version and both commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    val futures = (0 until 4).map { i =>
+      Future(TxLog.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    versions.sorted shouldBe Seq(0L, 1L, 2L, 3L)
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+  }
+
+  test("vacuum reclaims files outside the retention window, keeps retained versions readable") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)       // v0
+    TxLog.overwrite(spark, Seq((2L, "new")).toDF("id", "s"), root)    // v1
+    val v0Files = TxLog.history(spark, root).head.add
+    val deleted = TxLog.vacuum(spark, root, keepLast = 1)
+    deleted.toSet shouldBe v0Files.toSet
+    deleted.foreach(f => new java.io.File(s"$root/$f").exists() shouldBe false)
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((2L, "new"))
+  }
+
+  test("empty overwrite yields an empty snapshot with the committed schema") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    TxLog.overwrite(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), root)
+    val out = TxLog.readLatest(spark, root)
+    out.columns.toSeq shouldBe Seq("id", "s")
+    out.count() shouldBe 0L
+  }
+}
