@@ -930,6 +930,40 @@ object Relational {
           min(col("t")).as("start_us"), max(col("t")).as("end_us"),
           count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .orderBy("user_id", "session_id")
+    },
+
+    // q59's skew-safe twin through the two-phase SALTED operator
+    // (operators/SaltedSessionize): the event-sized window runs on
+    // (user, time-chunk) — a whale user's history is split across tasks —
+    // and sessions merge across chunks on the events/chunk-sized summary.
+    // SAME oracle as q59: the salt must be invisible in the result.
+    QDef(
+      "q64_sessionize_salted",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |b AS (SELECT user_id, t, value,
+        |        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 30*60*1000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, t, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(t) AS start_us, MAX(t) AS end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val gapUs = 30L * 60 * 1000000
+      val chunkUs = 2L * 3600 * 1000000 // 2 h salt granularity (4x the gap)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+      graft.operators.SaltedSessionize
+        .sessionize(ev, "user_id", "t", gapUs, chunkUs)
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
