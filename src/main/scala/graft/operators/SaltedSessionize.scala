@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * (SaltedSessionizeSpec proves parity on whale-skewed data; q64 shares
   * q59's SQL oracle). Chunk width trades salt granularity against summary
   * size — pick it so one user-chunk's events fit a task comfortably.
+  *
+  * Plan note (asserted in PlanSpec): every event-sized window partitions
+  * on (user, chunk) — no whole-user event sort exists anywhere in the
+  * plan, which is the entire point. Catalyst inlines phase 1 into both
+  * the summary branch and the join-back branch (declarative plans cannot
+  * share a subtree without materialization), so phase 1 computes twice;
+  * at scale, persist the input — or this operator's `local` stage — the
+  * same way the dedup family persists its feature frames, if the doubled
+  * scan matters more than the storage.
   */
 object SaltedSessionize {
 

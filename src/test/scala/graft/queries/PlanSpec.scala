@@ -89,4 +89,14 @@ class PlanSpec extends SparkSpec {
     p.toLowerCase should include("partial")
     p should not include "Window"
   }
+
+  test("q64 salted sessionize never sorts a whole user's event stream") {
+    val p = plan("q64_sessionize_salted")
+    // the event-sized shuffles carry the salt key
+    p should include regex raw"hashpartitioning\(user_id#\d+L, _chunk#\d+L"
+    // no event-time window partitioned by user alone (that is exactly the
+    // whale-user sort q64 exists to avoid; the summary windows order by
+    // _chunk, not by event time, so this regex matches only the bad shape)
+    p should not include regex (raw"windowspecdefinition\(user_id#\d+L, t#\d+L ASC")
+  }
 }
