@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions.current_timestamp
 object Promote {
 
   final case class Result(table: String, curatedPath: String,
-                          rows: Long, addedColumns: Seq[(String, String)])
+                          rows: Long, addedColumns: Seq[(String, String)],
+                          version: Option[Long] = None)
 
   /** Run the promote for `table`. Returns None when staging is empty (the
     * count gate, staging_to_curated.py:97-101 — implemented with isEmpty,
@@ -25,11 +26,19 @@ object Promote {
     *                    literal for deterministic tests)
     * @param register    when true, create/evolve/MSCK the catalog table
     * @param dropNa      the reference's flag-gated NA-column drop (off)
+    * @param acid        when true, the curated write is a [[TxLog]] commit
+    *                    (the reference's catalog_versioning=True realized:
+    *                    each promote is one atomic version — concurrent
+    *                    readers see the previous snapshot until the commit
+    *                    lands, and every load is time-travelable /
+    *                    rollback-able). Read the table back with
+    *                    [[TxLog.readLatest]] instead of a path scan.
     */
   def promote(spark: SparkSession, zones: Zones, table: String,
               asOf: Column = current_timestamp(),
               register: Boolean = false,
-              dropNa: Boolean = false): Option[Result] =
+              dropNa: Boolean = false,
+              acid: Boolean = false): Option[Result] =
     // Glue's groupFiles/groupSize file-grouping (staging_to_curated.py:
     // 90-91) is a SCAN-TIME setting, so it wraps the promote's consuming
     // actions (count gate, curated write): a staging prefix of thousands
@@ -37,12 +46,12 @@ object Promote {
     // instead of one task per file, and the setting is restored after so
     // later queries on the session keep their own scan granularity.
     Writer.withGroupedScan(spark) {
-      promoteInner(spark, zones, table, asOf, register, dropNa)
+      promoteInner(spark, zones, table, asOf, register, dropNa, acid)
     }
 
   private def promoteInner(spark: SparkSession, zones: Zones, table: String,
                            asOf: Column, register: Boolean,
-                           dropNa: Boolean): Option[Result] = {
+                           dropNa: Boolean, acid: Boolean): Option[Result] = {
     // Count gate (staging_to_curated.py:97-101). An absent/empty staging
     // prefix makes the JSON reader throw (no schema to infer) — that is the
     // same "nothing to promote" outcome, not an error.
@@ -60,10 +69,15 @@ object Promote {
     // whole table on every incremental promote)
     val enriched = Enrich.withAuditColumns(normalized, asOf).cache()
     val curatedPath = zones.curated(table)
+    var version: Option[Long] = None
     val batchRows =
       try {
-        Writer.writeCurated(enriched, curatedPath, SaveMode.Append,
-          Enrich.PartitionColumns)
+        if (acid)
+          version = Some(TxLog.append(spark, enriched, curatedPath,
+            Enrich.PartitionColumns))
+        else
+          Writer.writeCurated(enriched, curatedPath, SaveMode.Append,
+            Enrich.PartitionColumns)
         enriched.count()
       } finally enriched.unpersist()
 
@@ -82,7 +96,7 @@ object Promote {
 
     // Partition values stay strings on read-back via Writer.readCurated
     // (scoped inference-off), not a session-wide conf mutation here.
-    Some(Result(table, curatedPath, batchRows, added))
+    Some(Result(table, curatedPath, batchRows, added, version))
   }
 
   /** Ingest driver-side records (the REST/XML source boundary, O-2/O-12/

@@ -212,6 +212,8 @@ object TxLog {
                          maxAttempts: Int = 50): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
+    var tailWaitMs = 0L
+    val maxTailWaitMs = 30000L
     def bumpOrFail(msg: => String, cause: Throwable = null): Unit = {
       attempt += 1
       if (attempt >= maxAttempts) throw new IOException(msg, cause)
@@ -221,11 +223,17 @@ object TxLog {
       if (raw.nonEmpty && raw.last._2.isEmpty) {
         // another writer claimed the tail version but its bytes are not
         // durable yet — the delta below must see its effects, so wait for
-        // the in-flight commit instead of computing against a stale state
+        // the in-flight commit instead of computing against a stale state.
+        // This wait has its own (generous) budget: it is the NORMAL path
+        // under concurrency, not a conflict, and must not starve the
+        // conflict-retry attempts
         Thread.sleep(10)
-        bumpOrFail(s"txlog tail ${raw.last._1} never became readable in " +
-          s"$root (writer crashed between claim and write? delete the " +
-          "orphan log entry to repair)")
+        tailWaitMs += 10
+        if (tailWaitMs >= maxTailWaitMs)
+          throw new IOException(
+            s"txlog tail ${raw.last._1} never became readable in $root " +
+              "(writer crashed between claim and write? delete the orphan " +
+              "log entry to repair)")
       } else {
         val commits = raw.map(_._2.get)
         val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
@@ -237,6 +245,11 @@ object TxLog {
         try {
           val out = fs.create(p, false) // the commit point
           try out.write(toJson(c).getBytes(UTF_8)) finally out.close()
+          // best-effort auto-checkpoint on the cadence: losing it only
+          // costs replay length, never correctness
+          if ((version + 1) % CheckpointInterval == 0)
+            try checkpoint(spark, root)
+            catch { case _: IOException => () }
           return version
         } catch {
           case e: IOException =>
@@ -308,33 +321,103 @@ object TxLog {
   // -------------------------------------------------------------------
 
   /** The table as of `version` (time travel). */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val commits = history(spark, root).filter(_.version <= version)
-    require(commits.nonEmpty, s"no commit at or before version $version in $root")
-    snapshot(spark, root, commits)
-  }
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    snapshot(spark, root, resolve(spark, root, Some(version)))
 
   /** The latest committed snapshot. */
-  def readLatest(spark: SparkSession, root: String): DataFrame = {
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"not a txlog table: $root")
-    snapshot(spark, root, commits)
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    snapshot(spark, root, resolve(spark, root, None))
+
+  /** Snapshot state: live files + the schema they resolve under + the
+    * version they represent.
+    */
+  private final case class Snapshot(live: Seq[String], schemaDdl: String,
+                                    version: Long)
+
+  /** Resolve the snapshot at `upTo` (None = latest) from the newest
+    * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
+    * of O(log length) once checkpoints exist; without one it degrades to
+    * the full replay. The in-flight-tail rule of [[history]] applies.
+    */
+  private def resolve(spark: SparkSession, root: String,
+                      upTo: Option[Long]): Snapshot = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    require(fs.exists(dir), s"not a txlog table: $root")
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val ckptVersion = names.collect { case CkptFile(v) => v.toLong }
+      .filter(v => upTo.forall(v <= _)).maxOption
+    val base = ckptVersion.map { v =>
+      val in = fs.open(ckptPath(root, v))
+      val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+              finally in.close()
+      val it = n.get("live").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      Snapshot(b.result(), n.get("schemaDdl").asText, v)
+    }
+    val tail = history(spark, root)
+      .filter(c => ckptVersion.forall(c.version > _) && upTo.forall(c.version <= _))
+    require(base.nonEmpty || tail.nonEmpty,
+      s"no commit at or before version ${upTo.getOrElse("latest")} in $root")
+    val live = new scala.collection.mutable.LinkedHashSet[String]
+    base.foreach(live ++= _.live)
+    tail.foreach { c => live --= c.remove; live ++= c.add }
+    Snapshot(live.toSeq,
+      tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
+      tail.lastOption.map(_.version).getOrElse(base.get.version))
   }
 
   private def snapshot(spark: SparkSession, root: String,
-                       commits: Seq[Commit]): DataFrame = {
-    val live = replay(commits)
+                       snap: Snapshot): DataFrame = {
     // the snapshot's schema is the newest commit's — older files simply
     // read null for columns they predate (by-name parquet resolution), so
     // schema evolution is append-only and old snapshots reproduce exactly
-    val schema = StructType.fromDDL(commits.last.schemaDdl)
-    if (live.isEmpty)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (snap.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read
         .option("basePath", root)
         .schema(schema)
-        .parquet(live.map(f => s"$root/$f"): _*)
+        .parquet(snap.live.map(f => s"$root/$f"): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Checkpoints
+  // -------------------------------------------------------------------
+
+  /** Auto-checkpoint cadence: one summary every N commits (written
+    * best-effort after the commit lands — a lost checkpoint costs nothing
+    * but replay length).
+    */
+  val CheckpointInterval = 10
+
+  private val CkptFile = raw"(\d{20})\.checkpoint\.json".r
+
+  private def ckptPath(root: String, version: Long): Path =
+    new Path(f"$root/$LogDirName/$version%020d.checkpoint.json")
+
+  /** Write a checkpoint summarizing the live set at the current latest
+    * version, so readers replay checkpoint + tail instead of the whole
+    * log. Idempotent (checkpoints are derived state, safe to overwrite);
+    * returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, root: String): Option[Long] = {
+    // resolve through the previous checkpoint + tail (never a raw replay):
+    // a checkpoint must not forget state whose commits predate an earlier
+    // checkpoint
+    val snap = scala.util.Try(resolve(spark, root, None)).toOption
+      .getOrElse(return None)
+    val n = mapper.createObjectNode()
+    n.put("version", snap.version)
+    n.put("schemaDdl", snap.schemaDdl)
+    val arr = n.putArray("live")
+    snap.live.foreach(arr.add)
+    val fs = fileSystem(spark, root)
+    val out = fs.create(ckptPath(root, snap.version), true)
+    try out.write(n.toString.getBytes(UTF_8)) finally out.close()
+    Some(snap.version)
   }
 
   // -------------------------------------------------------------------

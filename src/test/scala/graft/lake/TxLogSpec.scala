@@ -119,6 +119,72 @@ class TxLogSpec extends SparkSpec {
       .toSeq shouldBe Seq((2L, "new"))
   }
 
+  test("ACID promote: each staged batch commits one version; time travel isolates batches across schema evolution") {
+    val zones = Zones(Files.createTempDirectory("graft-acid-promote").toString)
+    Seq("""{"po":"P-1","qty":"3"}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental("po"))
+    val r0 = Promote.promote(spark, zones, "po",
+      asOf = to_timestamp(lit("2026-01-10 00:00:00")), acid = true).get
+    r0.version shouldBe Some(0L)
+    r0.rows shouldBe 1L
+
+    // second load adds a column (schema evolution through the log)
+    Writer.truncateStaging(spark, zones, "po")
+    Seq("""{"po":"P-2","qty":"5","vendor":"acme"}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental("po"))
+    val r1 = Promote.promote(spark, zones, "po",
+      asOf = to_timestamp(lit("2026-02-10 00:00:00")), acid = true).get
+    r1.version shouldBe Some(1L)
+
+    val curated = zones.curated("po")
+    val latest = TxLog.readLatest(spark, curated)
+    latest.count() shouldBe 2L
+    latest.columns should contain("vendor")
+    latest.filter(col("po") === "P-1").select("vendor")
+      .head().isNullAt(0) shouldBe true // pre-evolution rows read null
+    // partition columns flow through the log as strings
+    latest.filter(col("po") === "P-2")
+      .select("processed_year", "processed_month").head()
+      .toSeq shouldBe Seq("2026", "02")
+    // time travel reproduces the first load exactly (no vendor column yet)
+    val v0 = TxLog.readAt(spark, curated, 0L)
+    v0.count() shouldBe 1L
+    v0.columns should not contain "vendor"
+    v0.select("po", "qty").head().toSeq shouldBe Seq("P-1", "3")
+  }
+
+  test("checkpoints: readers resolve checkpoint + tail, not the whole log") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s"), root)
+    }
+    // the auto-checkpoint cadence fired at version 9
+    val ckpt = new java.io.File(s"$root/${TxLog.LogDirName}")
+      .listFiles().map(_.getName).filter(_.endsWith(".checkpoint.json"))
+    ckpt.toSeq shouldBe Seq("00000000000000000009.checkpoint.json")
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    // prove resolution does NOT replay pre-checkpoint commits: remove them
+    (0 until 10).foreach { v =>
+      new java.io.File(f"$root/${TxLog.LogDirName}/$v%020d.json").delete()
+    }
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    TxLog.readLatest(spark, root).orderBy("id").select("s")
+      .head().getString(0) shouldBe "v0"
+    // explicit checkpoint at the current tip is idempotent and readable
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+  }
+
+  test("time travel before a checkpoint still replays the commit log") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s"), root)
+    }
+    // version 3 predates the only checkpoint (at 9): resolution must fall
+    // back to pure commit replay and reproduce the old snapshot exactly
+    TxLog.readAt(spark, root, 3L).count() shouldBe 4L
+  }
+
   test("empty overwrite yields an empty snapshot with the committed schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
