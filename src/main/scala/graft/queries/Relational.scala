@@ -844,6 +844,26 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Approximate per-group percentiles — the 100 TB default SCALE.md
+    // prescribes when +/-epsilon error is acceptable: percentile_approx is
+    // a single-pass MERGEABLE KLL-style sketch (map-side partials combine
+    // like any aggregate), so unlike q55's exact form there is NO per-group
+    // value sort anywhere — the plan is an ordinary partial+final hash
+    // aggregate at any scale. Rows-only (sketch error has no SQL oracle);
+    // QuerySanitySpec bounds the deviation against exact q55.
+    QDef("q65_percentiles_approx", null) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("p50_qty"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(10000))
+            .as("p95_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_price"))
+        .orderBy("l_returnflag")
+    },
+
     // UNPIVOT (wide->long reshape, the inverse of q48's pivot): per-flag
     // measure sums melted into (measure, value) rows via Dataset.unpivot —
     // a narrow projection+generate over the already-aggregated frame, no

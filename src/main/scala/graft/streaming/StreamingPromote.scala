@@ -45,6 +45,43 @@ object StreamingPromote {
       .start()
   }
 
+  /** Streaming promote into an ACID table: each micro-batch lands as ONE
+    * [[graft.lake.TxLog]] commit via foreachBatch, so a concurrent reader
+    * of the curated table always resolves a whole number of micro-batches
+    * — never a half-written one (the plain parquet streaming sink exposes
+    * in-progress files to path scans) — and any batch can be time-traveled
+    * or rolled back by version. Combined with the checkpoint's exactly-
+    * once file-source tracking, a drained run is an atomic, versioned
+    * replica of the staging zone.
+    *
+    * Idempotence note: if a batch commits and the JVM dies before the
+    * streaming checkpoint records it, the replay commits the batch again —
+    * the duplicate is VISIBLE as two log versions (inspectable via
+    * `TxLog.history`, repairable via `rollback`), which is the honest
+    * at-least-once contract for a non-transactional source without
+    * batch-id bookkeeping in the log.
+    */
+  def runAcid(spark: SparkSession, zones: Zones, table: String,
+              schema: StructType, checkpoint: String,
+              maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val staged = reader.json(zones.stagingIncremental(table))
+    val curated = Enrich.withAuditColumns(Normalize.normalize(staged))
+    curated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.lake.TxLog.append(spark, batch.toDF(), zones.curated(table),
+            Enrich.PartitionColumns): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling-window counts per event type over a streaming
     * frame with an event-time column: late rows beyond `watermark` are
     * dropped and their window state is reclaimed — the property that keeps

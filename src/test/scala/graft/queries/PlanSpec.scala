@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("q65 approx percentiles are a mergeable aggregate: no per-group sort anywhere") {
+    val p = plan("q65_percentiles_approx")
+    p.toLowerCase should include("partial_percentile_approx")
+    p should not include "Window"
+  }
+
   test("q64 salted sessionize never sorts a whole user's event stream") {
     val p = plan("q64_sessionize_salted")
     // the event-sized shuffles carry the salt key

@@ -39,6 +39,24 @@ class QuerySanitySpec extends SparkSpec {
     }
   }
 
+  test("q65 approx percentiles track exact q55 within 1%") {
+    val dir = sf("sf0.01")
+    def collect(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = collect("q55_percentiles")
+    val approx = collect("q65_percentiles_approx")
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, ex) =>
+      ex.zip(approx(k)).foreach { case (e, a) =>
+        // accuracy 10000 -> rank error <= 1/10000 of the group; on these
+        // distributions that is well under 1% in value
+        math.abs(a - e) / e should be <= 0.01
+      }
+    }
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val qs = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty

@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(zones.curated(table)).count() shouldBe 3L
   }
 
+  test("streaming ACID promote: each drained run commits one TxLog version; versions time-travel") {
+    import graft.lake.TxLog
+    val zones = Zones(Files.createTempDirectory("graft-stream-acid").toString)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-acid").toString
+    val table = "po_acid"
+    val schema = Writer.allStringSchema(Seq("po", "amount"))
+    Seq("""{"po":"P-1","amount":"10"}""", """{"po":"P-2","amount":"20"}""")
+      .toDF("value").write.mode("append")
+      .text(zones.stagingIncremental(table))
+
+    StreamingPromote.runAcid(spark, zones, table, schema, checkpoint)
+      .awaitTermination(60000)
+    val curated = zones.curated(table)
+    TxLog.latestVersion(spark, curated) shouldBe Some(0L)
+    TxLog.readLatest(spark, curated).count() shouldBe 2L
+
+    // second drain picks up only the new file and commits version 1
+    Seq("""{"po":"P-3","amount":"30"}""").toDF("value").write.mode("append")
+      .text(zones.stagingIncremental(table))
+    StreamingPromote.runAcid(spark, zones, table, schema, checkpoint)
+      .awaitTermination(60000)
+    TxLog.latestVersion(spark, curated) shouldBe Some(1L)
+    TxLog.readLatest(spark, curated).count() shouldBe 3L
+    // the first micro-batch is a time-travelable snapshot
+    TxLog.readAt(spark, curated, 0L).count() shouldBe 2L
+    // an empty drain commits nothing
+    StreamingPromote.runAcid(spark, zones, table, schema, checkpoint)
+      .awaitTermination(60000)
+    TxLog.latestVersion(spark, curated) shouldBe Some(1L)
+  }
+
   test("windowed counts with watermark aggregate per 5-minute window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
