@@ -298,6 +298,66 @@ object TxLog {
         replay(commits).filter(f => touchedDirs.contains(relDir(f))), ddl))
   }
 
+  /** Row-level MERGE (upsert by key): rows of `updates` replace
+    * same-keyed rows, new keys insert — in ONE commit. The rewrite is
+    * FILE-granular, the same strategy as every production log format:
+    *
+    *  1. Probe the current snapshot for live files containing a matched
+    *     key (a broadcast semi-join against the updates' keys; the result
+    *     is a FILE list — metadata-sized — not rows).
+    *  2. Stage: the untouched rows of those files (anti-join on key) plus
+    *     all update rows. Files without matches are never rewritten or
+    *     even rescanned by the write.
+    *  3. Commit: remove the matched files, add the staged replacements.
+    *
+    * Cost scales with (files containing matched keys) x (file size), not
+    * table size — with partition-aligned or clustered keys that is a tiny
+    * fraction of the table. Keys must be unique within `updates` (two
+    * updates for one key have no defined winner; enforced).
+    */
+  def merge(spark: SparkSession, updates: DataFrame, root: String,
+            keyCols: Seq[String], partitionCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dupKeys == 0, "updates must be unique per key")
+
+    val current = resolve(spark, root, None)
+    val snap = snapshot(spark, root, current)
+    val keys = broadcast(updates.select(keyCols.map(col): _*))
+    // file-granular match probe: which live files hold a matched key?
+    val fs = fileSystem(spark, root)
+    val rootQual = fs.makeQualified(new Path(root)).toString
+    val matchedFiles = snap
+      .withColumn("_file", input_file_name())
+      .join(keys, keyCols, "left_semi")
+      .select("_file").distinct().collect()
+      .map(_.getString(0))
+      .map { f =>
+        val qual = fs.makeQualified(new Path(f)).toString
+        qual.stripPrefix(rootQual + "/")
+      }.toSeq
+    // survivors of the matched files + all updates, in the update schema
+    // (merge is also a schema-evolution point: survivors read missing new
+    // columns as null)
+    val matchedPaths = matchedFiles.map(f => s"$root/$f")
+    val survivors =
+      if (matchedPaths.isEmpty) None
+      else Some(spark.read
+        .option("basePath", root)
+        .schema(StructType.fromDDL(current.schemaDdl))
+        .parquet(matchedPaths: _*)
+        .join(keys, keyCols, "left_anti"))
+    val staged = survivors match {
+      case Some(s) => s.unionByName(updates, allowMissingColumns = true)
+      case None    => updates
+    }
+    val (adds, ddl) = stage(staged, root, partitionCols)
+    commitLoop(spark, root, "merge", partitionCols,
+      _ => (adds, matchedFiles, ddl))
+  }
+
   /** New commit restoring the live set (and schema) of `toVersion` —
     * logical undo; every version including the rolled-back ones stays
     * readable via [[readAt]].

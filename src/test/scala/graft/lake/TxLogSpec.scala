@@ -153,6 +153,57 @@ class TxLogSpec extends SparkSpec {
     v0.select("po", "qty").head().toSeq shouldBe Seq("P-1", "3")
   }
 
+  test("merge upserts by key, rewrites only files containing matched keys") {
+    val root = tmpRoot()
+    // two partitions, each written as its own file set
+    val base = Seq(
+      (1L, "a1", "p1"), (2L, "a2", "p1"),
+      (3L, "a3", "p2"), (4L, "a4", "p2")).toDF("id", "s", "part")
+    TxLog.append(spark, base, root, Seq("part"))
+    val v0Files = TxLog.history(spark, root).head.add
+    // update key 1 (in p1), insert key 9 (new, lands in p2)
+    val v1 = TxLog.merge(spark,
+      Seq((1L, "A1!", "p1"), (9L, "new", "p2")).toDF("id", "s", "part"),
+      root, keyCols = Seq("id"), partitionCols = Seq("part"))
+    v1 shouldBe 1L
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "s").as[(Long, String)].collect().toSeq shouldBe Seq(
+      (1L, "A1!"), (2L, "a2"), (3L, "a3"), (4L, "a4"), (9L, "new"))
+    // file granularity: only p1's file (containing key 1) was removed;
+    // p2's original file survives untouched
+    val c1 = TxLog.history(spark, root).last
+    c1.operation shouldBe "merge"
+    val p2Files = v0Files.filter(_.startsWith("part=p2/"))
+    p2Files should not be empty
+    c1.remove.toSet.intersect(p2Files.toSet) shouldBe empty
+    // pre-merge snapshot still readable
+    TxLog.readAt(spark, root, 0L).filter(col("id") === 1L)
+      .select("s").head().getString(0) shouldBe "a1"
+    // duplicate update keys are rejected
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark,
+        Seq((5L, "x", "p1"), (5L, "y", "p1")).toDF("id", "s", "part"),
+        root, Seq("id"), Seq("part"))
+    }
+  }
+
+  test("merge with no matches is a pure insert; merge evolves schema") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a", "p1")).toDF("id", "s", "part"), root, Seq("part"))
+    // no matched keys: nothing removed
+    TxLog.merge(spark, Seq((2L, "b", "p1")).toDF("id", "s", "part"),
+      root, Seq("id"), Seq("part"))
+    TxLog.history(spark, root).last.remove shouldBe empty
+    // evolving merge: updates carry a new column; survivors read null
+    TxLog.merge(spark,
+      Seq((1L, "a2", "p1", 0.9)).toDF("id", "s", "part", "score"),
+      root, Seq("id"), Seq("part"))
+    val out = TxLog.readLatest(spark, root).orderBy("id")
+    out.columns should contain("score")
+    out.select("id", "s", "score").collect().map(_.toSeq).toSeq shouldBe Seq(
+      Seq(1L, "a2", 0.9), Seq(2L, "b", null))
+  }
+
   test("checkpoints: readers resolve checkpoint + tail, not the whole log") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>
