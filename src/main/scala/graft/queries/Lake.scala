@@ -131,6 +131,57 @@ object Lake {
         .orderBy("rk")
     },
 
+    // Row-level MERGE on the ACID table (TxLog.merge): baseline = the
+    // customer table; updates = every customer divisible by 7 gets a
+    // recomputed balance, plus one brand-new synthetic customer per
+    // nation (key = 900000 + nationkey). The oracle reproduces the merged
+    // state as pure SQL over the fixture — upsert semantics (replace
+    // matched, insert new) must hold exactly for the hash to match.
+    QDef(
+      "q66_acid_merge",
+      """WITH updates AS (
+        |  SELECT c_custkey, CAST(c_acctbal * 2 AS DOUBLE) AS bal,
+        |         CAST(c_nationkey AS VARCHAR) AS nk
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 900000 + n_nationkey, CAST(0 AS DOUBLE),
+        |         CAST(n_nationkey AS VARCHAR)
+        |  FROM nation),
+        |merged AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+        |         CAST(c_nationkey AS VARCHAR) AS nk
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT nk, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM merged GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "txmerge")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"),
+        col("c_nationkey").cast("string").as("nk"))
+      TxLog.append(s, cust, root, Seq("nk"))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("bal", col("bal") * 2)
+        .unionByName(t(s, dir, "nation").select(
+          (col("n_nationkey").cast("long") + 900000L).as("c_custkey"),
+          lit(0.0).as("bal"),
+          col("n_nationkey").cast("string").as("nk")))
+      TxLog.merge(s, updates, root, keyCols = Seq("c_custkey"),
+        partitionCols = Seq("nk"))
+
+      TxLog.readLatest(s, root)
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_customers"),
+          graft.Tables.dsum(col("bal")).as("total_bal"))
+        .orderBy("nk")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
