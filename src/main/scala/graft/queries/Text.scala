@@ -406,6 +406,41 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Context-window chunking — the training-pipeline step that turns
+    // documents into fixed-size token windows with overlap (stride <
+    // window). A pure generate: per-row window starts from `sequence`,
+    // exploded, sliced — no shuffle anywhere until the final ORDER BY, so
+    // it runs at scan speed and the 3x-ish row fan-out streams straight
+    // into the next stage (pack/tokenize). Window 64 tokens, stride 48
+    // (16-token overlap).
+    QDef(
+      "q67_chunk_windows",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM w),
+        |s AS (SELECT doc_id, n, toks,
+        |        unnest(range(0, greatest(n, 1), 48)) AS start
+        |      FROM c)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[start + 1:start + 64], ' ') AS chunk,
+        |  CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val (window, stride) = (64, 48)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+            lit(stride))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_idx"),
+          concat_ws(" ",
+            slice(col("toks"), col("start") + 1, lit(window))).as("chunk"),
+          least(lit(window), col("n") - col("start")).cast("long")
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Deterministic stratified sampling: per-language keep-rates applied as
     // a pure narrow filter on the key (no shuffle, no state — the sample
     // decision is a projection, so it runs at scan speed on any cluster
