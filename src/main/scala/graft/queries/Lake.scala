@@ -161,10 +161,18 @@ object Lake {
       val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
+      // align the shuffle with the partition layout BEFORE the write: one
+      // task per nation -> one file per partition, instead of every input
+      // partition spraying a sliver into every nation dir (32 tasks x 25
+      // nations = 800 tiny files, which the merge probe would then have to
+      // open and — keys being scattered — rewrite in full). Same rule at
+      // 100 TB: repartition on the partition key, sized so task outputs
+      // hit the target file size.
       val cust = t(s, dir, "customer").select(
         col("c_custkey").cast("long").as("c_custkey"),
         col("c_acctbal").cast("double").as("bal"),
         col("c_nationkey").cast("string").as("nk"))
+        .repartition(col("nk"))
       TxLog.append(s, cust, root, Seq("nk"))
       val updates = cust.filter(col("c_custkey") % 7 === 0)
         .withColumn("bal", col("bal") * 2)
@@ -172,6 +180,7 @@ object Lake {
           (col("n_nationkey").cast("long") + 900000L).as("c_custkey"),
           lit(0.0).as("bal"),
           col("n_nationkey").cast("string").as("nk")))
+        .repartition(col("nk"))
       TxLog.merge(s, updates, root, keyCols = Seq("c_custkey"),
         partitionCols = Seq("nk"))
 
