@@ -236,6 +236,22 @@ class TxLogSpec extends SparkSpec {
     TxLog.readAt(spark, root, 3L).count() shouldBe 4L
   }
 
+  test("snapshot reads keep partition pruning: a partition filter scans only that partition's files") {
+    val root = tmpRoot()
+    val df = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("id", "part")
+      .repartition(col("part"))
+    TxLog.append(spark, df, root, Seq("part"))
+    val filtered = TxLog.readLatest(spark, root).filter(col("part") === "p2")
+    val plan = filtered.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(part")
+    filtered.select("id").head().getLong(0) shouldBe 2L
+    // the scan's file listing is pruned, not just post-filtered
+    val scanned = filtered.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    scanned.length shouldBe 1
+    scanned.head should include("part=p2")
+  }
+
   test("empty overwrite yields an empty snapshot with the committed schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
