@@ -242,24 +242,54 @@ object TxLog {
           add, remove, schemaDdl, partitionCols)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
-        try {
-          val out = fs.create(p, false) // the commit point
-          try out.write(toJson(c).getBytes(UTF_8)) finally out.close()
+        if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
           if ((version + 1) % CheckpointInterval == 0)
             try checkpoint(spark, root)
             catch { case _: IOException => () }
           return version
-        } catch {
-          case e: IOException =>
-            bumpOrFail(
-              s"txlog commit conflict after $maxAttempts attempts at $root", e)
+        } else {
+          bumpOrFail(
+            s"txlog commit conflict after $maxAttempts attempts at $root")
         }
       }
     }
     -1L // unreachable
   }
+
+  /** Atomically claim the commit file `p` with `bytes`, returning false on
+    * a lost race. Hadoop's LOCAL create(overwrite=false) is check-then-
+    * create — NOT atomic (two racing writers can both "win" and one commit
+    * is silently lost; caught by the concurrent-append spec under load) —
+    * so on file: URIs the claim is a POSIX hard link of a fully-written
+    * hidden temp (O(1), atomic, fails if the target exists, and the commit
+    * is content-complete the instant it becomes visible). On HDFS-style
+    * stores create(overwrite=false) is an atomic namespace operation and
+    * is used directly; there the visible-before-written window exists,
+    * which the in-flight-tail handling covers.
+    */
+  private def atomicClaim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    if ("file".equals(fs.getUri.getScheme)) {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: IOException => false }
+    }
 
   /** Append `df` as a new commit. Returns the committed version. */
   def append(spark: SparkSession, df: DataFrame, root: String,

@@ -99,12 +99,15 @@ class TxLogSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val root = tmpRoot()
-    val futures = (0 until 4).map { i =>
+    // 6 racing writers: enough contention that a non-atomic version claim
+    // (the local-FS check-then-create TOCTOU this spec once caught as two
+    // writers both committing version 2) reliably surfaces
+    val futures = (0 until 6).map { i =>
       Future(TxLog.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
     }
     val versions = Await.result(Future.sequence(futures), 120.seconds)
-    versions.sorted shouldBe Seq(0L, 1L, 2L, 3L)
-    TxLog.readLatest(spark, root).count() shouldBe 4L
+    versions.sorted shouldBe (0L until 6L)
+    TxLog.readLatest(spark, root).count() shouldBe 6L
   }
 
   test("vacuum reclaims files outside the retention window, keeps retained versions readable") {
