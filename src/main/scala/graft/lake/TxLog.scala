@@ -384,8 +384,21 @@ object TxLog {
       case None    => updates
     }
     val (adds, ddl) = stage(staged, root, partitionCols)
-    commitLoop(spark, root, "merge", partitionCols,
-      _ => (adds, matchedFiles, ddl))
+    commitLoop(spark, root, "merge", partitionCols, { commits =>
+      // merge is a read-modify-write: its rewrite was computed against
+      // `current`, so ANY commit that landed since is a potential write
+      // skew (e.g. a concurrent append of a row with a matched key that
+      // this rewrite never saw). Detect and fail — the caller re-runs the
+      // merge against the new state; silent last-writer-wins would lose
+      // the concurrent writer's rows. (append/overwrite/upsert recompute
+      // their delta per attempt and need no such check.)
+      if (commits.lastOption.map(_.version) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"merge based on version ${current.version} conflicts with " +
+            s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
+            s"at $root — re-run the merge")
+      (adds, matchedFiles, ddl)
+    })
   }
 
   /** New commit restoring the live set (and schema) of `toVersion` —
@@ -513,6 +526,42 @@ object TxLog {
   // -------------------------------------------------------------------
   // Maintenance
   // -------------------------------------------------------------------
+
+  /** Delete data files NO commit ever referenced — the residue of writers
+    * that staged and moved files but died (or lost a merge conflict)
+    * before their commit landed. Orphans are invisible to readers, so
+    * this is pure space reclamation; `olderThanMs` guards the one hazard:
+    * an IN-FLIGHT writer's files look orphaned until its commit lands, so
+    * only files older than the threshold are touched (no live writer
+    * stages for days). Returns the deleted root-relative paths.
+    */
+  def cleanOrphans(spark: SparkSession, root: String,
+                   olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val fs = fileSystem(spark, root)
+    val rootQual = fs.makeQualified(new Path(root)).toString
+    val referenced = history(spark, root).flatMap(_.add).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def walk(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet"))
+          Seq((fs.makeQualified(st.getPath).toString.stripPrefix(rootQual + "/"),
+            st.getModificationTime))
+        else Seq.empty
+      }
+    val victims = walk(new Path(root))
+      .filter { case (rel, mtime) => !referenced.contains(rel) && mtime < cutoff }
+      .map(_._1)
+    victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    // abandoned stage dirs (writer died BEFORE the move) age out the same way
+    val deadStages = fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_stage_")
+        && st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    victims ++ deadStages
+  }
 
   /** Physically delete data files only referenced by versions older than
     * the retention window (the newest `keepLast` versions stay fully

@@ -4,6 +4,20 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
+/** In-JVM rendezvous for the write-skew spec (local[*] executors share the
+  * JVM, so udf closures reach these statics directly).
+  */
+object TxLogSpecHooks {
+  @volatile var evals: java.util.concurrent.atomic.AtomicInteger = _
+  @volatile var postCapture: java.util.concurrent.CountDownLatch = _
+  @volatile var interleaved: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    postCapture = new java.util.concurrent.CountDownLatch(1)
+    interleaved = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 /** ACID commit-log table format: snapshot isolation, time travel,
   * rollback, schema evolution, concurrent commits, vacuum.
   */
@@ -205,6 +219,67 @@ class TxLogSpec extends SparkSpec {
     out.columns should contain("score")
     out.select("id", "s", "score").collect().map(_.toSeq).toSeq shouldBe Seq(
       Seq(1L, "a2", 0.9), Seq(2L, "b", null))
+  }
+
+  test("merge detects a concurrent commit and fails instead of losing it (write skew)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a", "p1")).toDF("id", "s", "part"), root, Seq("part"))
+    // deterministic interleave via latches in the updates df: merge's
+    // FIRST evaluation of updates is its duplicate-key check (before the
+    // snapshot capture); any later evaluation is post-capture, so pausing
+    // there and committing an append reproduces the skew window exactly
+    TxLogSpecHooks.reset()
+    val pauseAfterFirst = org.apache.spark.sql.functions.udf { (s: String) =>
+      if (TxLogSpecHooks.evals.incrementAndGet() == 2) {
+        TxLogSpecHooks.postCapture.countDown()
+        TxLogSpecHooks.interleaved.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      s
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val mergeF = Future(TxLog.merge(spark,
+      Seq((1L, "A!", "p1")).toDF("id", "s", "part")
+        .withColumn("s", pauseAfterFirst(col("s"))),
+      root, Seq("id"), Seq("part")))
+    TxLogSpecHooks.postCapture.await(60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    TxLog.append(spark, Seq((2L, "b", "p1")).toDF("id", "s", "part"), root, Seq("part"))
+    TxLogSpecHooks.interleaved.countDown()
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Await.result(mergeF, 120.seconds)
+    }
+    err.getMessage should include("re-run the merge")
+    // nothing from the failed merge is visible; the concurrent append is
+    TxLog.readLatest(spark, root).orderBy("id").select("s")
+      .as[String].collect().toSeq shouldBe Seq("a", "b")
+    // the failed merge's moved-but-uncommitted files are orphans: invisible,
+    // and reclaimable
+    val orphans = TxLog.cleanOrphans(spark, root, olderThanMs = 0L)
+    orphans should not be empty
+    TxLog.readLatest(spark, root).count() shouldBe 2L
+    // re-running the merge against the new state succeeds
+    TxLog.merge(spark, Seq((1L, "A!", "p1")).toDF("id", "s", "part"),
+      root, Seq("id"), Seq("part"))
+    TxLog.readLatest(spark, root).orderBy("id").select("s")
+      .as[String].collect().toSeq shouldBe Seq("A!", "b")
+  }
+
+  test("cleanOrphans ignores referenced files and young files") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    // a fresh orphan (simulated in-flight writer) survives the default window
+    Seq((9L, "x")).toDF("id", "s").write.parquet(s"$root/_stage_sim")
+    val f = new java.io.File(s"$root/_stage_sim").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$root/orphan.parquet"))
+    TxLog.cleanOrphans(spark, root) shouldBe empty // default 7-day window
+    new java.io.File(s"$root/orphan.parquet").exists() shouldBe true
+    // with the window at zero it is reclaimed; committed files never are
+    val cleaned = TxLog.cleanOrphans(spark, root, olderThanMs = 0L)
+    cleaned should contain("orphan.parquet")
+    TxLog.readLatest(spark, root).count() shouldBe 1L
   }
 
   test("checkpoints: readers resolve checkpoint + tail, not the whole log") {
