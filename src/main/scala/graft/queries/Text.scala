@@ -406,6 +406,57 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // PII redaction — the scrub step every training corpus runs: emails
+    // and phone numbers replaced by tags, with per-doc match counts for
+    // the removal audit. A pure narrow projection (regexp at scan speed,
+    // no shuffle before the final sort). The fixture text carries no
+    // organic PII, so the corpus plants deterministic emails (every 10th
+    // doc) and phone numbers (every 15th) that the oracle reconstructs
+    // identically — both engines then redact with the same patterns.
+    QDef(
+      "q68_pii_redact",
+      """WITH c AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 10 = 0
+        |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 15 = 0
+        |      THEN ' call 555-123-4567' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(length(regexp_extract_all(t,
+        |    '(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  substring(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    greatest(length(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}', '<PHONE>', 'g')) - 59, 1),
+        |    60) AS redacted_tail
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
+      val withPii = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .otherwise(""),
+            when(col("doc_id") % 15 === 0, lit(" call 555-123-4567"))
+              .otherwise("")).as("t"))
+      val redacted =
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>")
+      withPii.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+        redacted.substr(greatest(length(redacted) - 59, lit(1)), lit(60))
+          .as("redacted_tail"))
+        .orderBy("doc_id")
+    },
+
     // Context-window chunking — the training-pipeline step that turns
     // documents into fixed-size token windows with overlap (stride <
     // window). A pure generate: per-row window starts from `sequence`,
