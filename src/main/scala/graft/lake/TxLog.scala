@@ -58,15 +58,47 @@ object TxLog {
 
   val LogDirName = "_txlog"
 
+  /** Per-file column stats for data skipping: file -> column -> (min, max)
+    * in double space (numeric/date-ish columns; computed only when a write
+    * passes `statsCols`).
+    */
+  type FileStats = Map[String, Map[String, (Double, Double)]]
+
   final case class Commit(version: Long, operation: String, timestampMs: Long,
                           add: Seq[String], remove: Seq[String],
-                          schemaDdl: String, partitionCols: Seq[String])
+                          schemaDdl: String, partitionCols: Seq[String],
+                          stats: FileStats = Map.empty)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
   // -------------------------------------------------------------------
 
   private val mapper = new ObjectMapper()
+
+  private def statsToNode(n: com.fasterxml.jackson.databind.node.ObjectNode,
+                          stats: FileStats): Unit = {
+    val sn = n.putObject("stats")
+    stats.foreach { case (file, cols) =>
+      val fn = sn.putObject(file)
+      cols.foreach { case (c, (mn, mx)) =>
+        val a = fn.putArray(c); a.add(mn); a.add(mx)
+      }
+    }
+  }
+
+  private def statsFromNode(n: com.fasterxml.jackson.databind.JsonNode): FileStats = {
+    val sn = n.get("stats")
+    if (sn == null) return Map.empty
+    val files = Map.newBuilder[String, Map[String, (Double, Double)]]
+    sn.properties().forEach { fe =>
+      val cols = Map.newBuilder[String, (Double, Double)]
+      fe.getValue.properties().forEach { ce =>
+        cols += ce.getKey -> (ce.getValue.get(0).asDouble, ce.getValue.get(1).asDouble)
+      }
+      files += fe.getKey -> cols.result()
+    }
+    files.result()
+  }
 
   private def toJson(c: Commit): String = {
     val n = mapper.createObjectNode()
@@ -77,6 +109,7 @@ object TxLog {
     val a = n.putArray("add"); c.add.foreach(a.add)
     val r = n.putArray("remove"); c.remove.foreach(r.add)
     val p = n.putArray("partitionCols"); c.partitionCols.foreach(p.add)
+    if (c.stats.nonEmpty) statsToNode(n, c.stats)
     n.toString
   }
 
@@ -90,7 +123,7 @@ object TxLog {
     }
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
-      n.get("schemaDdl").asText, arr("partitionCols"))
+      n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n))
   }
 
   // -------------------------------------------------------------------
@@ -160,6 +193,34 @@ object TxLog {
   // Writers
   // -------------------------------------------------------------------
 
+  /** Per-file min/max of `statsCols` over freshly staged files — the data
+    * for commit-time file skipping. One metadata-sized job (a row per
+    * file); values land in double space, null-only columns are skipped.
+    */
+  private def computeStats(spark: SparkSession, root: String,
+                           rels: Seq[String],
+                           statsCols: Seq[String]): FileStats = {
+    if (statsCols.isEmpty || rels.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val rows = spark.read.option("basePath", root)
+      .parquet(rels.map(r => s"$root/$r"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val fileName = r.getAs[String]("__f")
+      rels.find(rel => fileName.endsWith("/" + rel)).map { rel =>
+        rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i)) None
+          else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+        }.toMap
+      }
+    }.toMap
+  }
+
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'
     * root-relative paths and the batch schema DDL.
@@ -209,6 +270,7 @@ object TxLog {
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
                          delta: Seq[Commit] => (Seq[String], Seq[String], String),
+                         stats: FileStats = Map.empty,
                          maxAttempts: Int = 50): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
@@ -239,7 +301,7 @@ object TxLog {
         val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
         val (add, remove, schemaDdl) = delta(commits)
         val c = Commit(version, operation, System.currentTimeMillis(),
-          add, remove, schemaDdl, partitionCols)
+          add, remove, schemaDdl, partitionCols, stats)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -291,22 +353,29 @@ object TxLog {
       } catch { case _: IOException => false }
     }
 
-  /** Append `df` as a new commit. Returns the committed version. */
+  /** Append `df` as a new commit. Returns the committed version.
+    * `statsCols` opts the batch into per-file min/max stats for
+    * [[readRange]] data skipping.
+    */
   def append(spark: SparkSession, df: DataFrame, root: String,
-             partitionCols: Seq[String] = Seq.empty): Long = {
+             partitionCols: Seq[String] = Seq.empty,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
     commitLoop(spark, root, "append", partitionCols,
-      _ => (adds, Seq.empty, ddl))
+      _ => (adds, Seq.empty, ddl),
+      computeStats(spark, root, adds, statsCols))
   }
 
   /** Replace the whole table content with `df` (logically — prior files
     * stay on disk for time travel until vacuumed).
     */
   def overwrite(spark: SparkSession, df: DataFrame, root: String,
-                partitionCols: Seq[String] = Seq.empty): Long = {
+                partitionCols: Seq[String] = Seq.empty,
+                statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
     commitLoop(spark, root, "overwrite", partitionCols,
-      commits => (adds, replay(commits), ddl))
+      commits => (adds, replay(commits), ddl),
+      computeStats(spark, root, adds, statsCols))
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -319,13 +388,15 @@ object TxLog {
     * partition directories — no extra pass over `df`.
     */
   def upsertPartitions(spark: SparkSession, df: DataFrame, root: String,
-                       partitionCols: Seq[String]): Long = {
+                       partitionCols: Seq[String],
+                       statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val (adds, ddl) = stage(df, root, partitionCols)
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
       commits => (adds,
-        replay(commits).filter(f => touchedDirs.contains(relDir(f))), ddl))
+        replay(commits).filter(f => touchedDirs.contains(relDir(f))), ddl),
+      computeStats(spark, root, adds, statsCols))
   }
 
   /** Row-level MERGE (upsert by key): rows of `updates` replace
@@ -346,7 +417,8 @@ object TxLog {
     * updates for one key have no defined winner; enforced).
     */
   def merge(spark: SparkSession, updates: DataFrame, root: String,
-            keyCols: Seq[String], partitionCols: Seq[String]): Long = {
+            keyCols: Seq[String], partitionCols: Seq[String],
+            statsCols: Seq[String] = Seq.empty): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
     val dupKeys = updates.groupBy(keyCols.map(col): _*)
@@ -398,7 +470,7 @@ object TxLog {
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
             s"at $root — re-run the merge")
       (adds, matchedFiles, ddl)
-    })
+    }, computeStats(spark, root, adds, statsCols))
   }
 
   /** New commit restoring the live set (and schema) of `toVersion` —
@@ -431,11 +503,34 @@ object TxLog {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     snapshot(spark, root, resolve(spark, root, None))
 
+  /** Range read with DATA SKIPPING: files whose committed [min, max] for
+    * `column` cannot intersect [lo, hi] are dropped from the scan's file
+    * list before any IO — the tier between partition pruning (directory
+    * granularity) and parquet row-group stats (needs the footer read).
+    * Files without stats for the column are conservatively kept, so
+    * mixing stats-less commits costs skipping, never rows. The residual
+    * predicate is applied normally on the surviving files.
+    */
+  def readRange(spark: SparkSession, root: String, column: String,
+                lo: Double, hi: Double,
+                version: Option[Long] = None): DataFrame = {
+    val snap = resolve(spark, root, version)
+    val keep = snap.live.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    snapshot(spark, root, snap.copy(live = keep))
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Snapshot state: live files + the schema they resolve under + the
-    * version they represent.
+    * version they represent + accumulated per-file column stats.
     */
   private final case class Snapshot(live: Seq[String], schemaDdl: String,
-                                    version: Long)
+                                    version: Long, stats: FileStats)
 
   /** Resolve the snapshot at `upTo` (None = latest) from the newest
     * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
@@ -457,7 +552,7 @@ object TxLog {
       val it = n.get("live").elements()
       val b = Seq.newBuilder[String]
       while (it.hasNext) b += it.next().asText()
-      Snapshot(b.result(), n.get("schemaDdl").asText, v)
+      Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n))
     }
     val tail = history(spark, root)
       .filter(c => ckptVersion.forall(c.version > _) && upTo.forall(c.version <= _))
@@ -466,9 +561,15 @@ object TxLog {
     val live = new scala.collection.mutable.LinkedHashSet[String]
     base.foreach(live ++= _.live)
     tail.foreach { c => live --= c.remove; live ++= c.add }
+    // stats accumulate per FILE across the whole tail (never dropped on
+    // logical remove): a later rollback can resurrect a removed file, and
+    // its stats must resurrect with it
+    val stats = tail.foldLeft(base.map(_.stats).getOrElse(Map.empty: FileStats))(
+      (acc, c) => acc ++ c.stats)
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
-      tail.lastOption.map(_.version).getOrElse(base.get.version))
+      tail.lastOption.map(_.version).getOrElse(base.get.version),
+      stats)
   }
 
   private def snapshot(spark: SparkSession, root: String,
@@ -517,6 +618,10 @@ object TxLog {
     n.put("schemaDdl", snap.schemaDdl)
     val arr = n.putArray("live")
     snap.live.foreach(arr.add)
+    // live files' stats only — a post-checkpoint rollback to a
+    // pre-checkpoint version loses skipping for resurrected files
+    // (conservative: they just stop pruning), never correctness
+    statsToNode(n, snap.stats.view.filterKeys(snap.live.toSet).toMap)
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
     try out.write(n.toString.getBytes(UTF_8)) finally out.close()

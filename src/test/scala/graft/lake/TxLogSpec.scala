@@ -330,6 +330,41 @@ class TxLogSpec extends SparkSpec {
     scanned.head should include("part=p2")
   }
 
+  test("data skipping: readRange drops files whose stats cannot match, keeps stats-less files") {
+    val root = tmpRoot()
+    // three commits = three files with disjoint id ranges, stats enabled
+    // (repartition(1) so each commit is exactly one file)
+    TxLog.append(spark, (1L to 100L).map((_, "lo")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.append(spark, (101L to 200L).map((_, "mid")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.append(spark, (201L to 300L).map((_, "hi")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    // scan-level file count (post-filter input_file_name would only show
+    // files whose rows survive the residual predicate)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      raw"InMemoryFileIndex\((\d+) paths\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).get
+    val pruned = TxLog.readRange(spark, root, "id", 150, 160)
+    pruned.count() shouldBe 11L
+    // only the middle file enters the scan
+    scannedFiles(pruned) shouldBe 1
+    // parity with the unpruned filter
+    pruned.orderBy("id").collect().toSeq shouldBe
+      TxLog.readLatest(spark, root)
+        .filter(col("id") >= 150 && col("id") <= 160)
+        .orderBy("id").collect().toSeq
+    // a stats-less commit is conservatively kept in every range read
+    TxLog.append(spark, Seq((999L, "nostats")).toDF("id", "s").repartition(1), root)
+    scannedFiles(TxLog.readRange(spark, root, "id", 150, 160)) shouldBe 2
+    TxLog.readRange(spark, root, "id", 150, 160).count() shouldBe 11L
+    // time-traveled range reads skip too
+    val tt = TxLog.readRange(spark, root, "id", 1, 10, version = Some(0L))
+    tt.count() shouldBe 10L
+    scannedFiles(tt) shouldBe 1
+  }
+
   test("empty overwrite yields an empty snapshot with the committed schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
