@@ -131,6 +131,37 @@ object Lake {
         .orderBy("rk")
     },
 
+    // Data-skipping range read on the ACID table (TxLog.readRange): orders
+    // committed in four key-range slices with per-file min/max stats; the
+    // range read drops files whose interval cannot match BEFORE any IO
+    // (TxLogSpec asserts the scan's file index shrinks; here the oracle
+    // pins the semantics: pruning must never change the result).
+    QDef(
+      "q69_acid_range_scan",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "txrange")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      // four commits of disjoint key slices -> four stats-carrying files
+      val slice = maxKey / 4 + 1
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      TxLog.readRange(s, root, "o_orderkey", 500, 1500)
+        .orderBy("o_orderkey")
+    },
+
     // Row-level MERGE on the ACID table (TxLog.merge): baseline = the
     // customer table; updates = every customer divisible by 7 gets a
     // recomputed balance, plus one brand-new synthetic customer per
