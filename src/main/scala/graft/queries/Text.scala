@@ -406,6 +406,56 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Benchmark decontamination — the cross-set variant of near-dup: flag
+    // TRAINING docs whose shingles are CONTAINED in any benchmark/eval doc
+    // (containment = |overlap| / |train shingles|, asymmetric — a short
+    // training doc fully quoted inside a long benchmark doc must flag even
+    // though symmetric Jaccard would be low). Every 50th doc stands in for
+    // the benchmark set. Candidate generation is the same bounded
+    // shingle-hash equi-join as q36 (never all-pairs): the benchmark side
+    // is tiny by nature, so at 100 TB this is a broadcast/bloom probe of
+    // the training scan. Verified with the native linear merge-count.
+    QDef(
+      "q70_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                       for i in range(1, greatest(len(toks)-1, 1))]) AS sh
+        |      FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |b AS (SELECT * FROM e WHERE doc_id % 50 = 0),
+        |t AS (SELECT * FROM e WHERE doc_id % 50 <> 0),
+        |p AS (SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+        |             t.n AS nt, count(*) AS inter
+        |      FROM t JOIN b ON t.shingle = b.shingle
+        |      GROUP BY 1, 2, 3)
+        |SELECT train_doc, bench_doc,
+        |       ROUND(CAST(inter AS DOUBLE) / nt, 6) AS containment
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / nt >= 0.5
+        |ORDER BY train_doc, bench_doc""".stripMargin) { (s, dir) =>
+      val docs = hashShingled(s, dir).filter(col("n_sh") > 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_doc"), col("shs").as("sh_b"))
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("shs").as("sh_t"),
+          col("n_sh").as("nt"))
+      // candidates: shingle equi-join of the training scan against the
+      // (tiny, broadcastable) benchmark side
+      val benchEx = bench.select(col("bench_doc"), explode(col("sh_b")).as("shingle"))
+      val trainEx = train.select(col("train_doc"), explode(col("sh_t")).as("shingle"))
+      val cand = trainEx.join(broadcast(benchEx), "shingle")
+        .select("train_doc", "bench_doc").distinct()
+      cand.join(train, "train_doc").join(broadcast(bench), "bench_doc")
+        .withColumn("inter",
+          graft.functions.TextHash.intersectCountf(col("sh_t"), col("sh_b")))
+        .withColumn("containment",
+          round(col("inter").cast("double") / col("nt"), 6))
+        .filter(col("inter").cast("double") / col("nt") >= 0.5)
+        .select("train_doc", "bench_doc", "containment")
+        .orderBy("train_doc", "bench_doc")
+    },
+
     // PII redaction — the scrub step every training corpus runs: emails
     // and phone numbers replaced by tags, with per-doc match counts for
     // the removal audit. A pure narrow projection (regexp at scan speed,
