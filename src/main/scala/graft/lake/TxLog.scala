@@ -632,6 +632,27 @@ object TxLog {
   // Maintenance
   // -------------------------------------------------------------------
 
+  /** Cluster the table by `column`: one OVERWRITE commit whose files are
+    * range-partitioned on the column, each carrying min/max stats — the
+    * maintenance op that makes [[readRange]] data skipping selective on
+    * tables whose ingest order scattered the key (scattered key ranges
+    * make every file's [min, max] span everything, so nothing skips).
+    * `filesPerTable` bounds output file count; rows with a null cluster
+    * key sort into the first range. Snapshot semantics like any commit:
+    * readers switch from the old layout to the new atomically, and old
+    * versions stay time-travelable.
+    */
+  def cluster(spark: SparkSession, root: String, column: String,
+              filesPerTable: Int): Long = {
+    require(filesPerTable >= 1)
+    import org.apache.spark.sql.functions.col
+    val current = readLatest(spark, root)
+    val parts = history(spark, root).last.partitionCols
+    overwrite(spark,
+      current.repartitionByRange(filesPerTable, col(column)),
+      root, parts, statsCols = Seq(column))
+  }
+
   /** Delete data files NO commit ever referenced — the residue of writers
     * that staged and moved files but died (or lost a merge conflict)
     * before their commit landed. Orphans are invisible to readers, so

@@ -365,6 +365,32 @@ class TxLogSpec extends SparkSpec {
     scannedFiles(tt) shouldBe 1
   }
 
+  test("clustering turns useless stats into selective ones") {
+    val root = tmpRoot()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      raw"InMemoryFileIndex\((\d+) paths\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).get
+    // scattered ingest: every commit's file spans the whole key range, so
+    // stats exist but nothing can skip
+    (0 until 4).foreach { i =>
+      TxLog.append(spark,
+        (0L until 1000L).filter(_ % 4 == i).map((_, s"b$i")).toDF("id", "s")
+          .repartition(1),
+        root, statsCols = Seq("id"))
+    }
+    val before = TxLog.readRange(spark, root, "id", 100, 120)
+    scannedFiles(before) shouldBe 4
+    val expected = before.orderBy("id").collect().toSeq
+    // cluster on the key: same rows, range-partitioned files
+    TxLog.cluster(spark, root, "id", filesPerTable = 4)
+    val after = TxLog.readRange(spark, root, "id", 100, 120)
+    scannedFiles(after) shouldBe 1
+    after.orderBy("id").collect().toSeq shouldBe expected
+    // the pre-cluster layout is still one time travel away
+    TxLog.readAt(spark, root, 3L).count() shouldBe 1000L
+  }
+
   test("empty overwrite yields an empty snapshot with the committed schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
