@@ -38,7 +38,14 @@ object Promote {
               asOf: Column = current_timestamp(),
               register: Boolean = false,
               dropNa: Boolean = false,
-              acid: Boolean = false): Option[Result] =
+              acid: Boolean = false): Option[Result] = {
+    // a path-scanning catalog table over a TxLog root would read EVERY
+    // version's files (logically-removed ones are kept for time travel),
+    // silently diverging from the committed snapshot — reject the combo
+    // instead of registering a wrong table
+    require(!(acid && register),
+      "acid promotes are read via TxLog.readLatest/readAt; a path-scan " +
+        "catalog table over the commit-log root would see all versions")
     // Glue's groupFiles/groupSize file-grouping (staging_to_curated.py:
     // 90-91) is a SCAN-TIME setting, so it wraps the promote's consuming
     // actions (count gate, curated write): a staging prefix of thousands
@@ -48,6 +55,7 @@ object Promote {
     Writer.withGroupedScan(spark) {
       promoteInner(spark, zones, table, asOf, register, dropNa, acid)
     }
+  }
 
   private def promoteInner(spark: SparkSession, zones: Zones, table: String,
                            asOf: Column, register: Boolean,

@@ -146,13 +146,21 @@ object TxLog {
     * always the tail; anywhere else it is real corruption and must throw
     * rather than silently truncate history.
     */
-  private def historyRaw(spark: SparkSession,
-                         root: String): Seq[(String, Option[Commit])] = {
+  private def historyRaw(spark: SparkSession, root: String,
+                         afterVersion: Long = -1L): Seq[(String, Option[Commit])] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
-      .filter(st => LogFile.matches(st.getPath.getName))
+      .filter { st =>
+        st.getPath.getName match {
+          // version bound applied at the LISTING, before any file is
+          // opened — this is what makes checkpointed resolution O(tail)
+          // reads instead of O(log length)
+          case LogFile(v) => v.toLong > afterVersion
+          case _          => false
+        }
+      }
       .sortBy(_.getPath.getName)
       .map { st =>
         val parsed = scala.util.Try {
@@ -163,12 +171,14 @@ object TxLog {
       }
   }
 
-  /** All COMMITTED commits in version order (empty for a nonexistent
-    * table). An in-flight tail entry is excluded — readers resolve the
-    * previous snapshot until the commit's bytes are durable.
+  /** All COMMITTED commits with version > `afterVersion`, in order (empty
+    * for a nonexistent table). An in-flight tail entry is excluded —
+    * readers resolve the previous snapshot until the commit's bytes are
+    * durable.
     */
-  def history(spark: SparkSession, root: String): Seq[Commit] = {
-    val raw = historyRaw(spark, root)
+  def history(spark: SparkSession, root: String,
+              afterVersion: Long = -1L): Seq[Commit] = {
+    val raw = historyRaw(spark, root, afterVersion)
     val committed =
       if (raw.nonEmpty && raw.last._2.isEmpty) raw.init else raw
     committed.zipWithIndex.map {
@@ -193,6 +203,25 @@ object TxLog {
   // Writers
   // -------------------------------------------------------------------
 
+  /** Root-relative path from an `input_file_name()` value.
+    * input_file_name returns a URL-ENCODED URI string while the live set
+    * stores RAW listing paths, so a partition value with URI-encodable
+    * characters ('nk=north america' -> '.../nk=north%20america/...')
+    * never matches under plain string comparison — decode through URI
+    * first. Falls back to the raw string when the value does not parse as
+    * a URI.
+    */
+  private def relFromInputFile(fileName: String, rootDecoded: String): Option[String] = {
+    val decoded = scala.util.Try(new java.net.URI(fileName).getPath)
+      .toOption.filter(_ != null).getOrElse(fileName)
+    if (decoded.startsWith(rootDecoded + "/"))
+      Some(decoded.stripPrefix(rootDecoded + "/"))
+    else None
+  }
+
+  private def rootDecodedPath(fs: FileSystem, root: String): String =
+    fs.makeQualified(new Path(root)).toUri.getPath
+
   /** Per-file min/max of `statsCols` over freshly staged files — the data
     * for commit-time file skipping. One metadata-sized job (a row per
     * file); values land in double space, null-only columns are skipped.
@@ -210,14 +239,17 @@ object TxLog {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val rootDec = rootDecodedPath(fileSystem(spark, root), root)
+    val relSet = rels.toSet
     rows.flatMap { r =>
-      val fileName = r.getAs[String]("__f")
-      rels.find(rel => fileName.endsWith("/" + rel)).map { rel =>
-        rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i)) None
-          else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
-        }.toMap
-      }
+      relFromInputFile(r.getAs[String]("__f"), rootDec)
+        .filter(relSet.contains)
+        .map { rel =>
+          rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i)) None
+            else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+          }.toMap
+        }
     }.toMap
   }
 
@@ -235,8 +267,10 @@ object TxLog {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stageDir)
 
-    val stageQual = fs.makeQualified(new Path(stageDir)).toString
-    val rootQual = fs.makeQualified(new Path(root)).toString
+    // all root-relative paths in the log are DECODED URI paths (raw
+    // characters, no %XX) — the one canonical representation that
+    // relFromInputFile also normalizes to
+    val stageDec = fs.makeQualified(new Path(stageDir)).toUri.getPath
     def dataFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -245,18 +279,15 @@ object TxLog {
         else if (name.endsWith(".parquet")) Seq(st.getPath) else Seq.empty
       }
     val rels = dataFiles(new Path(stageDir)).map { f =>
-      val rel = fs.makeQualified(f).toString.stripPrefix(stageQual + "/")
-      val relDir = rel.lastIndexOf('/') match {
-        case -1 => ""
-        case i  => rel.substring(0, i + 1)
-      }
+      val rel = fs.makeQualified(f).toUri.getPath.stripPrefix(stageDec + "/")
+      val dir = relDir(rel)
       // stageId prefix: file names stay unique across commits even if two
       // stage jobs ever produced identical task file names
-      val target = new Path(s"$rootQual/$relDir${stageId}_${f.getName}")
+      val target = new Path(s"$root/$dir${stageId}_${f.getName}")
       fs.mkdirs(target.getParent)
       if (!fs.rename(f, target))
         throw new IOException(s"stage move failed: $f -> $target")
-      s"$relDir${stageId}_${f.getName}"
+      s"$dir${stageId}_${f.getName}"
     }
     fs.delete(new Path(stageDir), true)
     (rels, df.schema.toDDL)
@@ -269,7 +300,7 @@ object TxLog {
     */
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
-                         delta: Seq[Commit] => (Seq[String], Seq[String], String),
+                         delta: (Seq[Commit], Seq[String]) => (Seq[String], Seq[String], String),
                          stats: FileStats = Map.empty,
                          maxAttempts: Int = 50): Long = {
     val fs = fileSystem(spark, root)
@@ -298,8 +329,16 @@ object TxLog {
               "log entry to repair)")
       } else {
         val commits = raw.map(_._2.get)
-        val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
-        val (add, remove, schemaDdl) = delta(commits)
+        // current state through CHECKPOINT-AWARE resolution: raw commit
+        // replay would silently miss pre-checkpoint state on a log whose
+        // old entries were truncated (which readers support) — and the
+        // next version must also respect a checkpoint that outlived its
+        // commits
+        val snapNow = scala.util.Try(resolve(spark, root, None)).toOption
+        val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
+          .maxOption.map(_ + 1).getOrElse(0L)
+        val (add, remove, schemaDdl) =
+          delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats)
         val p = logPath(root, version)
@@ -362,7 +401,7 @@ object TxLog {
              statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
     commitLoop(spark, root, "append", partitionCols,
-      _ => (adds, Seq.empty, ddl),
+      (_, _) => (adds, Seq.empty, ddl),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -374,7 +413,7 @@ object TxLog {
                 statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
     commitLoop(spark, root, "overwrite", partitionCols,
-      commits => (adds, replay(commits), ddl),
+      (_, live) => (adds, live, ddl),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -394,8 +433,8 @@ object TxLog {
     val (adds, ddl) = stage(df, root, partitionCols)
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
-      commits => (adds,
-        replay(commits).filter(f => touchedDirs.contains(relDir(f))), ddl),
+      (_, live) => (adds,
+        live.filter(f => touchedDirs.contains(relDir(f))), ddl),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -430,16 +469,16 @@ object TxLog {
     val keys = broadcast(updates.select(keyCols.map(col): _*))
     // file-granular match probe: which live files hold a matched key?
     val fs = fileSystem(spark, root)
-    val rootQual = fs.makeQualified(new Path(root)).toString
+    val rootDec = rootDecodedPath(fs, root)
+    val liveSet = current.live.toSet
     val matchedFiles = snap
       .withColumn("_file", input_file_name())
       .join(keys, keyCols, "left_semi")
       .select("_file").distinct().collect()
       .map(_.getString(0))
-      .map { f =>
-        val qual = fs.makeQualified(new Path(f)).toString
-        qual.stripPrefix(rootQual + "/")
-      }.toSeq
+      .flatMap(f => relFromInputFile(f, rootDec))
+      .filter(liveSet.contains)
+      .toSeq
     // survivors of the matched files + all updates, in the update schema
     // (merge is also a schema-evolution point: survivors read missing new
     // columns as null)
@@ -456,7 +495,7 @@ object TxLog {
       case None    => updates
     }
     val (adds, ddl) = stage(staged, root, partitionCols)
-    commitLoop(spark, root, "merge", partitionCols, { commits =>
+    commitLoop(spark, root, "merge", partitionCols, { (commits, _) =>
       // merge is a read-modify-write: its rewrite was computed against
       // `current`, so ANY commit that landed since is a potential write
       // skew (e.g. a concurrent append of a row with a matched key that
@@ -478,12 +517,11 @@ object TxLog {
     * readable via [[readAt]].
     */
   def rollback(spark: SparkSession, root: String, toVersion: Long): Long =
-    commitLoop(spark, root, "rollback", Seq.empty, { commits =>
-      val target = commits.filter(_.version <= toVersion)
-      require(target.nonEmpty, s"no commit at or before version $toVersion")
-      val want = replay(target)
-      val have = replay(commits)
-      (want.diff(have), have.diff(want), target.last.schemaDdl)
+    commitLoop(spark, root, "rollback", Seq.empty, { (_, have) =>
+      // target state via checkpoint-aware resolution (a raw replay would
+      // miss pre-checkpoint state on a truncated log)
+      val target = resolve(spark, root, Some(toVersion))
+      (target.live.diff(have), have.diff(target.live), target.schemaDdl)
     })
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {
@@ -554,8 +592,8 @@ object TxLog {
       while (it.hasNext) b += it.next().asText()
       Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n))
     }
-    val tail = history(spark, root)
-      .filter(c => ckptVersion.forall(c.version > _) && upTo.forall(c.version <= _))
+    val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
+      .filter(c => upTo.forall(c.version <= _))
     require(base.nonEmpty || tail.nonEmpty,
       s"no commit at or before version ${upTo.getOrElse("latest")} in $root")
     val live = new scala.collection.mutable.LinkedHashSet[String]
@@ -659,13 +697,29 @@ object TxLog {
     * this is pure space reclamation; `olderThanMs` guards the one hazard:
     * an IN-FLIGHT writer's files look orphaned until its commit lands, so
     * only files older than the threshold are touched (no live writer
-    * stages for days). Returns the deleted root-relative paths.
+    * stages for days). Checkpoint live sets count as references too — a
+    * log whose pre-checkpoint entries were truncated (which readers
+    * support) must not get its still-live files reaped as "never
+    * referenced". Returns the deleted root-relative paths.
     */
   def cleanOrphans(spark: SparkSession, root: String,
                    olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val fs = fileSystem(spark, root)
-    val rootQual = fs.makeQualified(new Path(root)).toString
-    val referenced = history(spark, root).flatMap(_.add).toSet
+    val rootDec = rootDecodedPath(fs, root)
+    val logDir = new Path(s"$root/$LogDirName")
+    val ckptLive: Set[String] =
+      if (!fs.exists(logDir)) Set.empty
+      else fs.listStatus(logDir).toSeq
+        .collect { case st if CkptFile.matches(st.getPath.getName) =>
+          val in = fs.open(st.getPath)
+          val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+                  finally in.close()
+          val it = n.get("live").elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }.foldLeft(Set.empty[String])(_ ++ _)
+    val referenced = history(spark, root).flatMap(_.add).toSet ++ ckptLive
     val cutoff = System.currentTimeMillis() - olderThanMs
     def walk(p: Path): Seq[(String, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -673,8 +727,8 @@ object TxLog {
         if (name.startsWith("_") || name.startsWith(".")) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
         else if (name.endsWith(".parquet"))
-          Seq((fs.makeQualified(st.getPath).toString.stripPrefix(rootQual + "/"),
-            st.getModificationTime))
+          Seq((fs.makeQualified(st.getPath).toUri.getPath
+            .stripPrefix(rootDec + "/"), st.getModificationTime))
         else Seq.empty
       }
     val victims = walk(new Path(root))

@@ -132,18 +132,42 @@ object Writer {
         .option("primitivesAsString", "true")
         .json(path))
 
+  /** Reentrancy state for [[withGroupedScan]]: per-session depth + the
+    * value to restore when the LAST concurrent scope exits. A naive
+    * save/set/restore races under Orchestrate's parallel promotes (thread
+    * B can save thread A's temporary value as its "previous", permanently
+    * leaking the grouping conf into the session).
+    */
+  private val groupScanLock = new Object
+  private val groupScanState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
+
   /** Run `body` with `spark.sql.files.maxPartitionBytes` set to
     * `groupBytes` (the Spark-native equivalent of Glue's
     * groupFiles/groupSize, staging_to_curated.py:90-91) and restore the
-    * previous value after — one load's scan granularity must not leak
-    * into every later query on the session.
+    * previous value after the last concurrent scope exits — one load's
+    * scan granularity must not leak into every later query on the
+    * session. Concurrent scopes on one session share the first entrant's
+    * setting (the conf is session-global; all engine callers pass the
+    * same 100 MiB default).
     */
   def withGroupedScan[T](spark: SparkSession,
                          groupBytes: Long = 104857600L)(body: => T): T = {
     val key = "spark.sql.files.maxPartitionBytes"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, groupBytes.toString)
-    try body finally spark.conf.set(key, prev)
+    groupScanLock.synchronized {
+      val (depth, prev) = groupScanState.getOrElse(spark, (0, null: String))
+      if (depth == 0) {
+        groupScanState(spark) = (1, spark.conf.get(key))
+        spark.conf.set(key, groupBytes.toString)
+      } else groupScanState(spark) = (depth + 1, prev)
+    }
+    try body finally groupScanLock.synchronized {
+      val (depth, prev) = groupScanState(spark)
+      if (depth == 1) {
+        spark.conf.set(key, prev)
+        groupScanState.remove(spark)
+      } else groupScanState(spark) = (depth - 1, prev)
+    }
   }
 
   /** Schema extraction (staging_to_curated.py:61-70): name -> simple type

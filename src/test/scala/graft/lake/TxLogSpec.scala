@@ -391,6 +391,66 @@ class TxLogSpec extends SparkSpec {
     TxLog.readAt(spark, root, 3L).count() shouldBe 1000L
   }
 
+  test("partition values with URI-encodable characters: merge and stats still match files") {
+    val root = tmpRoot()
+    // 'north america' encodes to north%20america in input_file_name — the
+    // raw/encoded mismatch once broke merge's matched-file probe and
+    // silently dropped stats
+    val base = Seq((1L, "a", "north america"), (2L, "b", "emea"))
+      .toDF("id", "s", "region").repartition(col("region"))
+    TxLog.append(spark, base, root, Seq("region"), statsCols = Seq("id"))
+    // stats were recorded for the encoded-char partition's file
+    val stats = TxLog.history(spark, root).head.stats
+    stats.keys.exists(_.startsWith("region=north america/")) shouldBe true
+    // merge matches and rewrites inside the encoded-char partition
+    TxLog.merge(spark,
+      Seq((1L, "A!", "north america")).toDF("id", "s", "region"),
+      root, Seq("id"), Seq("region"))
+    TxLog.readLatest(spark, root).orderBy("id").select("s")
+      .as[String].collect().toSeq shouldBe Seq("A!", "b")
+    TxLog.history(spark, root).last.remove
+      .exists(_.startsWith("region=north america/")) shouldBe true
+  }
+
+  test("writers and cleanOrphans respect checkpoint state after log truncation") {
+    val root = tmpRoot()
+    (0 until 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s").repartition(1), root)
+    }
+    // truncate pre-checkpoint commits (checkpoint at 9 carries the state)
+    (0 until 10).foreach { v =>
+      new java.io.File(f"$root/${TxLog.LogDirName}/$v%020d.json").delete()
+    }
+    // cleanOrphans must NOT reap checkpoint-live files as "never referenced"
+    TxLog.cleanOrphans(spark, root, olderThanMs = 0L) shouldBe empty
+    TxLog.readLatest(spark, root).count() shouldBe 11L
+    // an overwrite's remove set must come from checkpoint-aware resolution,
+    // so pre-checkpoint files are logically removed (not left live forever)
+    val v11 = TxLog.overwrite(spark,
+      Seq((99L, "fresh")).toDF("id", "s").repartition(1), root)
+    v11 shouldBe 11L
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((99L, "fresh"))
+    TxLog.history(spark, root).last.remove.size shouldBe 11
+  }
+
+  test("withGroupedScan is reentrant: concurrent scopes restore the original conf once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val key = "spark.sql.files.maxPartitionBytes"
+    val orig = spark.conf.get(key)
+    val fs = (0 until 4).map { _ =>
+      Future(Writer.withGroupedScan(spark) {
+        Thread.sleep(50)
+        spark.conf.get(key)
+      })
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+      .foreach(_ shouldBe "104857600")
+    spark.conf.get(key) shouldBe orig
+  }
+
   test("empty overwrite yields an empty snapshot with the committed schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
