@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14) — the published shuffle-only CC algorithm that
+  * converges in O(log^2 n) rounds on any graph (O(log n) in practice).
+  *
+  * This is the canonicalization tier of a dedup pipeline: near-dup PAIRS
+  * (q36/q37/q61) are not directly actionable because near-duplication is
+  * transitive in effect but not in the pair relation — keeping "one doc
+  * per pair" over-deletes chains (A~B, B~C does not imply A~C was
+  * emitted). The pair graph's connected components ARE the dup clusters;
+  * the canonical keeper is the minimum doc id per component.
+  *
+  * Scale design (100 TB corpus): the input here is the near-dup PAIR
+  * graph, which is orders of magnitude smaller than the corpus — but can
+  * itself be billions of edges, so every round is expressed as bounded
+  * aggregations + equi-joins (`groupBy(node).min` + join back), never a
+  * per-node `collect_set` (a hub node's neighbor list would not fit in
+  * one task). Each round's output is materialized with `localCheckpoint`
+  * to cut the iterative lineage (on a real cluster: `checkpoint` to a
+  * reliable store); convergence is an exact set comparison on the
+  * (monotonically shrinking) edge list.
+  */
+object ConnectedComponents {
+
+  /** Undirected neighbor view: each canonical edge in both directions. */
+  private def sym(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood. Expressed as min-agg + equi-join back —
+    * two shuffles on node id, no per-node materialized adjacency.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nb = sym(e)
+    val mins = nb.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nb.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its SMALLER neighbors (and itself)
+    * to the minimum of that set. Same min-agg + join-back shape.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = d.groupBy("u").agg(min("v").as("m"))
+    val toNbrs = d.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+    val toSelf = mins.select(col("u"), col("m").as("v"))
+    toNbrs.union(toSelf)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges two numeric columns (endpoints); self-loops ignored.
+    * @return (node, component) for every node incident to an edge, where
+    *         component = the minimum node id in the node's component.
+    *         Isolated nodes never appear (they were never in `edges`).
+    */
+  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val Seq(cu, cv) = edges.columns.take(2).toSeq
+    var cur = edges
+      .select(least(col(cu), col(cv)).cast("long").as("v"),
+        greatest(col(cu), col(cv)).cast("long").as("u"))
+      .filter(col("u") =!= col("v"))
+      .select("u", "v")
+      .distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nxt = smallStar(largeStar(cur)).localCheckpoint(true)
+      // At the two-phase fixpoint the edge list is exactly the star
+      // forest (child -> component min), already in canonical u > v form
+      // on both sides, so plain set equality detects convergence.
+      converged = nxt.count() == cur.count() && nxt.except(cur).isEmpty
+      cur = nxt
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    val nodes = sym(cur).select(col("u").as("node")).distinct()
+    nodes.join(cur.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+}

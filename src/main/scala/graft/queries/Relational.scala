@@ -696,6 +696,31 @@ object Relational {
         .orderBy("lang")
     },
 
+    // ORC source/sink roundtrip — the lake's second columnar format
+    // (Spark ships the ORC datasource alongside Parquet). The snapshot is
+    // written PARTITIONED by l_returnflag (repartitioned on the partition
+    // key first so each of the 3 values lands in one task, not 32 tiny
+    // files each) and the read-back filters one flag — the scan must
+    // partition-prune for ORC exactly as for Parquet. Oracle reads the
+    // same rows from the original parquet table.
+    QDef(
+      "q73_orc_scan",
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val snap = Tables.scratch(dir, "lineitem_orc")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+        .repartition(col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").orc(snap)
+      s.read.orc(snap)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
+
     // Event-time tumbling window over the nanosecond event timestamps
     // (read as epoch-nanos longs per the Tables.t nanosAsLong contract;
     // `ts div 1000` stays integral — a double division would lose

@@ -456,6 +456,107 @@ object Text {
         .orderBy("train_doc", "bench_doc")
     },
 
+    // Dedup cluster canonicalization — near-dup PAIRS (q36/q37/q61) are
+    // not directly actionable: near-duplication is transitive in effect
+    // but not in the pair set (A~B and B~C without an emitted A~C pair
+    // would over-delete under keep-one-per-pair). The pair graph's
+    // connected components ARE the dup clusters; the canonical keeper is
+    // the minimum doc_id per cluster. Components run over the
+    // oracle-checked q36 exact-Jaccard pair set via large-star/small-star
+    // ([[graft.operators.ConnectedComponents]]) — O(log n) bounded-key
+    // rounds on a graph orders of magnitude smaller than the corpus. The
+    // pair set is exported (q38 scratch pattern) so DuckDB independently
+    // derives the same components with a recursive transitive closure.
+    QDef(
+      "q71_dedup_clusters",
+      """WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b
+        |      FROM read_parquet('__SCRATCH__/q71_pairs/*.parquet')),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT u AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        |sized AS (SELECT component, COUNT(*) AS csize
+        |          FROM comp GROUP BY component)
+        |SELECT c.node AS doc_id, c.component, s.csize,
+        |       c.node = c.component AS keep
+        |FROM comp c JOIN sized s USING (component)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = hashShingled(s, dir)
+      val pre = docs.select(col("doc_id"),
+        explode(slice(col("shs"), lit(1), (col("n_sh") / 2 + 1).cast("int")))
+          .as("shingle"))
+      val cand = pre.as("a")
+        .join(pre.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val pairs = verifyJaccard(cand, docs, 0.5).select("doc_a", "doc_b")
+      // materialize the pair set once (it seeds every CC round) and hand
+      // the SAME copy to the oracle — q38 scratch-export pattern
+      pairs.coalesce(1).write.mode("overwrite")
+        .parquet(Tables.scratch(dir, "q71_pairs"))
+      val pg = s.read.parquet(Tables.scratch(dir, "q71_pairs"))
+      val comps = graft.operators.ConnectedComponents.components(
+        pg.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val sized = comps.groupBy("component").agg(count(lit(1)).as("csize"))
+      comps.join(sized, "component")
+        .select(col("node").as("doc_id"), col("component"), col("csize"),
+          (col("node") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition-based quality filter (Gopher-style rules, word-level —
+    // the fixture has no line structure): duplicate-word fraction and
+    // top-bigram fraction, thresholded at the corpus median so both
+    // outcomes are exercised. Scale shape: the word metrics are pure
+    // narrow projections (array_distinct per row, scan speed); the
+    // top-bigram count is a two-level aggregation on (doc_id, bigram)
+    // with map-side partial combine — bounded keys, no join against
+    // anything corpus-sized. Thresholds compare the UNROUNDED doubles on
+    // both sides (identical fold order -> bit-exact parity).
+    QDef(
+      "q72_quality_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (SELECT doc_id, tk, len(tk) AS n,
+        |             len(list_distinct(tk)) AS nd FROM w),
+        |bg AS (SELECT doc_id,
+        |         unnest([tk[i] || ' ' || tk[i+1] for i in range(1, n)]) AS b
+        |       FROM d WHERE n >= 2),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, MAX(c) AS mx FROM bc GROUP BY 1)
+        |SELECT d.doc_id, CAST(n AS BIGINT) AS n_words,
+        |       ROUND(1 - CAST(nd AS DOUBLE) / n, 6) AS dup_word_frac,
+        |       ROUND(COALESCE(CAST(mx AS DOUBLE) / (n - 1), 0.0), 6)
+        |         AS top_bigram_frac,
+        |       (1 - CAST(nd AS DOUBLE) / n) <= CAST(0.6 AS DOUBLE)
+        |         AND COALESCE(CAST(mx AS DOUBLE) / (n - 1), 0.0)
+        |             <= CAST(0.05 AS DOUBLE) AS keep
+        |FROM d LEFT JOIN bm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("nd", size(array_distinct(col("tk"))).cast("long"))
+      val bg = d.filter(col("n") >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, cast(n as int) - 2), " +
+            "i -> concat(tk[i], ' ', tk[i + 1]))")).as("b"))
+      val bm = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("mx"))
+      val dupF = lit(1.0) - col("nd").cast("double") / col("n")
+      val bigF = coalesce(col("mx").cast("double") / (col("n") - 1), lit(0.0))
+      d.join(bm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_words"),
+          round(dupF, 6).as("dup_word_frac"),
+          round(bigF, 6).as("top_bigram_frac"),
+          (dupF <= 0.6 && bigF <= 0.05).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // PII redaction — the scrub step every training corpus runs: emails
     // and phone numbers replaced by tags, with per-doc match counts for
     // the removal audit. A pure narrow projection (regexp at scan speed,
