@@ -96,6 +96,28 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("q71 cluster canonicalization stays equi-join through every CC round") {
+    val p = plan("q71_dedup_clusters")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q72 repetition metrics aggregate with a map-side partial combine") {
+    val p = plan("q72_quality_repetition")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p.toLowerCase should include("partial")
+  }
+
+  test("q73 ORC read-back partition-prunes on the filtered flag") {
+    val p = plan("q73_orc_scan")
+    p.toLowerCase should include("orc")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters")).getOrElse("")
+    scanLine should include("l_returnflag")
+    scanLine should not include "PartitionFilters: []"
+  }
+
   test("q64 salted sessionize never sorts a whole user's event stream") {
     val p = plan("q64_sessionize_salted")
     // the event-sized shuffles carry the salt key
