@@ -564,6 +564,47 @@ object TxLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Change feed: every row ADDED or REMOVED by each commit in
+    * (`fromVersion`, `toVersion`], tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. A file rewrite (merge,
+    * upsert) reports the old file's rows as deletes and the rewritten
+    * rows as inserts — the standard granularity for change feeds without
+    * per-row identity tracking. This is the incremental-consumption path
+    * the reference's `{t}_incremental` staging twin implies
+    * (`utils.py:111-114`): a downstream job reads only the delta since
+    * its last processed version, never rescanning the table.
+    *
+    * Scale: a union of per-commit file-list scans — no shuffle, no join;
+    * cost is proportional to the CHANGED bytes, not table size. All rows
+    * resolve under the range's newest schema (older files read missing
+    * columns as null, same rule as snapshots). The range's data files
+    * must still exist: `vacuum`/`cleanOrphans` bound how far back a feed
+    * can start, and the error names the first missing file rather than
+    * failing downstream mid-scan.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val commits = history(spark, root, afterVersion = fromVersion)
+      .filter(c => toVersion.forall(c.version <= _))
+    require(commits.nonEmpty, s"no commits after version $fromVersion in $root")
+    val schema = StructType.fromDDL(commits.last.schemaDdl)
+    val fs = fileSystem(spark, root)
+    val missing = commits.flatMap(c => c.add ++ c.remove).distinct
+      .filterNot(f => fs.exists(new Path(s"$root/$f")))
+    require(missing.isEmpty,
+      s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
+    commits.flatMap { c =>
+      Seq((c.add, "insert"), (c.remove, "delete")).collect {
+        case (files, typ) if files.nonEmpty =>
+          spark.read.option("basePath", root).schema(schema)
+            .parquet(files.map(f => s"$root/$f"): _*)
+            .withColumn("_change_type", lit(typ))
+            .withColumn("_commit_version", lit(c.version))
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** Snapshot state: live files + the schema they resolve under + the
     * version they represent + accumulated per-file column stats.
     */

@@ -131,6 +131,60 @@ object Lake {
         .orderBy("rk")
     },
 
+    // Change feed over the commit log: incremental consumption of exactly
+    // the rows each commit added/removed — the reference's
+    // `{t}_incremental` staging pattern as a first-class read. The demo
+    // commits three versions (two appends split by key parity, then a
+    // partition upsert that bumps one segment's balances) and reads the
+    // delta AFTER v0: the oracle reconstructs the same change rows from
+    // the pure fixture — v1's inserts are the odd customers, v2's
+    // deletes/inserts are the BUILDING partition before/after the bump.
+    // Feed cost is proportional to changed bytes (per-commit file lists,
+    // no shuffle), which is the whole point at 100 TB: a downstream job
+    // consumes a day's delta without rescanning the table.
+    QDef(
+      "q74_change_feed",
+      """WITH bld AS (SELECT c_mktsegment, c_acctbal FROM customer
+        |             WHERE c_mktsegment = 'BUILDING'),
+        |ch AS (
+        |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+        |         c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), c_mktsegment, c_acctbal FROM bld
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), c_mktsegment, c_acctbal + 100
+        |  FROM bld)
+        |SELECT change_type, commit_version, c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "cfdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 0),
+        root, Seq("c_mktsegment"))                                // v0
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),
+        root, Seq("c_mktsegment"))                                // v1
+      TxLog.upsertPartitions(s,                                   // v2
+        cust.filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") + 100),
+        root, Seq("c_mktsegment"))
+
+      TxLog.readChanges(s, root, fromVersion = 0L)
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .groupBy("change_type", "commit_version", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("change_type", "commit_version", "c_mktsegment")
+    },
+
     // Data-skipping range read on the ACID table (TxLog.readRange): orders
     // committed in four key-range slices with per-file min/max stats; the
     // range read drops files whose interval cannot match BEFORE any IO

@@ -460,4 +460,46 @@ class TxLogSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("id", "s")
     out.count() shouldBe 0L
   }
+
+  test("change feed returns only commits after fromVersion, tagged insert/delete") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)            // v1
+    TxLog.overwrite(spark, Seq((3L, "c")).toDF("id", "s"), root)         // v2
+    val ch = TxLog.readChanges(spark, root, fromVersion = 0L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // v1: insert b; v2: delete a+b (overwrite removed both), insert c
+    ch shouldBe Set(
+      (2L, "b", "insert", 1L),
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L),
+      (3L, "c", "insert", 2L))
+  }
+
+  test("change feed respects toVersion and a rewrite reports delete+insert") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "p1", "x"), (2L, "p2", "y")).toDF("id", "part", "s"),
+      root, Seq("part"))                                                 // v0
+    TxLog.upsertPartitions(spark,
+      Seq((2L, "p2", "y2")).toDF("id", "part", "s"), root, Seq("part"))  // v1
+    TxLog.append(spark,
+      Seq((3L, "p1", "z")).toDF("id", "part", "s"), root, Seq("part"))   // v2
+    val ch = TxLog.readChanges(spark, root, 0L, toVersion = Some(1L))
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    // only v1; only the touched p2 partition appears, as delete + insert
+    ch shouldBe Set((2L, "y", "delete"), (2L, "y2", "insert"))
+  }
+
+  test("change feed into a vacuumed range fails naming the missing file") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)          // v0
+    TxLog.overwrite(spark, Seq((2L, "new")).toDF("id", "s"), root)       // v1
+    TxLog.vacuum(spark, root, keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.readChanges(spark, root, fromVersion = -1L)
+    }
+    e.getMessage should include("vacuumed")
+  }
 }
