@@ -732,6 +732,49 @@ object TxLog {
       root, parts, statsCols = Seq(column))
   }
 
+  /** Multi-column Z-ORDER clustering: rewrite the table so files are
+    * locality-clustered on EVERY listed column at once. Single-column
+    * [[cluster]] makes stats selective for that column only; here each
+    * column is bucketed equal-width between its committed min/max (one
+    * metadata-sized agg) and the bucket bits are interleaved LSB-first
+    * into one z-value, which becomes the range-partition key — so a
+    * range predicate on ANY of the columns skips most files via
+    * [[readRange]] stats. Degenerate columns (all-null or constant)
+    * bucket as 0 and simply stop contributing locality; rows with a null
+    * in any z column get a null z-value and cluster together. Same cost
+    * model as cluster: one full rewrite, one commit, old layout stays a
+    * time travel away.
+    */
+  def clusterZ(spark: SparkSession, root: String, columns: Seq[String],
+               filesPerTable: Int, bitsPerCol: Int = 16): Long = {
+    require(columns.nonEmpty && filesPerTable >= 1)
+    require(columns.size * bitsPerCol <= 62, "z-value must fit in a long")
+    import org.apache.spark.sql.functions._
+    val current = readLatest(spark, root)
+    val parts = history(spark, root).last.partitionCols
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c")))
+    val row = current.agg(aggs.head, aggs.tail: _*).head()
+    val nb = 1L << bitsPerCol
+    val buckets = columns.map { c =>
+      val (iLo, iHi) = (row.fieldIndex(s"lo_$c"), row.fieldIndex(s"hi_$c"))
+      if (row.isNullAt(iLo) || row.isNullAt(iHi) ||
+          row.getDouble(iLo) == row.getDouble(iHi)) lit(0L)
+      else {
+        val (l, h) = (row.getDouble(iLo), row.getDouble(iHi))
+        least(lit(nb - 1), greatest(lit(0L),
+          floor((col(c).cast("double") - l) / ((h - l) / nb)).cast("long")))
+      }
+    }
+    var z = lit(0L)
+    for (b <- 0 until bitsPerCol; (bc, i) <- buckets.zipWithIndex)
+      z = z.bitwiseOR(shiftleft(
+        shiftright(bc, b).bitwiseAND(1L), b * columns.size + i))
+    overwrite(spark, current.repartitionByRange(filesPerTable, z),
+      root, parts, statsCols = columns)
+  }
+
   /** Delete data files NO commit ever referenced — the residue of writers
     * that staged and moved files but died (or lost a merge conflict)
     * before their commit landed. Orphans are invisible to readers, so

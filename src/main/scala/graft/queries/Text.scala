@@ -91,6 +91,25 @@ object Text {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The q36 exact near-dup pair set (prefix-filtered candidates +
+    * verified Jaccard >= 0.5), memoized like [[hashShingled]]: q36 emits
+    * it and q71 builds dup clusters on it — the local analog of the
+    * persisted pair table a production dedup pipeline would keep between
+    * the pairing and clustering stages.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "jpairs"), {
+      val docs = hashShingled(s, dir)
+      val pre = docs.select(col("doc_id"),
+        explode(slice(col("shs"), lit(1), (col("n_sh") / 2 + 1).cast("int")))
+          .as("shingle"))
+      val cand = pre.as("a")
+        .join(pre.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      verifyJaccard(cand, docs, 0.5).cache()
+    })
+
   /** DuckDB oracle prelude: tokenized + shingled documents (1-based
     * subscripts; string shingles — the engine side hashes them via
     * [[graft.functions.ShingleHash]], which preserves the pair set).
@@ -322,15 +341,7 @@ object Text {
     // explode-all join; q37 (MinHash bands) remains the probabilistic
     // production path when even prefix fan-out is too hot.
     QDef("q36_dedup_jaccard", oracleShingles) { (s, dir) =>
-      val docs = hashShingled(s, dir)
-      val pre = docs.select(col("doc_id"),
-        explode(slice(col("shs"), lit(1), (col("n_sh") / 2 + 1).cast("int")))
-          .as("shingle"))
-      val cand = pre.as("a")
-        .join(pre.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      verifyJaccard(cand, docs, 0.5)
+      jaccardPairs(s, dir)
     },
 
     // MinHash + LSH banding: 64 seeded-hash mins -> 16 band signatures ->
@@ -486,15 +497,7 @@ object Text {
         |       c.node = c.component AS keep
         |FROM comp c JOIN sized s USING (component)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = hashShingled(s, dir)
-      val pre = docs.select(col("doc_id"),
-        explode(slice(col("shs"), lit(1), (col("n_sh") / 2 + 1).cast("int")))
-          .as("shingle"))
-      val cand = pre.as("a")
-        .join(pre.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      val pairs = verifyJaccard(cand, docs, 0.5).select("doc_a", "doc_b")
+      val pairs = jaccardPairs(s, dir).select("doc_a", "doc_b")
       // materialize the pair set once (it seeds every CC round) and hand
       // the SAME copy to the oracle — q38 scratch-export pattern
       pairs.coalesce(1).write.mode("overwrite")

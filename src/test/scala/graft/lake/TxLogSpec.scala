@@ -461,6 +461,36 @@ class TxLogSpec extends SparkSpec {
     out.count() shouldBe 0L
   }
 
+  test("z-order clustering makes BOTH columns' stats selective at once") {
+    val root = tmpRoot()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      raw"InMemoryFileIndex\((\d+) paths\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).get
+    // 32x32 grid scattered over 4 commits: every file spans both full
+    // ranges, so stats exist but skip nothing
+    (0 until 4).foreach { i =>
+      TxLog.append(spark,
+        (0L until 1024L).filter(_ % 4 == i).map(k => (k % 32, k / 32))
+          .toDF("x", "y").repartition(1),
+        root, statsCols = Seq("x", "y"))
+    }
+    val beforeX = TxLog.readRange(spark, root, "x", 0, 3)
+    scannedFiles(beforeX) shouldBe 4
+    val expectedX = beforeX.orderBy("x", "y").collect().toSeq
+    val expectedY = TxLog.readRange(spark, root, "y", 0, 3)
+      .orderBy("x", "y").collect().toSeq
+    TxLog.clusterZ(spark, root, Seq("x", "y"),
+      filesPerTable = 16, bitsPerCol = 8)
+    val afterX = TxLog.readRange(spark, root, "x", 0, 3)
+    val afterY = TxLog.readRange(spark, root, "y", 0, 3)
+    // a 1/8-wide slice on either axis touches only that axis's tile row
+    scannedFiles(afterX) should be < 8
+    scannedFiles(afterY) should be < 8
+    afterX.orderBy("x", "y").collect().toSeq shouldBe expectedX
+    afterY.orderBy("x", "y").collect().toSeq shouldBe expectedY
+  }
+
   test("change feed returns only commits after fromVersion, tagged insert/delete") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
