@@ -163,9 +163,14 @@ object Lake {
       val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
+      // repartition on the partition column before each commit: N input
+      // partitions x P partition values would otherwise spray N*P tiny
+      // files per commit (the q66 lesson), inflating both write and the
+      // change feed's file-list read
       val cust = t(s, dir, "customer").select(
         col("c_custkey").cast("long").as("c_custkey"),
         col("c_mktsegment"), col("c_acctbal"))
+        .repartition(col("c_mktsegment"))
       TxLog.append(s, cust.filter(col("c_custkey") % 2 === 0),
         root, Seq("c_mktsegment"))                                // v0
       TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),

@@ -560,6 +560,33 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Vocabulary extraction — top-k tokens per language by frequency, the
+    // seed step of tokenizer/vocab training. Scale shape: the corpus-sized
+    // data passes through ONE bounded aggregation on (lang, token) with
+    // map-side combine; the rank window runs on the aggregated vocab
+    // frame (|langs| x |vocab| rows), so corpus rows never reach a sort.
+    QDef(
+      "q75_vocab_topk",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, tok) AS rnk
+        |      FROM c)
+        |SELECT lang, rnk, tok, cnt FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select("lang", "rnk", "tok", "cnt")
+        .orderBy("lang", "rnk")
+    },
+
     // PII redaction — the scrub step every training corpus runs: emails
     // and phone numbers replaced by tags, with per-doc match counts for
     // the removal audit. A pure narrow projection (regexp at scan speed,
