@@ -118,6 +118,14 @@ class PlanSpec extends SparkSpec {
     scanLine should not include "PartitionFilters: []"
   }
 
+  test("q75 vocab rank window runs above a partial-combined aggregate") {
+    val p = plan("q75_vocab_topk")
+    // the corpus-sized explode must be reduced by a map-side partial
+    // aggregate BEFORE anything reaches the rank window's sort
+    p.toLowerCase should include("partial")
+    p should include("Window")
+  }
+
   test("q64 salted sessionize never sorts a whole user's event stream") {
     val p = plan("q64_sessionize_salted")
     // the event-sized shuffles carry the salt key
