@@ -190,6 +190,52 @@ object Lake {
         .orderBy("change_type", "commit_version", "c_mktsegment")
     },
 
+    // Incremental view maintenance — the change feed's payoff: a
+    // per-segment aggregate is REFRESHED by applying each commit's
+    // insert/delete rows with +1/-1 signs to the view computed at v0,
+    // never rescanning the table (count and decimal-sum are
+    // self-maintainable under signed union). The oracle computes the
+    // FINAL state directly from the fixture — the incremental result
+    // must land on exactly the same numbers, which is the correctness
+    // contract of every delta-maintained dashboard over a 100 TB table.
+    QDef(
+      "q76_incremental_view",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                     THEN c_acctbal + 100 ELSE c_acctbal END
+        |           AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "mvdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 0),
+        root, Seq("c_mktsegment"))                                // v0
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),
+        root, Seq("c_mktsegment"))                                // v1
+      TxLog.upsertPartitions(s,                                   // v2
+        cust.filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") + 100),
+        root, Seq("c_mktsegment"))
+
+      // view state at v0 (the one full compute) + signed deltas since
+      val v0 = TxLog.readAt(s, root, 0L)
+        .select(col("c_mktsegment"), col("c_acctbal"), lit(1L).as("sign"))
+      val deltas = TxLog.readChanges(s, root, fromVersion = 0L)
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sign"))
+      v0.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("sign")).as("n"),
+          graft.Tables.dsum(col("sign") * col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Data-skipping range read on the ACID table (TxLog.readRange): orders
     // committed in four key-range slices with per-file min/max stats; the
     // range read drops files whose interval cannot match BEFORE any IO
