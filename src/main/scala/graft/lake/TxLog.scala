@@ -605,6 +605,43 @@ object TxLog {
     }.reduce(_ unionByName _)
   }
 
+  /** Offset-tracked change-feed consumption: run `f` over the delta
+    * between the stored offset and the table head, then durably advance
+    * the offset — the driver loop of every incremental downstream job
+    * (the reference's Step-Functions-triggered incremental loads,
+    * `serverless.yml:125-219`, reduced to a library call). The offset is
+    * committed AFTER `f` returns, so a crashed consumer re-reads its
+    * last delta: at-least-once, exactly-once when `f` is idempotent
+    * (e.g. writes through [[overwrite]]/[[upsertPartitions]] or any
+    * versioned sink). Returns the (fromExclusive, to] version range
+    * processed, or None when the table has nothing new.
+    */
+  def consumeChanges(spark: SparkSession, root: String, offsetPath: String)
+                    (f: DataFrame => Unit): Option[(Long, Long)] = {
+    val fs = fileSystem(spark, root)
+    val op = new Path(offsetPath)
+    val from =
+      if (!fs.exists(op)) -1L
+      else {
+        val in = fs.open(op)
+        try new String(in.readAllBytes(), UTF_8).trim.toLong finally in.close()
+      }
+    val head = latestVersion(spark, root).getOrElse(-1L)
+    if (head <= from) None
+    else {
+      f(readChanges(spark, root, fromVersion = from, toVersion = Some(head)))
+      val tmp = new Path(op.getParent, s".${op.getName}.${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(head.toString.getBytes(UTF_8)) finally out.close()
+      if (!fs.rename(tmp, op)) { // e.g. local fs refusing overwrite-rename
+        fs.delete(op, false)
+        if (!fs.rename(tmp, op))
+          throw new IOException(s"cannot advance offset $offsetPath")
+      }
+      Some((from, head))
+    }
+  }
+
   /** Snapshot state: live files + the schema they resolve under + the
     * version they represent + accumulated per-file column stats.
     */

@@ -522,6 +522,39 @@ class TxLogSpec extends SparkSpec {
     ch shouldBe Set((2L, "y", "delete"), (2L, "y2", "insert"))
   }
 
+  test("consumeChanges advances a durable offset and never reprocesses") {
+    val root = tmpRoot()
+    val offset = s"${tmpRoot()}/offset"
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)            // v1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def consume() = TxLog.consumeChanges(spark, root, offset) { df =>
+      seen += df.select("id").as[Long].collect().toSet
+    }
+    consume() shouldBe Some((-1L, 1L))       // first call: everything
+    consume() shouldBe None                  // nothing new: f not invoked
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root)            // v2
+    consume() shouldBe Some((1L, 2L))        // only the new commit
+    seen.toSeq shouldBe Seq(Set(1L, 2L), Set(3L))
+  }
+
+  test("a consumer crash before the offset commit re-reads the same delta") {
+    val root = tmpRoot()
+    val offset = s"${tmpRoot()}/offset"
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    intercept[RuntimeException] {
+      TxLog.consumeChanges(spark, root, offset) { _ =>
+        throw new RuntimeException("consumer died")
+      }
+    }
+    // offset did not advance -> the retry sees the full delta again
+    val ids = scala.collection.mutable.Set.empty[Long]
+    TxLog.consumeChanges(spark, root, offset) { df =>
+      ids ++= df.select("id").as[Long].collect()
+    } shouldBe Some((-1L, 0L))
+    ids shouldBe Set(1L)
+  }
+
   test("change feed into a vacuumed range fails naming the missing file") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)          // v0
