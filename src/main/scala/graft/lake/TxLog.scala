@@ -812,6 +812,78 @@ object TxLog {
       root, parts, statsCols = columns)
   }
 
+  /** Bin-pack small files (the OPTIMIZE of every log format): within each
+    * partition directory, rewrite the live files under `smallerThanBytes`
+    * into ~`targetBytes` replacements — ONE commit removing the packed
+    * sources and adding the packed outputs, so readers switch layouts
+    * atomically and the pre-compaction layout stays a time travel away.
+    * The essential maintenance op for a table fed by streaming
+    * micro-batches or frequent small promotes, whose per-commit files
+    * are far below the efficient scan size: at 100 TB the cost of NOT
+    * compacting is millions of file opens per query.
+    *
+    * Concurrency: compaction rewrites rows verbatim, so it COMMUTES with
+    * any concurrent commit that keeps its source files live (appends,
+    * upserts/merges of other files) — those proceed; only a commit that
+    * removed one of the sources (a merge rewriting the same file, a
+    * concurrent compact) is a real conflict and fails with
+    * `ConcurrentModificationException` for the caller to re-run. The
+    * committed schema is the winning state's latest, so a concurrent
+    * schema evolution is respected (packed files read null for columns
+    * they predate, like any old file).
+    *
+    * Only directories with >= 2 small files are touched (packing one file
+    * buys nothing); stats are recomputed for every column any packed
+    * source had stats on, so [[readRange]] skipping survives. Packing
+    * round-robins rows within a directory, which is locality-destroying
+    * across the small sources — after heavy compaction of a clustered
+    * table, re-[[cluster]] if range selectivity matters. Returns the
+    * committed version, or the current version untouched when nothing
+    * qualifies (idempotent no-op).
+    */
+  def compact(spark: SparkSession, root: String,
+              smallerThanBytes: Long = 64L * 1024 * 1024,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(smallerThanBytes >= 1 && targetBytes >= 1)
+    val fs = fileSystem(spark, root)
+    val current = resolve(spark, root, None)
+    // metadata-sized size probe: one namespace call per live file
+    val small = current.live
+      .map(f => f -> fs.getFileStatus(new Path(s"$root/$f")).getLen)
+      .filter(_._2 < smallerThanBytes)
+    val groups = small.groupBy { case (f, _) => relDir(f) }
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty) return current.version
+
+    val schema = StructType.fromDDL(current.schemaDdl)
+    // one branch per directory, each repartitioned to its own packed file
+    // count; the union concatenates branch partitions without a shuffle,
+    // so the staged write emits exactly ceil(dirBytes/targetBytes) files
+    // per directory
+    val packed = groups.toSeq.sortBy(_._1).map { case (_, files) =>
+      val nOut = math.max(1,
+        math.ceil(files.map(_._2).sum.toDouble / targetBytes).toInt)
+      spark.read.option("basePath", root).schema(schema)
+        .parquet(files.map { case (f, _) => s"$root/$f" }: _*)
+        .repartition(nOut)
+    }.reduce(_ unionByName _)
+
+    val removed = groups.values.flatten.map(_._1).toSeq
+    val statCols = removed
+      .flatMap(f => current.stats.get(f).map(_.keys).getOrElse(Nil))
+      .distinct
+    val parts = history(spark, root).last.partitionCols
+    val (adds, ddl) = stage(packed, root, parts)
+    commitLoop(spark, root, "compact", parts, { (commits, live) =>
+      val gone = removed.filterNot(live.toSet)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"compact sources rewritten concurrently (${gone.head}) at " +
+            s"$root — re-run the compact")
+      (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
+    }, computeStats(spark, root, adds, statCols))
+  }
+
   /** Delete data files NO commit ever referenced — the residue of writers
     * that staged and moved files but died (or lost a merge conflict)
     * before their commit landed. Orphans are invisible to readers, so

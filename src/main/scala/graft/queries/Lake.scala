@@ -236,6 +236,42 @@ object Lake {
         .orderBy("c_mktsegment")
     },
 
+    // Small-file compaction on the ACID table (TxLog.compact = the
+    // OPTIMIZE of every log format): four fragmented appends per
+    // partition dir are bin-packed into one file each, in one atomic
+    // commit. TxLogSpec asserts the mechanism (file counts drop, time
+    // travel keeps the old layout, stats recompute); the oracle pins the
+    // invariant that matters at 100 TB, where a streaming-fed table
+    // accretes millions of micro-batch files: compaction must NEVER
+    // change a query's result.
+    QDef(
+      "q77_compact_scan",
+      """SELECT CAST(s_suppkey % 3 AS VARCHAR) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "compactdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("s_suppkey"), col("s_acctbal"),
+        (col("s_suppkey") % 3).cast("string").as("bucket"))
+        .repartition(col("bucket"))
+      // four interleaved slices -> 4 small files per partition dir
+      (0L until 4L).foreach { i =>
+        TxLog.append(s, supp.filter(col("s_suppkey") % 4 === i),
+          root, Seq("bucket"))
+      }
+      TxLog.compact(s, root)                  // v4: 12 files -> 3
+
+      TxLog.readLatest(s, root)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy("bucket")
+    },
+
     // Data-skipping range read on the ACID table (TxLog.readRange): orders
     // committed in four key-range slices with per-file min/max stats; the
     // range read drops files whose interval cannot match BEFORE any IO

@@ -555,6 +555,72 @@ class TxLogSpec extends SparkSpec {
     ids shouldBe Set(1L)
   }
 
+  test("compact bin-packs small files per partition; content and time travel survive") {
+    val root = tmpRoot()
+    val batch = Seq((1L, "p1"), (2L, "p2"), (3L, "p1"), (4L, "p2"))
+      .toDF("id", "part").repartition(col("part"))
+    TxLog.append(spark, batch, root, Seq("part"))                        // v0
+    TxLog.append(spark, batch.withColumn("id", col("id") + 10), root, Seq("part"))
+    TxLog.append(spark, batch.withColumn("id", col("id") + 20), root, Seq("part"))
+    def liveFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(input_file_name()).distinct().as[String].collect().toSeq
+    val before = TxLog.readLatest(spark, root)
+    liveFiles(before).size shouldBe 6                   // 3 appends x 2 dirs
+    val expected = before.orderBy("id").collect().toSeq
+
+    val v = TxLog.compact(spark, root)
+    v shouldBe 3L
+    val after = TxLog.readLatest(spark, root)
+    val packed = liveFiles(after)
+    packed.size shouldBe 2                              // one per partition dir
+    packed.count(_.contains("part=p1")) shouldBe 1
+    after.orderBy("id").collect().toSeq shouldBe expected
+    // the pre-compaction layout is still a time travel away
+    val old = TxLog.readAt(spark, root, 2L)
+    liveFiles(old).size shouldBe 6
+    old.orderBy("id").collect().toSeq shouldBe expected
+  }
+
+  test("compact thresholds: no-op below 2 qualifying files; big files stay in place") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s").repartition(1), root)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s").repartition(1), root)
+    // nothing is smaller than 1 byte -> idempotent no-op, NO new commit
+    TxLog.compact(spark, root, smallerThanBytes = 1L) shouldBe 1L
+    TxLog.history(spark, root).last.version shouldBe 1L
+
+    // a file above the small threshold is never rewritten
+    TxLog.append(spark, (1L to 20000L).map(i => (i, "big" * 10))
+      .toDF("id", "s").repartition(1), root)                             // v2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bigRel = TxLog.history(spark, root).last.add.head
+    val bigLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$bigRel")).getLen
+    bigLen should be > 2000L
+    TxLog.compact(spark, root, smallerThanBytes = 2000L) shouldBe 3L
+    val live = TxLog.readLatest(spark, root)
+      .select(input_file_name()).distinct().as[String].collect()
+    live.count(_.endsWith(bigRel.split('/').last)) shouldBe 1 // untouched
+    live.length shouldBe 2                     // big file + 1 packed file
+    TxLog.readLatest(spark, root).count() shouldBe 20002L
+  }
+
+  test("compact recomputes stats: data skipping still prunes after packing") {
+    val root = tmpRoot()
+    TxLog.append(spark, (1L to 100L).map((_, "lo")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.append(spark, (101L to 200L).map((_, "mid")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.compact(spark, root) shouldBe 2L
+    // result parity inside the data range
+    TxLog.readRange(spark, root, "id", 150, 160).count() shouldBe 11L
+    // a range no data can match scans NOTHING: the packed file carries
+    // fresh min/max and is dropped before any IO
+    val out = TxLog.readRange(spark, root, "id", 1000, 2000)
+    out.count() shouldBe 0L
+    out.queryExecution.executedPlan.toString should not include "InMemoryFileIndex"
+  }
+
   test("change feed into a vacuumed range fails naming the missing file") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)          // v0
