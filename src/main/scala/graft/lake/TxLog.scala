@@ -594,7 +594,7 @@ object TxLog {
       .filterNot(f => fs.exists(new Path(s"$root/$f")))
     require(missing.isEmpty,
       s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
-    commits.flatMap { c =>
+    val parts = commits.flatMap { c =>
       Seq((c.add, "insert"), (c.remove, "delete")).collect {
         case (files, typ) if files.nonEmpty =>
           spark.read.option("basePath", root).schema(schema)
@@ -602,7 +602,15 @@ object TxLog {
             .withColumn("_change_type", lit(typ))
             .withColumn("_commit_version", lit(c.version))
       }
-    }.reduce(_ unionByName _)
+    }
+    if (parts.isEmpty) {
+      // a range of data-less commits (no-op rollback, empty write) is a
+      // valid feed position, not an error — emit zero rows, full schema
+      val full = schema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+    } else parts.reduce(_ unionByName _)
   }
 
   /** Offset-tracked change-feed consumption: run `f` over the delta

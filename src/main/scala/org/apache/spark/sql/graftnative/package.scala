@@ -22,4 +22,16 @@ package object graftnative {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
+
+  /** Re-plan a batch DataFrame as a STREAMING one (isStreaming=true) —
+    * what a V1 `Source.getBatch` must return so MicroBatchExecution
+    * accepts the micro-batch plan. Same trick every built-in V1 source
+    * uses via the `private[sql]` internalCreateDataFrame; the RDD is the
+    * batch plan's own lazily-materialized execution.
+    */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

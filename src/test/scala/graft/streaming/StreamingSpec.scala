@@ -75,6 +75,75 @@ class StreamingSpec extends SparkSpec {
     TxLog.latestVersion(spark, curated) shouldBe Some(1L)
   }
 
+  test("change-feed stream: commits arrive as tagged micro-batches; restart resumes at the checkpoint") {
+    import graft.lake.TxLog
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-ckpt").toString
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)            // v1
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogChangeSourceProvider")
+        .option("root", root)
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.select("_commit_version", "_change_type", "id")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    got.toSet shouldBe Set((0L, "insert", 1L), (1L, "insert", 2L))
+
+    // restart after new commits: ONLY the delta arrives, deletes included
+    got.clear()
+    TxLog.overwrite(spark, Seq((3L, "c")).toDF("id", "s"), root)         // v2
+    drain()
+    got.toSet shouldBe Set(
+      (2L, "delete", 1L), (2L, "delete", 2L), (2L, "insert", 3L))
+
+    // nothing new -> an empty drain emits nothing
+    got.clear()
+    drain()
+    got shouldBe empty
+  }
+
+  test("change-feed stream backpressure: maxVersionsPerTrigger bounds each batch, AvailableNow still drains to the head") {
+    import graft.lake.TxLog
+    val root = Files.createTempDirectory("graft-cdc-bp").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-bp-ckpt").toString
+    (0L until 4L).foreach(i =>
+      TxLog.append(spark, Seq((i, s"r$i")).toDF("id", "s"), root))       // v0..v3
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream
+      .format("graft.streaming.TxLogChangeSourceProvider")
+      .option("root", root)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) batches += vs
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // one commit per micro-batch, and the whole head drained in one run
+    batches.size shouldBe 4
+    all(batches.map(_.size)) shouldBe 1
+    batches.flatten.toSet shouldBe Set(0L, 1L, 2L, 3L)
+  }
+
   test("windowed counts with watermark aggregate per 5-minute window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
