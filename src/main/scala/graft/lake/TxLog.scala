@@ -512,6 +512,83 @@ object TxLog {
     }, computeStats(spark, root, adds, statsCols))
   }
 
+  /** Row-level DELETE: remove the rows matching `condition`, rewriting
+    * ONLY the files that contain at least one match (same file-granular
+    * strategy and cost model as [[merge]]: the probe is a pushdown-
+    * friendly filter whose result is a metadata-sized FILE list; files
+    * without matches are never rewritten). A file whose every row matches
+    * is dropped without staging a replacement. Same write-skew rule as
+    * merge: a commit landing between probe and claim fails the delete
+    * rather than silently resurrecting or losing its rows.
+    */
+  def delete(spark: SparkSession, root: String,
+             condition: org.apache.spark.sql.Column,
+             statsCols: Seq[String] = Seq.empty): Long =
+    rewriteMatching(spark, root, condition, "delete", statsCols,
+      rewrite = (matched, cond) => matched.filter(!cond))
+
+  /** Row-level UPDATE: apply `set` (column -> new-value expression) to the
+    * rows matching `condition`, rewriting only the files containing a
+    * match — non-matching rows of those files are carried over verbatim.
+    * A `set` touching a partition column moves its rows to the new
+    * partition directory (the staged write re-partitions by value). Same
+    * probe, cost model, and write-skew rule as [[delete]]/[[merge]].
+    */
+  def update(spark: SparkSession, root: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             statsCols: Seq[String] = Seq.empty): Long = {
+    require(set.nonEmpty, "update needs at least one set column")
+    import org.apache.spark.sql.functions.{col, when}
+    rewriteMatching(spark, root, condition, "update", statsCols,
+      rewrite = (matched, cond) => set.foldLeft(matched) {
+        case (df, (c, v)) => df.withColumn(c, when(cond, v).otherwise(col(c)))
+      })
+  }
+
+  /** Shared file-granular rewrite under a row predicate (DELETE/UPDATE):
+    * probe for live files containing a match, transform exactly those
+    * files' rows with `rewrite`, commit (remove matched, add staged) with
+    * merge's stale-base detection.
+    */
+  private def rewriteMatching(spark: SparkSession, root: String,
+                              condition: org.apache.spark.sql.Column,
+                              operation: String, statsCols: Seq[String],
+                              rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val current = resolve(spark, root, None)
+    val snap = snapshot(spark, root, current)
+    val fs = fileSystem(spark, root)
+    val rootDec = rootDecodedPath(fs, root)
+    val liveSet = current.live.toSet
+    val matchedFiles = snap
+      .withColumn("_file", input_file_name())
+      .filter(condition)
+      .select("_file").distinct().collect()
+      .map(_.getString(0))
+      .flatMap(f => relFromInputFile(f, rootDec))
+      .filter(liveSet.contains)
+      .toSeq
+    if (matchedFiles.isEmpty) return current.version // no row matches: no-op
+
+    val parts = history(spark, root).last.partitionCols
+    val staged = rewrite(
+      spark.read
+        .option("basePath", root)
+        .schema(StructType.fromDDL(current.schemaDdl))
+        .parquet(matchedFiles.map(f => s"$root/$f"): _*),
+      condition)
+    val (adds, ddl) = stage(staged, root, parts)
+    commitLoop(spark, root, operation, parts, { (commits, _) =>
+      if (commits.lastOption.map(_.version) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"$operation based on version ${current.version} conflicts with " +
+            s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
+            s"at $root — re-run the $operation")
+      (adds, matchedFiles, ddl)
+    }, computeStats(spark, root, adds, statsCols))
+  }
+
   /** New commit restoring the live set (and schema) of `toVersion` —
     * logical undo; every version including the rolled-back ones stays
     * readable via [[readAt]].

@@ -236,6 +236,41 @@ object Lake {
         .orderBy("c_mktsegment")
     },
 
+    // Row-level DELETE + UPDATE on the ACID table: file-granular
+    // rewrites under a row predicate (only files containing a match are
+    // rewritten — TxLogSpec asserts the file-identity mechanics). The
+    // oracle is the equivalent declarative SQL: after DELETE of the
+    // low-balance rows and UPDATE bumping BUILDING balances, the table
+    // must equal the fixture filtered and case-mapped directly.
+    QDef(
+      "q78_delete_update",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                     THEN c_acctbal + 50 ELSE c_acctbal END
+        |           AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dmldemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust, root, Seq("c_mktsegment"))                // v0
+      TxLog.delete(s, root, col("c_acctbal") < 0)                     // v1
+      TxLog.update(s, root, col("c_mktsegment") === "BUILDING",       // v2
+        Map("c_acctbal" -> (col("c_acctbal") + 50)))
+
+      TxLog.readLatest(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Small-file compaction on the ACID table (TxLog.compact = the
     // OPTIMIZE of every log format): four fragmented appends per
     // partition dir are bin-packed into one file each, in one atomic

@@ -555,6 +555,56 @@ class TxLogSpec extends SparkSpec {
     ids shouldBe Set(1L)
   }
 
+  test("delete rewrites only files containing matches; fully-matched files drop away") {
+    val root = tmpRoot()
+    TxLog.append(spark, (1L to 10L).map((_, "a")).toDF("id", "s")
+      .repartition(1), root)                                             // v0: file A
+    TxLog.append(spark, (11L to 20L).map((_, "b")).toDF("id", "s")
+      .repartition(1), root)                                             // v1: file B
+    def live(): Set[String] = TxLog.readLatest(spark, root)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val bRel = TxLog.history(spark, root).last.add.head
+
+    TxLog.delete(spark, root, col("id") <= 3) shouldBe 2L
+    TxLog.readLatest(spark, root).agg(min("id"), count(lit(1))).head()
+      .toSeq shouldBe Seq(4L, 17L)
+    // file B contained no match and was not rewritten
+    live().count(_.endsWith(bRel.split('/').last)) shouldBe 1
+
+    // a file whose EVERY row matches is removed without a replacement
+    TxLog.delete(spark, root, col("id") >= 11) shouldBe 3L
+    live().size shouldBe 1
+    TxLog.readLatest(spark, root).orderBy("id").as[(Long, String)].collect()
+      .map(_._1).toSeq shouldBe (4L to 10L)
+    // pre-delete states stay time travelable
+    TxLog.readAt(spark, root, 1L).count() shouldBe 20L
+
+    // no match -> no-op, NO new commit
+    TxLog.delete(spark, root, col("id") > 999) shouldBe 3L
+    TxLog.history(spark, root).last.version shouldBe 3L
+  }
+
+  test("update edits matching rows in place; a partition-column update moves the rows' directory") {
+    val root = tmpRoot()
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p1"), (3L, "z", "p2"))
+      .toDF("id", "s", "part").repartition(col("part"))
+    TxLog.append(spark, df, root, Seq("part"))                           // v0
+    TxLog.update(spark, root, col("id") === 2, Map("s" -> lit("Y!"))) shouldBe 1L
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("s").as[String].collect().toSeq shouldBe Seq("x", "Y!", "z")
+    // p2's file had no match: untouched
+    val p2Files = TxLog.readLatest(spark, root).filter(col("part") === "p2")
+      .select(input_file_name()).distinct().as[String].collect()
+    p2Files.length shouldBe 1
+
+    // moving a row across partitions: the rewrite lands it in part=p3
+    TxLog.update(spark, root, col("id") === 1, Map("part" -> lit("p3"))) shouldBe 2L
+    val moved = TxLog.readLatest(spark, root).filter(col("id") === 1)
+    moved.select("part").as[String].head() shouldBe "p3"
+    moved.select(input_file_name()).as[String].head() should include("part=p3")
+    TxLog.readLatest(spark, root).count() shouldBe 3L
+  }
+
   test("compact bin-packs small files per partition; content and time travel survive") {
     val root = tmpRoot()
     val batch = Seq((1L, "p1"), (2L, "p2"), (3L, "p1"), (4L, "p2"))
