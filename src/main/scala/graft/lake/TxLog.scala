@@ -405,6 +405,26 @@ object TxLog {
       computeStats(spark, root, adds, statsCols))
   }
 
+  /** [[append]] gated by data-quality expectations ([[Expect]]): the
+    * violation counters ride the staged write itself (an `observe` node —
+    * no second scan), and the COMMIT IS WITHHELD when any expectation
+    * fails — the table never exposes the bad batch (the staged files are
+    * unreferenced orphans until [[cleanOrphans]] reaps them). Throws
+    * [[Expect.ExpectationViolation]] with per-expectation counts.
+    */
+  def appendChecked(spark: SparkSession, df: DataFrame, root: String,
+                    expectations: Seq[Expect.Expectation],
+                    partitionCols: Seq[String] = Seq.empty,
+                    statsCols: Seq[String] = Seq.empty): Long = {
+    val (observed, obs) = Expect.observed(df, expectations)
+    val (adds, ddl) = stage(observed, root, partitionCols)
+    val bad = Expect.violations(obs)
+    if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
+    commitLoop(spark, root, "append", partitionCols,
+      (_, _) => (adds, Seq.empty, ddl),
+      computeStats(spark, root, adds, statsCols))
+  }
+
   /** Replace the whole table content with `df` (logically — prior files
     * stay on disk for time travel until vacuumed).
     */

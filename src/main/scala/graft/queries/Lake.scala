@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.Tables.t
-import graft.lake.{Enrich, Normalize, Promote, TxLog, Writer, Zones}
+import graft.lake.{Enrich, Expect, Normalize, Promote, TxLog, Writer, Zones}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -234,6 +234,47 @@ object Lake {
         .agg(sum(col("sign")).as("n"),
           graft.Tables.dsum(col("sign") * col("c_acctbal")).as("total_bal"))
         .orderBy("c_mktsegment")
+    },
+
+    // Data-quality expectations (lake/Expect): dropInvalid filters rows
+    // violating named predicates and counts what each dropped IN THE SAME
+    // PASS (observe metrics, no second scan); the survivors land through
+    // the gated ACID append (appendChecked: a violated batch would be
+    // withheld before the commit point). The oracle is the equivalent
+    // declarative WHERE — expectations must behave exactly like filters
+    // on the good rows, whatever they counted along the way.
+    QDef(
+      "q79_expectations",
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents
+        |WHERE n_chars > 0 AND lang IS NOT NULL AND source <> 'synthetic'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "expectdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("n_chars").cast("long").as("n_chars"))
+      val (good, obs) = Expect.dropInvalid(docs, Seq(
+        Expect.Expectation("has_text", col("n_chars") > 0),
+        Expect.Expectation("lang_present", col("lang").isNotNull),
+        Expect.Expectation("no_synthetic", col("source") =!= "synthetic")))
+      TxLog.appendChecked(s, good.repartition(col("lang")), root,
+        expectations = Seq(
+          Expect.Expectation("gate_has_text", col("n_chars") > 0)),
+        partitionCols = Seq("lang"))
+      // the observation fired with the staged-write action; counts are
+      // free now and can only name the declared expectations
+      val dropped = Expect.violations(obs)
+      require(dropped.keySet.subsetOf(
+        Set("has_text", "lang_present", "no_synthetic")), s"observed: $dropped")
+
+      TxLog.readLatest(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
     },
 
     // Row-level DELETE + UPDATE on the ACID table: file-granular
