@@ -16,7 +16,8 @@ object Promote {
 
   final case class Result(table: String, curatedPath: String,
                           rows: Long, addedColumns: Seq[(String, String)],
-                          version: Option[Long] = None)
+                          version: Option[Long] = None,
+                          dropped: Map[String, Long] = Map.empty)
 
   /** Run the promote for `table`. Returns None when staging is empty (the
     * count gate, staging_to_curated.py:97-101 — implemented with isEmpty,
@@ -33,12 +34,19 @@ object Promote {
     *                    lands, and every load is time-travelable /
     *                    rollback-able). Read the table back with
     *                    [[TxLog.readLatest]] instead of a path scan.
+    * @param expectations data-quality gates ([[Expect]]) evaluated on the
+    *                    NORMALIZED batch (all-string columns, sanitized
+    *                    names): violating rows are dropped before enrich/
+    *                    write, and per-expectation drop counts land in
+    *                    `Result.dropped` — observed in the same pass as
+    *                    the write, no extra scan (DLT-expectations shape).
     */
   def promote(spark: SparkSession, zones: Zones, table: String,
               asOf: Column = current_timestamp(),
               register: Boolean = false,
               dropNa: Boolean = false,
-              acid: Boolean = false): Option[Result] = {
+              acid: Boolean = false,
+              expectations: Seq[Expect.Expectation] = Seq.empty): Option[Result] = {
     // a path-scanning catalog table over a TxLog root would read EVERY
     // version's files (logically-removed ones are kept for time travel),
     // silently diverging from the committed snapshot — reject the combo
@@ -53,13 +61,15 @@ object Promote {
     // instead of one task per file, and the setting is restored after so
     // later queries on the session keep their own scan granularity.
     Writer.withGroupedScan(spark) {
-      promoteInner(spark, zones, table, asOf, register, dropNa, acid)
+      promoteInner(spark, zones, table, asOf, register, dropNa, acid,
+        expectations)
     }
   }
 
   private def promoteInner(spark: SparkSession, zones: Zones, table: String,
                            asOf: Column, register: Boolean,
-                           dropNa: Boolean, acid: Boolean): Option[Result] = {
+                           dropNa: Boolean, acid: Boolean,
+                           expectations: Seq[Expect.Expectation]): Option[Result] = {
     // Count gate (staging_to_curated.py:97-101). An absent/empty staging
     // prefix makes the JSON reader throw (no schema to infer) — that is the
     // same "nothing to promote" outcome, not an error.
@@ -70,7 +80,13 @@ object Promote {
         df
       } catch { case _: org.apache.spark.sql.AnalysisException => return None }
 
-    val normalized = Normalize.normalize(staged, dropNa = dropNa)
+    val normalized0 = Normalize.normalize(staged, dropNa = dropNa)
+    val (normalized, obsOpt) =
+      if (expectations.isEmpty) (normalized0, None)
+      else {
+        val (kept, obs) = Expect.dropInvalid(normalized0, expectations)
+        (kept, Some(obs))
+      }
     // cache: the batch is both written and counted (Result.rows must be
     // THIS batch's size — a read-back count of the curated path would
     // report all historical partitions, and at scale would re-scan the
@@ -104,7 +120,10 @@ object Promote {
 
     // Partition values stay strings on read-back via Writer.readCurated
     // (scoped inference-off), not a session-wide conf mutation here.
-    Some(Result(table, curatedPath, batchRows, added, version))
+    // The observation fired with the curated write (first action on the
+    // cached batch), so reading it here never blocks.
+    Some(Result(table, curatedPath, batchRows, added, version,
+      obsOpt.map(Expect.violations).getOrElse(Map.empty)))
   }
 
   /** Ingest driver-side records (the REST/XML source boundary, O-2/O-12/

@@ -60,6 +60,25 @@ class PromoteSpec extends SparkSpec {
     spark.read.parquet(res2.curatedPath).count() shouldBe 3L
   }
 
+  test("promote with expectations: violating rows are dropped and counted, survivors promote") {
+    val zones = tmpZones()
+    Seq(
+      """{"po":"P-1","amount":"10"}""",
+      """{"po":"","amount":"20"}""",
+      """{"po":"P-3","amount":"-5"}""").toDF("value")
+      .write.mode("append").text(zones.stagingIncremental("po_gate"))
+
+    val res = Promote.promote(spark, zones, "po_gate",
+      asOf = to_timestamp(lit("2026-03-15 10:30:00")),
+      expectations = Seq(
+        Expect.Expectation("po_present", col("po") =!= ""),
+        Expect.Expectation("amount_nonneg", col("amount").cast("double") >= 0))).get
+    res.rows shouldBe 1L
+    res.dropped shouldBe Map("po_present" -> 1L, "amount_nonneg" -> 1L)
+    Writer.readCurated(spark, res.curatedPath)
+      .select("po").as[String].collect().toSeq shouldBe Seq("P-1")
+  }
+
   test("staging scan survives malformed JSON lines (PERMISSIVE semantics)") {
     // A vendor feed WILL eventually ship a truncated/garbled line; the scan
     // must not fail the batch. Spark's default PERMISSIVE mode turns the
