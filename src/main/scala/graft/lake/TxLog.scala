@@ -67,7 +67,8 @@ object TxLog {
   final case class Commit(version: Long, operation: String, timestampMs: Long,
                           add: Seq[String], remove: Seq[String],
                           schemaDdl: String, partitionCols: Seq[String],
-                          stats: FileStats = Map.empty)
+                          stats: FileStats = Map.empty,
+                          txn: Option[(String, Long)] = None)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -110,6 +111,9 @@ object TxLog {
     val r = n.putArray("remove"); c.remove.foreach(r.add)
     val p = n.putArray("partitionCols"); c.partitionCols.foreach(p.add)
     if (c.stats.nonEmpty) statsToNode(n, c.stats)
+    c.txn.foreach { case (app, v) =>
+      n.put("txnAppId", app); n.put("txnVersion", v)
+    }
     n.toString
   }
 
@@ -123,7 +127,8 @@ object TxLog {
     }
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
-      n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n))
+      n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
+      Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)))
   }
 
   // -------------------------------------------------------------------
@@ -298,11 +303,18 @@ object TxLog {
     * on a version race, re-read and retry so the remove set is always
     * computed against the winning state.
     */
+  /** Thrown inside [[commitLoop]] when a txn-tagged commit finds its
+    * (appId, txnVersion) already at-or-below the table's watermark — the
+    * duplicate-replay signal [[appendIdempotent]] turns into a skip.
+    */
+  private final class AlreadyCommitted(val watermark: Long) extends Exception
+
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
                          delta: (Seq[Commit], Seq[String]) => (Seq[String], Seq[String], String),
                          stats: FileStats = Map.empty,
-                         maxAttempts: Int = 50): Long = {
+                         maxAttempts: Int = 50,
+                         txn: Option[(String, Long)] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var tailWaitMs = 0L
@@ -335,12 +347,19 @@ object TxLog {
         // next version must also respect a checkpoint that outlived its
         // commits
         val snapNow = scala.util.Try(resolve(spark, root, None)).toOption
+        // idempotence check INSIDE the loop: a raced duplicate writer that
+        // lost the version claim re-reads state here and must observe the
+        // winner's watermark, not its own stale pre-stage read
+        txn.foreach { case (app, v) =>
+          snapNow.flatMap(_.txns.get(app)).filter(_ >= v)
+            .foreach(w => throw new AlreadyCommitted(w))
+        }
         val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
           .maxOption.map(_ + 1).getOrElse(0L)
         val (add, remove, schemaDdl) =
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
-          add, remove, schemaDdl, partitionCols, stats)
+          add, remove, schemaDdl, partitionCols, stats, txn)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -403,6 +422,32 @@ object TxLog {
     commitLoop(spark, root, "append", partitionCols,
       (_, _) => (adds, Seq.empty, ddl),
       computeStats(spark, root, adds, statsCols))
+  }
+
+  /** Exactly-once [[append]] for retrying writers (the Delta
+    * txn-watermark pattern): the commit is tagged (`appId`, `txnVersion`)
+    * and SKIPPED — returning None — when the table has already committed
+    * that version or a later one for the same appId. The check runs both
+    * before staging (cheap fast path) and inside the commit loop against
+    * the winning state (a replay racing its own duplicate cannot slip
+    * through; the loser's staged files are reapable orphans). Watermarks
+    * ride the commits and survive log-truncating checkpoints, so the
+    * guarantee holds for the table's whole life. This is what makes the
+    * streaming sink ([[graft.streaming.TxLogSinkProvider]]) exactly-once:
+    * appId = one sink instance, txnVersion = micro-batch id.
+    */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, root: String,
+                       appId: String, txnVersion: Long,
+                       partitionCols: Seq[String] = Seq.empty,
+                       statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    val pre = scala.util.Try(resolve(spark, root, None)).toOption
+    if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
+    val (adds, ddl) = stage(df, root, partitionCols)
+    try Some(commitLoop(spark, root, "append", partitionCols,
+      (_, _) => (adds, Seq.empty, ddl),
+      computeStats(spark, root, adds, statsCols),
+      txn = Some((appId, txnVersion))))
+    catch { case _: AlreadyCommitted => None }
   }
 
   /** [[append]] gated by data-quality expectations ([[Expect]]): the
@@ -748,10 +793,13 @@ object TxLog {
   }
 
   /** Snapshot state: live files + the schema they resolve under + the
-    * version they represent + accumulated per-file column stats.
+    * version they represent + accumulated per-file column stats + the
+    * per-application transaction watermarks (appId -> highest committed
+    * txnVersion) that make [[appendIdempotent]] exactly-once.
     */
   private final case class Snapshot(live: Seq[String], schemaDdl: String,
-                                    version: Long, stats: FileStats)
+                                    version: Long, stats: FileStats,
+                                    txns: Map[String, Long] = Map.empty)
 
   /** Resolve the snapshot at `upTo` (None = latest) from the newest
     * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
@@ -773,7 +821,11 @@ object TxLog {
       val it = n.get("live").elements()
       val b = Seq.newBuilder[String]
       while (it.hasNext) b += it.next().asText()
-      Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n))
+      val txnsB = Map.newBuilder[String, Long]
+      Option(n.get("txns")).foreach(_.properties().forEach(e =>
+        txnsB += e.getKey -> e.getValue.asLong))
+      Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
+        txnsB.result())
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -787,10 +839,17 @@ object TxLog {
     // its stats must resurrect with it
     val stats = tail.foldLeft(base.map(_.stats).getOrElse(Map.empty: FileStats))(
       (acc, c) => acc ++ c.stats)
+    // txn watermarks only ever move forward (max), so replay order is safe
+    val txns = tail.foldLeft(base.map(_.txns).getOrElse(Map.empty[String, Long])) {
+      case (acc, c) => c.txn match {
+        case Some((app, v)) => acc.updated(app, math.max(v, acc.getOrElse(app, Long.MinValue)))
+        case None           => acc
+      }
+    }
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
       tail.lastOption.map(_.version).getOrElse(base.get.version),
-      stats)
+      stats, txns)
   }
 
   private def snapshot(spark: SparkSession, root: String,
@@ -843,6 +902,11 @@ object TxLog {
     // pre-checkpoint version loses skipping for resurrected files
     // (conservative: they just stop pruning), never correctness
     statsToNode(n, snap.stats.view.filterKeys(snap.live.toSet).toMap)
+    // txn watermarks survive log truncation or idempotent replay breaks
+    if (snap.txns.nonEmpty) {
+      val tn = n.putObject("txns")
+      snap.txns.foreach { case (app, v) => tn.put(app, v) }
+    }
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
     try out.write(n.toString.getBytes(UTF_8)) finally out.close()

@@ -34,4 +34,16 @@ package object graftnative {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse of [[asStreamingBatch]]: re-plan the micro-batch Dataset
+    * a V1 `Sink.addBatch` receives (a streaming IncrementalExecution) as a
+    * plain BATCH DataFrame, so normal writers can consume it — calling
+    * `.write` on the streaming plan directly would throw "queries with
+    * streaming sources must be executed with writeStream.start()".
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -605,6 +605,36 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 3L
   }
 
+  test("appendIdempotent skips replayed txn versions; the watermark survives checkpoint truncation") {
+    val root = tmpRoot()
+    TxLog.appendIdempotent(spark, Seq((1L, "a")).toDF("id", "s"), root,
+      "job", 0L) shouldBe Some(0L)
+    // exact replay: skipped, no commit, no rows
+    TxLog.appendIdempotent(spark, Seq((1L, "a")).toDF("id", "s"), root,
+      "job", 0L) shouldBe None
+    TxLog.appendIdempotent(spark, Seq((2L, "b")).toDF("id", "s"), root,
+      "job", 1L) shouldBe Some(1L)
+    // an older txn version replayed late is also a duplicate
+    TxLog.appendIdempotent(spark, Seq((9L, "x")).toDF("id", "s"), root,
+      "job", 0L) shouldBe None
+    // a different appId has an independent watermark
+    TxLog.appendIdempotent(spark, Seq((3L, "c")).toDF("id", "s"), root,
+      "other", 0L) shouldBe Some(2L)
+    TxLog.readLatest(spark, root).count() shouldBe 3L
+
+    // push to a checkpoint (interval 10) and truncate the raw commits:
+    // the watermark must ride the checkpoint, not the deleted log tail
+    (3L to 9L).foreach(i => TxLog.appendIdempotent(spark,
+      Seq((10L + i, "f")).toDF("id", "s"), root, "job", i))
+    (0 until 10).foreach { v =>
+      new java.io.File(f"$root/${TxLog.LogDirName}/$v%020d.json").delete()
+    }
+    TxLog.appendIdempotent(spark, Seq((99L, "dup")).toDF("id", "s"), root,
+      "job", 9L) shouldBe None
+    TxLog.appendIdempotent(spark, Seq((99L, "new")).toDF("id", "s"), root,
+      "job", 10L) shouldBe Some(10L)
+  }
+
   test("compact bin-packs small files per partition; content and time travel survive") {
     val root = tmpRoot()
     val batch = Seq((1L, "p1"), (2L, "p2"), (3L, "p1"), (4L, "p2"))
