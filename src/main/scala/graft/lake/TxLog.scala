@@ -524,13 +524,40 @@ object TxLog {
             keyCols: Seq[String], partitionCols: Seq[String],
             statsCols: Seq[String] = Seq.empty): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
-    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit}
-    val dupKeys = updates.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-    require(dupKeys == 0, "updates must be unique per key")
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
+    // ONE metadata-sized job over the updates: per-key multiplicity (the
+    // uniqueness contract) and the first key column's value range (for
+    // stats pruning below)
+    val keyHead = keyCols.head
+    val kstat = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n")).as("_maxn"),
+        min(col(keyHead).cast("double")).as("_klo"),
+        max(col(keyHead).cast("double")).as("_khi")).head()
+    require(kstat.isNullAt(0) || kstat.getLong(0) <= 1,
+      "updates must be unique per key")
 
     val current = resolve(spark, root, None)
-    val snap = snapshot(spark, root, current)
+    // STATS-PRUNED probe: a live file whose committed [min, max] for the
+    // first key column cannot intersect the updates' key range cannot
+    // contain a matched key — drop it from the probe scan before any IO
+    // (necessary-condition pruning on keyCols.head; files without stats,
+    // or non-castable keys, are conservatively kept). On a key-clustered
+    // table this turns the probe from a full scan into a scan of the
+    // touched key range — the difference between O(table) and O(delta) at
+    // 100 TB.
+    val probeLive =
+      if (kstat.isNullAt(1) || kstat.isNullAt(2)) current.live
+      else {
+        val (klo, khi) = (kstat.getDouble(1), kstat.getDouble(2))
+        current.live.filter { f =>
+          current.stats.get(f).flatMap(_.get(keyHead)) match {
+            case Some((mn, mx)) => mx >= klo && mn <= khi
+            case None           => true
+          }
+        }
+      }
+    val snap = snapshot(spark, root, current.copy(live = probeLive))
     val keys = broadcast(updates.select(keyCols.map(col): _*))
     // file-granular match probe: which live files hold a matched key?
     val fs = fileSystem(spark, root)

@@ -605,6 +605,32 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 3L
   }
 
+  test("merge probes only files whose key-range stats can match (stats-pruned probe)") {
+    val root = tmpRoot()
+    TxLog.append(spark, (1L to 100L).map((_, "lo")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))                      // v0
+    TxLog.append(spark, (1000L to 1100L).map((_, "hi")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))                      // v1
+    val loRel = TxLog.history(spark, root).head.add.head
+    val hiRel = TxLog.history(spark, root).last.add.head
+    // corrupt the hi-range file ON DISK: stats say it cannot hold key 50,
+    // so a stats-pruned probe never opens it — if pruning broke, this
+    // merge would die reading garbage parquet
+    val bad = new java.io.FileOutputStream(s"$root/$hiRel")
+    bad.write("not a parquet file".getBytes); bad.close()
+
+    TxLog.merge(spark, Seq((50L, "UPD")).toDF("id", "s"), root,
+      keyCols = Seq("id"), partitionCols = Seq.empty,
+      statsCols = Seq("id")) shouldBe 2L
+    // only the lo file was rewritten
+    TxLog.history(spark, root).last.remove shouldBe Seq(loRel)
+    // and the merged content is correct (reading the lo range only —
+    // the corrupt hi file is skipped by the same stats)
+    val lo = TxLog.readRange(spark, root, "id", 0, 200)
+    lo.count() shouldBe 100L
+    lo.filter(col("id") === 50).select("s").as[String].head() shouldBe "UPD"
+  }
+
   test("appendIdempotent skips replayed txn versions; the watermark survives checkpoint truncation") {
     val root = tmpRoot()
     TxLog.appendIdempotent(spark, Seq((1L, "a")).toDF("id", "s"), root,
