@@ -710,6 +710,18 @@ object TxLog {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     snapshot(spark, root, resolve(spark, root, None))
 
+  /** Register a snapshot as a session temp view, so the full `spark.sql`
+    * surface (and every tool speaking SQL) runs over the ACID table — the
+    * engine-native analog of the reference querying Athena views over its
+    * curated zone (purchase_orders.py:22-24), including time travel:
+    * `createView(s, "t_v3", root, Some(3))`. The view captures the
+    * snapshot's FILE LIST at creation; re-register to follow new commits.
+    */
+  def createView(spark: SparkSession, name: String, root: String,
+                 version: Option[Long] = None): Unit =
+    version.fold(readLatest(spark, root))(readAt(spark, root, _))
+      .createOrReplaceTempView(name)
+
   /** Range read with DATA SKIPPING: files whose committed [min, max] for
     * `column` cannot intersect [lo, hi] are dropped from the scan's file
     * list before any IO — the tier between partition pruning (directory

@@ -236,6 +236,43 @@ object Lake {
         .orderBy("c_mktsegment")
     },
 
+    // SQL over the ACID table (TxLog.createView): two snapshot views —
+    // one time-traveled to v0, one latest — joined in plain spark.sql,
+    // the reference's query-Athena-views-over-the-curated-zone pattern
+    // (purchase_orders.py:22-24) running on the engine's own table format
+    // with version pinning no Athena view can express.
+    QDef(
+      "q80_sql_time_travel",
+      """WITH v0 AS (SELECT c_mktsegment, COUNT(*) AS n0 FROM customer
+        |            WHERE c_custkey % 2 = 0 GROUP BY 1)
+        |SELECT l.c_mktsegment, COUNT(*) AS n_latest,
+        |  COUNT(*) - COALESCE(MAX(v0.n0), 0) AS n_added
+        |FROM customer l LEFT JOIN v0 ON v0.c_mktsegment = l.c_mktsegment
+        |GROUP BY l.c_mktsegment ORDER BY l.c_mktsegment""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "sqldemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 0),
+        root, Seq("c_mktsegment"))                                // v0
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),
+        root, Seq("c_mktsegment"))                                // v1
+
+      TxLog.createView(s, "acid_cust_v0", root, Some(0L))
+      TxLog.createView(s, "acid_cust", root)
+      s.sql(
+        """WITH v0 AS (SELECT c_mktsegment, COUNT(*) AS n0 FROM acid_cust_v0
+          |            GROUP BY 1)
+          |SELECT l.c_mktsegment, COUNT(*) AS n_latest,
+          |  COUNT(*) - COALESCE(MAX(v0.n0), 0) AS n_added
+          |FROM acid_cust l LEFT JOIN v0 ON v0.c_mktsegment = l.c_mktsegment
+          |GROUP BY l.c_mktsegment ORDER BY l.c_mktsegment""".stripMargin)
+    },
+
     // Data-quality expectations (lake/Expect): dropInvalid filters rows
     // violating named predicates and counts what each dropped IN THE SAME
     // PASS (observe metrics, no second scan); the survivors land through
