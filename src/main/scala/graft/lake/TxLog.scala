@@ -236,9 +236,15 @@ object TxLog {
                            statsCols: Seq[String]): FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    // cast BEFORE the agg: min/max of a string column are LEXICOGRAPHIC
+    // ("10" < "2"), and casting that afterwards yields numerically wrong
+    // bounds that readRange/merge pruning would trust — silently dropping
+    // files that DO match. Cast-first gives numeric bounds for numeric
+    // values and all-null (= no stats recorded = conservatively kept)
+    // for genuinely non-numeric columns.
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__mn_$c"),
-      max(col(c)).cast("double").as(s"__mx_$c")))
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
     val rows = spark.read.option("basePath", root)
       .parquet(rels.map(r => s"$root/$r"): _*)
       .groupBy(input_file_name().as("__f"))
@@ -617,7 +623,12 @@ object TxLog {
              condition: org.apache.spark.sql.Column,
              statsCols: Seq[String] = Seq.empty): Long =
     rewriteMatching(spark, root, condition, "delete", statsCols,
-      rewrite = (matched, cond) => matched.filter(!cond))
+      // coalesce: a NULL predicate row is NOT deleted (SQL DELETE
+      // semantics) — a bare filter(!cond) would silently drop it from
+      // the rewrite
+      rewrite = (matched, cond) => matched.filter(
+        org.apache.spark.sql.functions.coalesce(!cond,
+          org.apache.spark.sql.functions.lit(true))))
 
   /** Row-level UPDATE: apply `set` (column -> new-value expression) to the
     * rows matching `condition`, rewriting only the files containing a
@@ -633,10 +644,39 @@ object TxLog {
     require(set.nonEmpty, "update needs at least one set column")
     import org.apache.spark.sql.functions.{col, when}
     rewriteMatching(spark, root, condition, "update", statsCols,
-      rewrite = (matched, cond) => set.foldLeft(matched) {
-        case (df, (c, v)) => df.withColumn(c, when(cond, v).otherwise(col(c)))
-      })
+      // ONE projection so every set expression evaluates against the OLD
+      // row (SQL UPDATE semantics): sequential withColumn would feed
+      // later set expressions the already-updated values, with map order
+      // deciding the result (swap sets like a->b, b->a would break)
+      rewrite = (matched, cond) => matched.select(
+        matched.columns.toIndexedSeq.map { c =>
+          set.get(c) match {
+            case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*))
   }
+
+  /** The table's partition columns as of `current`, robust to log states
+    * a raw `history(...).last` is not: derived from the live files' own
+    * partition directories (each segment is `name=value`), falling back
+    * to the newest commit that declared partition columns. A rollback
+    * commit carries partitionCols=Seq.empty and a checkpoint-truncated
+    * log may have NO raw commits at all — naive last-commit inference
+    * would stage a partitioned table's rewrite unpartitioned (mixed-depth
+    * layout) or throw.
+    */
+  private def partitionColsOf(spark: SparkSession, root: String,
+                              current: Snapshot): Seq[String] =
+    current.live.headOption match {
+      case Some(f) =>
+        f.split('/').dropRight(1).toSeq
+          .map(_.takeWhile(_ != '=')).filter(_.nonEmpty)
+      case None =>
+        history(spark, root).reverse
+          .collectFirst { case c if c.partitionCols.nonEmpty => c.partitionCols }
+          .getOrElse(Seq.empty)
+    }
 
   /** Shared file-granular rewrite under a row predicate (DELETE/UPDATE):
     * probe for live files containing a match, transform exactly those
@@ -663,7 +703,7 @@ object TxLog {
       .toSeq
     if (matchedFiles.isEmpty) return current.version // no row matches: no-op
 
-    val parts = history(spark, root).last.partitionCols
+    val parts = partitionColsOf(spark, root, current)
     val staged = rewrite(
       spark.read
         .option("basePath", root)
@@ -685,13 +725,19 @@ object TxLog {
     * logical undo; every version including the rolled-back ones stays
     * readable via [[readAt]].
     */
-  def rollback(spark: SparkSession, root: String, toVersion: Long): Long =
-    commitLoop(spark, root, "rollback", Seq.empty, { (_, have) =>
+  def rollback(spark: SparkSession, root: String, toVersion: Long): Long = {
+    // commit the TARGET's partition columns, not Seq.empty — later
+    // maintenance ops (delete/update/compact/cluster) may infer the
+    // table's layout from the newest commit
+    val target0 = resolve(spark, root, Some(toVersion))
+    commitLoop(spark, root, "rollback",
+      partitionColsOf(spark, root, target0), { (_, have) =>
       // target state via checkpoint-aware resolution (a raw replay would
       // miss pre-checkpoint state on a truncated log)
       val target = resolve(spark, root, Some(toVersion))
       (target.live.diff(have), have.diff(target.live), target.schemaDdl)
     })
+  }
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {
     case -1 => ""
@@ -807,8 +853,10 @@ object TxLog {
     */
   def consumeChanges(spark: SparkSession, root: String, offsetPath: String)
                     (f: DataFrame => Unit): Option[(Long, Long)] = {
-    val fs = fileSystem(spark, root)
     val op = new Path(offsetPath)
+    // the offset may live on a DIFFERENT filesystem than the table (local
+    // driver tracking a remote table) — resolve its own FS, not the root's
+    val fs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val from =
       if (!fs.exists(op)) -1L
       else {
@@ -970,8 +1018,9 @@ object TxLog {
               filesPerTable: Int): Long = {
     require(filesPerTable >= 1)
     import org.apache.spark.sql.functions.col
-    val current = readLatest(spark, root)
-    val parts = history(spark, root).last.partitionCols
+    val snap = resolve(spark, root, None)
+    val current = snapshot(spark, root, snap)
+    val parts = partitionColsOf(spark, root, snap)
     overwrite(spark,
       current.repartitionByRange(filesPerTable, col(column)),
       root, parts, statsCols = Seq(column))
@@ -995,8 +1044,9 @@ object TxLog {
     require(columns.nonEmpty && filesPerTable >= 1)
     require(columns.size * bitsPerCol <= 62, "z-value must fit in a long")
     import org.apache.spark.sql.functions._
-    val current = readLatest(spark, root)
-    val parts = history(spark, root).last.partitionCols
+    val snap0 = resolve(spark, root, None)
+    val current = snapshot(spark, root, snap0)
+    val parts = partitionColsOf(spark, root, snap0)
     val aggs = columns.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"),
         max(col(c).cast("double")).as(s"hi_$c")))
@@ -1055,10 +1105,18 @@ object TxLog {
     require(smallerThanBytes >= 1 && targetBytes >= 1)
     val fs = fileSystem(spark, root)
     val current = resolve(spark, root, None)
-    // metadata-sized size probe: one namespace call per live file
-    val small = current.live
-      .map(f => f -> fs.getFileStatus(new Path(s"$root/$f")).getLen)
-      .filter(_._2 < smallerThanBytes)
+    // size probe: ONE listStatus per partition directory (not one
+    // getFileStatus RPC per file — on a millions-of-small-files table,
+    // the very case compaction exists for, per-file namespace calls on
+    // the driver would dominate the runtime)
+    val liveSet = current.live.toSet
+    val small = current.live.map(relDir).distinct.flatMap { dir =>
+      fs.listStatus(new Path(if (dir.isEmpty) root else s"$root/$dir"))
+        .toSeq.filter(st => st.isFile)
+        .map(st => s"$dir${st.getPath.getName}" -> st.getLen)
+        .filter { case (rel, len) =>
+          liveSet.contains(rel) && len < smallerThanBytes }
+    }
     val groups = small.groupBy { case (f, _) => relDir(f) }
       .filter(_._2.size >= 2)
     if (groups.isEmpty) return current.version
@@ -1080,7 +1138,7 @@ object TxLog {
     val statCols = removed
       .flatMap(f => current.stats.get(f).map(_.keys).getOrElse(Nil))
       .distinct
-    val parts = history(spark, root).last.partitionCols
+    val parts = partitionColsOf(spark, root, current)
     val (adds, ddl) = stage(packed, root, parts)
     commitLoop(spark, root, "compact", parts, { (commits, live) =>
       val gone = removed.filterNot(live.toSet)

@@ -101,8 +101,18 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
-    val ordered = TxLog.readChanges(spark, root, from, Some(to))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val delta = TxLog.readChanges(spark, root, from, Some(to))
+    // conform to the stream's pinned schema: a capped catch-up batch over
+    // PRE-EVOLUTION commits resolves under that range's older schema, so
+    // columns the table gained later must be null-filled here — a bare
+    // select would throw and wedge the stream at the evolution point
+    // (columns the declared schema lacks are dropped, same restart
+    // contract as above)
+    val have = delta.columns.toSet
+    val ordered = delta.select(schema.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     graftnative.asStreamingBatch(ordered)
   }
 

@@ -29,7 +29,9 @@ import org.apache.spark.sql.streaming.OutputMode
   *
   * The appId defaults to the query's checkpoint location — the identity
   * of "this logical stream" across restarts — overridable with
-  * `txnAppId` when two checkpoints must share a dedup domain.
+  * `txnAppId` when two checkpoints must share a dedup domain; with
+  * neither in the options the sink REFUSES to start rather than share a
+  * guessed identity across unrelated streams.
   * `statsCols` (comma-separated) opts each commit into min/max data
   * skipping stats. Append output mode only, like every log-format sink.
   */
@@ -48,11 +50,21 @@ final class TxLogSinkProvider extends StreamSinkProvider
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException(
         "txlog sink needs option(\"root\", <table root>)"))
+    // NO silent fallback for the dedup identity: if appId defaulted to
+    // the table root, two unrelated streams (each with fresh batch ids)
+    // would share one watermark and silently skip each other's batches —
+    // data loss, not dedup. The checkpoint location is the natural
+    // "same logical stream across restarts" identity; when it is not in
+    // the options (e.g. only the session-wide default checkpoint dir is
+    // set), the caller must name the domain explicitly.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
       })
-      .getOrElse(root)
+      .getOrElse(throw new IllegalArgumentException(
+        "txlog sink needs option(\"checkpointLocation\", ...) or an " +
+          "explicit option(\"txnAppId\", ...) as its exactly-once dedup " +
+          "identity — refusing to guess one shared across streams"))
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)

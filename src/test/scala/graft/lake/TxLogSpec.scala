@@ -605,6 +605,54 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 3L
   }
 
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "x"), (2L, null), (3L, "y"))
+      .toDF("id", "s").repartition(1), root)
+    TxLog.delete(spark, root, col("s") === "x")
+    // row 2's predicate is NULL -> NOT deleted, even though its file was
+    // rewritten (it shared a file with the matched row)
+    TxLog.readLatest(spark, root).orderBy("id").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((2L, null), (3L, "y"))
+  }
+
+  test("update evaluates every set expression against the OLD row (swap works)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, 10L, 20L), (2L, 30L, 40L))
+      .toDF("id", "a", "b").repartition(1), root)
+    TxLog.update(spark, root, col("id") === 1,
+      Map("a" -> col("b"), "b" -> col("a")))
+    TxLog.readLatest(spark, root).orderBy("id").as[(Long, Long, Long)]
+      .collect().toSeq shouldBe Seq((1L, 20L, 10L), (2L, 30L, 40L))
+  }
+
+  test("stats on numeric-string columns are numeric, not lexicographic") {
+    val root = tmpRoot()
+    // lexicographic min/max of ("2","10") is ("10","2") -> cast would
+    // record [10,2] and a range read for 2 would wrongly prune the file
+    TxLog.append(spark, Seq(("2", "a"), ("10", "b")).toDF("k", "s")
+      .repartition(1), root, statsCols = Seq("k"))
+    val hit = TxLog.readRange(spark, root, "k", 2, 2)
+    hit.count() shouldBe 1L
+    hit.select("s").as[String].head() shouldBe "a"
+  }
+
+  test("maintenance after rollback keeps the partition layout (partitionCols inference)") {
+    val root = tmpRoot()
+    val df = Seq((1L, "p1"), (2L, "p2")).toDF("id", "part")
+      .repartition(col("part"))
+    TxLog.append(spark, df, root, Seq("part"))                           // v0
+    TxLog.append(spark, df.withColumn("id", col("id") + 10), root, Seq("part"))
+    TxLog.rollback(spark, root, 0L)                                      // v2
+    // rollback no longer commits partitionCols=Seq.empty
+    TxLog.history(spark, root).last.partitionCols shouldBe Seq("part")
+    // an update straight after the rollback stages PARTITIONED files
+    TxLog.update(spark, root, col("id") === 1, Map("id" -> lit(100L)))
+    val f = TxLog.readLatest(spark, root).filter(col("id") === 100)
+      .select(input_file_name()).as[String].head()
+    f should include("part=p1")
+  }
+
   test("merge probes only files whose key-range stats can match (stats-pruned probe)") {
     val root = tmpRoot()
     TxLog.append(spark, (1L to 100L).map((_, "lo")).toDF("id", "s")

@@ -144,6 +144,41 @@ class StreamingSpec extends SparkSpec {
     batches.flatten.toSet shouldBe Set(0L, 1L, 2L, 3L)
   }
 
+  test("change-feed stream catches up through a schema evolution (pre-evolution batches null-fill)") {
+    import graft.lake.TxLog
+    val root = Files.createTempDirectory("graft-cdc-evo").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-evo-ckpt").toString
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    TxLog.append(spark, Seq((2L, "b", 9L)).toDF("id", "s", "extra"), root) // v1: evolves
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    // cap=1 forces a batch covering ONLY pre-evolution v0, whose feed
+    // schema lacks `extra`: the stream's pinned schema must null-fill it
+    val q = spark.readStream
+      .format("graft.streaming.TxLogChangeSourceProvider")
+      .option("root", root)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.select("id", "extra").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSet shouldBe Set((1L, None), (2L, Some(9L)))
+  }
+
+  test("txlog sink refuses to start without a dedup identity") {
+    intercept[IllegalArgumentException] {
+      new TxLogSinkProvider().createSink(spark.sqlContext,
+        Map("root" -> "/tmp/whatever"), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
   test("txlog sink: one commit per micro-batch; a replayed batch id is skipped (exactly-once)") {
     import graft.lake.TxLog
     implicit val sqlCtx = spark.sqlContext
