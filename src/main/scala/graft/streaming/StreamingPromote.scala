@@ -54,12 +54,12 @@ object StreamingPromote {
     * once file-source tracking, a drained run is an atomic, versioned
     * replica of the staging zone.
     *
-    * Idempotence note: if a batch commits and the JVM dies before the
-    * streaming checkpoint records it, the replay commits the batch again —
-    * the duplicate is VISIBLE as two log versions (inspectable via
-    * `TxLog.history`, repairable via `rollback`), which is the honest
-    * at-least-once contract for a non-transactional source without
-    * batch-id bookkeeping in the log.
+    * EXACTLY-ONCE: each commit is tagged (checkpoint, batchId) through
+    * [[graft.lake.TxLog.appendIdempotent]], so a batch replayed after a
+    * crash between commit and checkpoint is recognized by the log's own
+    * transaction watermark and skipped — the same guarantee as the
+    * generic `txlog` sink ([[TxLogSinkProvider]]); this path adds the
+    * promote pipeline's normalize/enrich on the way.
     */
   def runAcid(spark: SparkSession, zones: Zones, table: String,
               schema: StructType, checkpoint: String,
@@ -71,9 +71,10 @@ object StreamingPromote {
     val staged = reader.json(zones.stagingIncremental(table))
     val curated = Enrich.withAuditColumns(Normalize.normalize(staged))
     curated.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
-          graft.lake.TxLog.append(spark, batch.toDF(), zones.curated(table),
+          graft.lake.TxLog.appendIdempotent(spark, batch.toDF(),
+            zones.curated(table), appId = checkpoint, txnVersion = batchId,
             Enrich.PartitionColumns): Unit
       }
       .option("checkpointLocation", checkpoint)
