@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftnative.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native dot product of two `array<float>` columns, accumulated
   * left-to-right in double precision.
@@ -168,11 +168,228 @@ object VecOpsUtil {
   }
 }
 
+/** Product-quantization ADC (asymmetric distance computation) score:
+  * given a candidate's PQ `codes` (array<int>, one codebook index per
+  * subspace) and a query's flat lookup table `lut` (array<double>, laid
+  * out [subspace j][codebook entry c] at j*k + c, holding the query
+  * subvector · centroid dot products), returns
+  * sum_j lut[j*k + codes[j]] ≈ query · candidate.
+  *
+  * This is THE point of PQ at scale: candidate scoring is m table reads
+  * instead of a d-element multiply-add (m=8 vs d=64 here), and only the
+  * m-byte codes — not the vectors — are scanned. Native codegen for the
+  * same reason as [[VecDot]]: the equivalent
+  * aggregate(zip_with(codes, sequence(...), ...)) HOF chain is a
+  * CodegenFallback that boxes every lookup. Out-of-range codes score 0
+  * (defensive: cannot happen for codes produced by the trainer).
+  */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * k + codes.getInt(j)
+      if (idx >= 0 && idx < n) acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |int $n = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $idx = $j * $k + $a.getInt($j);
+         |  if ($idx >= 0 && $idx < $n) $acc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ encoder: nearest codebook entry per subspace in ONE expression.
+  * `cb` is the flattened [m][k][subDim] codebook, carried as a reference
+  * object into codegen — the equivalent built from m*k per-centroid
+  * VecDot columns plans a >1000-node expression tree whose Catalyst
+  * optimization alone dominated the query runtime (measured on q81);
+  * here planning sees one opaque node and the whole encode is three
+  * tight loops. Input must be the unit-normalized vector (spherical PQ).
+  */
+case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val subDim = cb.length / (m * k)
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType)
+
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var dist = 0.0
+        var i = 0
+        val base = (j * k + c) * subDim
+        while (i < subDim) {
+          val t = x.getFloat(j * subDim + i).toDouble - cb(base + i)
+          dist += t * t
+          i += 1
+        }
+        if (dist < bd) { bd = dist; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd"); val dist = ctx.freshName("dist")
+      val base = ctx.freshName("base"); val t = ctx.freshName("t")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dist = 0.0;
+         |    int $base = ($j * $k + $c) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $t = (double) $x.getFloat($j * $subDim + $i) - $cbRef[$base + $i];
+         |      $dist += $t * $t;
+         |    }
+         |    if ($dist < $bd) { $bd = $dist; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** PQ query lookup table: lut[j*k + c] = querySubvector_j · centroid_jc,
+  * one expression per query row (same planning rationale as
+  * [[PqEncode]]). Input must be the unit-normalized query vector.
+  */
+case class PqLut(child: Expression, cb: Array[Float], m: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val subDim = cb.length / (m * k)
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val lut = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        var i = 0
+        val base = (j * k + c) * subDim
+        while (i < subDim) {
+          acc += x.getFloat(j * subDim + i).toDouble * cb(base + i)
+          i += 1
+        }
+        lut(j * k + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val lut = ctx.freshName("lut")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      s"""
+         |double[] $lut = new double[$m * $k];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $acc = 0.0;
+         |    int $base = ($j * $k + $c) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $acc += (double) $x.getFloat($j * $subDim + $i) * $cbRef[$base + $i];
+         |    }
+         |    $lut[$j * $k + $c] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VecOps {
 
   /** `vec_dot(a, b)` as a Column. */
   def dotf(a: Column, b: Column): Column =
     toColumn(VecDot(toExpression(a), toExpression(b)))
+
+  /** `pq_adc(codes, lut)` as a Column (k = codebook entries per subspace). */
+  def pqAdcf(codes: Column, lut: Column, k: Int): Column =
+    toColumn(PqAdc(toExpression(codes), toExpression(lut), k))
+
+  /** `pq_encode(unitVec)` as a Column (cb = flattened [m][k][subDim]). */
+  def pqEncodef(unitVec: Column, cb: Array[Float], m: Int, k: Int): Column =
+    toColumn(PqEncode(toExpression(unitVec), cb, m, k))
+
+  /** `pq_lut(unitQuery)` as a Column (cb = flattened [m][k][subDim]). */
+  def pqLutf(unitQuery: Column, cb: Array[Float], m: Int, k: Int): Column =
+    toColumn(PqLut(toExpression(unitQuery), cb, m, k))
 
   /** L2 norm of an `array<float>` column (sqrt of the self dot product). */
   def normf(a: Column): Column =

@@ -169,6 +169,156 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Train PRODUCT-QUANTIZATION codebooks: the embedding space is split
+    * into `m` contiguous subspaces and each gets its own k-means codebook
+    * (`k` entries) — so a vector compresses to m small codes (m bytes at
+    * k<=256) with reconstruction error far below one global quantizer at
+    * the same budget. Returns driver-side [m][k][subDim] floats —
+    * metadata-sized (m*k*subDim = d*k values), broadcastable at any
+    * corpus scale; at 100 TB train each subspace on a sample exactly like
+    * [[trainCentroids]].
+    */
+  def trainPqCodebooks(embs: DataFrame, m: Int, k: Int,
+                       sampleN: Int = 4096): Array[Array[Array[Float]]] = {
+    // SPHERICAL PQ on a DRIVER-COLLECTED SAMPLE: train on unit-normalized
+    // vectors, because the search ranks by cosine — on the unit sphere
+    // dot == cosine, so the ADC approximation targets the right ordering.
+    // The sample is bounded (`sampleN` rows = a few MB) and THAT is the
+    // standard PQ practice at any corpus scale: codebook quality needs
+    // thousands of points per subspace, not the corpus — m distributed
+    // k-means fits here would cost 16 Spark jobs to learn what a
+    // millisecond driver loop learns from the same sample (measured: the
+    // Spark ML variant dominated the query's entire runtime).
+    val sample = embs.orderBy("vec_id").limit(sampleN)
+      .select(transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    (0 until m).toArray.map { j =>
+      val pts = sample.map { r =>
+        val p = new Array[Double](subDim)
+        var i = 0
+        while (i < subDim) { p(i) = r(j * subDim + i).toDouble; i += 1 }
+        p
+      }
+      localKMeans(pts, k, seed = 42L + j).map(_.map(_.toFloat))
+    }
+  }
+
+  /** Seeded Lloyd's k-means over a small in-memory point set (PQ subspace
+    * training). Empty clusters keep their previous centroid; ties go to
+    * the lower index — fully deterministic for a given seed.
+    */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, seed: Long,
+                          iters: Int = 10): Array[Array[Double]] = {
+    val d = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val cents = Array.fill(k)(pts(rnd.nextInt(pts.length)).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnt = new Array[Int](k)
+      var p = 0
+      while (p < pts.length) {
+        val x = pts(p)
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val t = x(i) - cents(c)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += x(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var i = 0
+          while (i < d) { cents(c)(i) = sums(c)(i) / cnt(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Float]]]]
+
+  val PqM = 16     // subspaces (64-dim fixture -> 4 dims each)
+  val PqK = 32     // codebook entries per subspace
+
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    pqMemo.getOrElseUpdate((s, dir),
+      trainPqCodebooks(withNorms(s, dir), PqM, PqK))
+
+  /** PQ ANN top-k with ADC scoring and exact re-rank — the third member
+    * of the approximate family (IVF = bucketed candidates, LSH = banded
+    * candidates, PQ = compressed scoring):
+    *
+    *  1. ENCODE the corpus once: per subspace, the nearest codebook entry
+    *     by L2 (argmax of x·c - |c|²/2 over the broadcast literal
+    *     codebook — a scan-time projection, no join, no shuffle).
+    *  2. Per query, precompute the flat LUT of subvector·centroid dots
+    *     (m*k doubles — the whole point: query-candidate scoring becomes
+    *     m table reads via the codegen'd [[graft.functions.PqAdc]],
+    *     never a d-element dot).
+    *  3. Broadcast the small query set across the corpus codes, take an
+    *     ADC `shortlist` per query, re-rank EXACTLY (true cosine) and
+    *     keep `kTop` — re-ranking restores exact ordering among the
+    *     shortlist, so recall loss is only shortlist misses.
+    *
+    * At 100 TB the scan carries m int codes per row (32 bytes vs 256 for
+    * the raw vector); the full embeddings are only touched for the
+    * shortlist (here they ride along because the fixture is small; a
+    * production layout fetches them by id after the shortlist).
+    */
+  def pqTopK(corpusDf: DataFrame, queriesDf: DataFrame,
+             cb: Array[Array[Array[Float]]], kTop: Int,
+             shortlist: Int): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    val flat = cb.flatten.flatten
+
+    // unit-normalize both sides before coding (spherical PQ, matching the
+    // trainer): ADC then approximates cosine itself, which is what the
+    // final ranking needs. Encode and LUT are each ONE native expression
+    // carrying the codebook as a reference object — the same pipeline
+    // built from m*k per-centroid dot columns plans a >1000-node tree
+    // whose Catalyst passes alone cost seconds per run (measured).
+    val cand = corpusDf.withColumn("codes",
+      graft.functions.VecOps.pqEncodef(
+        transform(col("embedding"), x => (x / col("cnorm")).cast("float")),
+        flat, m, k))
+
+    val qs = queriesDf.withColumn("lut",
+      graft.functions.VecOps.pqLutf(
+        transform(col("qe"), x => (x / col("qnorm")).cast("float")),
+        flat, m, k))
+
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand_id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
+    cand.crossJoin(broadcast(qs))
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("adc", graft.functions.VecOps.pqAdcf(col("codes"), col("lut"), k))
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .withColumn("cosine", dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= kTop)
+      .select("qid", "cand_id", "rnk", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
   // Hyperplane-LSH parameters for q61: 128 sign bits as 16 bands of 8.
   // At the planted-pair similarity (cosine ~0.992 -> bit-agreement
   // p ~ 0.96) per-pair recall is 1-(1-p^8)^16 ~ 1-1e-9; background pairs
@@ -368,6 +518,14 @@ object Similarity {
     // search dequantizes on the fly and runs the same broadcast top-k
     // shape as q40. Rows-only (quantization error has no SQL oracle);
     // SimilaritySpec bounds top-k agreement against the exact q40.
+    // PQ ANN (rows-only; bounded by NorthStarSpec agreement vs exact
+    // q40): ADC-scored shortlist over per-subspace codebooks, exact
+    // re-rank — the compressed-domain member of the ANN family.
+    QDef("q81_sim_topk_pq", null) { (s, dir) =>
+      pqTopK(corpus(s, dir), querySet(s, dir), pqCodebooks(s, dir),
+        TopK, shortlist = 8 * TopK)
+    },
+
     QDef("q60_sim_topk_quant", null) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // Quantization params + codes + dequantized reconstruction in ONE

@@ -56,6 +56,30 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("PqAdc sums the coded LUT entries, interpreted and codegen'd alike") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    import spark.implicits._
+    // m=3 subspaces, k=2 entries: codes pick lut[j*2 + code_j]
+    val lut = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+    val df = Seq(
+      (1L, Seq(0, 1, 0)),   // 10 + 40 + 50 = 100
+      (2L, Seq(1, 0, 1)),   // 20 + 30 + 60 = 110
+      (3L, Seq(0, 0, 9)))   // out-of-range code scores 0 -> 10 + 30 = 40
+      .toDF("id", "codes")
+      .withColumn("lut", typedlit(lut))
+    val got = df
+      .withColumn("s", VecOps.pqAdcf(col("codes"), col("lut"), k = 2))
+      .orderBy("id").select("s").as[Double].collect().toSeq
+    got shouldBe Seq(100.0, 110.0, 40.0)
+    // interpreted path agrees (codegen ran above via the projection)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    PqAdc(
+      Literal.create(Seq(0, 1, 0), ArrayType(IntegerType)),
+      Literal.create(lut, ArrayType(DoubleType)), 2)
+      .eval(null) shouldBe 100.0
+  }
+
   test("HyperplaneBands: zero vector and repeated calls are deterministic") {
     val zero = new GenericArrayData(Array.fill(16)(0.0f))
     val a = VecOpsUtil.hyperplaneBands(zero, 128, 8).toLongArray().toSeq

@@ -108,4 +108,18 @@ class NorthStarSpec extends SparkSpec {
     // most of the exact top-k must survive
     quant.intersect(brute).size.toDouble / brute.size should be >= 0.8
   }
+
+  test("q81 PQ ADC top-k stays close to the exact q40 results") {
+    def hits(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits("q40_sim_topk")
+    val pq = hits("q81_sim_topk_pq")
+    brute.size shouldBe pq.size
+    // the exact re-rank restores true ordering within the ADC shortlist,
+    // so the only losses are shortlist misses — most of the exact top-k
+    // must survive
+    pq.intersect(brute).size.toDouble / brute.size should be >= 0.8
+  }
 }
