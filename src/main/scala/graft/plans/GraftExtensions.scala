@@ -5,13 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{IntersectCount, MinHashBands, ShingleHash, SimHash64, VecDot}
+import graft.functions.{IntersectCount, MinHashBands, PqAdc, ShingleHash, SimHash64, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("...")` users get
   * the same codegen'd operators as the Column API
   * (`vec_dot`, `shingle_hash`, `intersect_count`, `minhash_bands`,
-  * `simhash64`).
+  * `simhash64`, `pq_adc`).
   *
   * Usage (either):
   *   - `SparkSession.builder.withExtensions(new GraftExtensions)` in code;
@@ -73,5 +73,15 @@ object GraftExtensions {
       oneArg("minhash_bands", MinHashBands(_, 64, 4))),
     ("simhash64",
       info("simhash64", "simhash64(features) - 64-bit bit-vote SimHash signature"),
-      oneArg("simhash64", SimHash64(_))))
+      oneArg("simhash64", SimHash64(_))),
+    ("pq_adc",
+      info("pq_adc",
+        "pq_adc(codes, lut, k) - product-quantization ADC score: sum over subspaces j of lut[j*k + codes[j]] (k = literal codebook size)"),
+      {
+        case Seq(a, b, k) if k.foldable =>
+          PqAdc(a, b, k.eval().asInstanceOf[Number].intValue)
+        case _ =>
+          throw new IllegalArgumentException(
+            "pq_adc expects (codes, lut, literal k)")
+      }))
 }

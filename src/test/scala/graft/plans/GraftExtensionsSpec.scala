@@ -27,6 +27,20 @@ class GraftExtensionsSpec extends SparkSpec {
     row.getLong(4) shouldBe single
   }
 
+  test("pq_adc SQL function sums coded LUT entries with a literal k") {
+    GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT pq_adc(array(0, 1, 0),
+        |              array(CAST(10 AS DOUBLE), 20D, 30D, 40D, 50D, 60D),
+        |              2) AS s""".stripMargin)
+      .collect().head.getDouble(0) shouldBe 100.0
+    // non-literal k is rejected at resolution
+    intercept[Exception] {
+      spark.sql("SELECT pq_adc(array(0), array(1D), CAST(rand()*2 AS INT))")
+        .collect()
+    }
+  }
+
   test("arity errors are rejected at registration resolution") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
