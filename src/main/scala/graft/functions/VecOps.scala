@@ -176,12 +176,13 @@ object VecOpsUtil {
   * sum_j lut[j*k + codes[j]] ≈ query · candidate.
   *
   * This is THE point of PQ at scale: candidate scoring is m table reads
-  * instead of a d-element multiply-add (m=8 vs d=64 here), and only the
-  * m-byte codes — not the vectors — are scanned. Native codegen for the
+  * instead of a d-element multiply-add (m=16 vs d=64 here), and only the
+  * m small codes — not the vectors — are scanned. Native codegen for the
   * same reason as [[VecDot]]: the equivalent
   * aggregate(zip_with(codes, sequence(...), ...)) HOF chain is a
-  * CodegenFallback that boxes every lookup. Out-of-range codes score 0
-  * (defensive: cannot happen for codes produced by the trainer).
+  * CodegenFallback that boxes every lookup. A code outside [0, k) scores
+  * 0 for its subspace (defensive: cannot happen for codes produced by
+  * the trainer, and must never silently read another subspace's entry).
   */
 case class PqAdc(left: Expression, right: Expression, k: Int)
     extends BinaryExpression with ExpectsInputTypes {
@@ -200,8 +201,9 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * k + codes.getInt(j)
-      if (idx >= 0 && idx < n) acc += lut.getDouble(idx)
+      val c = codes.getInt(j)
+      val idx = j * k + c
+      if (c >= 0 && c < k && idx < n) acc += lut.getDouble(idx)
       j += 1
     }
     acc
@@ -220,7 +222,8 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
          |  int $idx = $j * $k + $a.getInt($j);
-         |  if ($idx >= 0 && $idx < $n) $acc += $b.getDouble($idx);
+         |  if ($a.getInt($j) >= 0 && $a.getInt($j) < $k && $idx < $n)
+         |    $acc += $b.getDouble($idx);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -252,6 +255,9 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${x.numElements()} elements, codebook needs ${m * subDim}")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -285,6 +291,9 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
       val bd = ctx.freshName("bd"); val dist = ctx.freshName("dist")
       val base = ctx.freshName("base"); val t = ctx.freshName("t")
       s"""
+         |if ($x.numElements() < $m * $subDim)
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector has " + $x.numElements() + " elements, codebook needs " + ($m * $subDim));
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = 0; double $bd = Double.MAX_VALUE;
@@ -325,6 +334,9 @@ case class PqLut(child: Expression, cb: Array[Float], m: Int, k: Int)
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector has ${x.numElements()} elements, codebook needs ${m * subDim}")
     val lut = new Array[Double](m * k)
     var j = 0
     while (j < m) {
@@ -353,6 +365,9 @@ case class PqLut(child: Expression, cb: Array[Float], m: Int, k: Int)
       val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       val base = ctx.freshName("base")
       s"""
+         |if ($x.numElements() < $m * $subDim)
+         |  throw new IllegalArgumentException(
+         |    "pq_lut: vector has " + $x.numElements() + " elements, codebook needs " + ($m * $subDim));
          |double[] $lut = new double[$m * $k];
          |for (int $j = 0; $j < $m; $j++) {
          |  for (int $c = 0; $c < $k; $c++) {

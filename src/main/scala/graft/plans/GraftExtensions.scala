@@ -78,10 +78,10 @@ object GraftExtensions {
       info("pq_adc",
         "pq_adc(codes, lut, k) - product-quantization ADC score: sum over subspaces j of lut[j*k + codes[j]] (k = literal codebook size)"),
       {
-        case Seq(a, b, k) if k.foldable =>
+        case Seq(a, b, k) if k.foldable && k.eval() != null =>
           PqAdc(a, b, k.eval().asInstanceOf[Number].intValue)
         case _ =>
           throw new IllegalArgumentException(
-            "pq_adc expects (codes, lut, literal k)")
+            "pq_adc expects (codes, lut, non-null literal k)")
       }))
 }

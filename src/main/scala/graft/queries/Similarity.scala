@@ -79,6 +79,7 @@ object Similarity {
   def clearCache(): Unit = {
     memo.values.foreach(_.unpersist())
     memo.clear()
+    pqMemo.clear()
   }
 
   /** Corpus with per-row norm, projected once before any pairwise stage. */
@@ -189,7 +190,13 @@ object Similarity {
     // k-means fits here would cost 16 Spark jobs to learn what a
     // millisecond driver loop learns from the same sample (measured: the
     // Spark ML variant dominated the query's entire runtime).
-    val sample = embs.orderBy("vec_id").limit(sampleN)
+    // deterministic PSEUDORANDOM sample: order by a hash of the id, not
+    // the id itself (a head-of-table slice would bias codebooks toward
+    // the earliest ingest on corpora where distribution drifts with id;
+    // orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    // top-N heap, no full sort)
+    val sample = embs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
       .select(transform(col("embedding"), x => (x / col("nrm")).cast("float")))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
@@ -215,7 +222,12 @@ object Similarity {
                           iters: Int = 10): Array[Array[Double]] = {
     val d = pts.head.length
     val rnd = new scala.util.Random(seed)
-    val cents = Array.fill(k)(pts(rnd.nextInt(pts.length)).clone)
+    // init from DISTINCT indices: sampling with replacement would seed
+    // duplicate centroids, and a duplicate can never separate (ties go to
+    // the lower index, so its twin keeps zero members forever) — silently
+    // shrinking the effective codebook
+    val init = rnd.shuffle(pts.indices.toVector).take(k)
+    val cents = Array.tabulate(k)(c => pts(init(c % init.length)).clone)
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k)(new Array[Double](d))
@@ -277,9 +289,9 @@ object Similarity {
     *     keep `kTop` — re-ranking restores exact ordering among the
     *     shortlist, so recall loss is only shortlist misses.
     *
-    * At 100 TB the scan carries m int codes per row (32 bytes vs 256 for
-    * the raw vector); the full embeddings are only touched for the
-    * shortlist (here they ride along because the fixture is small; a
+    * At 100 TB the scan carries m int codes per row (64 bytes at m=16 vs
+    * 256 for the raw 64-float vector; a byte-packed layout would shrink
+    * it to 16); the full embeddings are only touched for the shortlist (here they ride along because the fixture is small; a
     * production layout fetches them by id after the shortlist).
     */
   def pqTopK(corpusDf: DataFrame, queriesDf: DataFrame,
@@ -518,14 +530,6 @@ object Similarity {
     // search dequantizes on the fly and runs the same broadcast top-k
     // shape as q40. Rows-only (quantization error has no SQL oracle);
     // SimilaritySpec bounds top-k agreement against the exact q40.
-    // PQ ANN (rows-only; bounded by NorthStarSpec agreement vs exact
-    // q40): ADC-scored shortlist over per-subspace codebooks, exact
-    // re-rank — the compressed-domain member of the ANN family.
-    QDef("q81_sim_topk_pq", null) { (s, dir) =>
-      pqTopK(corpus(s, dir), querySet(s, dir), pqCodebooks(s, dir),
-        TopK, shortlist = 8 * TopK)
-    },
-
     QDef("q60_sim_topk_quant", null) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // Quantization params + codes + dequantized reconstruction in ONE
@@ -570,6 +574,14 @@ object Similarity {
         .filter(col("rnk") <= TopK)
         .select("qid", "cand_id", "rnk", "cosine")
         .orderBy("qid", "rnk")
+    },
+
+    // PQ ANN (rows-only; bounded by NorthStarSpec agreement vs exact
+    // q40): ADC-scored shortlist over per-subspace codebooks, exact
+    // re-rank — the compressed-domain member of the ANN family.
+    QDef("q81_sim_topk_pq", null) { (s, dir) =>
+      pqTopK(corpus(s, dir), querySet(s, dir), pqCodebooks(s, dir),
+        TopK, shortlist = 8 * TopK)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

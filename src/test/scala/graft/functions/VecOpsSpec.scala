@@ -61,16 +61,22 @@ class VecOpsSpec extends SparkSpec {
     import spark.implicits._
     // m=3 subspaces, k=2 entries: codes pick lut[j*2 + code_j]
     val lut = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
-    val df = Seq(
-      (1L, Seq(0, 1, 0)),   // 10 + 40 + 50 = 100
-      (2L, Seq(1, 0, 1)),   // 20 + 30 + 60 = 110
-      (3L, Seq(0, 0, 9)))   // out-of-range code scores 0 -> 10 + 30 = 40
-      .toDF("id", "codes")
+    // build codes from a RANGE column so the projection is NOT foldable —
+    // a local-relation frame would be constant-folded by the optimizer and
+    // this test would never execute PqAdc.doGenCode (only nullSafeEval)
+    val df = spark.range(0, 3)
+      .withColumn("codes", org.apache.spark.sql.functions.array(
+        (col("id") % 2).cast("int"),                       // 0, 1, 0
+        ((col("id") >= 2).cast("int") * 9 + (col("id") % 2).cast("int")), // 0, 1, 9
+        (col("id") - col("id")).cast("int")))              // 0, 0, 0
       .withColumn("lut", typedlit(lut))
+    // id=0: codes(0,0,0) -> 10+30+50 = 90
+    // id=1: codes(1,1,0) -> 20+40+50 = 110
+    // id=2: codes(0,9,0) -> out-of-range middle code scores 0 -> 10+0+50 = 60
     val got = df
       .withColumn("s", VecOps.pqAdcf(col("codes"), col("lut"), k = 2))
       .orderBy("id").select("s").as[Double].collect().toSeq
-    got shouldBe Seq(100.0, 110.0, 40.0)
+    got shouldBe Seq(90.0, 110.0, 60.0)
     // interpreted path agrees (codegen ran above via the projection)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
