@@ -526,6 +526,17 @@ object TxLog {
     * fraction of the table. Keys must be unique within `updates` (two
     * updates for one key have no defined winner; enforced).
     */
+  /** Max update-key rows [[merge]] will broadcast for its file probe;
+    * above this the probe joins unhinted and Spark's planner/AQE choose a
+    * shuffle strategy. ~1M keys ≈ tens of MB serialized — the same order
+    * as Spark's own autoBroadcastJoinThreshold default. Conf-tunable
+    * (`spark.graft.merge.broadcastKeyLimit`) for tests and for clusters
+    * with smaller executors.
+    */
+  private def broadcastKeyLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.merge.broadcastKeyLimit")
+      .map(_.toLong).getOrElse(1000000L)
+
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             keyCols: Seq[String], partitionCols: Seq[String],
             statsCols: Seq[String] = Seq.empty): Long = {
@@ -539,9 +550,11 @@ object TxLog {
       .agg(count(lit(1)).as("_n"))
       .agg(max(col("_n")).as("_maxn"),
         min(col(keyHead).cast("double")).as("_klo"),
-        max(col(keyHead).cast("double")).as("_khi")).head()
+        max(col(keyHead).cast("double")).as("_khi"),
+        count(lit(1)).as("_nkeys")).head()
     require(kstat.isNullAt(0) || kstat.getLong(0) <= 1,
       "updates must be unique per key")
+    val nKeys = if (kstat.isNullAt(3)) 0L else kstat.getLong(3)
 
     val current = resolve(spark, root, None)
     // STATS-PRUNED probe: a live file whose committed [min, max] for the
@@ -564,7 +577,18 @@ object TxLog {
         }
       }
     val snap = snapshot(spark, root, current.copy(live = probeLive))
-    val keys = broadcast(updates.select(keyCols.map(col): _*))
+    // SIZE-GATED key probe: broadcasting the update keys is the right
+    // plan for CDC-sized deltas (no shuffle of the table side), but a
+    // backfill-sized merge would ship the whole key set to every executor
+    // and OOM the driver collecting it. Above the gate, leave the join
+    // unhinted — Spark's own size estimation + AQE then pick a shuffle
+    // strategy (the table side shuffles once; still file-granular). The
+    // key COUNT is free: it rides the same metadata job as the
+    // uniqueness check above.
+    val keyFrame = updates.select(keyCols.map(col): _*)
+    val keys =
+      if (nKeys <= broadcastKeyLimit(spark)) broadcast(keyFrame)
+      else keyFrame
     // file-granular match probe: which live files hold a matched key?
     val fs = fileSystem(spark, root)
     val rootDec = rootDecodedPath(fs, root)

@@ -204,6 +204,60 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("merge key probe is size-gated: above the limit it joins without broadcast, same result") {
+    import scala.jdk.CollectionConverters._
+    val rootA = tmpRoot(); val rootB = tmpRoot()
+    val base = (1L to 200L).map(i =>
+      (i, s"v$i", if (i % 2 == 0) "p1" else "p2")).toDF("id", "s", "part")
+    val upd = Seq((2L, "X2", "p1"), (999L, "new", "p2")).toDF("id", "s", "part")
+    TxLog.append(spark, base, rootA, Seq("part"))
+    TxLog.append(spark, base, rootB, Seq("part"))
+    // broadcast path: 2 keys, far under the default limit
+    TxLog.merge(spark, upd, rootA, Seq("id"), Seq("part"))
+
+    // capture every plan executed during the gated merge
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // gate at 0 keys -> every merge takes the no-hint path; kill Spark's
+      // own auto-broadcast so the planner's fallback (what a genuinely huge
+      // key set would get) is observable on this tiny fixture
+      spark.conf.set("spark.graft.merge.broadcastKeyLimit", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TxLog.merge(spark, upd, rootB, Seq("id"), Seq("part"))
+    } finally {
+      spark.conf.unset("spark.graft.merge.broadcastKeyLimit")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    // identical result through the shuffle probe
+    TxLog.readLatest(spark, rootB).orderBy("id").select("id", "s")
+      .collect().toSeq shouldBe
+      TxLog.readLatest(spark, rootA).orderBy("id").select("id", "s")
+        .collect().toSeq
+    // listener delivery is async: wait for the semi-join probe plan
+    val deadline = System.currentTimeMillis() + 30000
+    def semiPlans() = plans.asScala.toSeq.filter(_.contains("LeftSemi"))
+    while (semiPlans().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    val probes = semiPlans()
+    probes should not be empty
+    probes.foreach(_ should not include "BroadcastHashJoin")
+    // the planner fell back to a shuffle join (SMJ or shuffled-hash)
+    probes.exists(p =>
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
   test("merge with no matches is a pure insert; merge evolves schema") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a", "p1")).toDF("id", "s", "part"), root, Seq("part"))
