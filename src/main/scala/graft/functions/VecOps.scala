@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftnative.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.graftnative.typeCollection
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native dot product of two `array<float>` columns, accumulated
   * left-to-right in double precision.
@@ -169,10 +170,11 @@ object VecOpsUtil {
 }
 
 /** Product-quantization ADC (asymmetric distance computation) score:
-  * given a candidate's PQ `codes` (array<int>, one codebook index per
-  * subspace) and a query's flat lookup table `lut` (array<double>, laid
-  * out [subspace j][codebook entry c] at j*k + c, holding the query
-  * subvector · centroid dot products), returns
+  * given a candidate's PQ `codes` — either BYTE-PACKED `binary` (one
+  * unsigned byte per subspace, the scan format: 16 B/vector at m=16) or
+  * `array<int>` (the SQL-surface form) — and a query's flat lookup table
+  * `lut` (array<double>, laid out [subspace j][codebook entry c] at
+  * j*k + c, holding the query subvector · centroid dot products), returns
   * sum_j lut[j*k + codes[j]] ≈ query · candidate.
   *
   * This is THE point of PQ at scale: candidate scoring is m table reads
@@ -182,51 +184,80 @@ object VecOpsUtil {
   * aggregate(zip_with(codes, sequence(...), ...)) HOF chain is a
   * CodegenFallback that boxes every lookup. A code outside [0, k) scores
   * 0 for its subspace (defensive: cannot happen for codes produced by
-  * the trainer, and must never silently read another subspace's entry).
+  * the trainer, and must never silently read another subspace's entry;
+  * packed bytes read unsigned, so k up to 256 is addressable).
   */
 case class PqAdc(left: Expression, right: Expression, k: Int)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def inputTypes =
+    Seq(typeCollection(BinaryType, ArrayType(IntegerType)), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "pq_adc"
 
+  private def packed: Boolean = left.dataType == BinaryType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
-    val m = codes.numElements()
     val n = lut.numElements()
     var acc = 0.0
-    var j = 0
-    while (j < m) {
-      val c = codes.getInt(j)
-      val idx = j * k + c
-      if (c >= 0 && c < k && idx < n) acc += lut.getDouble(idx)
-      j += 1
+    if (packed) {
+      val codes = a.asInstanceOf[Array[Byte]]
+      var j = 0
+      while (j < codes.length) {
+        val c = codes(j) & 0xFF
+        val idx = j * k + c
+        if (c < k && idx < n) acc += lut.getDouble(idx)
+        j += 1
+      }
+    } else {
+      val codes = a.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      var j = 0
+      while (j < m) {
+        val c = codes.getInt(j)
+        val idx = j * k + c
+        if (c >= 0 && c < k && idx < n) acc += lut.getDouble(idx)
+        j += 1
+      }
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val m = ctx.freshName("m")
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
-      s"""
-         |int $m = $a.numElements();
-         |int $n = $b.numElements();
-         |double $acc = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $idx = $j * $k + $a.getInt($j);
-         |  if ($a.getInt($j) >= 0 && $a.getInt($j) < $k && $idx < $n)
-         |    $acc += $b.getDouble($idx);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      if (packed)
+        s"""
+           |int $n = $b.numElements();
+           |double $acc = 0.0;
+           |for (int $j = 0; $j < $a.length; $j++) {
+           |  int $c = $a[$j] & 0xFF;
+           |  int $idx = $j * $k + $c;
+           |  if ($c < $k && $idx < $n) $acc += $b.getDouble($idx);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      else {
+        val m = ctx.freshName("m")
+        s"""
+           |int $m = $a.numElements();
+           |int $n = $b.numElements();
+           |double $acc = 0.0;
+           |for (int $j = 0; $j < $m; $j++) {
+           |  int $c = $a.getInt($j);
+           |  int $idx = $j * $k + $c;
+           |  if ($c >= 0 && $c < $k && $idx < $n) $acc += $b.getDouble($idx);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -234,7 +265,10 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
-/** PQ encoder: nearest codebook entry per subspace in ONE expression.
+/** PQ encoder: nearest codebook entry per subspace in ONE expression,
+  * emitted BYTE-PACKED (`binary`, one unsigned byte per subspace — the
+  * persisted scan format: m bytes/vector, 16 B here vs 256 B for the raw
+  * 64-float vector; requires k <= 256, enforced at construction).
   * `cb` is the flattened [m][k][subDim] codebook, carried as a reference
   * object into codegen — the equivalent built from m*k per-centroid
   * VecDot columns plans a >1000-node expression tree whose Catalyst
@@ -245,11 +279,13 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
 case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  require(k <= 256, s"pq_encode packs one byte per subspace: k=$k > 256")
+
   private val subDim = cb.length / (m * k)
 
   override def inputTypes = Seq(ArrayType(FloatType))
 
-  override def dataType: DataType = ArrayType(IntegerType)
+  override def dataType: DataType = BinaryType
 
   override def prettyName: String = "pq_encode"
 
@@ -258,7 +294,7 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
     if (x.numElements() < m * subDim)
       throw new IllegalArgumentException(
         s"pq_encode: vector has ${x.numElements()} elements, codebook needs ${m * subDim}")
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       var best = 0
@@ -276,10 +312,10 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
         if (dist < bd) { bd = dist; best = c }
         c += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -294,7 +330,7 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
          |if ($x.numElements() < $m * $subDim)
          |  throw new IllegalArgumentException(
          |    "pq_encode: vector has " + $x.numElements() + " elements, codebook needs " + ($m * $subDim));
-         |int[] $codes = new int[$m];
+         |byte[] $codes = new byte[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = 0; double $bd = Double.MAX_VALUE;
          |  for (int $c = 0; $c < $k; $c++) {
@@ -306,9 +342,9 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, k: Int)
          |    }
          |    if ($dist < $bd) { $bd = $dist; $best = $c; }
          |  }
-         |  $codes[$j] = $best;
+         |  $codes[$j] = (byte) $best;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |${ev.value} = $codes;
        """.stripMargin
     })
   }

@@ -142,23 +142,29 @@ object Similarity {
     * Expects `corpus` = (cand_id, embedding, cnorm),
     * `queries` = (qid, qe, qnorm), `centroids` = (cell, ce, cenorm).
     */
+  /** Nearest centroid cells by cosine — the IVF assignment/probe step,
+    * shared by [[ivfTopK]] and [[ivfPqTopK]] (and driven directly by
+    * specs that assert candidate counts). The centroid table is broadcast
+    * (metadata-sized by construction); `norm` is the caller-provided
+    * per-row norm column so only the point-centroid dot runs per pair.
+    * The crossJoin is k-bounded: |points| x |centroids| with a tiny
+    * broadcast side — a scan-time projection, not an all-pairs blowup.
+    */
+  def ivfCells(points: DataFrame, centroidsDf: DataFrame, id: String,
+               vec: String, norm: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("cell_cos").desc, col("cell"))
+    points.crossJoin(broadcast(centroidsDf))
+      .withColumn("cell_cos",
+        dotExpr(vec, "ce") / (col(norm) * col("cenorm")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= keep)
+      .drop("ce", "cenorm", "cell_cos", "cell_rank")
+  }
+
   def ivfTopK(corpusDf: DataFrame, queriesDf: DataFrame, centroidsDf: DataFrame,
               k: Int, nProbe: Int): DataFrame = {
-    val centroids = broadcast(centroidsDf)
-    // nearest centroid cells by cosine; `norm` is the caller-provided
-    // per-row norm column so only the point-centroid dot runs per pair
-    def nearestCells(points: DataFrame, id: String, vec: String,
-                     norm: String, keep: Int) = {
-      val w = Window.partitionBy(id).orderBy(col("cell_cos").desc, col("cell"))
-      points.crossJoin(centroids)
-        .withColumn("cell_cos",
-          dotExpr(vec, "ce") / (col(norm) * col("cenorm")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("ce", "cenorm", "cell_cos", "cell_rank")
-    }
-    val assigned = nearestCells(corpusDf, "cand_id", "embedding", "cnorm", keep = 1)
-    val probes = nearestCells(queriesDf, "qid", "qe", "qnorm", keep = nProbe)
+    val assigned = ivfCells(corpusDf, centroidsDf, "cand_id", "embedding", "cnorm", keep = 1)
+    val probes = ivfCells(queriesDf, centroidsDf, "qid", "qe", "qnorm", keep = nProbe)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
     probes.join(assigned, "cell")
       .filter(col("cand_id") =!= col("qid"))
@@ -289,10 +295,11 @@ object Similarity {
     *     keep `kTop` — re-ranking restores exact ordering among the
     *     shortlist, so recall loss is only shortlist misses.
     *
-    * At 100 TB the scan carries m int codes per row (64 bytes at m=16 vs
-    * 256 for the raw 64-float vector; a byte-packed layout would shrink
-    * it to 16); the full embeddings are only touched for the shortlist (here they ride along because the fixture is small; a
-    * production layout fetches them by id after the shortlist).
+    * At 100 TB the scan carries m BYTE-PACKED codes per row (`binary`,
+    * 16 bytes at m=16 vs 256 for the raw 64-float vector — true 16x
+    * compression); the full embeddings are only touched for the shortlist
+    * (here they ride along because the fixture is small; a production
+    * layout fetches them by id after the shortlist).
     */
   def pqTopK(corpusDf: DataFrame, queriesDf: DataFrame,
              cb: Array[Array[Array[Float]]], kTop: Int,
@@ -320,6 +327,53 @@ object Similarity {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand_id"))
     val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
     cand.crossJoin(broadcast(qs))
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("adc", graft.functions.VecOps.pqAdcf(col("codes"), col("lut"), k))
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .withColumn("cosine", dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= kTop)
+      .select("qid", "cand_id", "rnk", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF×PQ — the composed 100 TB ANN path (IndexIVFPQ shape): IVF prunes
+    * WHICH candidates are scored (each query touches only its nProbe
+    * cells' vectors — candidate generation is the cell-id equi-join,
+    * never a corpus scan) and PQ compresses HOW each survivor is scored
+    * (m byte-packed codes + an ADC table lookup, never a d-element dot).
+    * Exact re-rank of the ADC shortlist restores true cosine ordering, so
+    * recall loss = cell misses + shortlist misses. Neither half alone is
+    * the scale answer: flat PQ still scans every code (linear), and plain
+    * IVF still dots full vectors per candidate; composed, the per-query
+    * cost is (|corpus| * nProbe / nCells) table reads over a 16x smaller
+    * scan. Candidate volume drops by ~nCells/nProbe vs the flat scan —
+    * NorthStarSpec asserts the count and the recall floor.
+    */
+  def ivfPqTopK(corpusDf: DataFrame, queriesDf: DataFrame,
+                centroidsDf: DataFrame, cb: Array[Array[Array[Float]]],
+                kTop: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    val flat = cb.flatten.flatten
+    // one scan-time projection each: cell assignment + byte-packed codes
+    // for the corpus, cell probes + ADC LUT for the queries
+    val assigned = ivfCells(corpusDf, centroidsDf, "cand_id", "embedding",
+      "cnorm", keep = 1)
+      .withColumn("codes",
+        graft.functions.VecOps.pqEncodef(
+          transform(col("embedding"), x => (x / col("cnorm")).cast("float")),
+          flat, m, k))
+    val probes = ivfCells(queriesDf, centroidsDf, "qid", "qe", "qnorm",
+      keep = nProbe)
+      .withColumn("lut",
+        graft.functions.VecOps.pqLutf(
+          transform(col("qe"), x => (x / col("qnorm")).cast("float")),
+          flat, m, k))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand_id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, "cell")
       .filter(col("cand_id") =!= col("qid"))
       .withColumn("adc", graft.functions.VecOps.pqAdcf(col("codes"), col("lut"), k))
       .withColumn("srnk", row_number().over(wAdc))
@@ -582,6 +636,19 @@ object Similarity {
     QDef("q81_sim_topk_pq", null) { (s, dir) =>
       pqTopK(corpus(s, dir), querySet(s, dir), pqCodebooks(s, dir),
         TopK, shortlist = 8 * TopK)
+    },
+
+    // IVF×PQ composed ANN (rows-only; NorthStarSpec bounds recall and
+    // asserts the candidate-count reduction on a clustered corpus): the
+    // actual 100 TB ANN layout — IVF cell pruning picks WHICH vectors get
+    // scored, byte-packed PQ codes + ADC decide HOW cheaply, exact
+    // re-rank restores true ordering within the shortlist. Same
+    // cells/probes as q41 and same codebooks as q81, so the three
+    // queries isolate each contribution.
+    QDef("q82_sim_topk_ivfpq", null) { (s, dir) =>
+      ivfPqTopK(corpus(s, dir), querySet(s, dir),
+        trainedCentroids(s, dir, nCells = 16), pqCodebooks(s, dir),
+        TopK, nProbe = 4, shortlist = 8 * TopK)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

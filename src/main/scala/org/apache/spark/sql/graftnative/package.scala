@@ -11,6 +11,13 @@ package object graftnative {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `private[sql]` TypeCollection, for ExpectsInputTypes declarations
+    * that accept one-of-several input types (e.g. pq_adc taking packed
+    * `binary` codes or the SQL-surface `array<int>`).
+    */
+  def typeCollection(ts: types.AbstractDataType*): types.AbstractDataType =
+    types.TypeCollection(ts: _*)
+
   /** Register a function into an ALREADY-RUNNING session's registry —
     * the runtime counterpart of `spark.sql.extensions` for sessions the
     * caller didn't build (notebooks, shells, tests).

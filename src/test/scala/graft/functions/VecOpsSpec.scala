@@ -86,6 +86,40 @@ class VecOpsSpec extends SparkSpec {
       .eval(null) shouldBe 100.0
   }
 
+  test("PqEncode packs bytes and PqAdc reads them unsigned: encode->ADC pipeline, codegen'd and interpreted") {
+    import org.apache.spark.sql.functions.{array, col, lit, typedlit, when}
+    import spark.implicits._
+    // m=2 subspaces of subDim=2, k=2 entries each: subspace j's entries are
+    // the unit axes, so the nearest-entry code is just "which axis is set"
+    val cb = Array(1f, 0f, 0f, 1f, /* subspace 0: c0=[1,0], c1=[0,1] */
+                   1f, 0f, 0f, 1f) /* subspace 1: same */
+    // non-foldable vectors from a RANGE column (same rationale as below:
+    // a local relation would constant-fold past doGenCode)
+    val df = spark.range(0, 4)
+      .withColumn("v", array(
+        when(col("id") % 2 === 0, 1f).otherwise(0f),
+        when(col("id") % 2 === 0, 0f).otherwise(1f),
+        when(col("id") < 2, 1f).otherwise(0f),
+        when(col("id") < 2, 0f).otherwise(1f)))
+      .withColumn("codes", VecOps.pqEncodef(col("v"), cb, m = 2, k = 2))
+      // query [3,4,5,6] against the axis codebook -> lut = [3,4,5,6]
+      .withColumn("lut", typedlit(Seq(3.0, 4.0, 5.0, 6.0)))
+      .withColumn("adc", VecOps.pqAdcf(col("codes"), col("lut"), k = 2))
+    df.schema("codes").dataType shouldBe org.apache.spark.sql.types.BinaryType
+    // id=0: codes(0,0) -> 3+5; id=1: (1,0) -> 4+5; id=2: (0,1) -> 3+6;
+    // id=3: (1,1) -> 4+6
+    df.orderBy("id").select("adc").as[Double].collect().toSeq shouldBe
+      Seq(8.0, 9.0, 9.0, 10.0)
+    // interpreted path: packed bytes read UNSIGNED (0x81 = 129, out of
+    // range for k=2 -> scores 0 for that subspace, never a negative index)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType}
+    PqAdc(
+      Literal.create(Array[Byte](1, 0x81.toByte), BinaryType),
+      Literal.create(Seq(3.0, 4.0, 5.0, 6.0), ArrayType(DoubleType)), 2)
+      .eval(null) shouldBe 4.0
+  }
+
   test("HyperplaneBands: zero vector and repeated calls are deterministic") {
     val zero = new GenericArrayData(Array.fill(16)(0.0f))
     val a = VecOpsUtil.hyperplaneBands(zero, 128, 8).toLongArray().toSeq

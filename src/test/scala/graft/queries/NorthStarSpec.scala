@@ -96,6 +96,65 @@ class NorthStarSpec extends SparkSpec {
     embs.unpersist()
   }
 
+  test("q82 IVF×PQ composed ANN: recall >= 0.8 on a clusterable corpus with >= 4x fewer candidates than flat") {
+    // Clustered synthetic corpus, the data shape the composed index is FOR
+    // (same construction as the trained-IVF test, more clusters so the
+    // cell pruning ratio is visible): 16 clusters x 20 points in d=32.
+    import org.apache.spark.sql.functions._
+    val d = 32
+    def noise(seed: Int, i: Int): Float = {
+      val h = (seed * 2654435761L + i * 1315423911L) & 0xFFFF
+      (h.toFloat / 0xFFFF.toFloat - 0.5f) * 0.2f
+    }
+    val rows = for {
+      cluster <- 0 until 16
+      p <- 0 until 20
+    } yield {
+      val id = (cluster * 20 + p).toLong
+      val center = Array.tabulate(d)(i => noise(cluster + 7919, i) * 10f)
+      val vec = Array.tabulate(d)(i => center(i) + noise(id.toInt + 104729, i))
+      (id, vec)
+    }
+    import spark.implicits._
+    val embs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.VecOps.dotf(col("embedding"), col("embedding")))
+          .as("nrm"))
+      .filter(col("nrm") > 0)
+      .cache()
+    val corpus = embs.select(col("vec_id").as("cand_id"), col("embedding"),
+      col("nrm").as("cnorm"))
+    val queries = embs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnorm"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneCell = embs.limit(1).select(lit(0).as("cell"),
+      col("embedding").as("ce"), col("nrm").as("cenorm"))
+    val brute = hits(Similarity.ivfTopK(corpus, queries, oneCell, 5, nProbe = 1))
+    val centroids = Similarity.trainCentroids(embs, nCells = 16)
+    val cb = Similarity.trainPqCodebooks(embs, m = 8, k = 16)
+    val ivfpq = hits(Similarity.ivfPqTopK(corpus, queries, centroids, cb,
+      kTop = 5, nProbe = 3, shortlist = 40))
+    brute.nonEmpty shouldBe true
+    // recall floor: same bar as the flat-PQ q81 bound — composing the cell
+    // pruning must not cost recall on the data shape it is built for
+    ivfpq.intersect(brute).size.toDouble / brute.size should be >= 0.8
+    // the whole point of the composition: the cell equi-join scores a
+    // FRACTION of the corpus per query (nProbe/nCells = 3/16), where the
+    // flat-PQ scan ADC-scores every (query, candidate) pair
+    val assigned = Similarity.ivfCells(corpus, centroids,
+      "cand_id", "embedding", "cnorm", keep = 1)
+    val probes = Similarity.ivfCells(queries, centroids,
+      "qid", "qe", "qnorm", keep = 3)
+    val candidates = probes.join(assigned, "cell")
+      .filter(col("cand_id") =!= col("qid")).count()
+    val flatPairs = queries.count() * (corpus.count() - 1)
+    candidates.toDouble should be <= flatPairs / 4.0
+    embs.unpersist()
+  }
+
   test("q60 int8-quantized top-k stays close to the exact q40 results") {
     def hits(name: String): Set[(Long, Long)] =
       graft.SparkEntry.queries(name)(spark, dir)

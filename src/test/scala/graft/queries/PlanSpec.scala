@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) should be <= 2
   }
 
+  test("q82 IVF×PQ candidate generation is an equi-join on cell id") {
+    val p = plan("q82_sim_topk_ivfpq")
+    // two INTENDED k-bounded broadcast cross joins (corpus x 16 centroids,
+    // queries x 16 centroids); the candidate join itself must be
+    // hash/merge — never an all-pairs scan of the codes
+    (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")) shouldBe true
+    p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) should be <= 2
+  }
+
   test("q54 as-of join costs one hash shuffle plus the final sort") {
     val p = plan("q54_asof_join")
     p should include("Window")
