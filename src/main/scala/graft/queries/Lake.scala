@@ -476,6 +476,77 @@ object Lake {
         .orderBy("nk")
     },
 
+    // SQL DML surface over the ACID table (lake/TxLogSql): the same
+    // row-level operations as q66/q78, but issued as MERGE INTO /
+    // DELETE FROM / UPDATE statements in Spark's own grammar, parsed and
+    // dispatched to the commit log — the reference's "everything through
+    // SQL" contract closed for writes (reads went through createView in
+    // q63/q80). The oracle replays the three statements declaratively
+    // over the fixture; any drift between the SQL text's meaning and the
+    // commit log's execution breaks the hash.
+    QDef(
+      "q83_sql_dml",
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |                     CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+        |d AS (SELECT * FROM base WHERE bal >= 1000),
+        |u AS (SELECT c_custkey, c_mktsegment,
+        |        CASE WHEN c_mktsegment = 'BUILDING' THEN bal + 100
+        |             ELSE bal END AS bal
+        |      FROM d),
+        |src AS (SELECT c_custkey, c_mktsegment, CAST(5000 AS DOUBLE) AS bal
+        |        FROM base WHERE c_custkey % 10 = 0
+        |        UNION ALL
+        |        SELECT 800000 + r_regionkey, 'AUTOMOBILE', CAST(1 AS DOUBLE)
+        |        FROM region),
+        |kept AS (SELECT * FROM u
+        |         WHERE c_custkey NOT IN (SELECT c_custkey FROM src)),
+        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "sqldml")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("bal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust, root, Seq("c_mktsegment"))              // v0
+      graft.lake.TxLogSql.register(s, "graft_dml", root,
+        partitionCols = Seq("c_mktsegment"))
+
+      // merge source: recomputed balances for every 10th customer plus
+      // one synthetic row per region — registered as a view so the SQL
+      // text references it by name, like any warehouse client would
+      cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("bal", lit(5000.0))
+        .unionByName(t(s, dir, "region").select(
+          (col("r_regionkey").cast("long") + 800000L).as("c_custkey"),
+          lit("AUTOMOBILE").as("c_mktsegment"),
+          lit(1.0).as("bal")))
+        .createOrReplaceTempView("graft_dml_src")
+
+      graft.lake.TxLogSql.execute(s,                                // v1
+        "DELETE FROM graft_dml WHERE bal < 1000")
+      graft.lake.TxLogSql.execute(s,                                // v2
+        "UPDATE graft_dml SET bal = bal + 100 WHERE c_mktsegment = 'BUILDING'")
+      graft.lake.TxLogSql.execute(s,                                // v3
+        """MERGE INTO graft_dml t USING graft_dml_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      // read back through the SQL surface too: the registered view tracks
+      // the post-DML snapshot
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+              |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+              |FROM graft_dml GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

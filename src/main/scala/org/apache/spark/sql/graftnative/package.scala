@@ -18,6 +18,22 @@ package object graftnative {
   def typeCollection(ts: types.AbstractDataType*): types.AbstractDataType =
     types.TypeCollection(ts: _*)
 
+  /** Parse SQL text with the session's own parser WITHOUT executing it —
+    * the entry point for DML statements (MERGE INTO / DELETE FROM /
+    * UPDATE) that Spark's grammar accepts but only DSv2 tables execute;
+    * graft.lake.TxLogSql pattern-matches the parsed plan and dispatches
+    * to the commit-log implementations instead.
+    */
+  def parsePlan(spark: SparkSession, sqlText: String): catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sqlText)
+
+  /** Analyze + wrap a logical plan as a DataFrame (the `private[sql]`
+    * Dataset.ofRows) — how TxLogSql turns a parsed MERGE source relation
+    * into the updates frame.
+    */
+  def planToDf(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function into an ALREADY-RUNNING session's registry —
     * the runtime counterpart of `spark.sql.extensions` for sessions the
     * caller didn't build (notebooks, shells, tests).

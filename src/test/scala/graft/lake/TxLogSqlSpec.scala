@@ -1,0 +1,108 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL DML over the commit log: statements in Spark's own grammar reach
+  * TxLog.delete/update/merge, commit one version each, and keep the
+  * registered read view current.
+  */
+class TxLogSqlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val root = Files.createTempDirectory("graft-txsql").toString
+    val base = Seq(
+      (1L, "a", 10.0, "p1"), (2L, "b", -5.0, "p1"),
+      (3L, "c", 7.0, "p2"), (4L, "d", 0.0, "p2"))
+      .toDF("id", "s", "bal", "part")
+    TxLog.append(spark, base, root, Seq("part"))
+    TxLogSql.register(spark, name, root, partitionCols = Seq("part"))
+    root
+  }
+
+  test("DELETE FROM removes matching rows and refreshes the read view") {
+    freshTable("dml_del")
+    val v = TxLogSql.execute(spark, "DELETE FROM dml_del WHERE bal < 0")
+    v shouldBe 1L
+    spark.sql("SELECT id FROM dml_del ORDER BY id").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 3L, 4L)
+  }
+
+  test("UPDATE applies SET expressions under an alias-qualified WHERE") {
+    freshTable("dml_upd")
+    TxLogSql.execute(spark,
+      "UPDATE dml_upd AS t SET bal = t.bal * 2, s = upper(t.s) WHERE t.part = 'p1'")
+    spark.sql("SELECT id, s, bal FROM dml_upd ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq shouldBe Seq(
+      (1L, "A", 20.0), (2L, "B", -10.0), (3L, "c", 7.0), (4L, "d", 0.0))
+  }
+
+  test("UPDATE without WHERE touches every row") {
+    freshTable("dml_updall")
+    TxLogSql.execute(spark, "UPDATE dml_updall SET bal = 1.5")
+    spark.sql("SELECT DISTINCT bal FROM dml_updall").as[Double].collect()
+      .toSeq shouldBe Seq(1.5)
+  }
+
+  test("MERGE INTO upserts from a temp-view source (replace matched, insert new)") {
+    freshTable("dml_mrg")
+    Seq((2L, "B!", 99.0, "p1"), (9L, "new", 1.0, "p2"))
+      .toDF("id", "s", "bal", "part").createOrReplaceTempView("dml_src")
+    val v = TxLogSql.execute(spark,
+      """MERGE INTO dml_mrg t USING dml_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    v shouldBe 1L
+    spark.sql("SELECT id, s, bal FROM dml_mrg ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq shouldBe Seq(
+      (1L, "a", 10.0), (2L, "B!", 99.0), (3L, "c", 7.0),
+      (4L, "d", 0.0), (9L, "new", 1.0))
+  }
+
+  test("sequential DML statements stack, one commit each") {
+    val root = freshTable("dml_seq")
+    TxLogSql.execute(spark, "DELETE FROM dml_seq WHERE id = 4")
+    TxLogSql.execute(spark, "UPDATE dml_seq SET bal = bal + 1 WHERE part = 'p2'")
+    TxLogSql.execute(spark,
+      """MERGE INTO dml_seq USING (SELECT 3 AS id, 'C' AS s,
+        |  CAST(100 AS DOUBLE) AS bal, 'p2' AS part) src ON dml_seq.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    TxLog.latestVersion(spark, root) shouldBe Some(3L)
+    spark.sql("SELECT id, bal FROM dml_seq ORDER BY id")
+      .as[(Long, Double)].collect().toSeq shouldBe Seq(
+      (1L, 10.0), (2L, -5.0), (3L, 100.0))
+  }
+
+  test("unsupported shapes fail loudly instead of mis-executing") {
+    freshTable("dml_err")
+    // partial-column merge action: the commit log merges whole rows
+    val e1 = intercept[IllegalArgumentException] {
+      TxLogSql.execute(spark,
+        """MERGE INTO dml_err t USING dml_err s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET bal = 0""".stripMargin)
+    }
+    e1.getMessage should include("UPDATE SET *")
+    // non-equi ON condition
+    val e2 = intercept[IllegalArgumentException] {
+      TxLogSql.execute(spark,
+        """MERGE INTO dml_err t USING dml_err s ON t.id < s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    e2.getMessage should include("conjunction")
+    // unregistered table
+    val e3 = intercept[IllegalArgumentException] {
+      TxLogSql.execute(spark, "DELETE FROM nobody_home WHERE 1 = 1")
+    }
+    e3.getMessage should include("not TxLogSql-registered")
+    // reads are not DML
+    val e4 = intercept[IllegalArgumentException] {
+      TxLogSql.execute(spark, "SELECT * FROM dml_err")
+    }
+    e4.getMessage should include("not a DML statement")
+  }
+}
