@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim instead of sbt's
+// "[info] "-prefixed logger: the bench driver json-parses stdout lines,
+// and a "[info] {"-prefixed line never parses (BENCH_r01..r04 were all
+// recorded with "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -96,7 +96,36 @@ object Bench {
     val p2errs = names.flatMap(n => pass2(n)._2.map(e => s"${jstr(n)}:${jstr(e)}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1,"pass2":$p2,"errors":$errs,"pass2_errors":$p2errs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1,"pass2":$p2,"errors":$errs,"pass2_errors":$p2errs,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of output and json-parses
+    // line-wise: the full record above is ~9 KB and was truncated mid-line
+    // every round (BENCH_r01..r04 all "parsed": null). Persist the full
+    // record to a file for auditing, and make the FINAL stdout line a
+    // compact record that provably fits the tail window: per-query keys
+    // shortened to their unique "qNN" prefix, seconds rounded to 1 ms.
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
+    def shortKey(n: String): String = n.indexOf('_') match {
+      case -1 => n
+      case i  => n.substring(0, i)
+    }
+    val shortNames = names.map(shortKey)
+    // fall back to full names if prefixes ever collide (q-numbers are
+    // assigned uniquely, but don't let a future rename corrupt the record)
+    val keyOf: String => String =
+      if (shortNames.distinct.size == names.size) shortKey else identity
+    def r3(d: Double): String =
+      if (d.isNaN) "null" else (math.rint(d * 1000) / 1000).toString
+    val qsShort = results
+      .map { case (k, (sec, _)) => s"${jstr(keyOf(k))}:${r3(sec)}" }
+      .mkString("{", ",", "}")
+    val errsShort = results
+      .collect { case (k, (_, Some(e))) => s"${jstr(keyOf(k))}:${jstr(e.take(80))}" }
+      .mkString("{", ",", "}")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errsShort,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
