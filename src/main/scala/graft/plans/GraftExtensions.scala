@@ -21,10 +21,15 @@ import graft.functions.{IntersectCount, MinHashBands, PqAdc, ShingleHash, SimHas
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // per-query scan budget (Athena workgroup BytesScannedCutoffPerQuery
+    // analog, serverless.yml:422) — enforced at query-stage preparation
+    // when spark.graft.scanBudget.bytes is set
+    ext.injectQueryStagePrepRule(ScanBudgetRule.apply)
+  }
 }
 
 object GraftExtensions {

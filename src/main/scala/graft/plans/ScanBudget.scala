@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Per-query scan budget — the engine-native analog of the reference's
+  * Athena workgroup cost cap (`BytesScannedCutoffPerQuery: 107374182400`,
+  * serverless.yml:422): a query whose PLANNED file-scan bytes exceed the
+  * configured budget fails before reading anything, instead of running up
+  * a 100 TB bill.
+  *
+  * The planned bytes are measured where Athena measures billed bytes —
+  * after partition pruning: each `FileSourceScanExec`'s selected-partition
+  * listing (`ScanFileListing.totalFileSize`), so a query that prunes to
+  * one partition is charged one partition, and adding a partition filter
+  * genuinely buys budget headroom. Row-group/page pruning inside the
+  * files is NOT credited (unknowable before IO) — the cap is conservative
+  * in exactly the way Athena's is.
+  *
+  * Two enforcement surfaces:
+  *   - automatic: [[ScanBudgetRule]] via
+  *     `spark.sql.extensions=graft.plans.GraftExtensions` + the session
+  *     conf `spark.graft.scanBudget.bytes` — every AQE query (Spark 4
+  *     default) is checked at query-stage preparation;
+  *   - explicit: [[ScanBudget.check]] / [[ScanBudget.plannedScanBytes]]
+  *     on any DataFrame, for non-AQE plans and for tooling that wants the
+  *     number without enforcement (cost preview, CI assertions).
+  */
+object ScanBudget {
+
+  /** Session conf: planned-scan-bytes cap per query. Unset or empty = no
+    * cap (mirrors an Athena workgroup without a cutoff).
+    */
+  val ConfKey = "spark.graft.scanBudget.bytes"
+
+  final class ScanBudgetExceededException(val plannedBytes: Long,
+                                          val budgetBytes: Long)
+      extends RuntimeException(
+        s"query plans to scan $plannedBytes bytes, over the " +
+          s"$ConfKey budget of $budgetBytes " +
+          "(add partition/file-skipping filters, or raise the budget)")
+
+  /** Post-pruning file bytes this physical plan will read: every file
+    * source scan's selected-partition listing, recursing through AQE
+    * wrappers (a leaf node hiding the real plan) and subquery plans
+    * (a scalar subquery scans real bytes too).
+    */
+  def plannedScanBytes(plan: SparkPlan): Long = {
+    val direct = plan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.totalFileSize
+      case a: AdaptiveSparkPlanExec => plannedScanBytes(a.inputPlan)
+    }.sum
+    val subqueries = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.ScalarSubquery =>
+          plannedScanBytes(e.plan.child)
+        case e: org.apache.spark.sql.execution.InSubqueryExec =>
+          plannedScanBytes(e.plan.child)
+      })
+    }.flatten.sum
+    direct + subqueries
+  }
+
+  /** Planned post-pruning scan bytes of a DataFrame (no enforcement). */
+  def plannedScanBytes(df: DataFrame): Long =
+    plannedScanBytes(df.queryExecution.executedPlan)
+
+  /** Enforce the session's configured budget (no-op when unset) against a
+    * DataFrame about to run. Returns the planned bytes.
+    */
+  def check(df: DataFrame): Long = {
+    val planned = plannedScanBytes(df)
+    confBudget(df.sparkSession).foreach { budget =>
+      if (planned > budget)
+        throw new ScanBudgetExceededException(planned, budget)
+    }
+    planned
+  }
+
+  private[plans] def confBudget(session: SparkSession): Option[Long] =
+    Option(session.conf.get(ConfKey, null)).filter(_.nonEmpty).map(_.toLong)
+}
+
+/** Query-stage-preparation rule: fails any adaptive query whose planned
+  * scan exceeds `spark.graft.scanBudget.bytes`. Stage prep re-runs on AQE
+  * re-optimization; that is safe — completed stages are replaced by
+  * stage leaves, so the remaining planned bytes only shrink.
+  */
+case class ScanBudgetRule(session: SparkSession) extends Rule[SparkPlan] {
+  override def apply(plan: SparkPlan): SparkPlan = {
+    ScanBudget.confBudget(session).foreach { budget =>
+      val planned = ScanBudget.plannedScanBytes(plan)
+      if (planned > budget)
+        throw new ScanBudget.ScanBudgetExceededException(planned, budget)
+    }
+    plan
+  }
+}
