@@ -815,6 +815,154 @@ object TxLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  // -------------------------------------------------------------------
+  // Bloom-filter file index — point-lookup skipping
+  // -------------------------------------------------------------------
+  //
+  // Min/max stats ([[readRange]]) prune nothing for a hash-distributed key
+  // (UUIDs, order numbers written unsorted): every file's range spans the
+  // whole key space. A per-file bloom filter answers the point-lookup
+  // question those stats can't — "can this file contain THIS key?" — with
+  // no false negatives, so skipping is always safe. This is the same tier
+  // Delta's bloom index and Spark's own runtime row-group filters occupy,
+  // and it reuses Spark's machinery end-to-end: the filters are built by
+  // `BloomFilterAggregate` (the exact aggregate InjectRuntimeFilter plants
+  // on join build sides) over `xxhash64(column)`, and probed with the
+  // public `org.apache.spark.util.sketch.BloomFilter`, so build and probe
+  // share one hash implementation by construction.
+  //
+  // The index is DERIVED state, like checkpoints: a sidecar parquet under
+  // `_txlog/bloom_<column>/` mapping root-relative file -> serialized
+  // filter, built distributed (one combine-style aggregation, bitset-sized
+  // buffers) in one pass over the live files. Files added, rewritten, or
+  // resurrected after the build simply have no row and are conservatively
+  // scanned; rebuilding refreshes them. Dropping the directory drops the
+  // index. At 100 TB the index is ~numBits/8 bytes per file (default
+  // ~180 KB for 1M keys/file at 1% fpp) — metadata-sized next to the data,
+  // and the build shuffles only (file, bitset) pairs, never rows.
+
+  private def bloomDir(root: String, column: String): Path =
+    new Path(s"$root/$LogDirName/bloom_$column")
+
+  /** numBits for `n` expected distinct keys at false-positive rate `fpp`
+    * (standard bloom sizing, rounded up to a whole word).
+    */
+  private def bloomNumBits(n: Long, fpp: Double): Long = {
+    val bits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    ((bits + 63) / 64) * 64
+  }
+
+  /** Build (or rebuild) the bloom file index for `column` over the CURRENT
+    * live snapshot. `expectedKeysPerFile` sizes each filter (overcounting
+    * only wastes bytes; undercounting raises the false-positive rate, cost
+    * = extra scanned files, never wrong rows). Returns indexed file count.
+    */
+  def buildBloomIndex(spark: SparkSession, root: String, column: String,
+                      expectedKeysPerFile: Long = 1000000L,
+                      fpp: Double = 0.01): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val snap = resolve(spark, root, None)
+    require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(column),
+      s"no column $column in $root")
+    if (snap.live.isEmpty) return 0L
+    val numBits = bloomNumBits(expectedKeysPerFile, fpp)
+    val agg = new BloomFilterAggregate(
+      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
+      Literal(expectedKeysPerFile), Literal(numBits))
+    val rows = snapshot(spark, root, snap)
+      .groupBy(input_file_name().as("__f"))
+      .agg(org.apache.spark.sql.graftnative.toColumn(
+        agg.toAggregateExpression()).as("bloom"))
+    val rootDec = rootDecodedPath(fileSystem(spark, root), root)
+    val liveSet = snap.live.toSet
+    import spark.implicits._
+    // metadata-sized collect: one (path, bitset) pair per file
+    val indexed = rows.collect().flatMap { r =>
+      Option(r.getAs[Array[Byte]]("bloom")).flatMap { bloom =>
+        relFromInputFile(r.getString(0), rootDec)
+          .filter(liveSet.contains).map(_ -> bloom)
+      }
+    }
+    val out = indexed.toSeq.toDF("file", "bloom")
+    out.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(bloomDir(root, column).toString)
+    indexed.length.toLong
+  }
+
+  /** The files of `snap` that might contain ANY of the probe hashes,
+    * per the column's bloom index; files without an index row (no index
+    * built, or written after the build) are conservatively kept.
+    */
+  private def bloomKeepFiles(spark: SparkSession, root: String,
+                             column: String, probeHashes: Seq[Long],
+                             snap: Snapshot): Seq[String] = {
+    val dir = bloomDir(root, column)
+    if (!fileSystem(spark, root).exists(dir)) return snap.live
+    import org.apache.spark.util.sketch.BloomFilter
+    val idx = spark.read.parquet(dir.toString).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    snap.live.filter { f =>
+      idx.get(f) match {
+        case None => true
+        case Some(bytes) =>
+          val bloom = BloomFilter.readFrom(bytes)
+          probeHashes.exists(bloom.mightContainLong)
+      }
+    }
+  }
+
+  /** `xxhash64` of each probe value AS THE COLUMN'S TYPE — computed by a
+    * one-row-per-value Spark job so the probe hash is bit-identical to
+    * what [[buildBloomIndex]] aggregated (values round-trip through a
+    * string cast; atomic column types only, which is what a point lookup
+    * key is).
+    */
+  private def probeHashes(spark: SparkSession, column: String,
+                          dt: org.apache.spark.sql.types.DataType,
+                          values: Seq[Any]): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import spark.implicits._
+    values.map(String.valueOf).toDF("__v")
+      .select(xxhash64(col("__v").cast(dt)))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Point lookup with bloom-filter file skipping: scan only the files
+    * whose bloom filter admits at least one of `values` (plus unindexed
+    * files), then apply the exact IN-filter. Without an index this is
+    * exactly `readLatest.filter(isin)`. No false negatives: bloom "no" is
+    * definitive, so skipping never drops a matching row.
+    */
+  def readEquals(spark: SparkSession, root: String, column: String,
+                 values: Seq[Any],
+                 version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readEquals needs at least one probe value")
+    val snap = resolve(spark, root, version)
+    val dt = StructType.fromDDL(snap.schemaDdl)
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+      .dataType
+    val kept =
+      bloomKeepFiles(spark, root, column, probeHashes(spark, column, dt, values), snap)
+    snapshot(spark, root, snap.copy(live = kept))
+      .filter(col(column).isin(values: _*))
+  }
+
+  /** Count of files a [[readEquals]] for `values` would scan — exposed so
+    * tests and tooling can assert the skipping actually happens.
+    */
+  def bloomScanFileCount(spark: SparkSession, root: String, column: String,
+                         values: Seq[Any],
+                         version: Option[Long] = None): Int = {
+    val snap = resolve(spark, root, version)
+    val dt = StructType.fromDDL(snap.schemaDdl)(column).dataType
+    bloomKeepFiles(spark, root, column,
+      probeHashes(spark, column, dt, values), snap).size
+  }
+
   /** Change feed: every row ADDED or REMOVED by each commit in
     * (`fromVersion`, `toVersion`], tagged `_change_type`
     * ('insert' | 'delete') and `_commit_version`. A file rewrite (merge,

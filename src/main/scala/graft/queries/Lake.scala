@@ -547,6 +547,44 @@ object Lake {
               |ORDER BY c_mktsegment""".stripMargin)
     },
 
+    // Bloom-filter file skipping (TxLog.buildBloomIndex/readEquals): the
+    // table is committed in four HASH-distributed slices (o_orderkey % 4),
+    // so every file's [min, max] spans the whole key space and range
+    // stats prune NOTHING — the point-lookup tier has to come from the
+    // per-file bloom index. Probe keys are the fixture's own min/max
+    // orderkey (deterministic at every SF); the oracle reproduces the
+    // lookup as a plain IN-filter, so a bloom false NEGATIVE (a wrongly
+    // skipped file) breaks the hash. The skipping itself is asserted in
+    // TxLogBloomSpec; here the driver checks end-to-end result fidelity.
+    QDef(
+      "q84_bloom_point",
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT MIN(o_orderkey) FROM orders
+        |                     UNION SELECT MAX(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "txbloom")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i).repartition(1),
+          root)
+      }
+      TxLog.buildBloomIndex(s, root, "o_orderkey",
+        expectedKeysPerFile = 1000000L, fpp = 0.01)
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      TxLog.readEquals(s, root, "o_orderkey",
+        Seq(bounds.getLong(0), bounds.getLong(1)))
+        .orderBy("o_orderkey")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

@@ -1,0 +1,113 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bloom-filter file index: point-lookup skipping on hash-distributed
+  * keys, where min/max stats prune nothing.
+  */
+class TxLogBloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Four commits of DISJOINT uuid-ish string keys — every file spans the
+    * whole lexicographic range (shared prefixes), so range stats cannot
+    * prune, but blooms separate them perfectly.
+    */
+  private def freshTable(): (String, Seq[String]) = {
+    val root = Files.createTempDirectory("txbloom").toString + "/t"
+    val keys = (0 until 4).map { c =>
+      (0 until 200).map(i => f"k${(i * 7 + c) % 1000}%03d-c$c")
+    }
+    keys.zipWithIndex.foreach { case (ks, c) =>
+      TxLog.append(spark,
+        ks.toDF("k").withColumn("commit", lit(c)).repartition(1),
+        root)
+    }
+    (root, keys.map(_.head))
+  }
+
+  test("readEquals matches plain filter and skips non-matching files") {
+    val (root, firstKeys) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k",
+      expectedKeysPerFile = 1000, fpp = 0.01) shouldBe 4L
+
+    val probe = firstKeys(2) // lives only in commit 2's file
+    val viaBloom = TxLog.readEquals(spark, root, "k", Seq(probe))
+      .select("k", "commit").collect().map(r => (r.getString(0), r.getInt(1)))
+    viaBloom should contain theSameElementsAs Seq((probe, 2))
+
+    // the skipping is real: of 4 live files, ~1 survives the bloom probe
+    // (allow 2 for false positives at 1% fpp)
+    val scanned = TxLog.bloomScanFileCount(spark, root, "k", Seq(probe))
+    scanned should be <= 2
+    scanned should be >= 1
+  }
+
+  test("multi-value probe keeps the union of candidate files") {
+    val (root, firstKeys) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    val probes = Seq(firstKeys(0), firstKeys(3))
+    val rows = TxLog.readEquals(spark, root, "k", probes)
+      .select("commit").as[Int].collect().sorted
+    rows shouldBe Array(0, 3)
+    TxLog.bloomScanFileCount(spark, root, "k", probes) should be <= 3
+  }
+
+  test("absent key scans nothing and returns empty") {
+    val (root, _) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    TxLog.bloomScanFileCount(spark, root, "k", Seq("no-such-key")) shouldBe 0
+    TxLog.readEquals(spark, root, "k", Seq("no-such-key")).count() shouldBe 0L
+  }
+
+  test("files written after the build are conservatively scanned") {
+    val (root, _) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    TxLog.append(spark,
+      Seq(("fresh-key", 9)).toDF("k", "commit").repartition(1), root)
+    // no index row for the new file -> it is kept, so the lookup FINDS the
+    // key even though the index predates it
+    val rows = TxLog.readEquals(spark, root, "k", Seq("fresh-key"))
+      .select("commit").as[Int].collect()
+    rows shouldBe Array(9)
+    // and the candidate set is (new file) + bloom-admitted old files = 1
+    TxLog.bloomScanFileCount(spark, root, "k", Seq("fresh-key")) shouldBe 1
+  }
+
+  test("without an index readEquals degrades to a full-scan filter") {
+    val (root, firstKeys) = freshTable()
+    TxLog.bloomScanFileCount(spark, root, "k", Seq(firstKeys(1))) shouldBe 4
+    TxLog.readEquals(spark, root, "k", Seq(firstKeys(1)))
+      .count() shouldBe 1L
+  }
+
+  test("numeric column probes hash consistently with the build") {
+    val root = Files.createTempDirectory("txbloomnum").toString + "/t"
+    (0 until 3).foreach { c =>
+      TxLog.append(spark,
+        (0 until 100).map(i => (i * 3 + c).toLong)
+          .toDF("id").withColumn("commit", lit(c)).repartition(1),
+        root)
+    }
+    TxLog.buildBloomIndex(spark, root, "id", expectedKeysPerFile = 500)
+    // 152 = 3*50+2 lives in commit 2 only
+    val rows = TxLog.readEquals(spark, root, "id", Seq(152L))
+      .select("commit").as[Int].collect()
+    rows shouldBe Array(2)
+    TxLog.bloomScanFileCount(spark, root, "id", Seq(152L)) should be <= 2
+  }
+
+  test("bloom index survives version time travel reads") {
+    val (root, firstKeys) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    // at version 1 only commits 0..1 are live; a key from commit 3 is gone
+    TxLog.readEquals(spark, root, "k", Seq(firstKeys(3)), version = Some(1L))
+      .count() shouldBe 0L
+    TxLog.readEquals(spark, root, "k", Seq(firstKeys(0)), version = Some(1L))
+      .count() shouldBe 1L
+  }
+}
