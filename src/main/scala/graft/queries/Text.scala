@@ -770,6 +770,90 @@ object Text {
         .filter(col("doc_id") % 1000 < col("thresh"))
         .select("doc_id", "grp", "source")
         .orderBy("doc_id")
+    },
+
+    // Substring-level exact dedup (the ExactSubstr signal of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better"):
+    // doc-level dedup misses the document that is 40% boilerplate — the
+    // unit of duplication is the SPAN. Every 8-token window is a
+    // candidate span; a window whose text occurs in >= 2 distinct docs is
+    // duplicated, and a doc's dup_tokens is the size of the UNION of its
+    // duplicated windows (overlaps merged via the classic
+    // running-max-end island pass, a doc-partitioned window — no
+    // per-corpus sort). Grouping is by window TEXT here so the oracle is
+    // exact; the 100 TB variant groups by ShingleHash64 of the window
+    // (same plan shape, 8 bytes per key instead of the span text) and
+    // accepts the ~2^-64 collision rate. Corpus-side cost: one shuffle by
+    // window key (partial-agg combines repeats map-side), one by doc_id.
+    QDef(
+      "q85_substring_dup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |              FROM documents),
+        |ntok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+        |pos AS (SELECT doc_id, ts,
+        |          UNNEST(range(1, greatest(len(ts) - 7, 0) + 1)) AS i
+        |        FROM toks),
+        |sh AS (SELECT doc_id, i AS pos,
+        |         array_to_string(ts[i:i+7], ' ') AS sh FROM pos),
+        |dup AS (SELECT sh FROM sh GROUP BY sh
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS en
+        |       FROM sh s JOIN dup USING (sh)),
+        |w AS (SELECT doc_id, st, en,
+        |        MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |g AS (SELECT doc_id, st, en,
+        |        SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM w),
+        |isl AS (SELECT doc_id, grp, MAX(en) - MIN(st) + 1 AS cov
+        |        FROM g GROUP BY doc_id, grp),
+        |d AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens
+        |      FROM isl GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(d.dup_tokens, 0) AS dup_tokens,
+        |  CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / n.n_tokens AS dup_ratio
+        |FROM ntok n LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+      val ntok = tk.select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      // windows as an array transform — per-row generation, no join, no
+      // shuffle; sequence() is guarded (Spark's sequence(1, 0) counts
+      // DOWN, so short docs must produce an empty array explicitly)
+      val sh = tk.filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ts) - 7), i -> concat_ws(' ', slice(ts, i, 8)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+      val dup = sh.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("sh")
+      val iv = sh.join(dup, "sh")
+        .select(col("doc_id"), col("pos").as("st"), (col("pos") + 7).as("en"))
+      val byStart = Window.partitionBy("doc_id").orderBy("st", "en")
+      // two projections: a window function cannot nest inside another
+      // window function's argument, so pmax materializes first (both run
+      // over the SAME doc_id partitioning — one shuffle, one sort)
+      val withPmax = iv.withColumn("pmax", max(col("en")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      val grp = sum(when(col("pmax").isNull || col("st") > col("pmax"), 1)
+        .otherwise(0))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val islands = withPmax.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg((max(col("en")) - min(col("st")) + 1).as("cov"))
+      val dups = islands.groupBy("doc_id")
+        .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+      ntok.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("dup_ratio"))
+        .orderBy("doc_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

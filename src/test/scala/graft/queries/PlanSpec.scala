@@ -144,4 +144,18 @@ class PlanSpec extends SparkSpec {
     // _chunk, not by event time, so this regex matches only the bad shape)
     p should not include regex (raw"windowspecdefinition\(user_id#\d+L, t#\d+L ASC")
   }
+
+  test("q85 substring dedup: equi-joins only, islands windowed per doc") {
+    val p = plan("q85_substring_dup")
+    // window-text match and the doc join are both hash equi-joins
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // duplicated-window detection partial-aggregates map-side before the
+    // shuffle by window key
+    p should include("partial_count(distinct")
+    // the island merge windows are partitioned by doc_id — never a
+    // corpus-wide unpartitioned sort
+    p should not include "windowspecdefinition(st"
+    p should include regex raw"windowspecdefinition\(doc_id#\d+"
+  }
 }
