@@ -242,9 +242,14 @@ object TxLog {
     // files that DO match. Cast-first gives numeric bounds for numeric
     // values and all-null (= no stats recorded = conservatively kept)
     // for genuinely non-numeric columns.
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    // THROWS on a non-numeric string instead of yielding null, turning
+    // "no stats recorded for this column" into a failed write
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
+      min(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
+        .as(s"__mn_$c"),
+      max(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
+        .as(s"__mx_$c")))
     val rows = spark.read.option("basePath", root)
       .parquet(rels.map(r => s"$root/$r"): _*)
       .groupBy(input_file_name().as("__f"))
@@ -546,11 +551,16 @@ object TxLog {
     // uniqueness contract) and the first key column's value range (for
     // stats pruning below)
     val keyHead = keyCols.head
+    // try_cast: a non-numeric (e.g. uuid string) key must yield null
+    // bounds = "range pruning off", not an ANSI cast error killing the
+    // merge (bloom pruning below is the tier that handles such keys)
     val kstat = updates.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .agg(max(col("_n")).as("_maxn"),
-        min(col(keyHead).cast("double")).as("_klo"),
-        max(col(keyHead).cast("double")).as("_khi"),
+        min(org.apache.spark.sql.functions
+          .expr(s"try_cast(`$keyHead` AS DOUBLE)")).as("_klo"),
+        max(org.apache.spark.sql.functions
+          .expr(s"try_cast(`$keyHead` AS DOUBLE)")).as("_khi"),
         count(lit(1)).as("_nkeys")).head()
     require(kstat.isNullAt(0) || kstat.getLong(0) <= 1,
       "updates must be unique per key")
@@ -576,7 +586,29 @@ object TxLog {
           }
         }
       }
-    val snap = snapshot(spark, root, current.copy(live = probeLive))
+    // BLOOM-PRUNED probe, the tier below the range pruning above: on a
+    // hash-distributed key the [min, max] test keeps everything, but a
+    // bloom index (buildBloomIndex on keyCols.head) still answers "can
+    // this file hold any updated key?" per file. Applied only when the
+    // update key set is under the broadcast gate (its distinct hashes are
+    // then a driver-safe collect — same budget as the key broadcast
+    // below) and the updates' key type matches the table's (xxhash64 is
+    // type-sensitive; a mismatch would probe the wrong hash space and
+    // wrongly skip files). False positives cost a scanned file; false
+    // negatives cannot happen.
+    val tableKeyType = StructType.fromDDL(current.schemaDdl)
+      .find(_.name == keyHead).map(_.dataType)
+    val bloomProbeLive =
+      if (nKeys > 0 && nKeys <= broadcastKeyLimit(spark) &&
+          tableKeyType.contains(updates.schema(keyHead).dataType) &&
+          fileSystem(spark, root).exists(bloomDir(root, keyHead))) {
+        val hashes = updates
+          .select(org.apache.spark.sql.functions.xxhash64(col(keyHead)))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        bloomKeepFiles(spark, root, keyHead, hashes,
+          current.copy(live = probeLive))
+      } else probeLive
+    val snap = snapshot(spark, root, current.copy(live = bloomProbeLive))
     // SIZE-GATED key probe: broadcasting the update keys is the right
     // plan for CDC-sized deltas (no shuffle of the table side), but a
     // backfill-sized merge would ship the whole key set to every executor
@@ -1219,9 +1251,12 @@ object TxLog {
     val snap0 = resolve(spark, root, None)
     val current = snapshot(spark, root, snap0)
     val parts = partitionColsOf(spark, root, snap0)
+    // try_cast: a non-numeric column degrades to the documented
+    // degenerate case (null bounds -> bucket 0, no locality contribution)
+    // instead of an ANSI cast error mid-rewrite
     val aggs = columns.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c")))
+      Seq(min(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"lo_$c"),
+        max(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"hi_$c")))
     val row = current.agg(aggs.head, aggs.tail: _*).head()
     val nb = 1L << bitsPerCol
     val buckets = columns.map { c =>
@@ -1231,7 +1266,8 @@ object TxLog {
       else {
         val (l, h) = (row.getDouble(iLo), row.getDouble(iHi))
         least(lit(nb - 1), greatest(lit(0L),
-          floor((col(c).cast("double") - l) / ((h - l) / nb)).cast("long")))
+          floor((expr(s"try_cast(`$c` AS DOUBLE)") - l) / ((h - l) / nb))
+            .cast("long")))
       }
     }
     var z = lit(0L)

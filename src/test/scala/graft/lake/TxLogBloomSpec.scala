@@ -101,6 +101,44 @@ class TxLogBloomSpec extends SparkSpec {
     TxLog.bloomScanFileCount(spark, root, "id", Seq(152L)) should be <= 2
   }
 
+  test("merge through a bloom-indexed key stays exact") {
+    val (root, firstKeys) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    val before = TxLog.readLatest(spark, root).count()
+    // update one existing key (commit 1's first key), insert one new key —
+    // the probe goes through the bloom-pruned path (string key, small set)
+    val updates = Seq((firstKeys(1), 100), ("brand-new", 101))
+      .toDF("k", "commit")
+    TxLog.merge(spark, updates, root, Seq("k"), Seq.empty)
+    val after = TxLog.readLatest(spark, root)
+    after.count() shouldBe before + 1
+    after.filter(col("k") === firstKeys(1)).select("commit").as[Int]
+      .collect() shouldBe Array(100)
+    after.filter(col("k") === "brand-new").select("commit").as[Int]
+      .collect() shouldBe Array(101)
+    // untouched keys keep their rows
+    after.filter(col("k") === firstKeys(3)).count() shouldBe 1L
+  }
+
+  test("merge ignores the bloom index when the key type differs") {
+    val root = java.nio.file.Files.createTempDirectory("txbloomtyp")
+      .toString + "/t"
+    (0 until 2).foreach { c =>
+      TxLog.append(spark,
+        (0 until 50).map(i => (i * 2 + c).toLong)
+          .toDF("id").withColumn("v", lit(c)).repartition(1), root)
+    }
+    TxLog.buildBloomIndex(spark, root, "id", expectedKeysPerFile = 100)
+    // INT updates against the BIGINT-built index: xxhash64 spaces differ,
+    // so the guard must fall back to the unpruned probe — and the merge
+    // must still land the update (after Spark's own int->long coercion in
+    // the join) instead of wrongly skipping every file
+    val updates = Seq((4, 99)).toDF("id", "v")
+    TxLog.merge(spark, updates, root, Seq("id"), Seq.empty)
+    TxLog.readLatest(spark, root).filter(col("id") === 4L)
+      .select("v").as[Int].collect() shouldBe Array(99)
+  }
+
   test("bloom index survives version time travel reads") {
     val (root, firstKeys) = freshTable()
     TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
