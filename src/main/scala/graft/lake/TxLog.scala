@@ -1415,6 +1415,24 @@ object TxLog {
     * readable; time travel older than that is forfeited — the standard
     * trade). Returns the deleted root-relative paths.
     */
+  /** Latest snapshot's live files with their on-disk sizes — one
+    * listStatus per partition directory (the same RPC discipline as the
+    * [[compact]] probe: never one namespace call per file). The metadata
+    * input for maintenance policy (OPTIMIZE's target file count,
+    * small-file ratio monitoring) without opening any data file.
+    */
+  def liveSizes(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val fs = fileSystem(spark, root)
+    val current = resolve(spark, root, None)
+    val liveSet = current.live.toSet
+    current.live.map(relDir).distinct.flatMap { dir =>
+      fs.listStatus(new Path(if (dir.isEmpty) root else s"$root/$dir"))
+        .toSeq.filter(_.isFile)
+        .map(st => s"$dir${st.getPath.getName}" -> st.getLen)
+        .filter { case (rel, _) => liveSet.contains(rel) }
+    }
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val fs = fileSystem(spark, root)

@@ -585,6 +585,50 @@ object Lake {
         .orderBy("o_orderkey")
     },
 
+    // Maintenance SQL surface (lake/TxLogSql.run): the table lifecycle a
+    // SQL-only client drives — a bad DELETE undone by RESTORE ... TO
+    // VERSION AS OF, the intended DELETE reissued, OPTIMIZE bin-packing
+    // the fragmented appends, and VACUUM physically reclaiming the
+    // layouts outside the retention window. The oracle pins the three
+    // invariants at once: RESTORE must be an exact logical undo, OPTIMIZE
+    // must never change a result, and VACUUM must never touch a live
+    // file (a wrongly deleted file fails the read outright). At 100 TB
+    // this is the nightly maintenance loop of every streaming-fed table.
+    QDef(
+      "q86_sql_maintenance",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "sqlmaint")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("bal"))
+      // four fragmented appends (the shape a micro-batch feed leaves)
+      (0L until 4L).foreach { i =>
+        TxLog.append(s, cust.filter(col("c_custkey") % 4 === i)
+          .repartition(1), root)                                  // v0..v3
+      }
+      graft.lake.TxLogSql.register(s, "graft_maint", root)
+
+      import graft.lake.TxLogSql.run
+      run(s, "DELETE FROM graft_maint WHERE bal >= 0")            // v4: oops
+      run(s, "RESTORE TABLE graft_maint TO VERSION AS OF 3")      // v5: undo
+      run(s, "DELETE FROM graft_maint WHERE bal < 0")             // v6: intended
+      run(s, "OPTIMIZE graft_maint")                              // v7: pack
+      run(s, "VACUUM graft_maint RETAIN 2 VERSIONS")              // reclaim
+
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+              |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+              |FROM graft_maint GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

@@ -362,6 +362,56 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Distribution window functions (SURVEY §2B window row): NTILE /
+    // PERCENT_RANK / CUME_DIST. The window orders by (bal, custkey) — a
+    // UNIQUE key — because NTILE splits ties by ROW POSITION: under a
+    // non-unique ordering two runs may hand tied rows different tiles.
+    // The rank formulas are exact IEEE divisions of integer counts, so
+    // the doubles hash identically across engines.
+    QDef(
+      "q87_window_distribution",
+      """SELECT c_mktsegment, c_custkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          // DuckDB's NTILE is BIGINT, Spark's INT — cast to match
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // Generator / LATERAL VIEW surface: posexplode tokens with their
+    // ordinal. Spark plans a Generate node — rows expand IN PLACE with no
+    // shuffle (the scale property: exploding 100 TB of documents is
+    // map-side; only the later agg/sort pays). DuckDB has no WITH
+    // ORDINALITY on unnest, so the oracle zips via a LATERAL range over
+    // the list length.
+    QDef(
+      "q88_posexplode",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS pos, parts[i+1] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |      FROM documents WHERE doc_id < 40),
+        |     LATERAL (SELECT unnest(range(len(parts))) AS i)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          split(col("text"), " ").as("parts"))
+        .select(col("doc_id"), posexplode(col("parts")).as(Seq("pos", "tok")))
+        // DuckDB's range elements are BIGINT, Spark's pos is INT
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    },
+
     // Per-group top-k (SURVEY §2B sort/limit/top-k).
     QDef(
       "q16_topk_per_group",

@@ -105,4 +105,89 @@ class TxLogSqlSpec extends SparkSpec {
     }
     e4.getMessage should include("not a DML statement")
   }
+
+  // ---------------------------------------------------------------------
+  // Maintenance statements (TxLogSql.run)
+  // ---------------------------------------------------------------------
+
+  /** A fragmented table: four single-file appends of one row each. */
+  private def fragmentedTable(name: String): String = {
+    val root = Files.createTempDirectory("graft-txsql").toString
+    (1L to 4L).foreach { i =>
+      TxLog.append(spark,
+        Seq((i, s"r$i", i * 1.0)).toDF("id", "s", "bal").coalesce(1), root)
+    }
+    TxLogSql.register(spark, name, root)
+    root
+  }
+
+  test("DESCRIBE HISTORY returns the commit log as a DataFrame") {
+    fragmentedTable("mnt_hist")
+    TxLogSql.execute(spark, "DELETE FROM mnt_hist WHERE id = 4")
+    val h = TxLogSql.run(spark, "DESCRIBE HISTORY mnt_hist")
+      .select("version", "operation", "num_added_files", "num_removed_files")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    h.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    h.map(_._2) shouldBe Seq("append", "append", "append", "append", "delete")
+    h.last._4 shouldBe 1 // the delete removed one single-row file
+  }
+
+  test("OPTIMIZE bin-packs small files without changing the result") {
+    val root = fragmentedTable("mnt_opt")
+    val before = TxLog.liveSizes(spark, root).size
+    val res = TxLogSql.run(spark, "OPTIMIZE mnt_opt")
+      .select("version", "operation").as[(Long, String)].head()
+    res shouldBe ((4L, "optimize"))
+    TxLog.liveSizes(spark, root).size should be < before
+    spark.sql("SELECT id FROM mnt_opt ORDER BY id").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+  }
+
+  test("OPTIMIZE ZORDER BY rewrites through clusterZ and keeps rows") {
+    val root = fragmentedTable("mnt_z")
+    TxLogSql.run(spark, "OPTIMIZE mnt_z ZORDER BY (id, bal)")
+    spark.sql("SELECT id FROM mnt_z ORDER BY id").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    // the Z-order rewrite carries stats for its columns, so a range read
+    // on either column still prunes
+    TxLog.readRange(spark, root, "id", 1, 2).count() shouldBe 2L
+  }
+
+  test("RESTORE TO VERSION AS OF undoes a bad delete as a new commit") {
+    val root = fragmentedTable("mnt_rst")
+    TxLogSql.execute(spark, "DELETE FROM mnt_rst WHERE bal >= 0") // oops: all
+    spark.sql("SELECT COUNT(*) FROM mnt_rst").as[Long].head() shouldBe 0L
+    val res = TxLogSql.run(spark,
+      "RESTORE TABLE mnt_rst TO VERSION AS OF 3")
+      .select("version", "operation").as[(Long, String)].head()
+    res shouldBe ((5L, "restore"))
+    spark.sql("SELECT id FROM mnt_rst ORDER BY id").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    TxLog.latestVersion(spark, root) shouldBe Some(5L) // undo = new commit
+  }
+
+  test("VACUUM RETAIN n VERSIONS deletes only files dead to the window") {
+    val root = fragmentedTable("mnt_vac")
+    TxLogSql.run(spark, "OPTIMIZE mnt_vac") // v4: 4 fragments -> 1 packed
+    val deleted = TxLogSql.run(spark, "VACUUM mnt_vac RETAIN 1 VERSIONS")
+      .as[String].collect().toSeq
+    deleted should have size 4 // the packed-away fragments
+    // latest snapshot unharmed; pre-compaction time travel is forfeited
+    spark.sql("SELECT COUNT(*) FROM mnt_vac").as[Long].head() shouldBe 4L
+    intercept[Exception] { TxLog.readAt(spark, root, 2L).collect() }
+  }
+
+  test("maintenance statements on an unregistered table fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "OPTIMIZE nobody_home")
+    }
+    e.getMessage should include("not TxLogSql-registered")
+  }
+
+  test("run() falls through to DML and reports the committed version") {
+    fragmentedTable("mnt_dml")
+    val res = TxLogSql.run(spark, "DELETE FROM mnt_dml WHERE id = 1")
+      .select("version", "operation").as[(Long, String)].head()
+    res shouldBe ((4L, "dml"))
+  }
 }
