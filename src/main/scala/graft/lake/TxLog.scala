@@ -812,6 +812,37 @@ object TxLog {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     snapshot(spark, root, resolve(spark, root, None))
 
+  /** The version a point-in-time read resolves to: the HIGHEST version
+    * whose commit timestamp is <= `tsMs` (the Delta `TIMESTAMP AS OF`
+    * contract). The commit sequence is authoritative where wall clocks
+    * disagree — a later version with a skewed-earlier timestamp is still
+    * shadowed by any higher matching version. Fails when `tsMs` predates
+    * the earliest AVAILABLE commit (on a checkpoint-truncated log that is
+    * the truncation horizon, not necessarily version 0 — further history
+    * is gone, so resolving into it would silently return a wrong
+    * snapshot).
+    */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMs: Long): Long = {
+    val commits = history(spark, root)
+    if (commits.isEmpty)
+      throw new IllegalArgumentException(s"no commits at $root")
+    val at = commits.filter(_.timestampMs <= tsMs)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs predates the earliest available commit " +
+          s"(version ${commits.head.version} at ${commits.head.timestampMs}) " +
+          s"in $root")
+    at.last.version
+  }
+
+  /** Point-in-time time travel: the snapshot as of wall-clock `tsMs`
+    * ([[versionAtTimestamp]] then [[readAt]]).
+    */
+  def readAtTimestamp(spark: SparkSession, root: String,
+                      tsMs: Long): DataFrame =
+    readAt(spark, root, versionAtTimestamp(spark, root, tsMs))
+
   /** Register a snapshot as a session temp view, so the full `spark.sql`
     * surface (and every tool speaking SQL) runs over the ACID table — the
     * engine-native analog of the reference querying Athena views over its

@@ -130,6 +130,8 @@ object TxLogSql {
     """(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** Default `VACUUM` retention when no `RETAIN n VERSIONS` is given:
     * generous on purpose (Delta's default is likewise conservative) — a
@@ -155,6 +157,9 @@ object TxLogSql {
     *   - `RESTORE [TABLE] t TO VERSION AS OF n` — logical undo
     *     ([[TxLog.rollback]]): a NEW commit restoring version n's state,
     *     every intermediate version still readable
+    *   - `RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'` — the same undo
+    *     resolved by wall clock ([[TxLog.versionAtTimestamp]]: highest
+    *     version committed at or before the instant)
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -202,6 +207,14 @@ object TxLogSql {
         refresh(spark, name, reg)
         Seq((v, "restore")).toDF("version", "operation")
 
+      case RestoreTsRe(ident, ts) =>
+        val (name, reg) = lookup(spark, ident, sqlText)
+        val target = TxLog.versionAtTimestamp(spark, reg.root,
+          parseTimestampMs(ts, sqlText))
+        val v = TxLog.rollback(spark, reg.root, target)
+        refresh(spark, name, reg)
+        Seq((v, "restore")).toDF("version", "operation")
+
       case dml =>
         val v = execute(spark, dml)
         Seq((v, "dml")).toDF("version", "operation")
@@ -211,6 +224,23 @@ object TxLogSql {
   // -----------------------------------------------------------------------
 
   private def normalize(name: String): String = name.toLowerCase
+
+  /** `TIMESTAMP AS OF` literal: epoch milliseconds, or a UTC
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` / ISO-8601 instant — the session runs
+    * pinned to UTC (build.sbt), so the wall-clock form has exactly one
+    * meaning.
+    */
+  private def parseTimestampMs(ts: String, sqlText: String): Long = {
+    val t = ts.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .getOrElse(fail(sqlText,
+        s"cannot parse TIMESTAMP AS OF '$ts' (epoch ms, " +
+          "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
+  }
 
   private def stripQuotes(ident: String): String =
     if (ident.length >= 2 && ident.head == '`' && ident.last == '`')

@@ -839,4 +839,28 @@ class TxLogSpec extends SparkSpec {
     }
     e.getMessage should include("vacuumed")
   }
+
+  test("timestamp time travel resolves to the highest version at-or-before the instant") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root) // v0
+    Thread.sleep(5)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root) // v1
+    Thread.sleep(5)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root) // v2
+    val ts = TxLog.history(spark, root).map(_.timestampMs)
+
+    TxLog.versionAtTimestamp(spark, root, ts(0)) shouldBe 0L
+    // between v0 and v1 -> still v0
+    TxLog.versionAtTimestamp(spark, root, ts(1) - 1) shouldBe 0L
+    TxLog.versionAtTimestamp(spark, root, ts(2)) shouldBe 2L
+    // far future -> latest
+    TxLog.versionAtTimestamp(spark, root, ts(2) + 1000000L) shouldBe 2L
+
+    TxLog.readAtTimestamp(spark, root, ts(1)).count() shouldBe 2L
+    // before the first commit: refuse rather than guess
+    val e = intercept[IllegalArgumentException] {
+      TxLog.versionAtTimestamp(spark, root, ts(0) - 1)
+    }
+    e.getMessage should include("predates")
+  }
 }

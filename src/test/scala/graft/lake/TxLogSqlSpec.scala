@@ -177,6 +177,22 @@ class TxLogSqlSpec extends SparkSpec {
     intercept[Exception] { TxLog.readAt(spark, root, 2L).collect() }
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves by wall clock (epoch-ms form)") {
+    val root = fragmentedTable("mnt_rst_ts")
+    val tsAfterLoad = TxLog.history(spark, root).last.timestampMs
+    Thread.sleep(5)
+    TxLogSql.execute(spark, "DELETE FROM mnt_rst_ts WHERE bal >= 0")
+    TxLogSql.run(spark,
+      s"RESTORE TABLE mnt_rst_ts TO TIMESTAMP AS OF '$tsAfterLoad'")
+    spark.sql("SELECT COUNT(*) FROM mnt_rst_ts").as[Long].head() shouldBe 4L
+    // an unparseable literal fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "RESTORE TABLE mnt_rst_ts TO TIMESTAMP AS OF 'yesterday-ish'")
+    }
+    e.getMessage should include("cannot parse")
+  }
+
   test("maintenance statements on an unregistered table fail loudly") {
     val e = intercept[IllegalArgumentException] {
       TxLogSql.run(spark, "OPTIMIZE nobody_home")
