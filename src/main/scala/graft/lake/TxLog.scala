@@ -544,17 +544,38 @@ object TxLog {
 
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             keyCols: Seq[String], partitionCols: Seq[String],
-            statsCols: Seq[String] = Seq.empty): Long = {
-    require(keyCols.nonEmpty, "merge needs key columns")
+            statsCols: Seq[String] = Seq.empty): Long =
+    mergeImpl(spark, updates, None, root, keyCols, partitionCols,
+      statsCols, "merge", noUpserts = false)
+
+  /** Shared engine of [[merge]] and [[applyCdc]]: upsert `updates` by key
+    * and, when `deleteKeys` is given, drop its keys' rows in the SAME
+    * file-granular rewrite — one probe, one commit, identical cost model
+    * (a key slated for delete and a key slated for upsert prune, probe,
+    * and rewrite through exactly the same path; the only difference is
+    * whether a replacement row is staged).
+    */
+  private def mergeImpl(spark: SparkSession, updates: DataFrame,
+                        deleteKeys: Option[DataFrame], root: String,
+                        keyCols: Seq[String], partitionCols: Seq[String],
+                        statsCols: Seq[String], operation: String,
+                        noUpserts: Boolean): Long = {
+    require(keyCols.nonEmpty, s"$operation needs key columns")
     import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
-    // ONE metadata-sized job over the updates: per-key multiplicity (the
-    // uniqueness contract) and the first key column's value range (for
-    // stats pruning below)
+    // every key this operation touches: upserted + deleted
+    val touchedKeys = deleteKeys match {
+      case Some(d) => updates.select(keyCols.map(col): _*)
+        .unionByName(d.select(keyCols.map(col): _*))
+      case None => updates.select(keyCols.map(col): _*)
+    }
+    // ONE metadata-sized job over the touched keys: per-key multiplicity
+    // (the uniqueness contract) and the first key column's value range
+    // (for stats pruning below)
     val keyHead = keyCols.head
     // try_cast: a non-numeric (e.g. uuid string) key must yield null
     // bounds = "range pruning off", not an ANSI cast error killing the
     // merge (bloom pruning below is the tier that handles such keys)
-    val kstat = updates.groupBy(keyCols.map(col): _*)
+    val kstat = touchedKeys.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .agg(max(col("_n")).as("_maxn"),
         min(org.apache.spark.sql.functions
@@ -563,7 +584,7 @@ object TxLog {
           .expr(s"try_cast(`$keyHead` AS DOUBLE)")).as("_khi"),
         count(lit(1)).as("_nkeys")).head()
     require(kstat.isNullAt(0) || kstat.getLong(0) <= 1,
-      "updates must be unique per key")
+      s"$operation touched keys must be unique (one upsert OR delete per key)")
     val nKeys = if (kstat.isNullAt(3)) 0L else kstat.getLong(3)
 
     val current = resolve(spark, root, None)
@@ -602,7 +623,10 @@ object TxLog {
       if (nKeys > 0 && nKeys <= broadcastKeyLimit(spark) &&
           tableKeyType.contains(updates.schema(keyHead).dataType) &&
           fileSystem(spark, root).exists(bloomDir(root, keyHead))) {
-        val hashes = updates
+        // hashes come from the TOUCHED keys, not just the upserts — a
+        // bloom skip of a file holding only to-be-deleted keys would be
+        // a false negative losing the delete
+        val hashes = touchedKeys
           .select(org.apache.spark.sql.functions.xxhash64(col(keyHead)))
           .distinct().collect().map(_.getLong(0)).toSeq
         bloomKeepFiles(spark, root, keyHead, hashes,
@@ -617,10 +641,9 @@ object TxLog {
     // strategy (the table side shuffles once; still file-granular). The
     // key COUNT is free: it rides the same metadata job as the
     // uniqueness check above.
-    val keyFrame = updates.select(keyCols.map(col): _*)
     val keys =
-      if (nKeys <= broadcastKeyLimit(spark)) broadcast(keyFrame)
-      else keyFrame
+      if (nKeys <= broadcastKeyLimit(spark)) broadcast(touchedKeys)
+      else touchedKeys
     // file-granular match probe: which live files hold a matched key?
     val fs = fileSystem(spark, root)
     val rootDec = rootDecodedPath(fs, root)
@@ -633,6 +656,9 @@ object TxLog {
       .flatMap(f => relFromInputFile(f, rootDec))
       .filter(liveSet.contains)
       .toSeq
+    // a delete-only batch whose keys match nothing: a no-op, not an
+    // empty commit
+    if (noUpserts && matchedFiles.isEmpty) return current.version
     // survivors of the matched files + all updates, in the update schema
     // (merge is also a schema-evolution point: survivors read missing new
     // columns as null)
@@ -649,7 +675,7 @@ object TxLog {
       case None    => updates
     }
     val (adds, ddl) = stage(staged, root, partitionCols)
-    commitLoop(spark, root, "merge", partitionCols, { (commits, _) =>
+    commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
       // merge is a read-modify-write: its rewrite was computed against
       // `current`, so ANY commit that landed since is a potential write
       // skew (e.g. a concurrent append of a row with a matched key that
@@ -659,11 +685,68 @@ object TxLog {
       // their delta per attempt and need no such check.)
       if (commits.lastOption.map(_.version) != Some(current.version))
         throw new java.util.ConcurrentModificationException(
-          s"merge based on version ${current.version} conflicts with " +
+          s"$operation based on version ${current.version} conflicts with " +
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
-            s"at $root — re-run the merge")
+            s"at $root — re-run the $operation")
       (adds, matchedFiles, ddl)
     }, computeStats(spark, root, adds, statsCols))
+  }
+
+  /** Apply a CHANGE-FEED batch (rows tagged `_change_type`
+    * 'insert' | 'delete', optionally `_commit_version`) to this table:
+    * the net effect per key — last change wins; within one source commit
+    * a rewrite surfaces as delete+insert of the same key, so the insert
+    * (the new value) outranks the delete — lands as upserts and key
+    * deletes in ONE probe and ONE commit ([[mergeImpl]]). This is the
+    * medallion replication step: [[readChanges]] on an upstream table,
+    * `applyCdc` on the downstream — cost proportional to the CHANGED
+    * keys, never a table rescan (the reference's `{t}_incremental`
+    * promote pattern, `utils.py:111-114`, as row-level replication).
+    *
+    * Idempotent by construction: re-applying the same batch upserts rows
+    * to the values they already hold and deletes keys already gone, so an
+    * at-least-once caller (a crashed stream replaying its last trigger)
+    * converges to exactly-once STATE without transaction plumbing.
+    * Returns the committed version (the current version for a
+    * net-empty batch).
+    */
+  def applyCdc(spark: SparkSession, changes: DataFrame, root: String,
+               keyCols: Seq[String], partitionCols: Seq[String] = Seq.empty,
+               statsCols: Seq[String] = Seq.empty): Long = {
+    require(changes.columns.contains("_change_type"),
+      "applyCdc needs a _change_type column ('insert' | 'delete')")
+    import org.apache.spark.sql.functions.{col, row_number, when}
+    // net change per key: highest source version wins; insert beats
+    // delete within a version (a rewrite's delete+insert pair = update)
+    val reduced =
+      if (changes.columns.contains("_commit_version")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        changes.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_commit_version")
+      } else changes
+    val cached = reduced.cache()
+    try {
+      val byType = cached.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUps = byType.getOrElse("insert", 0L)
+      val nDel = byType.getOrElse("delete", 0L)
+      val unknown = byType.keySet -- Set("insert", "delete")
+      require(unknown.isEmpty, s"unknown _change_type values: $unknown")
+      val upserts = cached.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      if (nUps == 0L && nDel == 0L)
+        return latestVersion(spark, root).getOrElse(-1L)
+      // first batch onto a fresh target: plain initial load
+      if (latestVersion(spark, root).isEmpty)
+        return append(spark, upserts, root, partitionCols, statsCols)
+      val deleteKeys = cached.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*)
+      mergeImpl(spark, upserts, Some(deleteKeys), root, keyCols,
+        partitionCols, statsCols, "merge_cdc", noUpserts = nUps == 0L)
+    } finally { cached.unpersist(); () }
   }
 
   /** Row-level DELETE: remove the rows matching `condition`, rewriting

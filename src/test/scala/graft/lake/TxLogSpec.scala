@@ -840,6 +840,40 @@ class TxLogSpec extends SparkSpec {
     e.getMessage should include("vacuumed")
   }
 
+  test("applyCdc nets a multi-version feed per key: last wins, insert beats delete within a version") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s"), root)
+    // a change feed spanning three upstream commits:
+    //  id=1: rewritten at v5 (delete+insert, same version) -> update
+    //  id=2: updated at v5 then DELETED at v6 -> delete wins
+    //  id=4: inserted at v6 -> new row
+    //  id=9: deleted at v5 but absent downstream -> no-op
+    val feed = Seq(
+      (1L, "old1", "delete", 5L), (1L, "new1", "insert", 5L),
+      (2L, "tmp2", "insert", 5L), (2L, "tmp2", "delete", 6L),
+      (4L, "new4", "insert", 6L),
+      (9L, "ghost", "delete", 5L))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val v = TxLog.applyCdc(spark, feed, root, keyCols = Seq("id"))
+    v shouldBe 1L // one commit for the whole batch
+    TxLog.readLatest(spark, root).select("id", "s").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq shouldBe Seq(
+      (1L, "new1"), (3L, "old3"), (4L, "new4"))
+    // idempotence: re-applying the same batch converges, state unchanged
+    TxLog.applyCdc(spark, feed, root, keyCols = Seq("id"))
+    TxLog.readLatest(spark, root).select("id", "s").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq shouldBe Seq(
+      (1L, "new1"), (3L, "old3"), (4L, "new4"))
+    // a delete-only batch matching nothing commits no version
+    val before = TxLog.latestVersion(spark, root)
+    TxLog.applyCdc(spark,
+      Seq((99L, "x", "delete", 7L))
+        .toDF("id", "s", "_change_type", "_commit_version"),
+      root, keyCols = Seq("id"))
+    TxLog.latestVersion(spark, root) shouldBe before
+  }
+
   test("timestamp time travel resolves to the highest version at-or-before the instant") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root) // v0

@@ -115,6 +115,39 @@ class StreamingSpec extends SparkSpec {
     got shouldBe empty
   }
 
+  test("CdcApply replicates a table through its change feed; restart applies only the delta") {
+    import graft.lake.TxLog
+    val src = Files.createTempDirectory("graft-cdcapply-src").toString
+    val dst = Files.createTempDirectory("graft-cdcapply-dst").toString
+    val ckpt = Files.createTempDirectory("graft-cdcapply-ckpt").toString
+    def sorted(root: String): Seq[(Long, String)] =
+      TxLog.readLatest(spark, root).select("id", "s")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    TxLog.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), src)   // v0
+    CdcApply.start(spark, src, dst, keyCols = Seq("id"),
+      checkpointDir = ckpt).awaitTermination(120000)
+    sorted(dst) shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+
+    // upstream evolves: one row updated (merge), one deleted
+    TxLog.merge(spark, Seq((2L, "B!")).toDF("id", "s"), src,
+      keyCols = Seq("id"), partitionCols = Seq.empty)              // v1
+    TxLog.delete(spark, src, col("id") === 3L)                     // v2
+    val dstVersionBefore = TxLog.latestVersion(spark, dst).get
+    CdcApply.start(spark, src, dst, keyCols = Seq("id"),
+      checkpointDir = ckpt).awaitTermination(120000)
+    sorted(dst) shouldBe Seq((1L, "a"), (2L, "B!"))
+    // the catch-up applied the delta as ONE downstream commit, not a
+    // re-load (the change feed carried v1+v2 in a single trigger)
+    TxLog.latestVersion(spark, dst).get shouldBe dstVersionBefore + 1
+
+    // nothing new upstream: the drain is a downstream no-op
+    CdcApply.start(spark, src, dst, keyCols = Seq("id"),
+      checkpointDir = ckpt).awaitTermination(120000)
+    sorted(dst) shouldBe Seq((1L, "a"), (2L, "B!"))
+  }
+
   test("change-feed stream backpressure: maxVersionsPerTrigger bounds each batch, AvailableNow still drains to the head") {
     import graft.lake.TxLog
     val root = Files.createTempDirectory("graft-cdc-bp").toString
