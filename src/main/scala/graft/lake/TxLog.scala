@@ -422,16 +422,70 @@ object TxLog {
       } catch { case _: IOException => false }
     }
 
+  /** Commit-time schema policy for APPEND-family writes (append /
+    * appendIdempotent / appendChecked / upsertPartitions — everything
+    * that adds data to an existing table; `overwrite` replaces the
+    * schema by design). Evaluated inside the commit loop against the
+    * WINNING state, so concurrent evolutions merge instead of racing.
+    *
+    *  - Type conflicts are rejected in EVERY mode: committing a changed
+    *    type would not convert any data — it would silently break reads
+    *    of every existing file at query time, far from the write that
+    *    caused it.
+    *  - `spark.graft.schema.mode=merge` (default — the reference's
+    *    `schema_evolution=True` contract, utils.py:248): the committed
+    *    schema is table ∪ batch. New columns evolve in; a NARROWER batch
+    *    no longer shrinks the visible schema (its files read null for
+    *    the columns they lack, like any pre-evolution file).
+    *  - `spark.graft.schema.mode=enforce` (the Delta-default posture for
+    *    pipelines where drift is a bug): any name/type set difference
+    *    fails the write.
+    */
+  private def committedDdl(spark: SparkSession, commits: Seq[Commit],
+                           batchDdl: String, operation: String,
+                           root: String): String = {
+    val cur = commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
+    cur match {
+      case None => batchDdl
+      case Some(c) =>
+        val curS = StructType.fromDDL(c)
+        val newS = StructType.fromDDL(batchDdl)
+        val conflicts = newS.flatMap(f => curS.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(t => s"`${f.name}` table=${t.dataType.simpleString} " +
+            s"batch=${f.dataType.simpleString}"))
+        if (conflicts.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$operation to $root changes column type(s): " +
+              s"${conflicts.mkString(", ")} — cast the batch explicitly " +
+              "(a committed type change converts no data; it breaks reads " +
+              "of every existing file later, at query time)")
+        if (spark.conf.get("spark.graft.schema.mode", "merge") == "enforce") {
+          val curSet = curS.map(f => (f.name, f.dataType)).toSet
+          val newSet = newS.map(f => (f.name, f.dataType)).toSet
+          if (curSet != newSet)
+            throw new IllegalArgumentException(
+              s"$operation to $root under schema.mode=enforce: batch " +
+                s"columns {${newS.map(_.name).mkString(", ")}} != table " +
+                s"columns {${curS.map(_.name).mkString(", ")}} — set " +
+                "spark.graft.schema.mode=merge to evolve")
+        }
+        StructType(curS ++ newS.filterNot(f => curS.exists(_.name == f.name)))
+          .toDDL
+    }
+  }
+
   /** Append `df` as a new commit. Returns the committed version.
     * `statsCols` opts the batch into per-file min/max stats for
-    * [[readRange]] data skipping.
+    * [[readRange]] data skipping. Schema policy: [[committedDdl]].
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
              partitionCols: Seq[String] = Seq.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
     commitLoop(spark, root, "append", partitionCols,
-      (_, _) => (adds, Seq.empty, ddl),
+      (commits, _) => (adds, Seq.empty,
+        committedDdl(spark, commits, ddl, "append", root)),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -455,7 +509,8 @@ object TxLog {
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val (adds, ddl) = stage(df, root, partitionCols)
     try Some(commitLoop(spark, root, "append", partitionCols,
-      (_, _) => (adds, Seq.empty, ddl),
+      (commits, _) => (adds, Seq.empty,
+        committedDdl(spark, commits, ddl, "append", root)),
       computeStats(spark, root, adds, statsCols),
       txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
@@ -477,7 +532,8 @@ object TxLog {
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
     commitLoop(spark, root, "append", partitionCols,
-      (_, _) => (adds, Seq.empty, ddl),
+      (commits, _) => (adds, Seq.empty,
+        committedDdl(spark, commits, ddl, "append", root)),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -509,8 +565,9 @@ object TxLog {
     val (adds, ddl) = stage(df, root, partitionCols)
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
-      (_, live) => (adds,
-        live.filter(f => touchedDirs.contains(relDir(f))), ddl),
+      (commits, live) => (adds,
+        live.filter(f => touchedDirs.contains(relDir(f))),
+        committedDdl(spark, commits, ddl, "upsert", root)),
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -876,6 +933,53 @@ object TxLog {
       val target = resolve(spark, root, Some(toVersion))
       (target.live.diff(have), have.diff(target.live), target.schemaDdl)
     })
+  }
+
+  /** CLONE: an independent table at `dstRoot` whose version 0 reproduces
+    * `srcRoot`'s snapshot (latest, or `version` for a point-in-time
+    * fork). The data files are copied byte-verbatim by a DISTRIBUTED job
+    * — one task per file, each a Hadoop FS copy (a server-side copy on
+    * object stores: no bytes through the cluster) — so no re-encode, no
+    * shuffle, and the source's per-file min/max stats carry over without
+    * recompute (files are identical). The clone's later life (appends,
+    * merges, OPTIMIZE, vacuum) is fully independent of the source.
+    *
+    * Deliberately a DEEP clone: the log stores root-relative paths, which
+    * keeps every table self-contained — a shallow clone (absolute-path
+    * references into the source) would make the source's `vacuum` able
+    * to break its clones, the cross-table lifetime coupling Delta
+    * shallow clones are known for. The copy cost is O(live bytes) once;
+    * the safety holds forever.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 version: Option[Long] = None): Long = {
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has a commit log")
+    val snap = resolve(spark, srcRoot, version)
+    val parts = partitionColsOf(spark, srcRoot, snap)
+    val files = snap.live
+    if (files.nonEmpty) {
+      val (src, dst) = (srcRoot, dstRoot) // stable locals for the closure
+      val slots = math.max(1,
+        math.min(files.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slots).foreach { rel =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val from = new Path(s"$src/$rel")
+        val to = new Path(s"$dst/$rel")
+        val ffs = from.getFileSystem(conf)
+        val tfs = to.getFileSystem(conf)
+        tfs.mkdirs(to.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
+          false, true, conf))
+          throw new IOException(s"clone copy failed: $from -> $to")
+      }
+    }
+    commitLoop(spark, dstRoot, "clone", parts, { (commits, _) =>
+      if (commits.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"clone target $dstRoot gained a commit mid-clone")
+      (files, Seq.empty, snap.schemaDdl)
+    }, snap.stats.view.filterKeys(files.toSet).toMap)
   }
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {

@@ -389,6 +389,33 @@ object Relational {
         .orderBy("c_mktsegment", "c_custkey")
     },
 
+    // Value window functions (FIRST/LAST/NTH_VALUE) with an EXPLICIT
+    // whole-partition frame: under the default ORDER BY frame (unbounded
+    // preceding .. current row) LAST_VALUE degenerates to the current
+    // row — the classic window pitfall — so the frame is stated in both
+    // engines. Unique ordering keeps NTH_VALUE deterministic.
+    QDef(
+      "q89_window_values",
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Generator / LATERAL VIEW surface: posexplode tokens with their
     // ordinal. Spark plans a Generate node — rows expand IN PLACE with no
     // shuffle (the scale property: exploding 100 TB of documents is

@@ -840,6 +840,42 @@ class TxLogSpec extends SparkSpec {
     e.getMessage should include("vacuumed")
   }
 
+  test("schema policy: a narrower append keeps the table schema; type changes and enforce-mode drift fail loudly") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "a", 7.5)).toDF("id", "s", "score"), root)            // v0
+    // narrower batch: the committed schema is table ∪ batch — `score`
+    // stays visible, the new file reads null for it
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)        // v1
+    val latest = TxLog.readLatest(spark, root)
+    latest.columns.toSeq shouldBe Seq("id", "s", "score")
+    latest.orderBy("id").collect().map(_.toSeq).toSeq shouldBe Seq(
+      Seq(1L, "a", 7.5), Seq(2L, "b", null))
+
+    // type change: rejected in every mode (it would break reads of every
+    // existing file at query time, not convert anything)
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.append(spark,
+        Seq((3L, "c", "not-a-double")).toDF("id", "s", "score"), root)
+    }
+    e1.getMessage should include("changes column type")
+    TxLog.latestVersion(spark, root) shouldBe Some(1L) // nothing committed
+
+    // enforce mode: any column-set drift fails the write
+    spark.conf.set("spark.graft.schema.mode", "enforce")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        TxLog.append(spark,
+          Seq((3L, "c", 1.0, "en")).toDF("id", "s", "score", "lang"), root)
+      }
+      e2.getMessage should include("enforce")
+      // an exact-schema batch still lands
+      TxLog.append(spark,
+        Seq((3L, "c", 1.0)).toDF("id", "s", "score"), root)          // v2
+      TxLog.readLatest(spark, root).count() shouldBe 3L
+    } finally spark.conf.unset("spark.graft.schema.mode")
+  }
+
   test("applyCdc nets a multi-version feed per key: last wins, insert beats delete within a version") {
     val root = tmpRoot()
     TxLog.append(spark,
@@ -872,6 +908,56 @@ class TxLogSpec extends SparkSpec {
         .toDF("id", "s", "_change_type", "_commit_version"),
       root, keyCols = Seq("id"))
     TxLog.latestVersion(spark, root) shouldBe before
+  }
+
+  test("cloneTable forks an independent table: stats carry over, divergence stays local") {
+    val src = tmpRoot()
+    val dst = Files.createTempDirectory("graft-clone").toString + "/t"
+    TxLog.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(1),
+      src, statsCols = Seq("id"))                                    // v0
+    TxLog.append(spark,
+      Seq((3L, "c")).toDF("id", "s").repartition(1),
+      src, statsCols = Seq("id"))                                    // v1
+
+    val v = TxLog.cloneTable(spark, src, dst)
+    v shouldBe 0L
+    TxLog.readLatest(spark, dst).orderBy("id").as[(Long, String)]
+      .collect().toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    // per-file stats carried verbatim: the clone's range read still prunes
+    val cloneCommit = TxLog.history(spark, dst).head
+    cloneCommit.operation shouldBe "clone"
+    cloneCommit.stats.values.flatMap(_.keys).toSet shouldBe Set("id")
+    TxLog.readRange(spark, dst, "id", 3, 9).count() shouldBe 1L
+
+    // divergence is local in both directions
+    TxLog.delete(spark, dst, col("id") === 1L)
+    TxLog.append(spark, Seq((9L, "z")).toDF("id", "s"), src)
+    TxLog.readLatest(spark, src).count() shouldBe 4L
+    TxLog.readLatest(spark, dst).count() shouldBe 2L
+    // and vacuuming the SOURCE cannot break the clone (deep copy)
+    TxLog.overwrite(spark, Seq((0L, "only")).toDF("id", "s"), src)
+    TxLog.vacuum(spark, src, keepLast = 1)
+    TxLog.readLatest(spark, dst).count() shouldBe 2L
+
+    // cloning a vacuumed-away version fails loudly (files gone), never
+    // fabricates an empty table
+    val dst0 = Files.createTempDirectory("graft-clone0").toString + "/t"
+    intercept[Exception] {
+      TxLog.cloneTable(spark, src, dst0, version = Some(0L))
+    }
+    // point-in-time fork from an intact source
+    val src2 = tmpRoot()
+    TxLog.append(spark, Seq((1L, "x")).toDF("id", "s"), src2)        // v0
+    TxLog.append(spark, Seq((2L, "y")).toDF("id", "s"), src2)        // v1
+    val dst2 = Files.createTempDirectory("graft-clone2").toString + "/t"
+    TxLog.cloneTable(spark, src2, dst2, version = Some(0L))
+    TxLog.readLatest(spark, dst2).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "x"))
+    // a second clone onto the same target refuses
+    intercept[IllegalArgumentException] {
+      TxLog.cloneTable(spark, src2, dst2)
+    }
   }
 
   test("timestamp time travel resolves to the highest version at-or-before the instant") {
