@@ -132,6 +132,9 @@ object TxLogSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CloneRe =
+    ("""(?is)\s*CLONE\s+(`[^`]+`|[\w.]+)\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS\s+(`[^`]+`|[\w.]+))?\s*;?\s*""").r
 
   /** Default `VACUUM` retention when no `RETAIN n VERSIONS` is given:
     * generous on purpose (Delta's default is likewise conservative) — a
@@ -160,6 +163,9 @@ object TxLogSql {
     *   - `RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'` — the same undo
     *     resolved by wall clock ([[TxLog.versionAtTimestamp]]: highest
     *     version committed at or before the instant)
+    *   - `CLONE t TO '<path>' [VERSION AS OF n] [AS name]` — deep
+    *     point-in-time fork ([[TxLog.cloneTable]]); `AS name` registers
+    *     the clone on this surface immediately
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -206,6 +212,16 @@ object TxLogSql {
         val v = TxLog.rollback(spark, reg.root, version.toLong)
         refresh(spark, name, reg)
         Seq((v, "restore")).toDF("version", "operation")
+
+      case CloneRe(ident, path, version, asName) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val v = TxLog.cloneTable(spark, reg.root, path,
+          Option(version).map(_.toLong))
+        // `AS name`: the clone enters this surface immediately — DML and
+        // maintenance statements work on it like any registered table
+        Option(asName).foreach(n => register(spark, stripQuotes(n), path,
+          reg.partitionCols, reg.statsCols))
+        Seq((v, "clone")).toDF("version", "operation")
 
       case RestoreTsRe(ident, ts) =>
         val (name, reg) = lookup(spark, ident, sqlText)

@@ -193,6 +193,22 @@ class TxLogSqlSpec extends SparkSpec {
     e.getMessage should include("cannot parse")
   }
 
+  test("CLONE ... TO ... AS forks a table through SQL; the clone is immediately DML-addressable") {
+    val srcRoot = fragmentedTable("mnt_clsrc")
+    val dstRoot = Files.createTempDirectory("graft-txsql-clone").toString + "/t"
+    val res = TxLogSql.run(spark,
+      s"CLONE mnt_clsrc TO '$dstRoot' AS mnt_clone")
+      .select("version", "operation").as[(Long, String)].head()
+    res shouldBe ((0L, "clone"))
+    spark.sql("SELECT id FROM mnt_clone ORDER BY id").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    // DML on the clone diverges locally; the source is untouched
+    TxLogSql.execute(spark, "DELETE FROM mnt_clone WHERE id <= 2")
+    spark.sql("SELECT COUNT(*) FROM mnt_clone").as[Long].head() shouldBe 2L
+    spark.sql("SELECT COUNT(*) FROM mnt_clsrc").as[Long].head() shouldBe 4L
+    TxLog.latestVersion(spark, srcRoot) shouldBe Some(3L)
+  }
+
   test("maintenance statements on an unregistered table fail loudly") {
     val e = intercept[IllegalArgumentException] {
       TxLogSql.run(spark, "OPTIMIZE nobody_home")
