@@ -637,6 +637,68 @@ object Relational {
         .orderBy("c_mktsegment", "c_custkey")
     },
 
+    // Correlated subqueries in SQL text: EXISTS, NOT EXISTS, and a
+    // correlated scalar COUNT in the SELECT list — the decorrelation
+    // surface (Catalyst rewrites these to semi/anti/aggregate JOINS; the
+    // delegated-Athena contract includes them, and the rewrite is what
+    // makes them scale: a per-row subquery execution would be O(n) scans,
+    // the decorrelated plan is three shuffled joins). Identical SQL runs
+    // on both engines.
+    QDef(
+      "q90_correlated_subquery",
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice < 50000)
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c.c_custkey, c.c_acctbal,
+          |  (SELECT COUNT(*) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F'
+          |                    AND o2.o_totalprice < 50000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // Array higher-order functions (filter / transform / aggregate as
+    // lambda expressions): per-row array work stays a NARROW codegen'd
+    // projection — no explode, no shuffle, the shape that matters when
+    // the array column rides a 100 TB scan. DuckDB mirrors with its
+    // list lambdas.
+    QDef(
+      "q91_array_hof",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |                       t -> len(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |                               t -> len(t))) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          size(filter(split(col("text"), " "),
+            tk => length(tk) > 4)).cast("long").as("n_long"),
+          aggregate(transform(split(col("text"), " "), tk => length(tk)),
+            lit(0), (acc, x) => acc + x).cast("long").as("total_chars"))
+        .orderBy("doc_id")
+    },
+
     // SQL-text scan over registered views — the reference's only in-repo
     // query shape (O-1: wr.athena.read_sql_query over v_synnex_po_numbers,
     // purchase_orders.py:22-24). Here the whole Athena delegate collapses to
