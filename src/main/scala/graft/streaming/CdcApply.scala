@@ -56,4 +56,26 @@ object CdcApply {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** One batch replication step WITHOUT the streaming machinery — the
+    * cron/Step-Functions driver shape: read the delta past the durable
+    * offset ([[TxLog.consumeChanges]]), apply it, advance the offset.
+    * The offset advances only AFTER the apply commits (at-least-once),
+    * and [[TxLog.applyCdc]] is idempotent, so a crash between apply and
+    * offset advance replays into convergence. Returns the applied
+    * upstream (fromVersion, headVersion], or None when already caught
+    * up.
+    */
+  def replicateOnce(spark: SparkSession, sourceRoot: String,
+                    targetRoot: String, keyCols: Seq[String],
+                    offsetPath: String,
+                    partitionCols: Seq[String] = Seq.empty,
+                    statsCols: Seq[String] = Seq.empty): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty, "CDC replication needs key columns")
+    TxLog.consumeChanges(spark, sourceRoot, offsetPath) { delta =>
+      TxLog.applyCdc(spark, delta, targetRoot, keyCols,
+        partitionCols, statsCols)
+      ()
+    }
+  }
 }

@@ -145,6 +145,32 @@ class PlanSpec extends SparkSpec {
     p should not include regex (raw"windowspecdefinition\(user_id#\d+L, t#\d+L ASC")
   }
 
+  test("q88 posexplode is a map-side Generate: no shuffle before the generator") {
+    val p = plan("q88_posexplode")
+    p should include("Generate")
+    // the only Exchange is the final orderBy's range partitioning — the
+    // Generate itself must sit directly on the scan side
+    val fromGenerate = p.substring(p.indexOf("Generate"))
+    fromGenerate should not include "Exchange hashpartitioning"
+  }
+
+  test("q90 correlated subqueries decorrelate to joins: no per-row subquery plans") {
+    val p = plan("q90_correlated_subquery")
+    // EXISTS/NOT EXISTS/scalar-COUNT all become joins
+    p should not include "Subquery"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q91 array HOFs stay a narrow projection: no Generate, no extra shuffle") {
+    val p = plan("q91_array_hof")
+    p should not include "Generate"
+    // one Exchange only: the final orderBy (rangepartitioning); the
+    // lambda work itself is projection-local
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+  }
+
   test("q85 substring dedup: equi-joins only, islands windowed per doc") {
     val p = plan("q85_substring_dup")
     // window-text match and the doc join are both hash equi-joins

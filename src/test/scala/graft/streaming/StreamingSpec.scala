@@ -148,6 +148,29 @@ class StreamingSpec extends SparkSpec {
     sorted(dst) shouldBe Seq((1L, "a"), (2L, "B!"))
   }
 
+  test("replicateOnce drives batch replication through a durable offset") {
+    import graft.lake.TxLog
+    val src = Files.createTempDirectory("graft-rep1-src").toString
+    val dst = Files.createTempDirectory("graft-rep1-dst").toString
+    val off = Files.createTempDirectory("graft-rep1-off").toString + "/offset"
+
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    CdcApply.replicateOnce(spark, src, dst, Seq("id"), off) shouldBe
+      Some((-1L, 0L))
+    TxLog.readLatest(spark, dst).count() shouldBe 2L
+
+    // caught up: no-op, offset untouched
+    CdcApply.replicateOnce(spark, src, dst, Seq("id"), off) shouldBe None
+
+    // delta: an update lands downstream without a re-load
+    TxLog.merge(spark, Seq((2L, "B!")).toDF("id", "s"), src,
+      keyCols = Seq("id"), partitionCols = Seq.empty)
+    CdcApply.replicateOnce(spark, src, dst, Seq("id"), off) shouldBe
+      Some((0L, 1L))
+    TxLog.readLatest(spark, dst).orderBy("id").as[(Long, String)]
+      .collect().toSeq shouldBe Seq((1L, "a"), (2L, "B!"))
+  }
+
   test("change-feed stream backpressure: maxVersionsPerTrigger bounds each batch, AvailableNow still drains to the head") {
     import graft.lake.TxLog
     val root = Files.createTempDirectory("graft-cdc-bp").toString
