@@ -231,6 +231,13 @@ object TxLog {
     * for commit-time file skipping. One metadata-sized job (a row per
     * file); values land in double space, null-only columns are skipped.
     */
+  /** Pseudo-column under which per-file ROW COUNTS ride the stats map
+    * (stored as (n, n) — no serialization change, and counts flow
+    * through checkpoints, rollback, and clone exactly like min/max
+    * stats). Double-encoded counts are exact to 2^53 rows per file.
+    */
+  val RowCountKey = "__rows"
+
   private def computeStats(spark: SparkSession, root: String,
                            rels: Seq[String],
                            statsCols: Seq[String]): FileStats = {
@@ -249,7 +256,11 @@ object TxLog {
       min(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
         .as(s"__mn_$c"),
       max(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
-        .as(s"__mx_$c")))
+        .as(s"__mx_$c"))) :+
+      // row count rides the same per-file job for free — the input to
+      // metadata-only COUNT(*) ([[countRows]])
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n")
     val rows = spark.read.option("basePath", root)
       .parquet(rels.map(r => s"$root/$r"): _*)
       .groupBy(input_file_name().as("__f"))
@@ -261,12 +272,29 @@ object TxLog {
       relFromInputFile(r.getAs[String]("__f"), rootDec)
         .filter(relSet.contains)
         .map { rel =>
-          rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val colStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 2 * i)) None
             else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
           }.toMap
+          val n = r.getLong(1 + 2 * statsCols.size).toDouble
+          rel -> (colStats + (RowCountKey -> (n, n)))
         }
     }.toMap
+  }
+
+  /** Exact COUNT(*) from commit metadata when every live file carries a
+    * recorded row count (writes with `statsCols`), falling back to a
+    * scan count otherwise — the metadata-only count every log format
+    * answers without touching data files. On a stats-carrying 100 TB
+    * table this is O(log) driver work vs a full-table scan job.
+    */
+  def countRows(spark: SparkSession, root: String,
+                version: Option[Long] = None): Long = {
+    val snap = resolve(spark, root, version)
+    val counted = snap.live.flatMap(f =>
+      snap.stats.get(f).flatMap(_.get(RowCountKey)).map(_._1.toLong))
+    if (counted.size == snap.live.size) counted.sum
+    else snapshot(spark, root, snap).count()
   }
 
   /** Distributed write of `df` into the table's partition layout under
@@ -1561,9 +1589,11 @@ object TxLog {
     }.reduce(_ unionByName _)
 
     val removed = groups.values.flatten.map(_._1).toSeq
+    // RowCountKey is a pseudo-column (rides every stats map), not a data
+    // column the recompute job could reference
     val statCols = removed
       .flatMap(f => current.stats.get(f).map(_.keys).getOrElse(Nil))
-      .distinct
+      .distinct.filterNot(_ == RowCountKey)
     val parts = partitionColsOf(spark, root, current)
     val (adds, ddl) = stage(packed, root, parts)
     commitLoop(spark, root, "compact", parts, { (commits, live) =>

@@ -629,6 +629,33 @@ object Lake {
               |ORDER BY c_mktsegment""".stripMargin)
     },
 
+    // Metadata-only COUNT(*) (TxLog.countRows): row counts ride the
+    // commit stats, so the count comes from the LOG — zero data-file IO
+    // (TxLogSpec proves it by corrupting a live file first). The count
+    // must stay exact through a row-level DELETE's file rewrites; the
+    // oracle is the plain scan count. At 100 TB: O(log) driver work vs a
+    // full-table scan job.
+    QDef(
+      "q92_fast_count",
+      """SELECT COUNT(*) AS n FROM orders
+        |WHERE o_totalprice >= 50000""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "fastcount")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      (0L until 4L).foreach { i =>
+        TxLog.append(s, orders.filter(col("o_orderkey") % 4 === i)
+          .repartition(1), root, statsCols = Seq("o_orderkey"))
+      }
+      TxLog.delete(s, root, col("price") < 50000,
+        statsCols = Seq("o_orderkey"))
+      import s.implicits._
+      Seq(TxLog.countRows(s, root)).toDF("n")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

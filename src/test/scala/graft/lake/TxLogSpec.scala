@@ -910,6 +910,28 @@ class TxLogSpec extends SparkSpec {
     TxLog.latestVersion(spark, root) shouldBe before
   }
 
+  test("countRows answers from commit metadata: correct even when a data file is unreadable") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))                  // v0
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))                  // v1
+    TxLog.countRows(spark, root) shouldBe 3L
+    TxLog.countRows(spark, root, Some(0L)) shouldBe 2L
+
+    // the proof it reads NO data: corrupt a live file; the metadata
+    // count still answers while a scan count would fail
+    val victim = TxLog.history(spark, root).last.add.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$victim"),
+      "not parquet".getBytes)
+    TxLog.countRows(spark, root) shouldBe 3L
+
+    // a stats-less commit disables the metadata path -> scan fallback
+    val root2 = tmpRoot()
+    TxLog.append(spark, Seq((1L, "x")).toDF("id", "s"), root2) // no stats
+    TxLog.countRows(spark, root2) shouldBe 1L
+  }
+
   test("cloneTable forks an independent table: stats carry over, divergence stays local") {
     val src = tmpRoot()
     val dst = Files.createTempDirectory("graft-clone").toString + "/t"
@@ -927,7 +949,8 @@ class TxLogSpec extends SparkSpec {
     // per-file stats carried verbatim: the clone's range read still prunes
     val cloneCommit = TxLog.history(spark, dst).head
     cloneCommit.operation shouldBe "clone"
-    cloneCommit.stats.values.flatMap(_.keys).toSet shouldBe Set("id")
+    cloneCommit.stats.values.flatMap(_.keys).toSet shouldBe
+      Set("id", TxLog.RowCountKey)
     TxLog.readRange(spark, dst, "id", 3, 9).count() shouldBe 1L
 
     // divergence is local in both directions
