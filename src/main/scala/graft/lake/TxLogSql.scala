@@ -124,6 +124,8 @@ object TxLogSql {
   // backquoted; keywords are case-insensitive.
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val OptimizeRe =
@@ -149,6 +151,10 @@ object TxLogSql {
     *
     *   - `DESCRIBE HISTORY t` — the commit log as a DataFrame (version,
     *     operation, timestamp, file counts)
+    *   - `DESCRIBE DETAIL t` — table health at a glance (location,
+    *     version, live file count/bytes, small-file count, partition
+    *     columns) from one listing pass — the input to "should I
+    *     OPTIMIZE" decisions
     *   - `VACUUM t [RETAIN n VERSIONS]` — physically delete files only
     *     referenced by versions older than the retention window
     *     ([[TxLog.vacuum]]); returns the deleted paths
@@ -184,6 +190,16 @@ object TxLogSql {
             c.add.size, c.remove.size)
         }.toDF("version", "operation", "timestamp",
           "num_added_files", "num_removed_files")
+
+      case DescribeDetailRe(ident) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val sizes = TxLog.liveSizes(spark, reg.root)
+        val version = TxLog.latestVersion(spark, reg.root).getOrElse(-1L)
+        val small = sizes.count(_._2 < 64L * 1024 * 1024)
+        Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
+          small.toLong, reg.partitionCols.mkString(",")))
+          .toDF("location", "version", "num_files", "size_bytes",
+            "num_small_files", "partition_columns")
 
       case VacuumRe(ident, retain) =>
         val (_, reg) = lookup(spark, ident, sqlText)

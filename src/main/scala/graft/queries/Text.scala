@@ -591,6 +591,42 @@ object Text {
         .orderBy("lang", "rnk")
     },
 
+    // Vocabulary coverage — the tokenizer-sizing diagnostic: what
+    // fraction of a language's token MASS do its top-k types cover?
+    // Rank window runs on the aggregated vocab frame (corpus rows never
+    // sorted, same discipline as q75); the ratio is integer-count
+    // arithmetic with ONE final double division, so both engines produce
+    // the identical IEEE result — no transcendental functions whose libm
+    // implementations could differ by an ulp across engines.
+    QDef(
+      "q93_vocab_coverage",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, tok) AS rnk
+        |      FROM c)
+        |SELECT lang, COUNT(*) AS vocab_size,
+        |  SUM(cnt) AS total_tokens,
+        |  CAST(CAST(SUM(CASE WHEN rnk <= 20 THEN cnt ELSE 0 END) AS DOUBLE)
+        |       / CAST(SUM(cnt) AS DOUBLE) AS DOUBLE) AS top20_coverage
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("total_tokens"),
+          (sum(when(col("rnk") <= 20, col("cnt")).otherwise(lit(0L)))
+            .cast("double") / sum(col("cnt")).cast("double"))
+            .as("top20_coverage"))
+        .orderBy("lang")
+    },
+
     // PII redaction — the scrub step every training corpus runs: emails
     // and phone numbers replaced by tags, with per-doc match counts for
     // the removal audit. A pure narrow projection (regexp at scan speed,

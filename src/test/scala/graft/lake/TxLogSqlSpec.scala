@@ -132,6 +132,18 @@ class TxLogSqlSpec extends SparkSpec {
     h.last._4 shouldBe 1 // the delete removed one single-row file
   }
 
+  test("DESCRIBE DETAIL reports table health; OPTIMIZE empties the small-file count") {
+    fragmentedTable("mnt_det")
+    val d1 = TxLogSql.run(spark, "DESCRIBE DETAIL mnt_det")
+      .select("version", "num_files", "num_small_files")
+      .as[(Long, Long, Long)].head()
+    d1 shouldBe ((3L, 4L, 4L))
+    TxLogSql.run(spark, "OPTIMIZE mnt_det")
+    val d2 = TxLogSql.run(spark, "DESCRIBE DETAIL mnt_det")
+      .select("version", "num_files").as[(Long, Long)].head()
+    d2 shouldBe ((4L, 1L))
+  }
+
   test("OPTIMIZE bin-packs small files without changing the result") {
     val root = fragmentedTable("mnt_opt")
     val before = TxLog.liveSizes(spark, root).size
