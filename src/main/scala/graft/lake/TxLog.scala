@@ -1093,6 +1093,50 @@ object TxLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Conjunctive multi-column range read: a file survives only if EVERY
+    * bound can intersect its committed stats (missing stats for a column
+    * keep the file — skipping is necessary-condition only). This is what
+    * makes Z-ordered tables ([[clusterZ]]) pay off: after interleaving,
+    * a conjunction over the clustered columns prunes multiplicatively,
+    * where single-column skipping ([[readRange]]) prunes on one axis.
+    */
+  def readRanges(spark: SparkSession, root: String,
+                 bounds: Seq[(String, Double, Double)],
+                 version: Option[Long] = None): DataFrame = {
+    require(bounds.nonEmpty, "readRanges needs at least one bound")
+    val snap = resolve(spark, root, version)
+    val keep = snap.live.filter { f =>
+      bounds.forall { case (c, lo, hi) =>
+        snap.stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    bounds.foldLeft(snapshot(spark, root, snap.copy(live = keep))) {
+      case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Exact MIN/MAX of `column` from commit metadata when every live file
+    * carries stats for it — O(log) driver work, no data IO (the twin of
+    * [[countRows]]); None when any live file lacks the stat (the caller
+    * falls back to a scan aggregate). Values are the stats' double
+    * space, exact for the numeric types stats record.
+    */
+  def minMaxFast(spark: SparkSession, root: String, column: String,
+                 version: Option[Long] = None): Option[(Double, Double)] = {
+    val snap = resolve(spark, root, version)
+    if (snap.live.isEmpty) return None
+    val perFile = snap.live.map(f => snap.stats.get(f).flatMap(_.get(column)))
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val bs = perFile.flatten
+      Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
   // -------------------------------------------------------------------
   // Bloom-filter file index — point-lookup skipping
   // -------------------------------------------------------------------

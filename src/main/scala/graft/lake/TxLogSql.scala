@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftnative.{parsePlan, planToDf, toColumn}
 
@@ -27,6 +27,9 @@ import org.apache.spark.sql.graftnative.{parsePlan, planToDf, toColumn}
   * read view at the new snapshot.
   *
   * Supported shapes (the commit log's row-level semantics):
+  *   - `INSERT INTO t SELECT ...` / `INSERT OVERWRITE t SELECT ...`
+  *     (append / whole-table replace; positional inserts align the
+  *     query's output to the table's column names, SQL-standard)
   *   - `DELETE FROM t WHERE <predicate>`
   *   - `UPDATE t SET c1 = <expr>, ... [WHERE <predicate>]`
   *   - `MERGE INTO t USING <source> ON t.k1 = s.k1 [AND ...]
@@ -104,6 +107,50 @@ object TxLogSql {
         val keys = keyCols(m.mergeCondition, sqlText)
         val v = TxLog.merge(spark, planToDf(spark, m.sourceTable), reg.root,
           keys, reg.partitionCols, reg.statsCols)
+        refresh(spark, name, reg); v
+
+      case i: InsertIntoStatement =>
+        val (name, reg) = target(spark, i.table, sqlText)
+        if (i.partitionSpec.nonEmpty)
+          fail(sqlText, "static PARTITION specs are not supported; the " +
+            "commit log derives partitions from the rows")
+        if (i.userSpecifiedCols.nonEmpty)
+          fail(sqlText, "INSERT column lists are not supported; project " +
+            "the full row in the SELECT")
+        var df = planToDf(spark, i.query)
+        // SQL INSERT semantics against the existing table schema:
+        // positional inserts align the query's output to the table's
+        // column NAMES (a mismatched SELECT alias must not evolve the
+        // schema), and both forms apply store-assignment CASTS to the
+        // table's types (`SELECT 9` is an INT literal; the table column
+        // is BIGINT — every SQL engine coerces here, and without the
+        // cast the commit-time type guard would rightly reject it)
+        val tableSchema = TxLog.latestVersion(spark, reg.root)
+          .map(_ => TxLog.readLatest(spark, reg.root).schema)
+        import org.apache.spark.sql.functions.col
+        (tableSchema, i.byName) match {
+          case (Some(ts), false) =>
+            if (ts.length != df.columns.length)
+              fail(sqlText, s"INSERT arity ${df.columns.length} != table " +
+                s"arity ${ts.length}")
+            df = df.select(ts.zip(df.columns).map { case (f, c) =>
+              col(c).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          case (Some(ts), true) =>
+            df = df.select(df.schema.map { f =>
+              ts.find(_.name == f.name) match {
+                case Some(tf) => col(f.name).cast(tf.dataType).as(f.name)
+                case None     => col(f.name) // new column: schema evolution
+              }
+            }.toIndexedSeq: _*)
+          case (None, _) => () // first insert defines the schema
+        }
+        val v =
+          if (i.overwrite)
+            TxLog.overwrite(spark, df, reg.root, reg.partitionCols,
+              reg.statsCols)
+          else TxLog.append(spark, df, reg.root, reg.partitionCols,
+            reg.statsCols)
         refresh(spark, name, reg); v
 
       case other =>

@@ -910,6 +910,29 @@ class TxLogSpec extends SparkSpec {
     TxLog.latestVersion(spark, root) shouldBe before
   }
 
+  test("readRanges prunes conjunctively; minMaxFast answers from metadata") {
+    val root = tmpRoot()
+    // a 2x2 grid of (x, y) tiles, one file each: a conjunctive box query
+    // should prune to ONE file where either single axis keeps two
+    for (xs <- 0 to 1; ys <- 0 to 1) {
+      val rows = for (i <- 0 until 10) yield
+        (xs * 100L + i, ys * 100L + i, s"t$xs$ys")
+      TxLog.append(spark, rows.toDF("x", "y", "tag").repartition(1),
+        root, statsCols = Seq("x", "y"))
+    }
+    val hit = TxLog.readRanges(spark, root,
+      Seq(("x", 0.0, 50.0), ("y", 100.0, 150.0)))
+    hit.select("tag").distinct().as[String].collect().toSeq shouldBe Seq("t01")
+    // and the box read matches a plain filter on the full table
+    hit.count() shouldBe 10L
+
+    TxLog.minMaxFast(spark, root, "x") shouldBe Some((0.0, 109.0))
+    TxLog.minMaxFast(spark, root, "nope") shouldBe None
+    // a stats-less commit disables the metadata answer for its files
+    TxLog.append(spark, Seq((500L, 500L, "late")).toDF("x", "y", "tag"), root)
+    TxLog.minMaxFast(spark, root, "x") shouldBe None
+  }
+
   test("countRows answers from commit metadata: correct even when a data file is unreadable") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s")

@@ -62,6 +62,31 @@ class TxLogSqlSpec extends SparkSpec {
       (4L, "d", 0.0), (9L, "new", 1.0))
   }
 
+  test("INSERT INTO appends positionally; INSERT OVERWRITE replaces the table") {
+    freshTable("dml_ins")
+    // positional: the SELECT's aliases differ from the table's columns —
+    // they must align by position, not evolve the schema
+    TxLogSql.execute(spark,
+      """INSERT INTO dml_ins
+        |SELECT 9 AS a, 'i' AS b, CAST(1.5 AS DOUBLE) AS c, 'p3' AS d""".stripMargin)
+    spark.sql("SELECT id, s, bal, part FROM dml_ins WHERE id = 9")
+      .as[(Long, String, Double, String)].head() shouldBe ((9L, "i", 1.5, "p3"))
+    spark.table("dml_ins").columns.toSeq shouldBe
+      Seq("id", "s", "bal", "part")
+
+    TxLogSql.execute(spark,
+      """INSERT OVERWRITE dml_ins
+        |SELECT 1 AS id, 'only' AS s, CAST(0 AS DOUBLE) AS bal, 'p1' AS part""".stripMargin)
+    spark.sql("SELECT id, s FROM dml_ins").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "only"))
+
+    // arity mismatch fails loudly instead of misaligning
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.execute(spark, "INSERT INTO dml_ins SELECT 1, 'x'")
+    }
+    e.getMessage should include("arity")
+  }
+
   test("sequential DML statements stack, one commit each") {
     val root = freshTable("dml_seq")
     TxLogSql.execute(spark, "DELETE FROM dml_seq WHERE id = 4")
