@@ -416,6 +416,39 @@ object Lake {
         .orderBy("o_orderkey")
     },
 
+    // Conjunctive data-skipping box scan (TxLog.readRanges): the
+    // multi-column twin of q69 — orders committed in key-range slices
+    // with stats on BOTH columns; the box read drops files where EITHER
+    // bound cannot intersect, before any IO. The oracle pins the
+    // semantics: conjunctive pruning must never change the result
+    // (a wrongly pruned file = missing rows = hash mismatch).
+    QDef(
+      "q94_acid_box_scan",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey <= 1500
+        |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "txbox")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val slice = maxKey / 4 + 1
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root, statsCols = Seq("o_orderkey", "price"))
+      }
+      TxLog.readRanges(s, root,
+        Seq(("o_orderkey", 500, 1500), ("price", 50000, 150000)))
+        .orderBy("o_orderkey")
+    },
+
     // Row-level MERGE on the ACID table (TxLog.merge): baseline = the
     // customer table; updates = every customer divisible by 7 gets a
     // recomputed balance, plus one brand-new synthetic customer per
