@@ -439,6 +439,50 @@ object Relational {
         .orderBy("doc_id", "pos")
     },
 
+    // Time-series gap fill: a generated date spine LEFT-joined onto the
+    // daily aggregate, missing days carried forward with
+    // LAST_VALUE ... IGNORE NULLS. The spine cross-join is
+    // BOUNDED-dimension by construction (days-in-window x priorities,
+    // never row-scale) — the one place a nested-loop join is the right
+    // plan. The fill window is a per-key ordered frame: one shuffle on
+    // the series key, the 100 TB shape for any per-entity time series.
+    QDef(
+      "q95_gap_fill",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT p.prio, d.day
+        |  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+        |       (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |                 DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day) d),
+        |j AS (SELECT s.prio, s.day, daily.n, daily.total
+        |      FROM spine s LEFT JOIN daily
+        |        ON s.prio = daily.prio AND s.day = daily.day)
+        |SELECT prio, day, COALESCE(n, 0) AS n,
+        |  LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY prio ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+        |FROM j ORDER BY prio, day""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("o_totalprice")).as("total"))
+      val spine = orders.select(col("o_orderpriority").as("prio")).distinct()
+        .crossJoin(s.range(1).select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-03-31")))).as("day")))
+      val w = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy("prio", "day")
+    },
+
     // Per-group top-k (SURVEY §2B sort/limit/top-k).
     QDef(
       "q16_topk_per_group",
