@@ -1006,6 +1006,45 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("applyCdc converges to the reference model under randomized multi-version feeds") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic run
+    val root = tmpRoot()
+    var model = (1L to 20L).map(k => k -> s"v$k").toMap
+    TxLog.append(spark, model.toSeq.toDF("id", "s"), root)
+
+    for (round <- 1 to 3) {
+      // a feed spanning 3 upstream versions; values are a FUNCTION of
+      // (key, version) so duplicate events tie with equal payloads and
+      // the netting's winner choice cannot matter
+      val events = for {
+        ver <- 1 to 3
+        k <- rnd.shuffle((1L to 30L).toList).take(8)
+      } yield (k, s"r$round-$ver-$k",
+        if (rnd.nextBoolean()) "delete" else "insert", ver.toLong)
+
+      // reference semantics: highest version wins per key; within a
+      // version an insert beats a delete
+      val byKey = events.groupBy(_._1)
+      byKey.foreach { case (k, evs) =>
+        val maxVer = evs.map(_._4).max
+        val atMax = evs.filter(_._4 == maxVer)
+        atMax.find(_._3 == "insert") match {
+          case Some((_, value, _, _)) => model += k -> value
+          case None                   => model -= k
+        }
+      }
+
+      val feed = events.toDF("id", "s", "_change_type", "_commit_version")
+      TxLog.applyCdc(spark, feed, root, keyCols = Seq("id"))
+      def state(): Map[Long, String] =
+        TxLog.readLatest(spark, root).as[(Long, String)].collect().toMap
+      state() shouldBe model
+      // idempotence: replaying the identical feed changes nothing
+      TxLog.applyCdc(spark, feed, root, keyCols = Seq("id"))
+      state() shouldBe model
+    }
+  }
+
   test("timestamp time travel resolves to the highest version at-or-before the instant") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root) // v0
