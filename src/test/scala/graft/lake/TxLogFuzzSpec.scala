@@ -1,0 +1,96 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Seeded random-op fuzz over the commit log: a few dozen randomly chosen
+  * appends / merges / deletes / updates / CDC batches / compactions /
+  * rollbacks are applied both to the table and to an in-memory model of
+  * row state; after EVERY op the table must equal the model, and at the
+  * end every historical version must still time-travel to its recorded
+  * model state. One test, many op interleavings — the cheap insurance
+  * that op combinations nobody wrote a bespoke spec for (merge after
+  * rollback after compact, ...) still compose correctly.
+  */
+class TxLogFuzzSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("random op sequences keep table state equal to the model at every version") {
+    val rnd = new scala.util.Random(7)
+    val root = Files.createTempDirectory("graft-fuzz").toString
+    var model = Map.empty[Long, Double]
+    // model state per committed version, for the time-travel audit
+    val versions = scala.collection.mutable.Map.empty[Long, Map[Long, Double]]
+
+    def df(m: Map[Long, Double]) = m.toSeq.toDF("id", "x")
+    def state(): Map[Long, Double] =
+      TxLog.readLatest(spark, root).as[(Long, Double)].collect().toMap
+    def record(v: Long): Unit = versions(v) = model
+
+    // v0: initial load
+    model = (1L to 10L).map(k => k -> k.toDouble).toMap
+    record(TxLog.append(spark, df(model), root, statsCols = Seq("id")))
+
+    for (step <- 1 to 25) {
+      val keys = (1L to 30L).toVector
+      rnd.nextInt(7) match {
+        case 0 => // append fresh keys (avoid dup rows in the model)
+          val fresh = keys.filter(!model.contains(_))
+          if (fresh.nonEmpty) {
+            val batch = rnd.shuffle(fresh).take(3)
+              .map(k => k -> (step * 100 + k).toDouble).toMap
+            model ++= batch
+            record(TxLog.append(spark, df(batch), root, statsCols = Seq("id")))
+          }
+        case 1 => // merge: upsert a random slice
+          val batch = rnd.shuffle(keys).take(4)
+            .map(k => k -> (step * 1000 + k).toDouble).toMap
+          model ++= batch
+          record(TxLog.merge(spark, df(batch), root,
+            keyCols = Seq("id"), partitionCols = Seq.empty))
+        case 2 => // predicate delete
+          val cut = rnd.nextInt(30).toLong
+          val before = model
+          model = model.filter { case (k, _) => k > cut }
+          if (model != before)
+            record(TxLog.delete(spark, root, col("id") <= cut))
+        case 3 => // predicate update
+          val cut = rnd.nextInt(30).toLong
+          if (model.exists(_._1 >= cut)) {
+            model = model.map { case (k, v) =>
+              k -> (if (k >= cut) v + 0.5 else v) }
+            record(TxLog.update(spark, root, col("id") >= cut,
+              Map("x" -> (col("x") + 0.5))))
+          }
+        case 4 => // CDC batch: mixed upserts and deletes
+          val ups = rnd.shuffle(keys).take(2)
+            .map(k => k -> (step * 10000 + k).toDouble).toMap
+          val dels = rnd.shuffle(keys.filterNot(ups.contains)).take(2)
+          model = model ++ ups -- dels
+          val feed = (ups.toSeq.map { case (k, v) => (k, v, "insert") } ++
+            dels.map(k => (k, 0.0, "delete")))
+            .toDF("id", "x", "_change_type")
+          val v = TxLog.applyCdc(spark, feed, root, keyCols = Seq("id"))
+          record(v)
+        case 5 => // compact (no state change)
+          record(TxLog.compact(spark, root, smallerThanBytes = 1L << 20))
+        case 6 => // rollback to a random recorded version
+          val targets = versions.keys.toSeq.sorted
+          val tv = targets(rnd.nextInt(targets.size))
+          model = versions(tv)
+          record(TxLog.rollback(spark, root, tv))
+      }
+      withClue(s"after step $step: ") { state() shouldBe model }
+    }
+
+    // the whole history still time-travels to its recorded states
+    versions.foreach { case (v, m) =>
+      withClue(s"version $v: ") {
+        TxLog.readAt(spark, root, v).as[(Long, Double)].collect()
+          .toMap shouldBe m
+      }
+    }
+  }
+}
