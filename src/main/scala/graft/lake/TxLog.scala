@@ -1599,16 +1599,26 @@ object TxLog {
     */
   def compact(spark: SparkSession, root: String,
               smallerThanBytes: Long = 64L * 1024 * 1024,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitionFilter: Map[String, String] = Map.empty): Long = {
     require(smallerThanBytes >= 1 && targetBytes >= 1)
     val fs = fileSystem(spark, root)
     val current = resolve(spark, root, None)
+    // partition-SCOPED maintenance: at 100 TB nobody compacts the whole
+    // table — the nightly loop packs only the partitions the day's
+    // ingest touched. The filter applies BEFORE any directory listing,
+    // so the probe cost is O(selected dirs), not O(table dirs).
+    val dirMatches: String => Boolean = dir => {
+      val segs = dir.split('/').toSet
+      partitionFilter.forall { case (k, v) => segs.contains(s"$k=$v") }
+    }
     // size probe: ONE listStatus per partition directory (not one
     // getFileStatus RPC per file — on a millions-of-small-files table,
     // the very case compaction exists for, per-file namespace calls on
     // the driver would dominate the runtime)
     val liveSet = current.live.toSet
-    val small = current.live.map(relDir).distinct.flatMap { dir =>
+    val small = current.live.map(relDir).distinct.filter(dirMatches)
+      .flatMap { dir =>
       fs.listStatus(new Path(if (dir.isEmpty) root else s"$root/$dir"))
         .toSeq.filter(st => st.isFile)
         .map(st => s"$dir${st.getPath.getName}" -> st.getLen)

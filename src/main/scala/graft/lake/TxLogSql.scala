@@ -176,7 +176,11 @@ object TxLogSql {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  // one `col = 'value'` (or bare value) conjunct of an OPTIMIZE WHERE
+  private val PartEqRe =
+    """(?is)\s*(`[^`]+`|\w+)\s*=\s*(?:'([^']*)'|(\S+))\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
@@ -205,7 +209,10 @@ object TxLogSql {
     *   - `VACUUM t [RETAIN n VERSIONS]` — physically delete files only
     *     referenced by versions older than the retention window
     *     ([[TxLog.vacuum]]); returns the deleted paths
-    *   - `OPTIMIZE t` — bin-pack small files ([[TxLog.compact]])
+    *   - `OPTIMIZE t [WHERE part = 'x' AND ...]` — bin-pack small files
+    *     ([[TxLog.compact]]); the WHERE is a PARTITION scope (matched
+    *     against directory names before any listing), the form every
+    *     nightly maintenance loop uses — nobody compacts 100 TB whole
     *   - `OPTIMIZE t ZORDER BY (c1, ...)` — multi-column Z-order rewrite
     *     ([[TxLog.clusterZ]]); the target file count is derived from the
     *     table's live bytes at the standard 128 MiB target, so the
@@ -254,11 +261,17 @@ object TxLogSql {
           .getOrElse(DefaultVacuumKeepVersions)
         TxLog.vacuum(spark, reg.root, keep).toDF("deleted_file")
 
-      case OptimizeRe(ident, zorderCols) =>
+      case OptimizeRe(ident, whereText, zorderCols) =>
         val (name, reg) = lookup(spark, ident, sqlText)
+        val partFilter = Option(whereText).map(parsePartitionFilter(_, sqlText))
+          .getOrElse(Map.empty[String, String])
         val v = Option(zorderCols) match {
-          case None => TxLog.compact(spark, reg.root)
+          case None =>
+            TxLog.compact(spark, reg.root, partitionFilter = partFilter)
           case Some(colsText) =>
+            if (partFilter.nonEmpty)
+              fail(sqlText, "OPTIMIZE ... WHERE cannot combine with ZORDER " +
+                "BY — the Z-order rewrite is whole-table by construction")
             val cols = colsText.split(",").map(c => stripQuotes(c.trim))
               .filter(_.nonEmpty).toSeq
             if (cols.isEmpty) fail(sqlText, "empty ZORDER BY column list")
@@ -320,6 +333,21 @@ object TxLogSql {
         s"cannot parse TIMESTAMP AS OF '$ts' (epoch ms, " +
           "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
   }
+
+  /** OPTIMIZE's WHERE is a PARTITION filter, not a row predicate:
+    * conjunctions of `col = 'value'` equalities on partition columns,
+    * matched against directory names — anything else fails loudly
+    * (row-level predicates cannot scope a file-granular pack).
+    */
+  private def parsePartitionFilter(whereText: String,
+                                   sqlText: String): Map[String, String] =
+    whereText.split("(?i)\\s+AND\\s+").map {
+      case PartEqRe(k, quoted, bare) =>
+        stripQuotes(k) -> Option(quoted).getOrElse(bare)
+      case other => fail(sqlText,
+        s"OPTIMIZE WHERE supports only partition equalities " +
+          s"(col = 'value' AND ...); got: $other")
+    }.toMap
 
   private def stripQuotes(ident: String): String =
     if (ident.length >= 2 && ident.head == '`' && ident.last == '`')

@@ -180,6 +180,31 @@ class TxLogSqlSpec extends SparkSpec {
       .toSeq shouldBe Seq(1L, 2L, 3L, 4L)
   }
 
+  test("OPTIMIZE WHERE packs only the scoped partition") {
+    val root = Files.createTempDirectory("graft-txsql").toString
+    // two fragmented appends -> 2 small files in EACH partition dir
+    (0 until 2).foreach { i =>
+      TxLog.append(spark,
+        Seq((i * 10L + 1, "p1"), (i * 10L + 2, "p2"))
+          .toDF("id", "part").repartition(col("part")),
+        root, partitionCols = Seq("part"))
+    }
+    TxLogSql.register(spark, "mnt_scoped", root,
+      partitionCols = Seq("part"))
+    def filesIn(p: String): Int =
+      TxLog.liveSizes(spark, root).count(_._1.startsWith(s"part=$p/"))
+    filesIn("p1") shouldBe 2
+    TxLogSql.run(spark, "OPTIMIZE mnt_scoped WHERE part = 'p1'")
+    filesIn("p1") shouldBe 1 // packed
+    filesIn("p2") shouldBe 2 // out of scope, untouched
+    spark.sql("SELECT COUNT(*) FROM mnt_scoped").as[Long].head() shouldBe 4L
+    // row predicates are rejected, not silently ignored
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "OPTIMIZE mnt_scoped WHERE id > 5")
+    }
+    e.getMessage should include("partition equalities")
+  }
+
   test("OPTIMIZE ZORDER BY rewrites through clusterZ and keeps rows") {
     val root = fragmentedTable("mnt_z")
     TxLogSql.run(spark, "OPTIMIZE mnt_z ZORDER BY (id, bal)")
