@@ -307,9 +307,18 @@ object TxLogSql {
         refresh(spark, name, reg)
         Seq((v, "restore")).toDF("version", "operation")
 
-      case dml =>
-        val v = execute(spark, dml)
-        Seq((v, "dml")).toDF("version", "operation")
+      case other =>
+        parsePlan(spark, other) match {
+          case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
+               _: InsertIntoStatement =>
+            val v = execute(spark, other)
+            Seq((v, "dml")).toDF("version", "operation")
+          case _ =>
+            // reads (and ordinary session DDL) pass straight through —
+            // registered tables resolve as their views, so `run` is a
+            // COMPLETE single entry point for a SQL-only client
+            spark.sql(other)
+        }
     }
   }
 

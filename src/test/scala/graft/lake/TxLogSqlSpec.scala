@@ -284,4 +284,13 @@ class TxLogSqlSpec extends SparkSpec {
       .select("version", "operation").as[(Long, String)].head()
     res shouldBe ((4L, "dml"))
   }
+
+  test("run() passes reads through: one SQL entry point end to end") {
+    fragmentedTable("mnt_sel")
+    TxLogSql.run(spark, "DELETE FROM mnt_sel WHERE id = 4")
+    val rows = TxLogSql.run(spark,
+      "SELECT id, s FROM mnt_sel ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    rows shouldBe Seq((1L, "r1"), (2L, "r2"), (3L, "r3"))
+  }
 }
