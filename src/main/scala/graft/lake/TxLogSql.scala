@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftnative.{parsePlan, planToDf, toColumn}
 
@@ -67,17 +67,57 @@ object TxLogSql {
     * commits no empty rewrite). The target's read view is refreshed to
     * the post-statement snapshot.
     */
-  def execute(spark: SparkSession, sqlText: String): Long = {
-    val version = parsePlan(spark, sqlText) match {
+  def execute(spark: SparkSession, sqlText: String): Long =
+    dispatchDml(spark, parsePlan(spark, sqlText), sqlText, strict = true)
+      .getOrElse(fail(sqlText, "not a DML statement this surface " +
+        "executes; reads go through the registered view via spark.sql"))
 
-      case d: DeleteFromTable =>
-        val (name, reg) = target(spark, d.table, sqlText)
+  /** Is this parsed plan one of the DML shapes this surface dispatches? */
+  private def isDmlShape(p: LogicalPlan): Boolean = p match {
+    case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
+         _: InsertIntoStatement => true
+    case _ => false
+  }
+
+  /** The single DML dispatcher behind both [[execute]] and [[run]]:
+    * Some(version) when `plan` is a DML shape against a REGISTERED
+    * table; None when it is not a DML shape at all, or — in lenient
+    * mode (`strict = false`, the [[run]] path) — when its target is not
+    * registered, so the caller can hand the statement to `spark.sql`
+    * (ordinary catalog tables accept their own DML there). Strict mode
+    * (the [[execute]] path) fails loudly on an unregistered target
+    * instead. One dispatcher, one parse, one type list — run() and
+    * execute() cannot drift.
+    */
+  private def dispatchDml(spark: SparkSession, plan: LogicalPlan,
+                          sqlText: String, strict: Boolean): Option[Long] = {
+    // Spark's grammar allows a CTE prefix on every DML shape, parsed as
+    // UnresolvedWith(dml, ctes) — NOT the bare DML type. Without this
+    // guard such a statement would fall through to spark.sql and, worst
+    // case, write AROUND the commit log via the raw snapshot view.
+    plan match {
+      case w: UnresolvedWith if isDmlShape(w.child) =>
+        fail(sqlText, "CTE-prefixed DML is not supported on this " +
+          "surface; inline the subquery (e.g. MERGE ... USING (SELECT " +
+          "...) s) or create a temp view for the source")
+      case _ => ()
+    }
+    def resolve(table: LogicalPlan): Option[(String, Registration)] =
+      targetOpt(spark, table) match {
+        case some @ Some(_) => some
+        case None if strict => fail(sqlText,
+          s"DML target is not TxLogSql-registered; call TxLogSql.register first")
+        case None => None
+      }
+    plan match {
+
+      case d: DeleteFromTable => resolve(d.table).map { case (name, reg) =>
         val v = TxLog.delete(spark, reg.root,
           toColumn(unqualify(d.condition)), reg.statsCols)
         refresh(spark, name, reg); v
+      }
 
-      case u: UpdateTable =>
-        val (name, reg) = target(spark, u.table, sqlText)
+      case u: UpdateTable => resolve(u.table).map { case (name, reg) =>
         val cond = u.condition.map(c => toColumn(unqualify(c)))
           .getOrElse(lit(true))
         val set = u.assignments.map { a =>
@@ -87,9 +127,9 @@ object TxLogSql {
           s"duplicate SET column in: $sqlText")
         val v = TxLog.update(spark, reg.root, cond, set, reg.statsCols)
         refresh(spark, name, reg); v
+      }
 
-      case m: MergeIntoTable =>
-        val (name, reg) = target(spark, m.targetTable, sqlText)
+      case m: MergeIntoTable => resolve(m.targetTable).map { case (name, reg) =>
         // the commit log's merge is a whole-row upsert by key: exactly
         // UPDATE SET * / INSERT * with no clause conditions
         m.matchedActions match {
@@ -108,9 +148,9 @@ object TxLogSql {
         val v = TxLog.merge(spark, planToDf(spark, m.sourceTable), reg.root,
           keys, reg.partitionCols, reg.statsCols)
         refresh(spark, name, reg); v
+      }
 
-      case i: InsertIntoStatement =>
-        val (name, reg) = target(spark, i.table, sqlText)
+      case i: InsertIntoStatement => resolve(i.table).map { case (name, reg) =>
         if (i.partitionSpec.nonEmpty)
           fail(sqlText, "static PARTITION specs are not supported; the " +
             "commit log derives partitions from the rows")
@@ -152,13 +192,10 @@ object TxLogSql {
           else TxLog.append(spark, df, reg.root, reg.partitionCols,
             reg.statsCols)
         refresh(spark, name, reg); v
+      }
 
-      case other =>
-        fail(sqlText, s"not a DML statement this surface executes " +
-          s"(${other.getClass.getSimpleName}); reads go through the " +
-          "registered view via spark.sql")
+      case _ => None
     }
-    version
   }
 
   // -----------------------------------------------------------------------
@@ -308,18 +345,49 @@ object TxLogSql {
         Seq((v, "restore")).toDF("version", "operation")
 
       case other =>
-        parsePlan(spark, other) match {
-          case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
-               _: InsertIntoStatement =>
-            val v = execute(spark, other)
-            Seq((v, "dml")).toDF("version", "operation")
-          case _ =>
-            // reads (and ordinary session DDL) pass straight through —
-            // registered tables resolve as their views, so `run` is a
-            // COMPLETE single entry point for a SQL-only client
+        // ONE parse, one dispatcher shared with execute(): DML against a
+        // registered table commits through the log; everything else —
+        // reads, session DDL, DML on ordinary catalog tables — passes
+        // straight through to spark.sql (registered tables resolve as
+        // their views), so `run` is a complete single entry point for a
+        // SQL-only client.
+        dispatchDml(spark, parsePlan(spark, other), other,
+          strict = false) match {
+          case Some(v) => Seq((v, "dml")).toDF("version", "operation")
+          case None =>
+            guardRegisteredViewDdl(spark, other)
             spark.sql(other)
         }
     }
+  }
+
+  /** View DDL naming a registered table: rejected, not passed through. A
+    * passed-through `DROP VIEW t` would orphan the registry (reads break
+    * until the next DML), and `CREATE OR REPLACE TEMP VIEW t AS ...`
+    * would silently SHADOW the commit-log snapshot — `run` would return
+    * wrong rows for a table it claims to manage.
+    */
+  private val ViewDdlRe =
+    ("""(?is)\s*(?:DROP\s+VIEW|CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?""" +
+      """(?:TEMP(?:ORARY)?\s+)?VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?""" +
+      """(`[^`]+`|[\w.]+)\b.*""").r
+
+  private def guardRegisteredViewDdl(spark: SparkSession,
+                                     sqlText: String): Unit = sqlText match {
+    case ViewDdlRe(ident) =>
+      val name = normalize(stripQuotes(ident).split('.').last)
+      if (registry.contains((spark, name)))
+        fail(sqlText, s"'$name' is a TxLogSql-registered table; dropping " +
+          "or replacing its read view would orphan or shadow the commit " +
+          "log. Unregister it first if that is really intended")
+    case _ => ()
+  }
+
+  /** Remove `name` from this session's registry (the read view is left
+    * in place; drop it separately if desired).
+    */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    registry.remove((spark, normalize(name))); ()
   }
 
   // -----------------------------------------------------------------------
@@ -382,23 +450,20 @@ object TxLogSql {
     TxLog.createView(spark, name, reg.root)
 
   /** Unwrap the parsed target relation (possibly aliased:
-    * `MERGE INTO t AS x`) to its registered name + registration.
+    * `MERGE INTO t AS x`) to its registered name + registration; None
+    * when the target is not a plain relation or is not registered (the
+    * caller decides whether that is a loud failure or a passthrough).
     */
   @annotation.tailrec
-  private def target(spark: SparkSession, plan: LogicalPlan,
-                     sqlText: String): (String, Registration) = plan match {
-    case a: SubqueryAlias => target(spark, a.child, sqlText)
-    case r: UnresolvedRelation =>
-      val name = normalize(r.multipartIdentifier.last)
-      registry.get((spark, name)) match {
-        case Some(reg) => (name, reg)
-        case None => fail(sqlText,
-          s"table '${r.multipartIdentifier.mkString(".")}' is not " +
-            "TxLogSql-registered; call TxLogSql.register first")
-      }
-    case other =>
-      fail(sqlText, s"unsupported DML target ${other.getClass.getSimpleName}")
-  }
+  private def targetOpt(spark: SparkSession,
+                        plan: LogicalPlan): Option[(String, Registration)] =
+    plan match {
+      case a: SubqueryAlias => targetOpt(spark, a.child)
+      case r: UnresolvedRelation =>
+        val name = normalize(r.multipartIdentifier.last)
+        registry.get((spark, name)).map(name -> _)
+      case _ => None
+    }
 
   /** Strip alias qualifiers from attribute references (`t.c_acctbal` ->
     * `c_acctbal`): DML predicates evaluate against the snapshot frame,

@@ -293,4 +293,50 @@ class TxLogSqlSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     rows shouldBe Seq((1L, "r1"), (2L, "r2"), (3L, "r3"))
   }
+
+  test("CTE-prefixed DML is rejected loudly, never passed around the commit log") {
+    fragmentedTable("mnt_cte")
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        """WITH s AS (SELECT 9 AS id, 'x' AS s, CAST(0 AS DOUBLE) AS bal)
+          |INSERT INTO mnt_cte SELECT * FROM s""".stripMargin)
+    }
+    e.getMessage should include("CTE-prefixed DML")
+    // nothing committed, nothing written around the log
+    spark.sql("SELECT COUNT(*) FROM mnt_cte").as[Long].head() shouldBe 4L
+  }
+
+  test("DML on an unregistered catalog table passes through to spark.sql") {
+    spark.sql("DROP TABLE IF EXISTS plain_cat_tbl")
+    spark.sql("CREATE TABLE plain_cat_tbl (id BIGINT) USING PARQUET")
+    try {
+      TxLogSql.run(spark, "INSERT INTO plain_cat_tbl VALUES (7)")
+      TxLogSql.run(spark, "SELECT id FROM plain_cat_tbl").as[Long]
+        .collect().toSeq shouldBe Seq(7L)
+      // execute() — the DML-only entry — still fails loudly instead
+      val e = intercept[IllegalArgumentException] {
+        TxLogSql.execute(spark, "INSERT INTO plain_cat_tbl VALUES (8)")
+      }
+      e.getMessage should include("not TxLogSql-registered")
+    } finally spark.sql("DROP TABLE IF EXISTS plain_cat_tbl")
+  }
+
+  test("view DDL naming a registered table is rejected, not passed through") {
+    fragmentedTable("mnt_guard")
+    val e1 = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "DROP VIEW mnt_guard")
+    }
+    e1.getMessage should include("registered table")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "CREATE OR REPLACE TEMP VIEW mnt_guard AS SELECT 1 AS id")
+    }
+    e2.getMessage should include("registered table")
+    // the table still reads correctly through the surface
+    TxLogSql.run(spark, "SELECT COUNT(*) FROM mnt_guard").as[Long]
+      .head() shouldBe 4L
+    // view DDL on unrelated names passes through fine
+    TxLogSql.run(spark, "CREATE OR REPLACE TEMP VIEW mnt_other AS SELECT 1 AS x")
+    TxLogSql.run(spark, "DROP VIEW mnt_other")
+  }
 }
