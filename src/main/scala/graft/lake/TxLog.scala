@@ -242,6 +242,8 @@ object TxLog {
                            rels: Seq[String],
                            statsCols: Seq[String]): FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
+    require(!statsCols.contains(RowCountKey),
+      s"'$RowCountKey' is the reserved row-count pseudo-column")
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     // cast BEFORE the agg: min/max of a string column are LEXICOGRAPHIC
     // ("10" < "2"), and casting that afterwards yields numerically wrong
@@ -252,11 +254,21 @@ object TxLog {
     // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
     // THROWS on a non-numeric string instead of yielding null, turning
     // "no stats recorded for this column" into a failed write
+    // per column: min/max of the cast PLUS a count of non-null values
+    // the cast loses. Bounds are recorded only when that count is ZERO:
+    // on a mixed column ('5', 'abc') min/max of the castable subset
+    // would UNDER-COVER the file — the merge probe would then prune a
+    // file that still holds the non-castable key, silently losing its
+    // delete/upsert. No stats = conservatively kept = always safe.
     val aggs = statsCols.flatMap(c => Seq(
       min(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
         .as(s"__mn_$c"),
       max(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
-        .as(s"__mx_$c"))) :+
+        .as(s"__mx_$c"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions
+        .expr(s"CASE WHEN `$c` IS NOT NULL AND " +
+          s"try_cast(`$c` AS DOUBLE) IS NULL THEN 1 END"))
+        .as(s"__bad_$c"))) :+
       // row count rides the same per-file job for free — the input to
       // metadata-only COUNT(*) ([[countRows]])
       org.apache.spark.sql.functions.count(
@@ -273,10 +285,11 @@ object TxLog {
         .filter(relSet.contains)
         .map { rel =>
           val colStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(1 + 2 * i)) None
-            else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+            val (mnI, mxI, badI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+            if (r.isNullAt(mnI) || r.getLong(badI) > 0) None
+            else Some(c -> (r.getDouble(mnI), r.getDouble(mxI)))
           }.toMap
-          val n = r.getLong(1 + 2 * statsCols.size).toDouble
+          val n = r.getLong(1 + 3 * statsCols.size).toDouble
           rel -> (colStats + (RowCountKey -> (n, n)))
         }
     }.toMap
@@ -478,7 +491,13 @@ object TxLog {
       case Some(c) =>
         val curS = StructType.fromDDL(c)
         val newS = StructType.fromDDL(batchDdl)
-        val conflicts = newS.flatMap(f => curS.find(_.name == f.name)
+        // names match CASE-INSENSITIVELY (Spark's default resolution): a
+        // batch renaming `id` to `ID` must hit the type check / be
+        // treated as the SAME column, not append a duplicate name that
+        // breaks every later read under spark.sql.caseSensitive=false
+        def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        def inCur(name: String) = curS.find(f => lower(f.name) == lower(name))
+        val conflicts = newS.flatMap(f => inCur(f.name)
           .filter(_.dataType != f.dataType)
           .map(t => s"`${f.name}` table=${t.dataType.simpleString} " +
             s"batch=${f.dataType.simpleString}"))
@@ -489,8 +508,8 @@ object TxLog {
               "(a committed type change converts no data; it breaks reads " +
               "of every existing file later, at query time)")
         if (spark.conf.get("spark.graft.schema.mode", "merge") == "enforce") {
-          val curSet = curS.map(f => (f.name, f.dataType)).toSet
-          val newSet = newS.map(f => (f.name, f.dataType)).toSet
+          val curSet = curS.map(f => (lower(f.name), f.dataType)).toSet
+          val newSet = newS.map(f => (lower(f.name), f.dataType)).toSet
           if (curSet != newSet)
             throw new IllegalArgumentException(
               s"$operation to $root under schema.mode=enforce: batch " +
@@ -498,7 +517,7 @@ object TxLog {
                 s"columns {${curS.map(_.name).mkString(", ")}} — set " +
                 "spark.graft.schema.mode=merge to evolve")
         }
-        StructType(curS ++ newS.filterNot(f => curS.exists(_.name == f.name)))
+        StructType(curS ++ newS.filterNot(f => inCur(f.name).nonEmpty))
           .toDDL
     }
   }
@@ -667,7 +686,15 @@ object TxLog {
           .expr(s"try_cast(`$keyHead` AS DOUBLE)")).as("_klo"),
         max(org.apache.spark.sql.functions
           .expr(s"try_cast(`$keyHead` AS DOUBLE)")).as("_khi"),
-        count(lit(1)).as("_nkeys")).head()
+        count(lit(1)).as("_nkeys"),
+        // non-castable touched keys: their range contribution is lost in
+        // _klo/_khi, so bounds computed from the castable subset alone
+        // would wrongly prune files holding them — pruning must switch
+        // off entirely when any such key exists
+        count(org.apache.spark.sql.functions
+          .expr(s"CASE WHEN `$keyHead` IS NOT NULL AND " +
+            s"try_cast(`$keyHead` AS DOUBLE) IS NULL THEN 1 END"))
+          .as("_badk")).head()
     require(kstat.isNullAt(0) || kstat.getLong(0) <= 1,
       s"$operation touched keys must be unique (one upsert OR delete per key)")
     val nKeys = if (kstat.isNullAt(3)) 0L else kstat.getLong(3)
@@ -682,7 +709,8 @@ object TxLog {
     // touched key range — the difference between O(table) and O(delta) at
     // 100 TB.
     val probeLive =
-      if (kstat.isNullAt(1) || kstat.isNullAt(2)) current.live
+      if (kstat.isNullAt(1) || kstat.isNullAt(2) ||
+          kstat.getLong(4) > 0) current.live
       else {
         val (klo, khi) = (kstat.getDouble(1), kstat.getDouble(2))
         current.live.filter { f =>
@@ -773,7 +801,10 @@ object TxLog {
           s"$operation based on version ${current.version} conflicts with " +
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
             s"at $root — re-run the $operation")
-      (adds, matchedFiles, ddl)
+      // same schema policy as appends: a merge whose updates matched NO
+      // live file stages only the update rows, and committing their raw
+      // schema would narrow the table (or change a type) silently
+      (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols))
   }
 
@@ -811,7 +842,20 @@ object TxLog {
             when(col("_change_type") === "insert", 1).otherwise(0).desc)
         changes.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_commit_version")
-      } else changes
+      } else {
+        // without a version column there is no order to net by — the
+        // batch must already be one change per key; checked here with a
+        // clearer error than the merge's generic uniqueness require
+        val dup = changes.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            "applyCdc batch has multiple changes for one key but no " +
+              "_commit_version column to order them — carry the feed's " +
+              "_commit_version (readChanges provides it) so the net " +
+              "effect is defined")
+        changes
+      }
     val cached = reduced.cache()
     try {
       val byType = cached.groupBy("_change_type").count()
@@ -988,10 +1032,21 @@ object TxLog {
     val files = snap.live
     if (files.nonEmpty) {
       val (src, dst) = (srcRoot, dstRoot) // stable locals for the closure
+      // ship the SESSION's Hadoop config to the tasks as plain pairs
+      // (Configuration is not serializable): a bare new Configuration()
+      // in the task would drop every spark.hadoop.* setting — object
+      // store credentials, endpoints, fs implementations
+      val confPairs: Seq[(String, String)] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }
       val slots = math.max(1,
         math.min(files.size, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(files, slots).foreach { rel =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confPairs.foreach { case (k, v) => conf.set(k, v) }
         val from = new Path(s"$src/$rel")
         val to = new Path(s"$dst/$rel")
         val ffs = from.getFileSystem(conf)
@@ -1612,19 +1667,8 @@ object TxLog {
       val segs = dir.split('/').toSet
       partitionFilter.forall { case (k, v) => segs.contains(s"$k=$v") }
     }
-    // size probe: ONE listStatus per partition directory (not one
-    // getFileStatus RPC per file — on a millions-of-small-files table,
-    // the very case compaction exists for, per-file namespace calls on
-    // the driver would dominate the runtime)
-    val liveSet = current.live.toSet
-    val small = current.live.map(relDir).distinct.filter(dirMatches)
-      .flatMap { dir =>
-      fs.listStatus(new Path(if (dir.isEmpty) root else s"$root/$dir"))
-        .toSeq.filter(st => st.isFile)
-        .map(st => s"$dir${st.getPath.getName}" -> st.getLen)
-        .filter { case (rel, len) =>
-          liveSet.contains(rel) && len < smallerThanBytes }
-    }
+    val small = liveSizesIn(fs, root, current.live, dirMatches)
+      .filter { case (_, len) => len < smallerThanBytes }
     val groups = small.groupBy { case (f, _) => relDir(f) }
       .filter(_._2.size >= 2)
     if (groups.isEmpty) return current.version
@@ -1717,23 +1761,31 @@ object TxLog {
     * readable; time travel older than that is forfeited — the standard
     * trade). Returns the deleted root-relative paths.
     */
-  /** Latest snapshot's live files with their on-disk sizes — one
-    * listStatus per partition directory (the same RPC discipline as the
-    * [[compact]] probe: never one namespace call per file). The metadata
-    * input for maintenance policy (OPTIMIZE's target file count,
-    * small-file ratio monitoring) without opening any data file.
+  /** The shared size probe behind [[liveSizes]] and [[compact]]: one
+    * listStatus per selected partition directory — never one namespace
+    * RPC per file (on a millions-of-small-files table, the very case
+    * compaction exists for, per-file calls would dominate). `dirFilter`
+    * applies BEFORE listing, so a partition-scoped caller pays only for
+    * its scope.
     */
-  def liveSizes(spark: SparkSession, root: String): Seq[(String, Long)] = {
-    val fs = fileSystem(spark, root)
-    val current = resolve(spark, root, None)
-    val liveSet = current.live.toSet
-    current.live.map(relDir).distinct.flatMap { dir =>
+  private def liveSizesIn(fs: FileSystem, root: String, live: Seq[String],
+                          dirFilter: String => Boolean): Seq[(String, Long)] = {
+    val liveSet = live.toSet
+    live.map(relDir).distinct.filter(dirFilter).flatMap { dir =>
       fs.listStatus(new Path(if (dir.isEmpty) root else s"$root/$dir"))
         .toSeq.filter(_.isFile)
         .map(st => s"$dir${st.getPath.getName}" -> st.getLen)
         .filter { case (rel, _) => liveSet.contains(rel) }
     }
   }
+
+  /** Latest snapshot's live files with their on-disk sizes — the
+    * metadata input for maintenance policy (OPTIMIZE's target file
+    * count, small-file ratio monitoring) without opening any data file.
+    */
+  def liveSizes(spark: SparkSession, root: String): Seq[(String, Long)] =
+    liveSizesIn(fileSystem(spark, root), root,
+      resolve(spark, root, None).live, _ => true)
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")

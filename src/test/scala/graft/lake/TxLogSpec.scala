@@ -1006,6 +1006,63 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("mixed-castable string keys: no under-covering stats, merge still finds every key") {
+    val root = tmpRoot()
+    // one file holding a castable AND a non-castable key: bounds over the
+    // castable subset alone would claim [5,5] and the merge probe would
+    // prune this file for any batch outside that range
+    TxLog.append(spark, Seq(("5", "num"), ("abc", "alpha")).toDF("k", "s")
+      .repartition(1), root, statsCols = Seq("k"))
+    // the file must have NO recorded bounds for k (conservatively kept)
+    val stats = TxLog.history(spark, root).head.stats
+    stats.values.flatMap(_.keys).toSet shouldBe Set(TxLog.RowCountKey)
+    // a merge touching the non-castable key rewrites it (no duplicate)
+    TxLog.merge(spark, Seq(("abc", "ALPHA!")).toDF("k", "s"), root,
+      keyCols = Seq("k"), partitionCols = Seq.empty)
+    TxLog.readLatest(spark, root).orderBy("k").as[(String, String)]
+      .collect().toSeq shouldBe Seq(("5", "num"), ("abc", "ALPHA!"))
+  }
+
+  test("merge with no matched files keeps the table schema (no silent narrowing)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a", 7.5)).toDF("id", "a", "b"), root)
+    // all-new keys, NARROWER update frame: nothing matches, the staged
+    // batch is just the updates — the committed schema must still be the
+    // union, not the batch's two columns
+    TxLog.merge(spark, Seq((2L, "c")).toDF("id", "a"), root,
+      keyCols = Seq("id"), partitionCols = Seq.empty)
+    val latest = TxLog.readLatest(spark, root)
+    latest.columns.toSeq shouldBe Seq("id", "a", "b")
+    latest.orderBy("id").collect().map(_.toSeq).toSeq shouldBe Seq(
+      Seq(1L, "a", 7.5), Seq(2L, "c", null))
+  }
+
+  test("schema policy matches names case-insensitively (Spark's default resolution)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    // same column, different case: NOT a new column
+    TxLog.append(spark, Seq((2L, "b")).toDF("ID", "s"), root)
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "s")
+    TxLog.readLatest(spark, root).count() shouldBe 2L
+    // same-name-different-case TYPE change still rejected
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq(("x", "c")).toDF("ID", "s"), root)
+    }
+    e.getMessage should include("changes column type")
+  }
+
+  test("applyCdc without _commit_version rejects ambiguous per-key changes clearly") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.applyCdc(spark,
+        Seq((1L, "x", "insert"), (1L, "y", "delete"))
+          .toDF("id", "s", "_change_type"),
+        root, keyCols = Seq("id"))
+    }
+    e.getMessage should include("_commit_version")
+  }
+
   test("applyCdc converges to the reference model under randomized multi-version feeds") {
     val rnd = new scala.util.Random(42) // seeded: deterministic run
     val root = tmpRoot()
