@@ -462,8 +462,8 @@ object Lake {
         |         CAST(c_nationkey AS VARCHAR) AS nk
         |  FROM customer WHERE c_custkey % 7 = 0
         |  UNION ALL
-        |  SELECT 900000 + n_nationkey, CAST(0 AS DOUBLE),
-        |         CAST(n_nationkey AS VARCHAR)
+        |  SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + n_nationkey,
+        |         CAST(0 AS DOUBLE), CAST(n_nationkey AS VARCHAR)
         |  FROM nation),
         |merged AS (
         |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
@@ -492,10 +492,14 @@ object Lake {
         col("c_nationkey").cast("string").as("nk"))
         .repartition(col("nk"))
       TxLog.append(s, cust, root, Seq("nk"))
+      // synthetic insert keys start past the ACTUAL max custkey — a
+      // fixed offset (the old 900000) collides with real keys once
+      // SF*150k grows past it, making the merge source non-unique
+      val maxCust = cust.agg(max("c_custkey")).head().getLong(0)
       val updates = cust.filter(col("c_custkey") % 7 === 0)
         .withColumn("bal", col("bal") * 2)
         .unionByName(t(s, dir, "nation").select(
-          (col("n_nationkey").cast("long") + 900000L).as("c_custkey"),
+          (col("n_nationkey").cast("long") + lit(maxCust + 1)).as("c_custkey"),
           lit(0.0).as("bal"),
           col("n_nationkey").cast("string").as("nk")))
         .repartition(col("nk"))
@@ -529,7 +533,8 @@ object Lake {
         |src AS (SELECT c_custkey, c_mktsegment, CAST(5000 AS DOUBLE) AS bal
         |        FROM base WHERE c_custkey % 10 = 0
         |        UNION ALL
-        |        SELECT 800000 + r_regionkey, 'AUTOMOBILE', CAST(1 AS DOUBLE)
+        |        SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + r_regionkey,
+        |               'AUTOMOBILE', CAST(1 AS DOUBLE)
         |        FROM region),
         |kept AS (SELECT * FROM u
         |         WHERE c_custkey NOT IN (SELECT c_custkey FROM src)),
@@ -553,11 +558,14 @@ object Lake {
 
       // merge source: recomputed balances for every 10th customer plus
       // one synthetic row per region — registered as a view so the SQL
-      // text references it by name, like any warehouse client would
+      // text references it by name, like any warehouse client would.
+      // Synthetic keys start past the actual max custkey (a fixed offset
+      // collides with real keys at large SF, breaking merge uniqueness)
+      val maxCust = cust.agg(max("c_custkey")).head().getLong(0)
       cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("bal", lit(5000.0))
         .unionByName(t(s, dir, "region").select(
-          (col("r_regionkey").cast("long") + 800000L).as("c_custkey"),
+          (col("r_regionkey").cast("long") + lit(maxCust + 1)).as("c_custkey"),
           lit("AUTOMOBILE").as("c_mktsegment"),
           lit(1.0).as("bal")))
         .createOrReplaceTempView("graft_dml_src")

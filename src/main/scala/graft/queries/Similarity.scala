@@ -132,16 +132,6 @@ object Similarity {
       .filter(col("cenorm") > 0)
   }
 
-  /** IVF ANN top-k over a centroid table: corpus vectors are assigned to
-    * their single nearest cell, queries probe their `nProbe` nearest
-    * cells, and candidates are the cell-id EQUI-JOIN of the two — the
-    * shuffle keys are bounded by the centroid count and the per-cell work
-    * is AQE-splittable. Exposed as an operator (not just a query) so specs
-    * can drive it with synthetic clustered corpora.
-    *
-    * Expects `corpus` = (cand_id, embedding, cnorm),
-    * `queries` = (qid, qe, qnorm), `centroids` = (cell, ce, cenorm).
-    */
   /** Nearest centroid cells by cosine — the IVF assignment/probe step,
     * shared by [[ivfTopK]] and [[ivfPqTopK]] (and driven directly by
     * specs that assert candidate counts). The centroid table is broadcast
@@ -161,6 +151,16 @@ object Similarity {
       .drop("ce", "cenorm", "cell_cos", "cell_rank")
   }
 
+  /** IVF ANN top-k over a centroid table: corpus vectors are assigned to
+    * their single nearest cell, queries probe their `nProbe` nearest
+    * cells, and candidates are the cell-id EQUI-JOIN of the two — the
+    * shuffle keys are bounded by the centroid count and the per-cell work
+    * is AQE-splittable. Exposed as an operator (not just a query) so specs
+    * can drive it with synthetic clustered corpora.
+    *
+    * Expects `corpus` = (cand_id, embedding, cnorm),
+    * `queries` = (qid, qe, qnorm), `centroids` = (cell, ce, cenorm).
+    */
   def ivfTopK(corpusDf: DataFrame, queriesDf: DataFrame, centroidsDf: DataFrame,
               k: Int, nProbe: Int): DataFrame = {
     val assigned = ivfCells(corpusDf, centroidsDf, "cand_id", "embedding", "cnorm", keep = 1)
@@ -324,9 +324,22 @@ object Similarity {
         transform(col("qe"), x => (x / col("qnorm")).cast("float")),
         flat, m, k))
 
+    adcShortlistRerank(cand.crossJoin(broadcast(qs)), k, kTop, shortlist)
+  }
+
+  /** The shared PQ scoring tail: ADC-score candidate pairs (each row a
+    * (query, candidate) pair carrying `codes` + `lut`), shortlist by
+    * ADC, re-rank the shortlist by EXACT cosine, keep `kTop`. The ONE
+    * place the ADC/shortlist/re-rank semantics live — [[pqTopK]] (flat
+    * scan) and [[ivfPqTopK]] (cell-pruned) differ only in how the pairs
+    * are generated, so a tie-break or guard fix here cannot
+    * desynchronize them.
+    */
+  private def adcShortlistRerank(pairs: DataFrame, k: Int, kTop: Int,
+                                 shortlist: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand_id"))
     val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
-    cand.crossJoin(broadcast(qs))
+    pairs
       .filter(col("cand_id") =!= col("qid"))
       .withColumn("adc", graft.functions.VecOps.pqAdcf(col("codes"), col("lut"), k))
       .withColumn("srnk", row_number().over(wAdc))
@@ -371,18 +384,7 @@ object Similarity {
         graft.functions.VecOps.pqLutf(
           transform(col("qe"), x => (x / col("qnorm")).cast("float")),
           flat, m, k))
-    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand_id"))
-    val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
-    probes.join(assigned, "cell")
-      .filter(col("cand_id") =!= col("qid"))
-      .withColumn("adc", graft.functions.VecOps.pqAdcf(col("codes"), col("lut"), k))
-      .withColumn("srnk", row_number().over(wAdc))
-      .filter(col("srnk") <= shortlist)
-      .withColumn("cosine", dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
-      .withColumn("rnk", row_number().over(wExact).cast("long"))
-      .filter(col("rnk") <= kTop)
-      .select("qid", "cand_id", "rnk", "cosine")
-      .orderBy("qid", "rnk")
+    adcShortlistRerank(probes.join(assigned, "cell"), k, kTop, shortlist)
   }
 
   // Hyperplane-LSH parameters for q61: 128 sign bits as 16 bands of 8.
