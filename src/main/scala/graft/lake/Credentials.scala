@@ -62,7 +62,7 @@ final class TtlCache[K, V](fetch: K => V,
       case Some(v) => v
       case None =>
         val keyLock = inFlight.computeIfAbsent(k, _ => new Object)
-        keyLock.synchronized {
+        try keyLock.synchronized {
           // re-check: a concurrent caller may have fetched while this one
           // waited on the key lock
           lookup(k, clock(), countStats = false).getOrElse {
@@ -81,6 +81,15 @@ final class TtlCache[K, V](fetch: K => V,
             }
             v
           }
+        } finally {
+          // drop the per-key lock once the burst is over: waiters already
+          // hold a reference to THIS object and still serialize on it;
+          // keeping it mapped forever would grow inFlight by one entry
+          // per distinct key for the cache's whole life — an unbounded
+          // leak the maxSize bound on `entries` cannot see. The cost of
+          // removal is at most one duplicate fetch when a new caller
+          // arrives in the instant between release and re-check.
+          inFlight.remove(k, keyLock); ()
         }
     }
   }

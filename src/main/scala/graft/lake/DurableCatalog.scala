@@ -52,6 +52,11 @@ object DurableCatalog {
   */
 object DurableCatalogMain {
   def main(args: Array[String]): Unit = {
+    if (args.length != 4 ||
+        !Set("create", "read").contains(args(0)))
+      throw new IllegalArgumentException(
+        "usage: DurableCatalogMain <create|read> <warehouseDir> " +
+          s"<metastoreDb> <dataDir> — got: ${args.mkString(" ")}")
     val Array(phase, warehouseDir, metastoreDb, dataDir) = args
     val spark = DurableCatalog.builder(warehouseDir, metastoreDb)
       .master("local[2]")

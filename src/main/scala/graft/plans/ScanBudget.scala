@@ -45,27 +45,54 @@ object ScanBudget {
   /** Post-pruning file bytes this physical plan will read: every file
     * source scan's selected-partition listing, recursing through AQE
     * wrappers (a leaf node hiding the real plan) and subquery plans
-    * (a scalar subquery scans real bytes too).
+    * (a scalar subquery scans real bytes too). Scans are deduplicated by
+    * INSTANCE: under AQE, dynamic-partition-pruning rewires a scan's
+    * filter to a subquery holding the join's OWN build-side exchange, so
+    * a naive sum counts that side twice — once in the join subtree, once
+    * through the subquery — and a query genuinely under budget would be
+    * spuriously killed. One physical scan = one charge.
     */
   def plannedScanBytes(plan: SparkPlan): Long = {
-    val direct = plan.collect {
-      case f: FileSourceScanExec => f.selectedPartitions.totalFileSize
-      case a: AdaptiveSparkPlanExec => plannedScanBytes(a.inputPlan)
-    }.sum
-    val subqueries = plan.collect { case p =>
-      p.expressions.flatMap(_.collect {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean]())
+    def visit(p: SparkPlan): Unit = p.foreach { node =>
+      node match {
+        case f: FileSourceScanExec => seen.add(f); ()
+        case a: AdaptiveSparkPlanExec => visit(a.inputPlan)
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
         case e: org.apache.spark.sql.execution.ScalarSubquery =>
-          plannedScanBytes(e.plan.child)
+          visit(e.plan.child)
         case e: org.apache.spark.sql.execution.InSubqueryExec =>
-          plannedScanBytes(e.plan.child)
+          visit(e.plan.child)
+        case _ => ()
       })
-    }.flatten.sum
-    direct + subqueries
+    }
+    visit(plan)
+    var total = 0L
+    seen.forEach(f => total += f.selectedPartitions.totalFileSize)
+    total
   }
 
+  /** The budget rule skips enforcement while a PREVIEW materializes the
+    * plan: `plannedScanBytes(df)` is documented as "the number without
+    * enforcement", but materializing `executedPlan` on an
+    * extension-installed session runs the AQE prep rules eagerly — the
+    * preview itself would throw on the very query it exists to measure.
+    * Thread-local because the prep rules run on the materializing thread.
+    */
+  private val previewing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[plans] def isPreviewing: Boolean = previewing.get()
+
   /** Planned post-pruning scan bytes of a DataFrame (no enforcement). */
-  def plannedScanBytes(df: DataFrame): Long =
-    plannedScanBytes(df.queryExecution.executedPlan)
+  def plannedScanBytes(df: DataFrame): Long = {
+    previewing.set(true)
+    try plannedScanBytes(df.queryExecution.executedPlan)
+    finally previewing.set(false)
+  }
 
   /** Enforce the session's configured budget (no-op when unset) against a
     * DataFrame about to run. Returns the planned bytes.
@@ -80,7 +107,18 @@ object ScanBudget {
   }
 
   private[plans] def confBudget(session: SparkSession): Option[Long] =
-    Option(session.conf.get(ConfKey, null)).filter(_.nonEmpty).map(_.toLong)
+    Option(session.conf.get(ConfKey, null)).map(_.trim).filter(_.nonEmpty)
+      .map { s =>
+        val v =
+          try s.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$ConfKey must be a plain byte count (digits only), got " +
+                s"'$s' — human units like '100GB' are not parsed")
+          }
+        require(v > 0, s"$ConfKey must be positive, got $v")
+        v
+      }
 }
 
 /** Query-stage-preparation rule: fails any adaptive query whose planned
@@ -90,10 +128,12 @@ object ScanBudget {
   */
 case class ScanBudgetRule(session: SparkSession) extends Rule[SparkPlan] {
   override def apply(plan: SparkPlan): SparkPlan = {
-    ScanBudget.confBudget(session).foreach { budget =>
-      val planned = ScanBudget.plannedScanBytes(plan)
-      if (planned > budget)
-        throw new ScanBudget.ScanBudgetExceededException(planned, budget)
+    if (!ScanBudget.isPreviewing) {
+      ScanBudget.confBudget(session).foreach { budget =>
+        val planned = ScanBudget.plannedScanBytes(plan)
+        if (planned > budget)
+          throw new ScanBudget.ScanBudgetExceededException(planned, budget)
+      }
     }
     plan
   }
