@@ -87,9 +87,18 @@ object Tables {
     * exports an intermediate frame for DuckDB to recheck (q38's simhash
     * features) writes under here, and Verify rewrites the token to the
     * concrete path for the sf dir it actually ran.
+    *
+    * The root carries a per-JVM random tag in addition to the sf-dir
+    * hash: two processes (or two consecutive driver runs) can then never
+    * read each other's half-written scratch state. Within one JVM the
+    * tag is fixed, so a query's write and its oracle's `__SCRATCH__`
+    * substitution (both resolved in the same run) always agree.
     */
+  private val scratchRunTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def scratchRoot(dir: String): String =
-    s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}_$scratchRunTag"
 
   // ---------------------------------------------------------------------
   // Exact aggregation helpers.

@@ -29,6 +29,7 @@ object Verify {
     // and wrap each oracle SQL in the identical ORDER BY (below). Row
     // order then never depends on plan internals on either engine.
     val dumpedCols = scala.collection.mutable.Map[String, Seq[String]]()
+    val digests = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -36,6 +37,7 @@ object Verify {
         df.coalesce(1).sortWithinPartitions(canonical.toIndexedSeq: _*)
           .write.mode("overwrite").parquet(s"$outDir/$name")
         dumpedCols(name) = df.columns.toIndexedSeq
+        digests += VerifyDigest.forDump(spark, name, s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -71,6 +73,78 @@ object Verify {
         s"${q(k)}: ${q(canonWrap(k, sql))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query value digest: row count + per-column content hash + the
+    // verbatim rows for sub-10-row results, exactly as dumped. Written
+    // beside the dump AND (best-effort) into the repo, so a red row in
+    // the driver's gate can be diffed offline against a local run's
+    // digest — naming the divergent column/values, not just "hash false".
+    val digestJson = digests.mkString(
+      s"""{"sf_dir": ${q(sfDir)}, "cpus": ${q(cpus)}, "queries": {""",
+      ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/digest.json"), digestJson)
+    try Files.writeString(
+      Paths.get("/root/repo/VERIFY_DIGEST.json"), digestJson)
+    catch { case _: Throwable => () } // repo path absent off this box
     spark.stop()
+  }
+}
+
+/** Canonical value digest of one Verify dump (see [[Verify]]). The
+  * formatting is deterministic JVM-side rendering — it exists to compare
+  * Spark-vs-Spark across environments (driver vs local), not to match
+  * any other engine's text form.
+  */
+object VerifyDigest {
+  import org.apache.spark.sql.{Row, SparkSession}
+
+  private def canon(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => if (d.isNaN) "NaN" else java.lang.Double.toString(d)
+    case f: Float => if (f.isNaN) "NaN" else java.lang.Float.toString(f)
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => canon(k) + ":" + canon(x) }
+        .toSeq.sorted.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(canon).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  private def md5(parts: Iterator[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { p => d.update(p.getBytes("UTF-8")); d.update(0.toByte) }
+    d.digest().map(x => f"$x%02x").mkString
+  }
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Digest one dumped query: reads the parquet back (single sorted file,
+    * so read order IS the canonical order) and emits one JSON member
+    * `"name": {...}`.
+    */
+  def forDump(spark: SparkSession, name: String, path: String): String = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(col).toIndexedSeq: _*).collect()
+    val colHashes = cols.zipWithIndex.map { case (c, i) =>
+      s"${jq(c)}: ${jq(md5(rows.iterator.map(r => canon(r.get(i)))))}"
+    }
+    val schema = df.schema.fields.sortBy(_.name)
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val verbatim =
+      if (rows.length <= 10)
+        rows.map(r => jq(r.toSeq.map(canon).mkString("|")))
+          .mkString(""", "rows_verbatim": [""", ",", "]")
+      else ""
+    s"""${jq(name)}: {"rows": ${rows.length}, "schema": ${jq(schema)}, """ +
+      s""""col_hash": {${colHashes.mkString(",")}}$verbatim}"""
   }
 }

@@ -282,7 +282,8 @@ object Lake {
     // on the good rows, whatever they counted along the way.
     QDef(
       "q79_expectations",
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |WHERE n_chars > 0 AND lang IS NOT NULL AND source <> 'synthetic'
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.Tables.{davg, dsum, t}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -303,10 +303,26 @@ object Relational {
 
     // HLL++ sketch — implementations differ across engines, so rows-only
     // check (no oracle). Sanity-bounded in the ScalaTest spec instead.
-    QDef("q13_agg_approx_distinct", null) { (s, dir) =>
+    // Approximate distinct-count (HLL++) — contract-checked: the frame
+    // carries the EXACT distinct count (oracle-computable) next to an
+    // in-engine bound on the sketch's relative error. approx_count_
+    // distinct's default rsd is 0.05 (~1 sigma); 0.15 is the 3-sigma
+    // collapse floor — a register-merge bug lands far outside it, normal
+    // sketch noise never does. Both aggregates share ONE shuffle on the
+    // group key; at 100 TB the approx path is the one you'd keep (exact
+    // distinct is the expensive half), but correctness needs the pair.
+    QDef(
+      "q13_agg_approx_distinct",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("approx_customers") - col("n_exact")).cast("double")
+            <= lit(0.15) * col("n_exact")).as("approx_ok"))
         .orderBy("o_orderpriority")
     },
 
@@ -1059,16 +1075,44 @@ object Relational {
     // value sort anywhere — the plan is an ordinary partial+final hash
     // aggregate at any scale. Rows-only (sketch error has no SQL oracle);
     // QuerySanitySpec bounds the deviation against exact q55.
-    QDef("q65_percentiles_approx", null) { (s, dir) =>
-      t(s, dir, "lineitem")
+    // Approximate percentiles (KLL-style one-pass sketch — the 100 TB
+    // default where q55's exact distributed sort is the luxury path).
+    // Contract-checked in RANK space, which needs no sort at all: a value
+    // v is an eps-approximate p-quantile iff |{x < v}| <= (p+eps)n and
+    // |{x <= v}| >= (p-eps)n — two conditional counts in one extra agg
+    // pass over the already-grouped data. accuracy=10000 guarantees rank
+    // error <= 1e-4; eps=0.01 is a 100x collapse floor. The oracle pins
+    // group counts exactly and the in-engine bound as TRUE.
+    QDef(
+      "q65_percentiles_approx",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS p50_qty_ok, TRUE AS p95_qty_ok, TRUE AS p95_price_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val approx = base.groupBy("l_returnflag").agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50q"),
+        percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("a95q"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95p"))
+      def below(v: Column, a: Column, strict: Boolean): Column =
+        sum(when(if (strict) v < a else v <= a, 1L).otherwise(0L))
+      val eps = 0.01
+      def ok(pfx: String, p: Double): Column =
+        (col(s"lt_$pfx") <= (lit(p) + eps) * col("n")) &&
+          (col(s"le_$pfx") >= (lit(p) - eps) * col("n"))
+      base.join(broadcast(approx), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-            .as("p50_qty"),
-          percentile_approx(col("l_quantity"), lit(0.95), lit(10000))
-            .as("p95_qty"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-            .as("p95_price"))
+        .agg(count(lit(1)).as("n"),
+          below(col("l_quantity"), col("a50q"), strict = true).as("lt_a50q"),
+          below(col("l_quantity"), col("a50q"), strict = false).as("le_a50q"),
+          below(col("l_quantity"), col("a95q"), strict = true).as("lt_a95q"),
+          below(col("l_quantity"), col("a95q"), strict = false).as("le_a95q"),
+          below(col("l_extendedprice"), col("a95p"), strict = true).as("lt_a95p"),
+          below(col("l_extendedprice"), col("a95p"), strict = false).as("le_a95p"))
+        .select(col("l_returnflag"), col("n"),
+          ok("a50q", 0.5).as("p50_qty_ok"),
+          ok("a95q", 0.95).as("p95_qty_ok"),
+          ok("a95p", 0.95).as("p95_price_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1109,16 +1153,36 @@ object Relational {
     // re-scanning history for every rollup window. Incremental loads only
     // sketch the new day. Rows-only (approximate — no SQL oracle);
     // QuerySanitySpec bounds the estimates against exact countDistinct.
-    QDef("q58_sketch_union", null) { (s, dir) =>
+    // Mergeable-sketch union (DataSketches HLL) — the re-aggregation
+    // pattern behind every pre-computed rollup: per-day sketches union
+    // into per-type totals WITHOUT rescanning events. Contract-checked
+    // like q13: n_days and the exact distinct-user count are oracle-
+    // computable; the union estimate must land within the 3-sigma-ish
+    // band of exact (lgK=12 → rsd ~1.6%; 0.1 is the collapse floor).
+    QDef(
+      "q58_sketch_union",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val daily = t(s, dir, "events")
         .withColumn("day", expr("date_trunc('DAY', timestamp_micros(ts div 1000))"))
         .groupBy("event_type", "day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily
+      val merged = daily
         .groupBy("event_type")
         .agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
           count(lit(1)).as("n_days"))
+      // the exact side exists only for the contract — the production
+      // rollup is the sketch-merge above, which never rescans events
+      val exact = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact")).cast("double")
+            <= lit(0.1) * col("n_exact")).as("approx_ok"))
         .orderBy("event_type")
     },
 

@@ -608,7 +608,7 @@ object Text {
         |                           ORDER BY cnt DESC, tok) AS rnk
         |      FROM c)
         |SELECT lang, COUNT(*) AS vocab_size,
-        |  SUM(cnt) AS total_tokens,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
         |  CAST(CAST(SUM(CASE WHEN rnk <= 20 THEN cnt ELSE 0 END) AS DOUBLE)
         |       / CAST(SUM(cnt) AS DOUBLE) AS DOUBLE) AS top20_coverage
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

@@ -34,13 +34,22 @@ class NorthStarSpec extends SparkSpec {
     simhash.size.toDouble / exact.size should be >= 0.3
   }
 
+  // The qNN entries for the ANN family now emit the annContract frame
+  // (counts + recall_ok boolean) for the driver gate; the recall
+  // assertions here drive the UNWRAPPED results via Similarity.rawAnn.
+  private def annHits(name: String): Set[(Long, Long)] =
+    Similarity.rawAnn(name)(spark, dir)
+      .select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def bruteHits: Set[(Long, Long)] =
+    graft.SparkEntry.queries("q40_sim_topk")(spark, dir)
+      .select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("q41 IVF top-k recall vs q40 brute force") {
-    def hits(name: String): Set[(Long, Long)] =
-      graft.SparkEntry.queries(name)(spark, dir)
-        .select("qid", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = hits("q40_sim_topk")
-    val ivf = hits("q41_sim_topk_ivf")
+    val brute = bruteHits
+    val ivf = annHits("q41_sim_topk_ivf")
     brute.size shouldBe ivf.size // both emit k per query
     // The fixture embeddings are near-uniform (no cluster structure, max
     // pairwise cosine ~0.51), the worst case for IVF with untrained
@@ -156,12 +165,8 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("q60 int8-quantized top-k stays close to the exact q40 results") {
-    def hits(name: String): Set[(Long, Long)] =
-      graft.SparkEntry.queries(name)(spark, dir)
-        .select("qid", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = hits("q40_sim_topk")
-    val quant = hits("q60_sim_topk_quant")
+    val brute = bruteHits
+    val quant = annHits("q60_sim_topk_quant")
     brute.size shouldBe quant.size
     // 8-bit min/max quantization perturbs cosines by ~1/255 per element;
     // most of the exact top-k must survive
@@ -169,12 +174,8 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("q81 PQ ADC top-k stays close to the exact q40 results") {
-    def hits(name: String): Set[(Long, Long)] =
-      graft.SparkEntry.queries(name)(spark, dir)
-        .select("qid", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = hits("q40_sim_topk")
-    val pq = hits("q81_sim_topk_pq")
+    val brute = bruteHits
+    val pq = annHits("q81_sim_topk_pq")
     brute.size shouldBe pq.size
     // the exact re-rank restores true ordering within the ADC shortlist,
     // so the only losses are shortlist misses — most of the exact top-k

@@ -8,52 +8,52 @@ import org.apache.spark.sql.functions._
   */
 class QuerySanitySpec extends SparkSpec {
 
-  test("q58 merged HLL sketches are within 5% of exact distinct users") {
+  // q13/q58/q65 now emit CONTRACT frames (exact oracle-computable values
+  // + in-engine approx-error booleans) so the driver gate hash-checks
+  // them; these tests pin the contract's own mechanics — the exact side
+  // matches an independent computation, and every bound holds.
+
+  test("q58 contract: exact side matches, sketch-union bound holds") {
     val dir = sf("sf0.01")
-    val approx = SparkEntry.queries("q58_sketch_union")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q58_sketch_union")(spark, dir).collect()
     val exact = Tables.t(spark, dir, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    approx.keySet shouldBe exact.keySet
-    exact.foreach { case (k, ex) =>
-      // datasketches HLL at default lgk=12 has rsd ~1.6%; allow 3 sigma
-      math.abs(approx(k).toDouble - ex) / ex should be <= 0.05
+    rows.map(_.getString(0)).toSet shouldBe exact.keySet
+    rows.foreach { r =>
+      r.getLong(2) shouldBe exact(r.getString(0)) // n_exact column
+      r.getLong(1) should be > 0L                 // n_days
+      r.getBoolean(3) shouldBe true               // approx_ok
     }
   }
 
-  test("q13 approx_count_distinct is within 15% of exact per group") {
+  test("q13 contract: exact side matches, HLL++ bound holds") {
     val dir = sf("sf0.01")
-    val approx = SparkEntry.queries("q13_agg_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q13_agg_approx_distinct")(spark, dir).collect()
     val exact = Tables.t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    approx.keySet shouldBe exact.keySet
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
-      // HLL++ default rsd is 5%; allow 3 sigma
-      math.abs(ap - ex) / ex should be <= 0.15
+    rows.map(_.getString(0)).toSet shouldBe exact.keySet
+    rows.foreach { r =>
+      r.getLong(1) shouldBe exact(r.getString(0)) // n_exact column
+      r.getBoolean(2) shouldBe true               // approx_ok
     }
   }
 
-  test("q65 approx percentiles track exact q55 within 1%") {
+  test("q65 contract: group counts match, every rank-space bound holds") {
     val dir = sf("sf0.01")
-    def collect(name: String) =
-      SparkEntry.queries(name)(spark, dir).collect()
-        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-        .toMap
-    val exact = collect("q55_percentiles")
-    val approx = collect("q65_percentiles_approx")
-    approx.keySet shouldBe exact.keySet
-    exact.foreach { case (k, ex) =>
-      ex.zip(approx(k)).foreach { case (e, a) =>
-        // accuracy 10000 -> rank error <= 1/10000 of the group; on these
-        // distributions that is well under 1% in value
-        math.abs(a - e) / e should be <= 0.01
-      }
+    val rows = SparkEntry.queries("q65_percentiles_approx")(spark, dir).collect()
+    val exact = Tables.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.map(_.getString(0)).toSet shouldBe exact.keySet
+    rows.foreach { r =>
+      r.getLong(1) shouldBe exact(r.getString(0))
+      r.getBoolean(2) shouldBe true
+      r.getBoolean(3) shouldBe true
+      r.getBoolean(4) shouldBe true
     }
   }
 
