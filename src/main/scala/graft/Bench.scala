@@ -32,7 +32,11 @@ object Bench {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timer: per-query transient caches must not outlive the
+      // sample (or they squeeze storage memory for every later sample)
+      TransientCaches.drain()
+      (dt, err)
     }
 
     // Best-of-2 FULL PASSES per query: one sample can be wrecked by

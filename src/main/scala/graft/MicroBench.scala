@@ -30,7 +30,9 @@ object MicroBench {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        TransientCaches.drain()
+        dt
       }
       println(f"$name: ${ts.map(t => f"$t%.3f").mkString(" ")}")
     }

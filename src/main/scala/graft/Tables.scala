@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -121,6 +121,29 @@ object Tables {
     * DuckDB: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+}
+
+/** Registry for caches that live for ONE query execution (e.g. q85's
+  * shingle frame, consumed by two branches of the same plan): the builder
+  * registers them at `.cache()` time, and the harness (Bench / Verify /
+  * MicroBench) drains the registry after materializing each query's
+  * result. Without this, every invocation of such a query pins a fresh
+  * cached frame in executor storage for the rest of the JVM — harmless
+  * for correctness (LRU evicts) but a slow squeeze on storage memory that
+  * skews adjacent bench samples. Session-scoped memoized caches (fixture
+  * tables, similarity feature frames) do NOT belong here — they are
+  * intentional cross-query state with their own clearCache hooks.
+  */
+object TransientCaches {
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  def register[T <: Dataset[_]](ds: T): T = { live.add(ds); ds }
+
+  def drain(): Unit = {
+    var d = live.poll()
+    while (d != null) { d.unpersist(); d = live.poll() }
+  }
 }
 
 /** One named engine capability: the Spark implementation plus (when the

@@ -868,9 +868,14 @@ object TxLog {
         .drop("_change_type")
       if (nUps == 0L && nDel == 0L)
         return latestVersion(spark, root).getOrElse(-1L)
-      // first batch onto a fresh target: plain initial load
-      if (latestVersion(spark, root).isEmpty)
+      // first batch onto a fresh target: plain initial load. A delete-
+      // only batch against a table that does not exist yet is a no-op
+      // (same as deletes matching nothing below) — NOT an empty v0
+      // commit whose schema would be dictated by the feed.
+      if (latestVersion(spark, root).isEmpty) {
+        if (nUps == 0L) return -1L
         return append(spark, upserts, root, partitionCols, statsCols)
+      }
       val deleteKeys = cached.filter(col("_change_type") === "delete")
         .select(keyCols.map(col): _*)
       mergeImpl(spark, upserts, Some(deleteKeys), root, keyCols,
@@ -1255,17 +1260,24 @@ object TxLog {
     val rootDec = rootDecodedPath(fileSystem(spark, root), root)
     val liveSet = snap.live.toSet
     import spark.implicits._
-    // metadata-sized collect: one (path, bitset) pair per file
-    val indexed = rows.collect().flatMap { r =>
-      Option(r.getAs[Array[Byte]]("bloom")).flatMap { bloom =>
-        relFromInputFile(r.getString(0), rootDec)
-          .filter(liveSet.contains).map(_ -> bloom)
+    // The bitsets never visit the driver: path normalization + live-set
+    // membership run executor-side and the (file, bitset) rows stream
+    // straight to the sidecar parquet. At ~1M files x ~180 KB/filter the
+    // old collect-then-write was GBs of driver heap; this is zero.
+    val out = rows.select(col("__f"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bloom) =>
+        Option(bloom).flatMap(b =>
+          relFromInputFile(f, rootDec).filter(liveSet.contains).map(_ -> b))
       }
-    }
-    val out = indexed.toSeq.toDF("file", "bloom")
-    out.coalesce(1).write.mode(SaveMode.Overwrite)
+      .toDF("file", "bloom")
+      // bound output files without a single-task bottleneck: ~8k
+      // (name, bitset) rows per part keeps parts in the tens of MB
+      .repartition(math.max(1, snap.live.size / 8192))
+    out.write.mode(SaveMode.Overwrite)
       .parquet(bloomDir(root, column).toString)
-    indexed.length.toLong
+    // metadata-only count of what was just written (footer row counts)
+    spark.read.parquet(bloomDir(root, column).toString).count()
   }
 
   /** The files of `snap` that might contain ANY of the probe hashes,
@@ -1277,17 +1289,28 @@ object TxLog {
                              snap: Snapshot): Seq[String] = {
     val dir = bloomDir(root, column)
     if (!fileSystem(spark, root).exists(dir)) return snap.live
-    import org.apache.spark.util.sketch.BloomFilter
-    val idx = spark.read.parquet(dir.toString).collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    snap.live.filter { f =>
-      idx.get(f) match {
-        case None => true
-        case Some(bytes) =>
-          val bloom = BloomFilter.readFrom(bytes)
-          probeHashes.exists(bloom.mightContainLong)
+    import spark.implicits._
+    // Executor-side probe: the bitsets are deserialized and tested where
+    // they already live, and only the names of bloom-REJECTED files come
+    // back — never a bitset. What crosses to the driver is bounded by the
+    // file-name list (which the driver already holds as snap.live); the
+    // bitsets themselves (~GBs at 1M files) stay distributed. Files
+    // without an index row never appear in `rejected`, so they are
+    // conservatively kept.
+    val hashes = probeHashes.toArray
+    val rejected = spark.read.parquet(dir.toString)
+      .select(org.apache.spark.sql.functions.col("file"),
+        org.apache.spark.sql.functions.col("bloom"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bytes) =>
+        if (bytes == null) None
+        else {
+          val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+          if (hashes.exists(bloom.mightContainLong)) None else Some(f)
+        }
       }
-    }
+      .collect().toSet
+    snap.live.filterNot(rejected.contains)
   }
 
   /** `xxhash64` of each probe value AS THE COLUMN'S TYPE — computed by a
@@ -1659,6 +1682,16 @@ object TxLog {
     require(smallerThanBytes >= 1 && targetBytes >= 1)
     val fs = fileSystem(spark, root)
     val current = resolve(spark, root, None)
+    // fail loudly on a filter that can never select anything (typo'd or
+    // non-partition column): a silent zero-match no-op would report
+    // success while compacting nothing (Delta errors here too)
+    if (partitionFilter.nonEmpty) {
+      val parts = partitionColsOf(spark, root, current)
+      val bad = partitionFilter.keySet -- parts.toSet
+      require(bad.isEmpty,
+        s"compact partitionFilter names non-partition column(s) " +
+          s"${bad.mkString(", ")}; partition columns: ${parts.mkString(", ")}")
+    }
     // partition-SCOPED maintenance: at 100 TB nobody compacts the whole
     // table — the nightly loop packs only the partitions the day's
     // ingest touched. The filter applies BEFORE any directory listing,

@@ -177,9 +177,13 @@ object TxLogSql {
               col(c).cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
           case (Some(ts), true) =>
+            // case-INsensitive name alignment, the same rule committedDdl
+            // applies: a batch column `ID` must land on table column `id`
+            // (cast + committed casing), not sneak past the store-
+            // assignment cast as a "new" column
             df = df.select(df.schema.map { f =>
-              ts.find(_.name == f.name) match {
-                case Some(tf) => col(f.name).cast(tf.dataType).as(f.name)
+              ts.find(_.name.equalsIgnoreCase(f.name)) match {
+                case Some(tf) => col(f.name).cast(tf.dataType).as(tf.name)
                 case None     => col(f.name) // new column: schema evolution
               }
             }.toIndexedSeq: _*)
@@ -368,8 +372,9 @@ object TxLogSql {
     * wrong rows for a table it claims to manage.
     */
   private val ViewDdlRe =
-    ("""(?is)\s*(?:DROP\s+VIEW|CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?""" +
-      """(?:TEMP(?:ORARY)?\s+)?VIEW)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?""" +
+    ("""(?is)\s*(?:DROP\s+VIEW|(?:CREATE\s+(?:OR\s+REPLACE\s+)?|ALTER\s+)""" +
+      """(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW)\s+""" +
+      """(?:IF\s+(?:NOT\s+)?EXISTS\s+)?""" +
       """(`[^`]+`|[\w.]+)\b.*""").r
 
   private def guardRegisteredViewDdl(spark: SparkSession,

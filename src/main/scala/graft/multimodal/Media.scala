@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * Design for 100 TB: payloads stay opaque binary all the way through the
   * lake (partition pruning and column projection never touch the bytes);
   * metadata is a plain struct column usable in filters; decode runs
-  * per-partition in bounded-size batches so a real codec (JNI/image lib)
-  * amortizes init cost and caps memory. The codec itself is STUBBED
-  * deterministically — this container ships no image/audio libraries — but
-  * the schema, batching shape and partition behavior are real.
+  * per-partition in bounded-size batches so codec init cost amortizes and
+  * raster memory stays capped. IMAGE decode is real (magic-byte header
+  * parse + the JDK's ImageIO readers for PNG/JPEG/GIF/BMP — see
+  * [[ImageCodec]]); audio/video payloads fall back to deterministic
+  * byte-level features until a codec is slotted into the same seam.
   */
 object Media {
 
@@ -22,9 +23,15 @@ object Media {
   /** One media record entering the decode stage. */
   final case class MediaRecord(id: Long, payload: Array[Byte], format: String)
 
-  /** Extracted features leaving the decode stage. */
+  /** Extracted features leaving the decode stage. For image payloads the
+    * JDK decoder ran for real: `format`/`width`/`height` come from the
+    * parsed header and `checksum`/`histogram4` are computed over decoded
+    * pixel LUMINANCE. For everything else (`width = height = -1`) they
+    * are computed over the raw bytes.
+    */
   final case class MediaFeatures(
-      id: Long, nBytes: Long, checksum: Long, histogram4: Array[Double])
+      id: Long, nBytes: Long, checksum: Long, histogram4: Array[Double],
+      format: String, width: Int, height: Int)
 
   /** Attach an opaque binary payload + metadata struct to `documents`-like
     * input (text stands in for undecoded media bytes in the fixtures).
@@ -35,20 +42,36 @@ object Media {
         lit("txt").as("format"),
         octet_length(col("payload")).cast("long").as("nBytes")))
 
-  /** Deterministic stand-in for a real decoder: byte checksum + a 4-bin
-    * byte-value histogram. A production build swaps ONLY this function for
-    * the codec call; batching/partitioning above it is unchanged.
+  /** Batch decoder. Image payloads (PNG/JPEG/GIF/BMP by magic bytes) get
+    * the REAL treatment — [[ImageCodec.parseHeader]] for format +
+    * dimensions, the JDK's ImageIO for pixels, luminance features over
+    * the decoded raster. Non-image payloads (and images whose pixel
+    * decode fails, e.g. valid header but truncated data) fall back to
+    * deterministic raw-byte features, so a mixed or dirty corpus never
+    * fails the job. Audio/video codecs would slot in the same way; until
+    * one does, their payloads take the byte-feature path.
     */
-  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      val hist = new Array[Double](4)
-      var sum = 0L
-      r.payload.foreach { b =>
-        val u = b & 0xff
-        sum += u
-        hist(u >> 6) += 1.0
+      val header = ImageCodec.parseHeader(r.payload)
+      val decoded = header.flatMap(h =>
+        ImageCodec.decodeImage(r.payload).map(h -> _))
+      decoded match {
+        case Some((h, img)) =>
+          val (sum, hist) = ImageCodec.pixelFeatures(img)
+          MediaFeatures(r.id, r.payload.length.toLong, sum, hist,
+            h.format, h.width, h.height)
+        case None =>
+          val hist = new Array[Double](4)
+          var sum = 0L
+          r.payload.foreach { b =>
+            val u = b & 0xff
+            sum += u
+            hist(u >> 6) += 1.0
+          }
+          MediaFeatures(r.id, r.payload.length.toLong, sum, hist,
+            r.format, -1, -1)
       }
-      MediaFeatures(r.id, r.payload.length.toLong, sum, hist)
     }
 
   /** Batched per-partition feature extraction: groups each partition's rows
@@ -58,7 +81,7 @@ object Media {
   def extractFeatures(ds: Dataset[MediaRecord],
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
   /** Deterministic "resize" stub: keep every ceil(n/target)-th byte so the
@@ -97,5 +120,22 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(r =>
       r.copy(payload = resizeStub(r.payload, targetBytes)))))
+  }
+
+  /** Batched REAL image resize (longer edge -> `maxDim`, bilinear,
+    * re-encoded PNG): image payloads shrink for real; non-decodable
+    * payloads pass through untouched. Narrow, shuffle-free, bounded
+    * rasters per task like [[extractFeatures]].
+    */
+  def resizeImages(ds: Dataset[MediaRecord], maxDim: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      ImageCodec.resizeImage(r.payload, maxDim) match {
+        case Some(p) if !(p eq r.payload) => r.copy(payload = p, format = "png")
+        case Some(_)                      => r // already within bounds
+        case None                         => r // not an image
+      }
+    }))
   }
 }

@@ -865,11 +865,12 @@ object Text {
       // interval join below — without the cache the whole tokenize +
       // window-generate stage (the query's most expensive part) executes
       // twice (Spark reuses no plan subtrees on its own)
-      val sh = tk.filter(size(col("ts")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ts) - 7), i -> concat_ws(' ', slice(ts, i, 8)))")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
-        .cache()
+      val sh = graft.TransientCaches.register(
+        tk.filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(ts) - 7), i -> concat_ws(' ', slice(ts, i, 8)))")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+          .cache())
       val dup = sh.groupBy("sh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("sh")

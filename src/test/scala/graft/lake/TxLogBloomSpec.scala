@@ -139,6 +139,47 @@ class TxLogBloomSpec extends SparkSpec {
       .select("v").as[Int].collect() shouldBe Array(99)
   }
 
+  test("bloom build and probe never materialize bitsets on the driver") {
+    val (root, firstKeys) = freshTable()
+    // Oversize the filters so driver materialization would be unmissable:
+    // 1M expected keys -> ~1.2 MB bitset per file, ~4.8 MB index total.
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          resultBytes.addAndGet(te.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TxLog.buildBloomIndex(spark, root, "k",
+        expectedKeysPerFile = 1000000L) shouldBe 4L
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      val buildBytes = resultBytes.getAndSet(0L)
+
+      val probe = firstKeys(2)
+      val rows = TxLog.readEquals(spark, root, "k", Seq(probe))
+        .select("commit").as[Int].collect()
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      val probeBytes = resultBytes.get()
+      rows shouldBe Array(2)
+
+      // the index really is MBs of bitsets once deserialized (on disk
+      // parquet RLE shrinks the sparse bitsets; what a collect() would
+      // materialize is the raw byte arrays) — measure them executor-side
+      val idxBytes = spark.read.parquet(s"$root/_txlog/bloom_k")
+        .agg(sum(octet_length(col("bloom")))).as[Long].head()
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      resultBytes.set(0L) // the size probe itself is not under test
+      idxBytes should be >= (4L << 20)
+      // ...yet neither the build nor the probe ships anything bitset-sized
+      // to the driver: task results stay name/metric-sized. (The old
+      // collect()-based paths moved >= idxBytes each.)
+      buildBytes should be < (1L << 20)
+      probeBytes should be < (1L << 20)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bloom index survives version time travel reads") {
     val (root, firstKeys) = freshTable()
     TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)

@@ -908,6 +908,14 @@ class TxLogSpec extends SparkSpec {
         .toDF("id", "s", "_change_type", "_commit_version"),
       root, keyCols = Seq("id"))
     TxLog.latestVersion(spark, root) shouldBe before
+    // a delete-only FIRST batch onto a fresh target is likewise a no-op:
+    // no empty v0 commit whose schema the feed would dictate
+    val fresh = tmpRoot()
+    TxLog.applyCdc(spark,
+      Seq((1L, "x", "delete", 1L))
+        .toDF("id", "s", "_change_type", "_commit_version"),
+      fresh, keyCols = Seq("id")) shouldBe -1L
+    TxLog.latestVersion(spark, fresh) shouldBe None
   }
 
   test("readRanges prunes conjunctively; minMaxFast answers from metadata") {

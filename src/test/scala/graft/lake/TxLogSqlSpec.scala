@@ -203,6 +203,12 @@ class TxLogSqlSpec extends SparkSpec {
       TxLogSql.run(spark, "OPTIMIZE mnt_scoped WHERE id > 5")
     }
     e.getMessage should include("partition equalities")
+    // a typo'd / non-partition column in an equality fails loudly too:
+    // matching zero directories must not report success as a no-op
+    val e2 = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "OPTIMIZE mnt_scoped WHERE prat = 'p1'")
+    }
+    e2.getMessage should include("non-partition")
   }
 
   test("OPTIMIZE ZORDER BY rewrites through clusterZ and keeps rows") {
@@ -332,11 +338,31 @@ class TxLogSqlSpec extends SparkSpec {
         "CREATE OR REPLACE TEMP VIEW mnt_guard AS SELECT 1 AS id")
     }
     e2.getMessage should include("registered table")
+    // ALTER VIEW ... AS redefines the view just like CREATE OR REPLACE —
+    // equally rejected
+    val e3 = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ALTER VIEW mnt_guard AS SELECT 1 AS id")
+    }
+    e3.getMessage should include("registered table")
     // the table still reads correctly through the surface
     TxLogSql.run(spark, "SELECT COUNT(*) FROM mnt_guard").as[Long]
       .head() shouldBe 4L
     // view DDL on unrelated names passes through fine
     TxLogSql.run(spark, "CREATE OR REPLACE TEMP VIEW mnt_other AS SELECT 1 AS x")
     TxLogSql.run(spark, "DROP VIEW mnt_other")
+  }
+
+  test("INSERT BY NAME aligns case-variant column names onto the table schema") {
+    freshTable("dml_byname")
+    // batch columns arrive as ID/BAL/S/PART: BY NAME must land them on
+    // id/bal/s/part (case-insensitive, same rule as committedDdl), cast
+    // to the store types, under the committed casing — not commit new
+    // upper-cased columns or trip the commit-time type guard
+    TxLogSql.execute(spark,
+      """INSERT INTO dml_byname BY NAME
+        |SELECT 'p1' AS PART, 9 AS ID, 'z' AS S, 1 AS BAL""".stripMargin)
+    spark.sql("SELECT id, s, bal, part FROM dml_byname WHERE id = 9")
+      .as[(Long, String, Double, String)].collect().toSeq shouldBe
+      Seq((9L, "z", 1.0, "p1"))
   }
 }
