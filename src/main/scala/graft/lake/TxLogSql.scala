@@ -229,6 +229,8 @@ object TxLogSql {
   private val CloneRe =
     ("""(?is)\s*CLONE\s+(`[^`]+`|[\w.]+)\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS\s+(`[^`]+`|[\w.]+))?\s*;?\s*""").r
+  private val DescribeScanRe =
+    """(?is)\s*DESCRIBE\s+SCAN\s+(.+?)\s*;?\s*""".r
 
   /** Default `VACUUM` retention when no `RETAIN n VERSIONS` is given:
     * generous on purpose (Delta's default is likewise conservative) — a
@@ -267,6 +269,9 @@ object TxLogSql {
     *   - `CLONE t TO '<path>' [VERSION AS OF n] [AS name]` — deep
     *     point-in-time fork ([[TxLog.cloneTable]]); `AS name` registers
     *     the clone on this surface immediately
+    *   - `DESCRIBE SCAN <query>` — planned post-pruning scan bytes vs the
+    *     session's `spark.graft.scanBudget.bytes` cap, without running
+    *     the query (the Athena workgroup cost-preview analog)
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -278,6 +283,20 @@ object TxLogSql {
   def run(spark: SparkSession, sqlText: String): DataFrame = {
     import spark.implicits._
     sqlText match {
+      // `DESCRIBE SCAN <query>` — cost preview, the user-facing half of
+      // the scan budget ([[graft.plans.ScanBudget]], the engine-native
+      // analog of an Athena workgroup's per-query bytes cutoff): the
+      // planned POST-PRUNING file-scan bytes of the query, the session's
+      // configured budget (-1 = uncapped), and whether the query would
+      // clear it — without reading a byte of data. Registered commit-log
+      // tables resolve as their views like any other statement.
+      case DescribeScanRe(query) =>
+        val planned =
+          graft.plans.ScanBudget.plannedScanBytes(spark.sql(query))
+        val budget = graft.plans.ScanBudget.confBudget(spark)
+        Seq((planned, budget.getOrElse(-1L), budget.forall(planned <= _)))
+          .toDF("planned_scan_bytes", "budget_bytes", "within_budget")
+
       case DescribeHistoryRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
         TxLog.history(spark, reg.root).map { c =>

@@ -106,7 +106,11 @@ object ScanBudget {
     planned
   }
 
-  private[plans] def confBudget(session: SparkSession): Option[Long] =
+  /** The session's configured budget, validated; None = uncapped. Public
+    * for tooling that reports the budget next to a preview (e.g. the SQL
+    * surface's `DESCRIBE SCAN`).
+    */
+  def confBudget(session: SparkSession): Option[Long] =
     Option(session.conf.get(ConfKey, null)).map(_.trim).filter(_.nonEmpty)
       .map { s =>
         val v =

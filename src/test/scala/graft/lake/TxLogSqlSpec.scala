@@ -169,6 +169,25 @@ class TxLogSqlSpec extends SparkSpec {
     d2 shouldBe ((4L, 1L))
   }
 
+  test("DESCRIBE SCAN previews planned bytes against the session budget") {
+    val root = fragmentedTable("mnt_scan")
+    // Uncapped session: planned bytes are the table's live file bytes and
+    // the (absent) budget reports as -1 / within.
+    val expected = TxLog.liveSizes(spark, root).map(_._2).sum
+    val p1 = TxLogSql.run(spark, "DESCRIBE SCAN SELECT id FROM mnt_scan")
+      .as[(Long, Long, Boolean)].head()
+    p1 shouldBe ((expected, -1L, true))
+    // Capped below the table size: the preview REPORTS over-budget rather
+    // than throwing — DESCRIBE SCAN is the cost check you run to avoid the
+    // enforcement failure, so it must not fail the same way itself.
+    spark.conf.set(graft.plans.ScanBudget.ConfKey, "1")
+    try {
+      val p2 = TxLogSql.run(spark, "DESCRIBE SCAN SELECT id FROM mnt_scan")
+        .as[(Long, Long, Boolean)].head()
+      p2 shouldBe ((expected, 1L, false))
+    } finally spark.conf.unset(graft.plans.ScanBudget.ConfKey)
+  }
+
   test("OPTIMIZE bin-packs small files without changing the result") {
     val root = fragmentedTable("mnt_opt")
     val before = TxLog.liveSizes(spark, root).size
