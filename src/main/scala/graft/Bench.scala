@@ -92,11 +92,7 @@ object Bench {
       n -> (if (e1.isDefined || e2.isDefined) (t1, e1)
             else (math.min(t1, t2), None))
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = Json.str(s)
     def jnum(d: Double): String = if (d.isNaN) "null" else d.toString
     val qs = results
       .map { case (k, (sec, _)) => s"${jstr(k)}:${jnum(sec)}" }.mkString("{", ",", "}")

@@ -97,8 +97,30 @@ object Tables {
   private val scratchRunTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  def scratchRoot(dir: String): String =
+  /** Run-tagged roots are never reused, so without a reaper every JVM run
+    * leaks one scratch tree into /tmp forever. A shutdown hook is wrong —
+    * the driver's DuckDB oracle reads q38's exported features AFTER the
+    * Verify JVM exits — so instead each JVM's first scratchRoot call sweeps
+    * roots old enough (4 h) that no live run or post-run oracle check can
+    * still be reading them. Bounded: /tmp holds at most one round-session's
+    * worth of scratch, self-healing across crashes.
+    */
+  private lazy val sweepStaleScratch: Unit = {
+    val cutoff = System.currentTimeMillis() - 4L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_scratch_") &&
+        f.lastModified < cutoff)
+      .foreach(f => try rm(f) catch { case _: Throwable => () })
+  }
+
+  def scratchRoot(dir: String): String = {
+    sweepStaleScratch
     s"/tmp/graft_scratch_${Integer.toHexString(dir.hashCode)}_$scratchRunTag"
+  }
 
   // ---------------------------------------------------------------------
   // Exact aggregation helpers.
@@ -142,7 +164,10 @@ object TransientCaches {
 
   def drain(): Unit = {
     var d = live.poll()
-    while (d != null) { d.unpersist(); d = live.poll() }
+    // blocking: the harness drains BETWEEN timed samples precisely so a
+    // query's transient blocks cannot occupy storage memory during the
+    // next measurement — async unpersist would only enqueue the removal.
+    while (d != null) { d.unpersist(blocking = true); d = live.poll() }
   }
 }
 

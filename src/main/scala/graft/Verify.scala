@@ -42,18 +42,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally TransientCaches.drain()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Json.str(s)
     // Same canonical order as the dump: ASC NULLS FIRST matches Spark's
     // default asc ordering (DuckDB defaults to NULLS LAST, so say it).
     def canonWrap(name: String, sql: String): String =
@@ -116,15 +105,7 @@ object VerifyDigest {
     d.digest().map(x => f"$x%02x").mkString
   }
 
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jq(s: String): String = Json.str(s)
 
   /** Digest one dumped query: reads the parquet back (single sorted file,
     * so read order IS the canonical order) and emits one JSON member

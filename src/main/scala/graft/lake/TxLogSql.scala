@@ -231,6 +231,11 @@ object TxLogSql {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS\s+(`[^`]+`|[\w.]+))?\s*;?\s*""").r
   private val DescribeScanRe =
     """(?is)\s*DESCRIBE\s+SCAN\s+(.+?)\s*;?\s*""".r
+  /** What DESCRIBE SCAN accepts as its inner statement: the query-shaped
+    * heads only (optionally parenthesized). Anything else is a command.
+    */
+  private val ReadOnlyHeadRe =
+    """(?is)^[\s(]*(SELECT|WITH|TABLE|VALUES)\b""".r
 
   /** Default `VACUUM` retention when no `RETAIN n VERSIONS` is given:
     * generous on purpose (Delta's default is likewise conservative) — a
@@ -291,6 +296,15 @@ object TxLogSql {
       // clear it — without reading a byte of data. Registered commit-log
       // tables resolve as their views like any other statement.
       case DescribeScanRe(query) =>
+        // Read-only guard: spark.sql() executes commands EAGERLY, so
+        // without this check `DESCRIBE SCAN DROP VIEW t` (or CREATE VIEW /
+        // INSERT) would run the mutation for real — bypassing this
+        // surface's DML dispatcher and registered-view guard under the
+        // banner of a no-read cost preview. Previews preview queries.
+        if (!ReadOnlyHeadRe.pattern.matcher(query).find())
+          throw new IllegalArgumentException(
+            "DESCRIBE SCAN expects a read-only query (SELECT/WITH/TABLE/" +
+              s"VALUES), not a command: $query")
         val planned =
           graft.plans.ScanBudget.plannedScanBytes(spark.sql(query))
         val budget = graft.plans.ScanBudget.confBudget(spark)

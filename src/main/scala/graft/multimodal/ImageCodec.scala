@@ -127,6 +127,15 @@ object ImageCodec {
     */
   def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
     require(maxDim > 0)
+    // Header short-circuit: an image already within bounds needs no raster
+    // decode at all — over a mostly-small corpus the resize pass stays at
+    // header-parse cost. (The body is not validated in this branch; a
+    // within-bounds payload passes through byte-identical either way.)
+    parseHeader(bytes) match {
+      case Some(info) if math.max(info.width, info.height) <= maxDim =>
+        return Some(bytes)
+      case _ => ()
+    }
     decodeImage(bytes).map { img =>
       val w = img.getWidth
       val h = img.getHeight

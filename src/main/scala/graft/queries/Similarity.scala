@@ -172,8 +172,13 @@ object Similarity {
           trainedCentroids(s, dir, nCells = 16), pqCodebooks(s, dir),
           TopK, nProbe = 4, shortlist = 8 * TopK)))
 
-  private def annStats(variant: String, res: DataFrame, s: SparkSession,
+  private def annStats(variant: String, res0: DataFrame, s: SparkSession,
                        dir: String): DataFrame = {
+    // The ANN result feeds TWO subtrees of one plan (row stats + recall
+    // hits join); uncached, the probe pipeline past the reusable exchange
+    // (per-qid rank window + filter) executes twice inside every timed
+    // bench sample. Transient: drained by the harness after the sample.
+    val res = graft.TransientCaches.register(res0.cache())
     val sampleQ = querySet(s, dir).filter(col("qid") % 100 === 0)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
     val exact = corpus(s, dir)

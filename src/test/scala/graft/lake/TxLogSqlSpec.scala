@@ -188,6 +188,22 @@ class TxLogSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.ScanBudget.ConfKey)
   }
 
+  test("DESCRIBE SCAN rejects commands instead of executing them") {
+    fragmentedTable("mnt_scan_ro")
+    // spark.sql() runs commands eagerly — a DDL payload must be rejected
+    // BEFORE reaching it, or the "no-read preview" would drop/shadow the
+    // registered view for real.
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "DESCRIBE SCAN DROP VIEW mnt_scan_ro")
+    }
+    e.getMessage should include("read-only query")
+    // the registered view survived, and query-shaped heads still pass
+    spark.sql("SELECT count(*) FROM mnt_scan_ro").as[Long].head() shouldBe 4L
+    TxLogSql.run(spark,
+      "DESCRIBE SCAN (SELECT id FROM mnt_scan_ro WHERE id = 1)")
+      .count() shouldBe 1L
+  }
+
   test("OPTIMIZE bin-packs small files without changing the result") {
     val root = fragmentedTable("mnt_opt")
     val before = TxLog.liveSizes(spark, root).size
