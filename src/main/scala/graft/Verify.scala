@@ -90,6 +90,11 @@ object VerifyDigest {
     case null => "NULL"
     case d: Double => if (d.isNaN) "NaN" else java.lang.Double.toString(d)
     case f: Float => if (f.isNaN) "NaN" else java.lang.Float.toString(f)
+    // java.sql types render via the JVM DEFAULT time zone — an epoch
+    // instant would digest differently on a driver box in another TZ,
+    // defeating the cross-environment purpose. Render the instant.
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
     case b: Array[Byte] => b.map(x => f"$x%02x").mkString
     case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
