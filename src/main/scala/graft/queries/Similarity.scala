@@ -172,13 +172,15 @@ object Similarity {
           trainedCentroids(s, dir, nCells = 16), pqCodebooks(s, dir),
           TopK, nProbe = 4, shortlist = 8 * TopK)))
 
-  private def annStats(variant: String, res0: DataFrame, s: SparkSession,
+  private def annStats(variant: String, res: DataFrame, s: SparkSession,
                        dir: String): DataFrame = {
-    // The ANN result feeds TWO subtrees of one plan (row stats + recall
-    // hits join); uncached, the probe pipeline past the reusable exchange
-    // (per-qid rank window + filter) executes twice inside every timed
-    // bench sample. Transient: drained by the harness after the sample.
-    val res = graft.TransientCaches.register(res0.cache())
+    // ONE consumption of the probe result: the exact top-k on the query
+    // subsample is k rows per sampled qid — it broadcasts onto the probe
+    // output as a hit marker, so row stats AND recall come out of a
+    // single aggregation pass. (The first cut cached `res` and fed it to
+    // two subtrees plus separate stats/recall aggregations; at bench
+    // scale that was ~1 s of pure job overhead per ANN query, and at
+    // 100 TB a needless materialization of the whole probe output.)
     val sampleQ = querySet(s, dir).filter(col("qid") % 100 === 0)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id"))
     val exact = corpus(s, dir)
@@ -188,19 +190,19 @@ object Similarity {
         dotExpr("qe", "embedding") / (col("qnorm") * col("cnorm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .select("qid", "cand_id")
-    val hits = res.select("qid", "cand_id")
-      .join(exact, Seq("qid", "cand_id"))
-      .groupBy("qid").agg(count(lit(1)).as("nhit"))
-    val recall = sampleQ.select("qid")
-      .join(hits, Seq("qid"), "left")
-      .agg((sum(coalesce(col("nhit"), lit(0L))).cast("double")
-        / (count(lit(1)) * TopK)).as("mean_recall"))
-    val stats = res.agg(count_distinct(col("qid")).as("n_queries"),
-      count(lit(1)).as("n_rows"))
-    stats.crossJoin(recall)
+      .select(col("qid"), col("cand_id"), lit(1L).as("hit"))
+    // recall denominator = |sample| * k, counted from the sample frame
+    // itself so queries the probe answered badly (or not at all) still
+    // weigh in — a collapse cannot hide by dropping qids.
+    val nSample = sampleQ.agg(count(lit(1)).as("n_sample"))
+    res.join(broadcast(exact), Seq("qid", "cand_id"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+      .crossJoin(broadcast(nSample))
       .select(lit(variant).as("variant"), col("n_queries"), col("n_rows"),
-        col("mean_recall"))
+        (col("nhit").cast("double") / (col("n_sample") * TopK))
+          .as("mean_recall"))
   }
 
   /** DuckDB twin of [[annContract]]'s pinnable values: the query-set size

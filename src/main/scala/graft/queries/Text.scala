@@ -896,6 +896,156 @@ object Text {
           (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
             .as("dup_ratio"))
         .orderBy("doc_id")
+    },
+
+    // Boilerplate n-gram filter (the C4/RefinedWeb pre-clean): a 5-gram
+    // occurring in >= 5 DISTINCT docs is boilerplate (nav bars, license
+    // headers, templated footers); report per language how much token
+    // mass it claims. Scale shape: window generation is a per-row
+    // projection (no shuffle); the threshold agg shuffles on the gram key
+    // with map-side partial counts; the marker join is a shuffle equi-join
+    // on the same key (at 100 TB the over-threshold gram set is tiny and
+    // broadcast-able — AQE converts it). Integer counts + one final
+    // division, so both engines agree bit-exactly.
+    QDef(
+      "q96_boilerplate",
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        |              FROM documents),
+        |pos AS (SELECT doc_id, lang, ts,
+        |          UNNEST(range(1, greatest(len(ts) - 4, 0) + 1)) AS i
+        |        FROM toks),
+        |g AS (SELECT doc_id, lang,
+        |        array_to_string(ts[i:i+4], ' ') AS gram FROM pos),
+        |boiler AS (SELECT gram FROM g GROUP BY gram
+        |           HAVING COUNT(DISTINCT doc_id) >= 5),
+        |m AS (SELECT g.doc_id, g.lang,
+        |        CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS is_b
+        |      FROM g LEFT JOIN boiler b USING (gram))
+        |SELECT lang, COUNT(*) AS n_grams,
+        |  CAST(SUM(is_b) AS BIGINT) AS n_boiler,
+        |  COUNT(DISTINCT CASE WHEN is_b = 1 THEN doc_id END) AS docs_affected,
+        |  CAST(SUM(is_b) AS DOUBLE) / COUNT(*) AS boiler_frac
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+          .as("gram"))
+      val boiler = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 5)
+        .select(col("gram"), lit(1).as("is_b"))
+      grams.join(boiler, Seq("gram"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"),
+          countDistinct(when(col("is_b") === 1, col("doc_id")))
+            .as("docs_affected"),
+          (sum(coalesce(col("is_b"), lit(0))).cast("double") / count(lit(1)))
+            .as("boiler_frac"))
+        .orderBy("lang")
+    },
+
+    // Deterministic train/val/test split — the assignment step every
+    // training corpus runs before packing. The split key is a hex digit of
+    // md5(doc_id): content-independent, stable across runs and engines,
+    // and uniform enough that no salt/reshuffle pass is needed. Pure
+    // narrow projection + one bounded agg; at 100 TB the assignment adds
+    // zero shuffles to whatever write follows it.
+    QDef(
+      "q97_split_assign",
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |            THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+        |            THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      t(s, dir, "documents")
+        .select(
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+            .as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_total"))
+        .orderBy("split", "lang")
+    },
+
+    // Per-source balancing cap — dataset mixing's guard against one
+    // domain swamping the blend (the "no more than N docs per source"
+    // rule). Keep order is md5(doc_id): deterministic, content-blind, and
+    // engine-agnostic. ONE rank window partitioned by source; at 100 TB
+    // no source's partition exceeds the cap's selection working set, and
+    // a skewed source would switch to the salted two-phase form q64 uses.
+    QDef(
+      "q98_source_cap",
+      """WITH r AS (SELECT source, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rnk <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          row_number().over(w).as("rnk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rnk") <= 15, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rnk") <= 15, col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // Cross-document n-gram novelty — the freshness diagnostic for
+    // incremental corpus growth: of a doc's DISTINCT trigrams, how many
+    // first appear in this doc (no earlier doc_id contains them)? Per-doc
+    // distinct grams dedupe in one (doc, gram) shuffle; first-seer
+    // attribution is a min-agg on the gram key; the per-language rollup
+    // sums integers so the single final division is bit-exact on both
+    // engines. Three bounded-key shuffles total, no self-join on docs.
+    QDef(
+      "q99_novelty",
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+        |              FROM documents),
+        |pos AS (SELECT doc_id, lang, ts,
+        |          UNNEST(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        |        FROM toks),
+        |dg AS (SELECT DISTINCT doc_id, lang,
+        |         array_to_string(ts[i:i+2], ' ') AS gram FROM pos),
+        |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+        |SELECT d.lang, COUNT(*) AS n_distinct_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / COUNT(*) AS novelty_frac
+        |FROM dg d JOIN fs f USING (gram)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val dg = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
+          .as("gram"))
+        .distinct()
+      val fs = dg.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      dg.join(fs, "gram")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"),
+          (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("novelty_frac"))
+        .orderBy("lang")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
