@@ -138,7 +138,11 @@ object Bench {
     val divergent = names
       .filter { n =>
         val (a, b) = (pass1(n)._1, pass2(n)._1)
-        !a.isNaN && !b.isNaN &&
+        // an errored pass's elapsed-to-failure is not a timing — including
+        // it would report e.g. [3.0, 0.05] as a 60x warm-up effect when
+        // pass 2 simply crashed (the error itself lives in pass2_errors)
+        pass1(n)._2.isEmpty && pass2(n)._2.isEmpty &&
+          !a.isNaN && !b.isNaN &&
           math.max(a, b) > 1.5 * math.min(a, b) && math.abs(a - b) > 0.3
       }
       .sortBy(n => -math.abs(pass1(n)._1 - pass2(n)._1)).take(12)

@@ -111,9 +111,17 @@ object Tables {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
+    // Staleness = the NEWEST mtime anywhere in the tree, not the root's:
+    // a directory's mtime reflects only direct-child creation, so a root
+    // created hours ago whose run is still writing files deep inside
+    // would look stale by root mtime alone and get reaped mid-use. The
+    // trees are small (a handful of parquet dirs), so the walk is cheap.
+    def newest(f: java.io.File): Long =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(f.lastModified)((m, c) => math.max(m, newest(c)))
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft_scratch_") &&
-        f.lastModified < cutoff)
+        (try newest(f) < cutoff catch { case _: Throwable => false }))
       .foreach(f => try rm(f) catch { case _: Throwable => () })
   }
 

@@ -104,12 +104,6 @@ object VerifyDigest {
     case x => x.toString
   }
 
-  private def md5(parts: Iterator[String]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach { p => d.update(p.getBytes("UTF-8")); d.update(0.toByte) }
-    d.digest().map(x => f"$x%02x").mkString
-  }
-
   private def jq(s: String): String = Json.str(s)
 
   /** Digest one dumped query: reads the parquet back (single sorted file,
@@ -119,18 +113,37 @@ object VerifyDigest {
   def forDump(spark: SparkSession, name: String, path: String): String = {
     val df = spark.read.parquet(path)
     val cols = df.columns.sorted
-    val rows = df.select(cols.map(col).toIndexedSeq: _*).collect()
+    // ONE streamed pass (toLocalIterator is partition-ordered, and the
+    // dump is a single sorted file, so stream order IS the canonical
+    // order): per-column digests update incrementally, never holding the
+    // dump in driver memory — a row-heavy dump at a larger SF would OOM
+    // the collect() this replaces and zero the round's whole record.
+    val digests = cols.map(_ => java.security.MessageDigest.getInstance("MD5"))
+    val head = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var n = 0L
+    val it = df.select(cols.map(col).toIndexedSeq: _*).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (n < 11) head += r
+      var i = 0
+      while (i < cols.length) {
+        digests(i).update(canon(r.get(i)).getBytes("UTF-8"))
+        digests(i).update(0.toByte)
+        i += 1
+      }
+      n += 1
+    }
     val colHashes = cols.zipWithIndex.map { case (c, i) =>
-      s"${jq(c)}: ${jq(md5(rows.iterator.map(r => canon(r.get(i)))))}"
+      s"${jq(c)}: ${jq(digests(i).digest().map(x => f"$x%02x").mkString)}"
     }
     val schema = df.schema.fields.sortBy(_.name)
       .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
     val verbatim =
-      if (rows.length <= 10)
-        rows.map(r => jq(r.toSeq.map(canon).mkString("|")))
+      if (n <= 10)
+        head.map(r => jq(r.toSeq.map(canon).mkString("|")))
           .mkString(""", "rows_verbatim": [""", ",", "]")
       else ""
-    s"""${jq(name)}: {"rows": ${rows.length}, "schema": ${jq(schema)}, """ +
+    s"""${jq(name)}: {"rows": $n, "schema": ${jq(schema)}, """ +
       s""""col_hash": {${colHashes.mkString(",")}}$verbatim}"""
   }
 }

@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedWith, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftnative.{parsePlan, planToDf, toColumn}
 
@@ -305,6 +305,20 @@ object TxLogSql {
           throw new IllegalArgumentException(
             "DESCRIBE SCAN expects a read-only query (SELECT/WITH/TABLE/" +
               s"VALUES), not a command: $query")
+        // The head regex alone is bypassable: Spark parses CTE-headed DML
+        // (`WITH s AS (...) INSERT INTO t ...`), whose head IS `WITH`.
+        // Parse (no execution) and reject any plan carrying a Command
+        // node or an InsertIntoStatement (the one DML statement that is
+        // not a Command subtype) anywhere in the tree. (No naked `{...}`
+        // after the throw above — Scala would attach it to the `new` as
+        // an anonymous-class body and the guard would never run.)
+        val mutating = spark.sessionState.sqlParser.parsePlan(query)
+          .collectFirst {
+            case c: Command             => c.getClass.getSimpleName
+            case i: InsertIntoStatement => i.getClass.getSimpleName
+          }
+        mutating.foreach(n => throw new IllegalArgumentException(
+          s"DESCRIBE SCAN expects a read-only query; found $n in: $query"))
         val planned =
           graft.plans.ScanBudget.plannedScanBytes(spark.sql(query))
         val budget = graft.plans.ScanBudget.confBudget(spark)

@@ -202,6 +202,18 @@ class TxLogSqlSpec extends SparkSpec {
     TxLogSql.run(spark,
       "DESCRIBE SCAN (SELECT id FROM mnt_scan_ro WHERE id = 1)")
       .count() shouldBe 1L
+    // CTE-headed DML: the head IS `WITH`, so the head regex alone passes
+    // it — the parse-level guard must reject before spark.sql() runs the
+    // INSERT for real
+    val cte = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "DESCRIBE SCAN WITH s AS (SELECT 99 AS id, " +
+        "'x' AS v, 'p' AS part) INSERT INTO mnt_scan_ro SELECT * FROM s")
+    }
+    cte.getMessage should include("read-only")
+    spark.sql("SELECT count(*) FROM mnt_scan_ro").as[Long].head() shouldBe 4L
+    // a genuine CTE-headed SELECT still previews fine
+    TxLogSql.run(spark, "DESCRIBE SCAN WITH s AS (SELECT id FROM " +
+      "mnt_scan_ro) SELECT * FROM s").count() shouldBe 1L
   }
 
   test("OPTIMIZE bin-packs small files without changing the result") {
