@@ -69,8 +69,13 @@ object Media {
             sum += u
             hist(u >> 6) += 1.0
           }
+          // audio payloads are still byte-featured (no sample decode
+          // here), but their FORMAT comes from the real header walk —
+          // a mislabeled record cannot smuggle its claimed format through
+          val fmt = AudioCodec.parseWav(r.payload)
+            .map(_ => "wav").getOrElse(r.format)
           MediaFeatures(r.id, r.payload.length.toLong, sum, hist,
-            r.format, -1, -1)
+            fmt, -1, -1)
       }
     }
 
@@ -135,6 +140,31 @@ object Media {
         case Some(p) if !(p eq r.payload) => r.copy(payload = p, format = "png")
         case Some(_)                      => r // already within bounds
         case None                         => r // not an image
+      }
+    }))
+  }
+
+  /** Typed audio metadata for one record; non-audio payloads carry
+    * `codec = "none"` and zeroed facts (kept in the output so a mixed
+    * corpus can be partitioned by `codec` downstream).
+    */
+  final case class AudioMeta(
+      id: Long, codec: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, durationSec: Double)
+
+  /** Batched REAL audio-metadata extraction (RIFF/WAVE header walk via
+    * [[AudioCodec.parseWav]]): sample rate, channels, bit depth, frame
+    * count, duration — from the payload's bounded prefix, no sample
+    * decode. Same narrow batched seam as [[extractFeatures]].
+    */
+  def audioMeta(ds: Dataset[MediaRecord],
+                batchSize: Int = 64): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      AudioCodec.parseWav(r.payload) match {
+        case Some(w) => AudioMeta(r.id, w.codec, w.sampleRate, w.channels,
+          w.bitsPerSample, w.nFrames, w.durationSec)
+        case None    => AudioMeta(r.id, "none", 0, 0, 0, 0L, 0.0)
       }
     }))
   }

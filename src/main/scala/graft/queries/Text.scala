@@ -1046,6 +1046,55 @@ object Text {
           (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
             .cast("double") / count(lit(1))).as("novelty_frac"))
         .orderBy("lang")
+    },
+
+    // Cross-source contamination matrix — which corpus sources share
+    // verbatim 5-gram content (mirror sites, syndication, benchmark
+    // leakage between collections). Per-source DISTINCT grams dedupe in
+    // one (source, gram) shuffle; the pairwise overlap is a gram-key
+    // self-join whose fan-out per gram is bounded by the SOURCE count
+    // (not the corpus), and the output is at most C(n_sources, 2) rows —
+    // metadata-sized at any corpus scale. Containment = shared / smaller
+    // set: integer counts + one division, bit-exact on both engines.
+    QDef(
+      "q100_source_overlap",
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts
+        |              FROM documents),
+        |pos AS (SELECT source, ts,
+        |          UNNEST(range(1, greatest(len(ts) - 4, 0) + 1)) AS i
+        |        FROM toks),
+        |dg AS (SELECT DISTINCT source,
+        |         array_to_string(ts[i:i+4], ' ') AS gram FROM pos),
+        |per AS (SELECT source, COUNT(*) AS n FROM dg GROUP BY source),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         COUNT(*) AS n_shared
+        |       FROM dg a JOIN dg b ON a.gram = b.gram
+        |         AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT sh.src_a, sh.src_b, sh.n_shared,
+        |  CAST(sh.n_shared AS DOUBLE) / least(pa.n, pb.n) AS containment
+        |FROM sh JOIN per pa ON pa.source = sh.src_a
+        |        JOIN per pb ON pb.source = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val dg = t(s, dir, "documents")
+        .select(col("source"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+          .as("gram"))
+        .distinct()
+      val per = dg.groupBy("source").agg(count(lit(1)).as("n"))
+      val sh = dg.as("a")
+        .join(dg.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      sh.join(broadcast(per.as("pa")), col("pa.source") === col("src_a"))
+        .join(broadcast(per.as("pb")), col("pb.source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("pa.n"), col("pb.n"))).as("containment"))
+        .orderBy("src_a", "src_b")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -139,4 +139,40 @@ class MediaSpec extends SparkSpec {
     r.getLong(1) shouldBe 5L
     new String(r.getAs[Array[Byte]](2), "UTF-8") shouldBe "hello"
   }
+
+  test("parseWav reads real RIFF/WAVE headers: rate, channels, depth, duration") {
+    val wav = AudioCodec.synthesizeWav(
+      sampleRate = 16000, channels = 2, bitsPerSample = 16, nFrames = 8000)
+    val Some(info) = AudioCodec.parseWav(wav)
+    info.codec shouldBe "pcm"
+    info.sampleRate shouldBe 16000
+    info.channels shouldBe 2
+    info.bitsPerSample shouldBe 16
+    info.nFrames shouldBe 8000L
+    info.durationSec shouldBe 0.5 +- 1e-9
+    // malformed payloads return None, never throw
+    AudioCodec.parseWav("RIFFnot really a wave file".getBytes("UTF-8")) shouldBe None
+    AudioCodec.parseWav(wav.take(30)) shouldBe None
+    AudioCodec.parseWav(Array.empty[Byte]) shouldBe None
+  }
+
+  test("audioMeta extracts typed audio facts distributed; non-audio maps to codec=none") {
+    val wav = AudioCodec.synthesizeWav(8000, 1, 8, 4000)
+    val ds = Seq(
+      MediaRecord(1L, wav, "wav"),
+      MediaRecord(2L, "just text".getBytes("UTF-8"), "txt")).toDS().repartition(2)
+    val metas = Media.audioMeta(ds, batchSize = 1).collect().sortBy(_.id)
+    metas(0).codec shouldBe "pcm"
+    metas(0).sampleRate shouldBe 8000
+    metas(0).durationSec shouldBe 0.5 +- 1e-9
+    metas(1).codec shouldBe "none"
+    metas(1).sampleRate shouldBe 0
+    // decodeBatch reports the REAL container format for audio payloads
+    val Seq(f, t) = Media.decodeBatch(Seq(
+      MediaRecord(1L, wav, "mislabeled"),
+      MediaRecord(2L, "plain".getBytes("UTF-8"), "txt")))
+    f.format shouldBe "wav"
+    f.width shouldBe -1
+    t.format shouldBe "txt"
+  }
 }
