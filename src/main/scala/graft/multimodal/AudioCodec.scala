@@ -50,15 +50,22 @@ object AudioCodec {
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
     var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, rate, bits
     var dataBytes: Option[Long] = None
-    var i = 12
+    // the cursor is a Long: a u32 size field plus an Int cursor can wrap
+    // Int arithmetic negative, turning the walk into an out-of-bounds read
+    var i = 12L
     while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val id = tag(bytes, i)
-      val size = le32(bytes, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= bytes.length) {
-        val formatTag = le16(bytes, i + 8)
-        val channels = le16(bytes, i + 10)
-        val rate = le32(bytes, i + 12).toInt
-        val bits = le16(bytes, i + 22)
+      val at = i.toInt
+      val id = tag(bytes, at)
+      val size = le32(bytes, at + 4)
+      if (id == "fmt ") {
+        // the chunk itself must declare the 16 canonical format bytes —
+        // a shorter declared size would make the field reads spill into
+        // the next chunk's bytes
+        if (size < 16 || i + 8 + 16 > bytes.length) return None
+        val formatTag = le16(bytes, at + 8)
+        val channels = le16(bytes, at + 10)
+        val rate = le32(bytes, at + 12).toInt
+        val bits = le16(bytes, at + 22)
         if (channels <= 0 || rate <= 0 || bits <= 0) return None
         fmt = Some((formatTag, channels, rate, bits))
       }
@@ -69,8 +76,7 @@ object AudioCodec {
         // re-validate against the actual payload length
         dataBytes = Some(size)
       // word alignment: odd-sized chunks pad one byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 16) return None // corrupt size field
+      i += 8L + size + (size & 1L)
     }
     for ((ftag, ch, rate, bits) <- fmt; db <- dataBytes) yield {
       val frameBytes = math.max(1, ch * (bits / 8))
@@ -87,24 +93,4 @@ object AudioCodec {
     }
   }
 
-  /** Build a minimal valid PCM WAVE payload (spec/fixture helper — the
-    * container only needs the canonical 44-byte header plus samples).
-    */
-  def synthesizeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
-                    nFrames: Int): Array[Byte] = {
-    val frameBytes = channels * (bitsPerSample / 8)
-    val dataLen = nFrames * frameBytes
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort).putShort(channels.toShort)
-      .putInt(sampleRate).putInt(sampleRate * frameBytes)
-      .putShort(frameBytes.toShort).putShort(bitsPerSample.toShort)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < dataLen) { out.put((i % 251).toByte); i += 1 }
-    out.array()
-  }
 }

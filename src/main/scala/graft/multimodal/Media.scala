@@ -70,8 +70,9 @@ object Media {
             hist(u >> 6) += 1.0
           }
           // audio payloads are still byte-featured (no sample decode
-          // here), but their FORMAT comes from the real header walk —
-          // a mislabeled record cannot smuggle its claimed format through
+          // here); a payload that parses as WAV reports "wav" regardless
+          // of its claimed format (one-directional: unparseable payloads
+          // keep the claimed format as an opaque label)
           val fmt = AudioCodec.parseWav(r.payload)
             .map(_ => "wav").getOrElse(r.format)
           MediaFeatures(r.id, r.payload.length.toLong, sum, hist,

@@ -141,7 +141,7 @@ class MediaSpec extends SparkSpec {
   }
 
   test("parseWav reads real RIFF/WAVE headers: rate, channels, depth, duration") {
-    val wav = AudioCodec.synthesizeWav(
+    val wav = AudioFixtures.synthesizeWav(
       sampleRate = 16000, channels = 2, bitsPerSample = 16, nFrames = 8000)
     val Some(info) = AudioCodec.parseWav(wav)
     info.codec shouldBe "pcm"
@@ -156,8 +156,28 @@ class MediaSpec extends SparkSpec {
     AudioCodec.parseWav(Array.empty[Byte]) shouldBe None
   }
 
+  test("parseWav survives adversarial chunk sizes and short fmt chunks") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val ascii = (s: String) => s.getBytes("US-ASCII")
+    // chunk size near u32 max: an Int cursor would wrap negative and
+    // read out of bounds; must return None, not throw
+    val overflow = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("JUNK") ++ le32(40) ++ Array.fill[Byte](40)(0) ++
+      ascii("LIST") ++ le32(0xfffffff0L) ++ Array.fill[Byte](8)(0)
+    AudioCodec.parseWav(overflow) shouldBe None
+    // fmt chunk declaring fewer than the 16 canonical bytes: fields would
+    // be read from the NEXT chunk's bytes; must reject, not fabricate
+    val shortFmt = ascii("RIFF") ++ le32(60) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(2) ++ Array[Byte](1, 0) ++
+      ascii("data") ++ le32(16) ++ Array.fill[Byte](16)(0) ++
+      Array.fill[Byte](16)(0)
+    AudioCodec.parseWav(shortFmt) shouldBe None
+  }
+
   test("audioMeta extracts typed audio facts distributed; non-audio maps to codec=none") {
-    val wav = AudioCodec.synthesizeWav(8000, 1, 8, 4000)
+    val wav = AudioFixtures.synthesizeWav(8000, 1, 8, 4000)
     val ds = Seq(
       MediaRecord(1L, wav, "wav"),
       MediaRecord(2L, "just text".getBytes("UTF-8"), "txt")).toDS().repartition(2)
