@@ -68,7 +68,9 @@ object TxLog {
                           add: Seq[String], remove: Seq[String],
                           schemaDdl: String, partitionCols: Seq[String],
                           stats: FileStats = Map.empty,
-                          txn: Option[(String, Long)] = None)
+                          txn: Option[(String, Long)] = None,
+                          consAdd: Map[String, String] = Map.empty,
+                          consDrop: Seq[String] = Seq.empty)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -114,6 +116,13 @@ object TxLog {
     c.txn.foreach { case (app, v) =>
       n.put("txnAppId", app); n.put("txnVersion", v)
     }
+    if (c.consAdd.nonEmpty) {
+      val cn = n.putObject("consAdd")
+      c.consAdd.foreach { case (name, sql) => cn.put(name, sql) }
+    }
+    if (c.consDrop.nonEmpty) {
+      val cd = n.putArray("consDrop"); c.consDrop.foreach(cd.add)
+    }
     n.toString
   }
 
@@ -125,10 +134,19 @@ object TxLog {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val consAdd = {
+      val b = Map.newBuilder[String, String]
+      Option(n.get("consAdd")).foreach(_.properties().forEach(e =>
+        b += e.getKey -> e.getValue.asText()))
+      b.result()
+    }
+    val consDrop =
+      if (n.has("consDrop")) arr("consDrop") else Seq.empty[String]
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
       n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
-      Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)))
+      Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)),
+      consAdd, consDrop)
   }
 
   // -------------------------------------------------------------------
@@ -366,7 +384,9 @@ object TxLog {
                          delta: (Seq[Commit], Seq[String]) => (Seq[String], Seq[String], String),
                          stats: FileStats = Map.empty,
                          maxAttempts: Int = 50,
-                         txn: Option[(String, Long)] = None): Long = {
+                         txn: Option[(String, Long)] = None,
+                         consAdd: Map[String, String] = Map.empty,
+                         consDrop: Seq[String] = Seq.empty): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var tailWaitMs = 0L
@@ -411,7 +431,8 @@ object TxLog {
         val (add, remove, schemaDdl) =
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
-          add, remove, schemaDdl, partitionCols, stats, txn)
+          add, remove, schemaDdl, partitionCols, stats, txn,
+          consAdd, consDrop)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -530,6 +551,7 @@ object TxLog {
              partitionCols: Seq[String] = Seq.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
+    enforceConstraints(spark, root, adds, ddl, "append")
     commitLoop(spark, root, "append", partitionCols,
       (commits, _) => (adds, Seq.empty,
         committedDdl(spark, commits, ddl, "append", root)),
@@ -555,6 +577,7 @@ object TxLog {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val (adds, ddl) = stage(df, root, partitionCols)
+    enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       (commits, _) => (adds, Seq.empty,
         committedDdl(spark, commits, ddl, "append", root)),
@@ -578,6 +601,7 @@ object TxLog {
     val (adds, ddl) = stage(observed, root, partitionCols)
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
+    enforceConstraints(spark, root, adds, ddl, "append")
     commitLoop(spark, root, "append", partitionCols,
       (commits, _) => (adds, Seq.empty,
         committedDdl(spark, commits, ddl, "append", root)),
@@ -591,6 +615,8 @@ object TxLog {
                 partitionCols: Seq[String] = Seq.empty,
                 statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
+    enforceConstraints(spark, root, adds, ddl, "overwrite",
+      replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
       (_, live) => (adds, live, ddl),
       computeStats(spark, root, adds, statsCols))
@@ -610,12 +636,171 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val (adds, ddl) = stage(df, root, partitionCols)
+    enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
       (commits, live) => (adds,
         live.filter(f => touchedDirs.contains(relDir(f))),
         committedDdl(spark, commits, ddl, "upsert", root)),
       computeStats(spark, root, adds, statsCols))
+  }
+
+  // -------------------------------------------------------------------
+  // CHECK constraints — persistent, table-attached data-quality rules
+  // -------------------------------------------------------------------
+
+  private val ConstraintName = raw"[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Column names a constraint expression references (unresolved parse —
+    * no table needed). Qualified references are rejected at add time, so
+    * the head part IS the column.
+    */
+  private def constraintRefs(spark: SparkSession, checkSql: String): Seq[String] =
+    org.apache.spark.sql.graftnative.parseExpression(spark, checkSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        require(a.nameParts.length == 1,
+          s"constraint expressions reference plain columns, not qualified " +
+            s"names: `${a.name}`")
+        a.nameParts.head
+    }.distinct
+
+  /** The resolved constraint set (name -> CHECK expression SQL) at the
+    * latest version.
+    */
+  def constraintsOf(spark: SparkSession, root: String): Map[String, String] =
+    resolve(spark, root, None).constraints
+
+  /** Violation filter implementing SQL CHECK semantics: a row violates
+    * only when the expression is FALSE — NULL satisfies (the standard,
+    * and Delta's). Non-boolean expressions fail analysis loudly.
+    */
+  private def violatesCheck(checkSql: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    coalesce(expr(checkSql), lit(true)) === false
+  }
+
+  /** Attach a named CHECK constraint (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT name CHECK (...)`): from this commit on, EVERY write path
+    * (append family, overwrite, merge, CDC apply, UPDATE, SQL DML)
+    * verifies its batch against the constraint and withholds the commit
+    * on violation. Existing data is validated first with one scan of the
+    * referenced columns — a constraint the table already breaks is
+    * refused, so a green `addConstraint` certifies the WHOLE table, not
+    * just future writes. Constraints ride the commit log (surviving
+    * checkpoint truncation, visible to every writer), and a data commit
+    * racing the validation scan fails the add rather than slipping
+    * unvalidated rows under it.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    checkSql: String): Long = {
+    require(ConstraintName.matches(name),
+      s"constraint name must be identifier-shaped: '$name'")
+    val current = resolve(spark, root, None)
+    require(!current.constraints.contains(name),
+      s"constraint $name already exists on $root " +
+        s"(CHECK (${current.constraints(name)})) — drop it first")
+    val schema = StructType.fromDDL(current.schemaDdl)
+    val missing = constraintRefs(spark, checkSql)
+      .filterNot(r => schema.exists(_.name.equalsIgnoreCase(r)))
+    require(missing.isEmpty,
+      s"constraint $name references column(s) not in $root's schema: " +
+        missing.mkString(", "))
+    val violations =
+      snapshot(spark, root, current).filter(violatesCheck(checkSql)).count()
+    if (violations > 0)
+      throw new IllegalStateException(
+        s"cannot add constraint $name to $root: $violations existing " +
+          s"row(s) violate CHECK ($checkSql)")
+    commitLoop(spark, root, "addConstraint",
+      partitionColsOf(spark, root, current), { (commits, _) =>
+        // any commit after the validation scan may have added rows this
+        // constraint never saw — fail the add, not the data
+        if (commits.lastOption.map(_.version) != Some(current.version))
+          throw new java.util.ConcurrentModificationException(
+            s"addConstraint($name) validated version ${current.version} " +
+              s"but ${commits.lastOption.map(_.version).orNull} committed " +
+              s"since at $root — re-run")
+        (Seq.empty, Seq.empty, current.schemaDdl)
+      }, consAdd = Map(name -> checkSql))
+  }
+
+  /** Detach a constraint; later writes stop checking it. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Long = {
+    val current = resolve(spark, root, None)
+    require(current.constraints.contains(name),
+      s"no constraint $name on $root " +
+        s"(have: ${current.constraints.keys.toSeq.sorted.mkString(", ")})")
+    commitLoop(spark, root, "dropConstraint",
+      partitionColsOf(spark, root, current),
+      (_, _) => (Seq.empty, Seq.empty, current.schemaDdl),
+      consDrop = Seq(name))
+  }
+
+  /** Enforce the table's constraints on freshly STAGED files, between
+    * stage and commit — the one seam every data-adding path funnels
+    * through. Reading the staged parquet back (columnar, pruned to the
+    * referenced columns) costs one bounded scan of the NEW bytes only and
+    * never recomputes the caller's DataFrame. All constraints evaluate in
+    * ONE job. On violation the staged files are deleted and the commit
+    * never happens — the table never exposes the bad batch.
+    *
+    * The staged files are read with the schema they will carry after the
+    * commit (table ∪ batch for append-family, the batch schema alone when
+    * `replaceSchema` — overwrite): a column the batch omits reads NULL,
+    * and NULL satisfies CHECK — exactly how the committed files will
+    * behave. A constraint referencing a column absent from that schema
+    * (an overwrite dropping it) fails loudly instead of silently passing
+    * forever.
+    */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 adds: Seq[String], batchDdl: String,
+                                 operation: String,
+                                 replaceSchema: Boolean = false): Unit = {
+    val snap = scala.util.Try(resolve(spark, root, None)).toOption
+    val cons = snap.map(_.constraints).getOrElse(Map.empty[String, String])
+    if (cons.isEmpty || adds.isEmpty) return
+    val batchS = StructType.fromDDL(batchDdl)
+    val schema =
+      if (replaceSchema) batchS
+      else snap.map(s => StructType.fromDDL(s.schemaDdl)) match {
+        case None => batchS
+        case Some(cur) => StructType(cur ++ batchS.filterNot(f =>
+          cur.exists(_.name.equalsIgnoreCase(f.name))))
+      }
+    cons.foreach { case (name, sql) =>
+      val missing = constraintRefs(spark, sql)
+        .filterNot(r => schema.exists(_.name.equalsIgnoreCase(r)))
+      if (missing.nonEmpty) {
+        deleteStaged(spark, root, adds)
+        throw new IllegalArgumentException(
+          s"$operation to $root drops column(s) ${missing.mkString(", ")} " +
+            s"referenced by constraint $name (CHECK ($sql)) — drop the " +
+            "constraint first")
+      }
+    }
+    import org.apache.spark.sql.functions.{count, when}
+    val staged = spark.read.option("basePath", root).schema(schema)
+      .parquet(adds.map(f => s"$root/$f"): _*)
+    val names = cons.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      count(when(violatesCheck(cons(n)), 1)).as(n))
+    val row = staged.agg(aggs.head, aggs.tail: _*).head()
+    val bad = names.zipWithIndex
+      .map { case (n, i) => n -> row.getLong(i) }.filter(_._2 > 0)
+    if (bad.nonEmpty) {
+      deleteStaged(spark, root, adds)
+      throw new IllegalStateException(
+        s"$operation to $root violates constraint(s): " +
+          bad.map { case (n, c) => s"$n (CHECK (${cons(n)})): $c row(s)" }
+            .mkString("; "))
+    }
+  }
+
+  private def deleteStaged(spark: SparkSession, root: String,
+                           adds: Seq[String]): Unit = {
+    val fs = fileSystem(spark, root)
+    adds.foreach(f => try fs.delete(new Path(s"$root/$f"), false)
+                      catch { case _: IOException => () })
   }
 
   /** Row-level MERGE (upsert by key): rows of `updates` replace
@@ -788,6 +973,7 @@ object TxLog {
       case None    => updates
     }
     val (adds, ddl) = stage(staged, root, partitionCols)
+    enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
       // merge is a read-modify-write: its rewrite was computed against
       // `current`, so ANY commit that landed since is a potential write
@@ -984,6 +1170,9 @@ object TxLog {
         .parquet(matchedFiles.map(f => s"$root/$f"): _*),
       condition)
     val (adds, ddl) = stage(staged, root, parts)
+    // UPDATE can SET a row into violation; DELETE only removes rows it
+    // never changes, so its survivors stay valid by construction
+    if (operation != "delete") enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, parts, { (commits, _) =>
       if (commits.lastOption.map(_.version) != Some(current.version))
         throw new java.util.ConcurrentModificationException(
@@ -1458,7 +1647,8 @@ object TxLog {
     */
   private final case class Snapshot(live: Seq[String], schemaDdl: String,
                                     version: Long, stats: FileStats,
-                                    txns: Map[String, Long] = Map.empty)
+                                    txns: Map[String, Long] = Map.empty,
+                                    constraints: Map[String, String] = Map.empty)
 
   /** Resolve the snapshot at `upTo` (None = latest) from the newest
     * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
@@ -1483,8 +1673,11 @@ object TxLog {
       val txnsB = Map.newBuilder[String, Long]
       Option(n.get("txns")).foreach(_.properties().forEach(e =>
         txnsB += e.getKey -> e.getValue.asLong))
+      val consB = Map.newBuilder[String, String]
+      Option(n.get("constraints")).foreach(_.properties().forEach(e =>
+        consB += e.getKey -> e.getValue.asText()))
       Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
-        txnsB.result())
+        txnsB.result(), consB.result())
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -1505,10 +1698,15 @@ object TxLog {
         case None           => acc
       }
     }
+    // constraints fold as deltas (add/drop commits), like the live set —
+    // commits that don't touch constraints carry nothing
+    val constraints = tail.foldLeft(
+      base.map(_.constraints).getOrElse(Map.empty[String, String]))(
+      (acc, c) => acc -- c.consDrop ++ c.consAdd)
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
       tail.lastOption.map(_.version).getOrElse(base.get.version),
-      stats, txns)
+      stats, txns, constraints)
   }
 
   private def snapshot(spark: SparkSession, root: String,
@@ -1565,6 +1763,12 @@ object TxLog {
     if (snap.txns.nonEmpty) {
       val tn = n.putObject("txns")
       snap.txns.foreach { case (app, v) => tn.put(app, v) }
+    }
+    // constraints likewise outlive log truncation — losing one would
+    // silently stop enforcing it on every later write
+    if (snap.constraints.nonEmpty) {
+      val cn = n.putObject("constraints")
+      snap.constraints.foreach { case (name, sql) => cn.put(name, sql) }
     }
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)

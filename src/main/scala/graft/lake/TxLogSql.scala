@@ -231,6 +231,14 @@ object TxLogSql {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS\s+(`[^`]+`|[\w.]+))?\s*;?\s*""").r
   private val DescribeScanRe =
     """(?is)\s*DESCRIBE\s+SCAN\s+(.+?)\s*;?\s*""".r
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(\w+)\s*;?\s*""").r
+  private val ShowConstraintsRe =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(`[^`]+`|[\w.]+)\s*;?\s*""".r
   /** What DESCRIBE SCAN accepts as its inner statement: the query-shaped
     * heads only (optionally parenthesized). Anything else is a command.
     */
@@ -277,6 +285,12 @@ object TxLogSql {
     *   - `DESCRIBE SCAN <query>` — planned post-pruning scan bytes vs the
     *     session's `spark.graft.scanBudget.bytes` cap, without running
     *     the query (the Athena workgroup cost-preview analog)
+    *   - `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` /
+    *     `ALTER TABLE t DROP CONSTRAINT name` — persistent data-quality
+    *     rules riding the commit log ([[TxLog.addConstraint]]): existing
+    *     rows are validated at ALTER time, every later write refuses a
+    *     violating batch before its commit
+    *   - `SHOW CONSTRAINTS [ON] t` — the table's live constraint set
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -386,6 +400,26 @@ object TxLogSql {
         Option(asName).foreach(n => register(spark, stripQuotes(n), path,
           reg.partitionCols, reg.statsCols))
         Seq((v, "clone")).toDF("version", "operation")
+
+      // Delta's constraint DDL shape: the CHECK is validated against ALL
+      // existing rows before the commit, then enforced on every later
+      // write ([[TxLog.addConstraint]]). Caught here because Spark's own
+      // ALTER TABLE grammar has no CONSTRAINT clause — falling through
+      // would hit the parser as a syntax error on the managed view.
+      case AddConstraintRe(ident, name, check) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val v = TxLog.addConstraint(spark, reg.root, name, check.trim)
+        Seq((v, "addConstraint")).toDF("version", "operation")
+
+      case DropConstraintRe(ident, name) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val v = TxLog.dropConstraint(spark, reg.root, name)
+        Seq((v, "dropConstraint")).toDF("version", "operation")
+
+      case ShowConstraintsRe(ident) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        TxLog.constraintsOf(spark, reg.root).toSeq.sortBy(_._1)
+          .toDF("name", "check_expression")
 
       case RestoreTsRe(ident, ts) =>
         val (name, reg) = lookup(spark, ident, sqlText)

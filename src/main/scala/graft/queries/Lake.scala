@@ -698,6 +698,58 @@ object Lake {
       Seq(TxLog.countRows(s, root)).toDF("n")
     },
 
+    // Persistent CHECK constraints (TxLog.addConstraint, the Delta
+    // `ALTER TABLE ... ADD CONSTRAINT` shape): the table starts with only
+    // valid rows, a `bal >= 0` CHECK is attached (validating the existing
+    // data in one scan), a violating batch is appended and MUST be
+    // refused before its commit, then the corrected batch (abs balance)
+    // lands. The refusal is materialized as a result column — if
+    // enforcement ever breaks and the negative batch slips through, both
+    // the flag and every per-segment sum change, so the oracle hash
+    // catches it from two directions.
+    QDef(
+      "q101_constraints",
+      """WITH valid AS (SELECT c_custkey, c_mktsegment,
+        |                      CAST(c_acctbal AS DOUBLE) AS bal
+        |               FROM customer WHERE c_acctbal >= 0),
+        |fixed AS (SELECT c_custkey, c_mktsegment,
+        |                 CAST(ABS(c_acctbal) AS DOUBLE) AS bal
+        |          FROM customer WHERE c_acctbal < 0),
+        |final AS (SELECT * FROM valid UNION ALL SELECT * FROM fixed)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+        |  TRUE AS violating_batch_refused
+        |FROM final GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "constraints")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("bal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust.filter(col("bal") >= 0), root,            // v0
+        Seq("c_mktsegment"))
+      TxLog.addConstraint(s, root, "bal_nonneg", "bal >= 0")         // v1
+
+      val neg = cust.filter(col("bal") < 0)
+      val refused =
+        try { TxLog.append(s, neg, root, Seq("c_mktsegment")); false }
+        catch { case _: IllegalStateException => true }
+      TxLog.append(s, neg.withColumn("bal", abs(col("bal"))), root,  // v2
+        Seq("c_mktsegment"))
+
+      TxLog.readLatest(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("bal")).as("total_bal"))
+        .withColumn("violating_batch_refused", lit(refused))
+        .orderBy("c_mktsegment")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

@@ -27,6 +27,14 @@ package object graftnative {
   def parsePlan(spark: SparkSession, sqlText: String): catalyst.plans.logical.LogicalPlan =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sqlText)
 
+  /** Parse one SQL expression without resolving it — how TxLog validates
+    * a CHECK constraint's text and extracts its column references at
+    * ALTER time (failing there, not at the next write).
+    */
+  def parseExpression(spark: SparkSession, sqlText: String): Expression =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parseExpression(sqlText)
+
   /** Analyze + wrap a logical plan as a DataFrame (the `private[sql]`
     * Dataset.ofRows) — how TxLogSql turns a parsed MERGE source relation
     * into the updates frame.
