@@ -645,6 +645,112 @@ object TxLog {
       computeStats(spark, root, adds, statsCols))
   }
 
+  /** Statically-scoped partition overwrite (Hive/Spark's
+    * `INSERT OVERWRITE ... PARTITION (p = 'v')`): atomically replace ALL
+    * files under the partitions matching `partitionFilter` (equality
+    * conjuncts on partition columns, the same directory-name matching as
+    * partition-scoped OPTIMIZE) with the staged batch — one commit, no
+    * data read. The scope check is metadata-only too: every staged file's
+    * directory must itself match the filter, so a batch row whose
+    * partition values fall OUTSIDE the scope fails the write instead of
+    * silently surviving alongside the partitions it claimed to replace.
+    * The removal set is recomputed from the live list at each commit
+    * attempt (overwrite-wins under concurrency, like [[upsertPartitions]]
+    * — there is no read-modify-write to skew).
+    */
+  def replacePartitions(spark: SparkSession, df: DataFrame, root: String,
+                        partitionFilter: Map[String, String],
+                        statsCols: Seq[String] = Seq.empty): Long = {
+    require(partitionFilter.nonEmpty,
+      "replacePartitions needs at least one partition equality — use " +
+        "overwrite() to replace the whole table")
+    val current = resolve(spark, root, None) // must exist: scope implies it
+    val parts = partitionColsOf(spark, root, current)
+    val bad = partitionFilter.keySet -- parts.toSet
+    require(bad.isEmpty,
+      s"replacePartitions filter names non-partition column(s) " +
+        s"${bad.mkString(", ")} — partition columns are " +
+        s"${parts.mkString(", ")}")
+    def inScope(dir: String): Boolean = {
+      val segs = dir.split('/').filter(_.nonEmpty).toSet
+      partitionFilter.forall { case (k, v) => segs.contains(s"$k=$v") }
+    }
+    val (adds, ddl) = stage(df, root, parts)
+    val escaped = adds.filterNot(f => inScope(relDir(f)))
+    if (escaped.nonEmpty) {
+      deleteStaged(spark, root, adds)
+      throw new IllegalArgumentException(
+        s"replacePartitions batch writes outside its scope " +
+          s"(${partitionFilter.map { case (k, v) => s"$k=$v" }.mkString(", ")}): " +
+          s"e.g. ${escaped.head} — filter the batch or widen the scope")
+    }
+    enforceConstraints(spark, root, adds, ddl, "overwrite_partitions")
+    commitLoop(spark, root, "overwrite_partitions", parts,
+      (commits, live) => (adds, live.filter(f => inScope(relDir(f))),
+        committedDdl(spark, commits, ddl, "overwrite_partitions", root)),
+      computeStats(spark, root, adds, statsCols))
+  }
+
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
+    * delete every row matching `condition` and insert the batch — one
+    * commit. Every batch row must itself satisfy the condition (NULL
+    * fails, checked before staging), otherwise rows would escape the
+    * scope they claim to replace. File-granular like DELETE: only files
+    * containing a matching row are rewritten, their non-matching rows
+    * carried over; a concurrent commit between probe and claim fails the
+    * operation (stale-base detection, same as merge). Prefer
+    * [[replacePartitions]] when the scope IS partition equalities — that
+    * path never reads data.
+    */
+  def replaceWhere(spark: SparkSession, df: DataFrame, root: String,
+                   condition: org.apache.spark.sql.Column,
+                   statsCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val escaped =
+      df.filter(not(coalesce(condition, lit(false)))).limit(1).count()
+    if (escaped > 0)
+      throw new IllegalArgumentException(
+        s"replaceWhere batch contains row(s) not satisfying the scope " +
+          s"condition — filter the batch or widen the condition")
+    val current = resolve(spark, root, None)
+    val parts = partitionColsOf(spark, root, current)
+    val snap = snapshot(spark, root, current)
+    val fs = fileSystem(spark, root)
+    val rootDec = rootDecodedPath(fs, root)
+    val liveSet = current.live.toSet
+    val matchedFiles = snap
+      .withColumn("_file", input_file_name())
+      .filter(condition)
+      .select("_file").distinct().collect()
+      .map(_.getString(0))
+      .flatMap(f => relFromInputFile(f, rootDec))
+      .filter(liveSet.contains)
+      .toSeq
+    // survivors: matched files' rows the condition does NOT select (NULL
+    // keeps the row — DELETE semantics), carried over verbatim
+    val survivors =
+      if (matchedFiles.isEmpty) None
+      else Some(spark.read
+        .option("basePath", root)
+        .schema(StructType.fromDDL(current.schemaDdl))
+        .parquet(matchedFiles.map(f => s"$root/$f"): _*)
+        .filter(coalesce(not(condition), lit(true))))
+    val staged = survivors match {
+      case Some(s) => s.unionByName(df, allowMissingColumns = true)
+      case None    => df
+    }
+    val (adds, ddl) = stage(staged, root, parts)
+    enforceConstraints(spark, root, adds, ddl, "replace_where")
+    commitLoop(spark, root, "replace_where", parts, { (commits, _) =>
+      if (commits.lastOption.map(_.version) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"replaceWhere based on version ${current.version} conflicts " +
+            s"with concurrent commit " +
+            s"${commits.lastOption.map(_.version).orNull} at $root — re-run")
+      (adds, matchedFiles, ddl)
+    }, computeStats(spark, root, adds, statsCols))
+  }
+
   // -------------------------------------------------------------------
   // CHECK constraints — persistent, table-attached data-quality rules
   // -------------------------------------------------------------------

@@ -151,9 +151,20 @@ object TxLogSql {
       }
 
       case i: InsertIntoStatement => resolve(i.table).map { case (name, reg) =>
-        if (i.partitionSpec.nonEmpty)
-          fail(sqlText, "static PARTITION specs are not supported; the " +
-            "commit log derives partitions from the rows")
+        // static PARTITION (p = 'v') entries scope the statement; dynamic
+        // (value-less) entries are redundant here — partition values
+        // always come from the rows
+        val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
+        val dynamic = i.partitionSpec.collect { case (k, None) => k }.toSeq
+        if (dynamic.nonEmpty)
+          fail(sqlText, s"dynamic PARTITION column(s) " +
+            s"${dynamic.mkString(", ")} are redundant — partition values " +
+            "derive from the rows; drop them from the PARTITION clause")
+        static.keys.foreach { k =>
+          if (!reg.partitionCols.exists(_.equalsIgnoreCase(k)))
+            fail(sqlText, s"PARTITION column $k is not a partition column " +
+              s"of $name (${reg.partitionCols.mkString(", ")})")
+        }
         if (i.userSpecifiedCols.nonEmpty)
           fail(sqlText, "INSERT column lists are not supported; project " +
             "the full row in the SELECT")
@@ -167,14 +178,27 @@ object TxLogSql {
         // cast the commit-time type guard would rightly reject it)
         val tableSchema = TxLog.latestVersion(spark, reg.root)
           .map(_ => TxLog.readLatest(spark, reg.root).schema)
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit}
+        // resolve by VERBATIM name: an unaliased SELECT expression yields
+        // a column literally named e.g. `(price * 0.9)`, which a bare
+        // col() would parse as dotted struct access
+        def qcol(c: String) =
+          col(s"`${c.replace("`", "``")}`")
+        // with static PARTITION constants the SELECT omits those columns:
+        // positional alignment runs against the table schema MINUS them,
+        // and the constants are appended afterwards (cast to the table's
+        // type so `PARTITION (p = '5')` lands on an INT column correctly)
+        def isStatic(n: String) = static.keys.exists(_.equalsIgnoreCase(n))
         (tableSchema, i.byName) match {
           case (Some(ts), false) =>
-            if (ts.length != df.columns.length)
+            val tsEff = ts.filterNot(f => isStatic(f.name))
+            if (tsEff.length != df.columns.length)
               fail(sqlText, s"INSERT arity ${df.columns.length} != table " +
-                s"arity ${ts.length}")
-            df = df.select(ts.zip(df.columns).map { case (f, c) =>
-              col(c).cast(f.dataType).as(f.name)
+                s"arity ${tsEff.length}" +
+                (if (static.nonEmpty) " (static PARTITION columns excluded)"
+                 else ""))
+            df = df.select(tsEff.zip(df.columns).map { case (f, c) =>
+              qcol(c).cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
           case (Some(ts), true) =>
             // case-INsensitive name alignment, the same rule committedDdl
@@ -183,14 +207,34 @@ object TxLogSql {
             // assignment cast as a "new" column
             df = df.select(df.schema.map { f =>
               ts.find(_.name.equalsIgnoreCase(f.name)) match {
-                case Some(tf) => col(f.name).cast(tf.dataType).as(tf.name)
-                case None     => col(f.name) // new column: schema evolution
+                case Some(tf) => qcol(f.name).cast(tf.dataType).as(tf.name)
+                case None     => qcol(f.name) // new column: schema evolution
               }
             }.toIndexedSeq: _*)
           case (None, _) => () // first insert defines the schema
         }
+        // append the static PARTITION constants (the SELECT omits them),
+        // with the table's casing and type where the table exists
+        static.foreach { case (k, value) =>
+          if (df.columns.exists(_.equalsIgnoreCase(k)))
+            fail(sqlText, s"the SELECT must omit static PARTITION " +
+              s"column $k — its value comes from the PARTITION clause")
+          val tf = tableSchema.flatMap(_.find(_.name.equalsIgnoreCase(k)))
+          df = df.withColumn(tf.map(_.name).getOrElse(k),
+            tf.map(f => lit(value).cast(f.dataType)).getOrElse(lit(value)))
+        }
         val v =
-          if (i.overwrite)
+          if (i.overwrite && static.nonEmpty) {
+            // scoped overwrite: replace ONLY the named partitions
+            // atomically (TxLog.replacePartitions — metadata-only scope
+            // and removal, Hive/Spark INSERT OVERWRITE PARTITION shape)
+            val canon = static.map { case (k, value) =>
+              reg.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(k) ->
+                value
+            }
+            TxLog.replacePartitions(spark, df, reg.root, canon,
+              reg.statsCols)
+          } else if (i.overwrite)
             TxLog.overwrite(spark, df, reg.root, reg.partitionCols,
               reg.statsCols)
           else TxLog.append(spark, df, reg.root, reg.partitionCols,

@@ -750,6 +750,70 @@ object Lake {
         .orderBy("c_mktsegment")
     },
 
+    // Scoped overwrites (TxLog.replacePartitions / TxLog.replaceWhere):
+    // v1 swaps ONE partition atomically through the SQL form
+    // `INSERT OVERWRITE ... PARTITION (p = 'v')` (metadata-only scope —
+    // urgent orders re-priced, low-value urgent rows dropped), v2 is
+    // Delta's predicate replaceWhere (cheap 2-HIGH orders half-priced,
+    // partially-matched files keep their survivors). The oracle replays
+    // both rewrites declaratively; a scope leak in either direction —
+    // a partition touched that shouldn't be, or survivors lost — breaks
+    // the per-priority sums.
+    QDef(
+      "q102_replace_scope",
+      """WITH base AS (SELECT o_orderkey, o_orderpriority,
+        |                     CAST(o_totalprice AS DOUBLE) AS price
+        |              FROM orders),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(price * 0.9 AS DOUBLE) AS price
+        |  FROM base WHERE o_orderpriority = '1-URGENT' AND price >= 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN price < 100000 THEN CAST(price * 0.5 AS DOUBLE)
+        |              ELSE price END AS price
+        |  FROM base WHERE o_orderpriority = '2-HIGH')
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "replscope")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+        .repartition(col("o_orderpriority"))
+      TxLog.append(s, orders, root, Seq("o_orderpriority"))          // v0
+      graft.lake.TxLogSql.register(s, "graft_repl", root,
+        partitionCols = Seq("o_orderpriority"))
+
+      orders.createOrReplaceTempView("graft_repl_src")
+      graft.lake.TxLogSql.run(s,                                     // v1
+        """INSERT OVERWRITE graft_repl PARTITION (o_orderpriority = '1-URGENT')
+          |SELECT o_orderkey, price * 0.9
+          |FROM graft_repl_src
+          |WHERE o_orderpriority = '1-URGENT' AND price >= 100000""".stripMargin)
+      TxLog.replaceWhere(s,                                          // v2
+        orders.filter(col("o_orderpriority") === "2-HIGH" &&
+            col("price") < 100000)
+          .withColumn("price", col("price") * 0.5),
+        root,
+        col("o_orderpriority") === "2-HIGH" && col("price") < 100000)
+
+      TxLog.readLatest(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("price")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
