@@ -551,12 +551,22 @@ object TxLog {
              partitionCols: Seq[String] = Seq.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
-    enforceConstraints(spark, root, adds, ddl, "append")
+    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
+    postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
-      (commits, _) => (adds, Seq.empty,
-        committedDdl(spark, commits, ddl, "append", root)),
+      { (commits, _) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
+      },
       computeStats(spark, root, adds, statsCols))
   }
+
+  /** Test seam for the enforce->commit race window (no-op in
+    * production): lets a spec commit a constraint change exactly between
+    * a batch's validation and its commit attempt, proving
+    * [[failOnConstraintChange]] closes the window.
+    */
+  private[lake] var postEnforceHook: () => Unit = () => ()
 
   /** Exactly-once [[append]] for retrying writers (the Delta
     * txn-watermark pattern): the commit is tagged (`appId`, `txnVersion`)
@@ -577,10 +587,12 @@ object TxLog {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val (adds, ddl) = stage(df, root, partitionCols)
-    enforceConstraints(spark, root, adds, ddl, "append")
+    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
-      (commits, _) => (adds, Seq.empty,
-        committedDdl(spark, commits, ddl, "append", root)),
+      { (commits, _) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
+      },
       computeStats(spark, root, adds, statsCols),
       txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
@@ -601,10 +613,12 @@ object TxLog {
     val (adds, ddl) = stage(observed, root, partitionCols)
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
-    enforceConstraints(spark, root, adds, ddl, "append")
+    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     commitLoop(spark, root, "append", partitionCols,
-      (commits, _) => (adds, Seq.empty,
-        committedDdl(spark, commits, ddl, "append", root)),
+      { (commits, _) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
+      },
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -615,10 +629,13 @@ object TxLog {
                 partitionCols: Seq[String] = Seq.empty,
                 statsCols: Seq[String] = Seq.empty): Long = {
     val (adds, ddl) = stage(df, root, partitionCols)
-    enforceConstraints(spark, root, adds, ddl, "overwrite",
+    val enfAt = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
-      (_, live) => (adds, live, ddl),
+      { (commits, live) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, live, ddl)
+      },
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -636,12 +653,14 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val (adds, ddl) = stage(df, root, partitionCols)
-    enforceConstraints(spark, root, adds, ddl, "upsert")
+    val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
-      (commits, live) => (adds,
-        live.filter(f => touchedDirs.contains(relDir(f))),
-        committedDdl(spark, commits, ddl, "upsert", root)),
+      { (commits, live) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, live.filter(f => touchedDirs.contains(relDir(f))),
+          committedDdl(spark, commits, ddl, "upsert", root))
+      },
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -673,7 +692,8 @@ object TxLog {
         s"${parts.mkString(", ")}")
     def inScope(dir: String): Boolean = {
       val segs = dir.split('/').filter(_.nonEmpty).toSet
-      partitionFilter.forall { case (k, v) => segs.contains(s"$k=$v") }
+      partitionFilter.forall { case (k, v) =>
+        segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
     val (adds, ddl) = stage(df, root, parts)
     val escaped = adds.filterNot(f => inScope(relDir(f)))
@@ -684,10 +704,14 @@ object TxLog {
           s"(${partitionFilter.map { case (k, v) => s"$k=$v" }.mkString(", ")}): " +
           s"e.g. ${escaped.head} — filter the batch or widen the scope")
     }
-    enforceConstraints(spark, root, adds, ddl, "overwrite_partitions")
+    val enfAt =
+      enforceConstraints(spark, root, adds, ddl, "overwrite_partitions")
     commitLoop(spark, root, "overwrite_partitions", parts,
-      (commits, live) => (adds, live.filter(f => inScope(relDir(f))),
-        committedDdl(spark, commits, ddl, "overwrite_partitions", root)),
+      { (commits, live) =>
+        failOnConstraintChange(commits, enfAt, root)
+        (adds, live.filter(f => inScope(relDir(f))),
+          committedDdl(spark, commits, ddl, "overwrite_partitions", root))
+      },
       computeStats(spark, root, adds, statsCols))
   }
 
@@ -747,7 +771,10 @@ object TxLog {
           s"replaceWhere based on version ${current.version} conflicts " +
             s"with concurrent commit " +
             s"${commits.lastOption.map(_.version).orNull} at $root — re-run")
-      (adds, matchedFiles, ddl)
+      // append-style schema merge: a zero-match replaceWhere staging a
+      // narrower batch must NOT narrow the committed table schema
+      (adds, matchedFiles,
+        committedDdl(spark, commits, ddl, "replace_where", root))
     }, computeStats(spark, root, adds, statsCols))
   }
 
@@ -861,10 +888,10 @@ object TxLog {
   private def enforceConstraints(spark: SparkSession, root: String,
                                  adds: Seq[String], batchDdl: String,
                                  operation: String,
-                                 replaceSchema: Boolean = false): Unit = {
+                                 replaceSchema: Boolean = false): Option[Long] = {
     val snap = scala.util.Try(resolve(spark, root, None)).toOption
     val cons = snap.map(_.constraints).getOrElse(Map.empty[String, String])
-    if (cons.isEmpty || adds.isEmpty) return
+    if (cons.isEmpty || adds.isEmpty) return snap.map(_.version)
     val batchS = StructType.fromDDL(batchDdl)
     val schema =
       if (replaceSchema) batchS
@@ -900,6 +927,7 @@ object TxLog {
           bad.map { case (n, c) => s"$n (CHECK (${cons(n)})): $c row(s)" }
             .mkString("; "))
     }
+    snap.map(_.version)
   }
 
   private def deleteStaged(spark: SparkSession, root: String,
@@ -907,6 +935,32 @@ object TxLog {
     val fs = fileSystem(spark, root)
     adds.foreach(f => try fs.delete(new Path(s"$root/$f"), false)
                       catch { case _: IOException => () })
+  }
+
+  /** Commit-time half of constraint enforcement, for the write paths
+    * whose delta does NOT already fail on any concurrent commit (the
+    * append family, overwrite, partition upserts/overwrites): a
+    * constraint added or dropped AFTER this batch was validated means
+    * the validation ran against a stale rule set — without this check, a
+    * batch staged before a concurrent `addConstraint` would commit
+    * violating rows right past the fresh constraint (whose own
+    * validation scan never saw them either: it only covers commits
+    * landing before its claim). Fail the commit; the caller re-runs and
+    * the re-validation sees the new rules. merge/UPDATE/replaceWhere
+    * need no call — their stale-base detection already rejects EVERY
+    * concurrent commit, constraint-bearing or not.
+    */
+  private def failOnConstraintChange(commits: Seq[Commit],
+                                     enforcedAt: Option[Long],
+                                     root: String): Unit = {
+    val v = enforcedAt.getOrElse(-1L)
+    commits.find(c => c.version > v &&
+        (c.consAdd.nonEmpty || c.consDrop.nonEmpty)).foreach { c =>
+      throw new java.util.ConcurrentModificationException(
+        s"constraints changed at $root (version ${c.version}, " +
+          s"${c.operation}) after this batch was validated — re-run " +
+          "the write")
+    }
   }
 
   /** Row-level MERGE (upsert by key): rows of `updates` replace
@@ -1285,7 +1339,10 @@ object TxLog {
           s"$operation based on version ${current.version} conflicts with " +
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
             s"at $root — re-run the $operation")
-      (adds, matchedFiles, ddl)
+      // rewrites read the full current schema, so the merge is a no-op
+      // here — kept for uniformity with the other non-replacing commits
+      (adds, matchedFiles,
+        committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols))
   }
 
@@ -1369,6 +1426,16 @@ object TxLog {
     case -1 => ""
     case i  => rel.substring(0, i + 1)
   }
+
+  /** Raw partition VALUE -> the directory-segment form Spark's
+    * partitioned writer produced (Hive path escaping: ':', '%', '=' and
+    * friends become %XX) — without this, a filter value containing any
+    * escaped character (a timestamp's colons, say) could never match the
+    * directory it names, in either the scope check or the removal set.
+    */
+  private def escapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
 
   // -------------------------------------------------------------------
   // Readers
@@ -2008,7 +2075,8 @@ object TxLog {
     // so the probe cost is O(selected dirs), not O(table dirs).
     val dirMatches: String => Boolean = dir => {
       val segs = dir.split('/').toSet
-      partitionFilter.forall { case (k, v) => segs.contains(s"$k=$v") }
+      partitionFilter.forall { case (k, v) =>
+        segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
     val small = liveSizesIn(fs, root, current.live, dirMatches)
       .filter { case (_, len) => len < smallerThanBytes }

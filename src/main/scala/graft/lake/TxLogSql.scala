@@ -370,7 +370,7 @@ object TxLogSql {
         // not a Command subtype) anywhere in the tree. (No naked `{...}`
         // after the throw above — Scala would attach it to the `new` as
         // an anonymous-class body and the guard would never run.)
-        val mutating = spark.sessionState.sqlParser.parsePlan(query)
+        val mutating = parsePlan(spark, query)
           .collectFirst {
             case c: Command             => c.getClass.getSimpleName
             case i: InsertIntoStatement => i.getClass.getSimpleName

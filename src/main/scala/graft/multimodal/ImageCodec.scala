@@ -75,9 +75,19 @@ object ImageCodec {
         bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
         bytes(5) == 'a')
       return Some(ImageInfo("gif", le16(bytes, 6), le16(bytes, 8)))
-    // BMP "BM" + BITMAPINFOHEADER
-    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
-      return Some(ImageInfo("bmp", le32(bytes, 18), math.abs(le32(bytes, 22))))
+    // BMP "BM": the DIB header-size field at 14 decides the layout —
+    // BITMAPINFOHEADER and its V4/V5 extensions (>= 40) hold i32
+    // width/height at 18/22; the OS/2 BITMAPCOREHEADER (12) holds u16s
+    // at 18/20. Trusting the i32 offsets on an OS/2 file would merge
+    // width and height into one bogus dimension.
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dibSize = le32(bytes, 14)
+      if (dibSize >= 40)
+        return Some(ImageInfo("bmp", le32(bytes, 18), math.abs(le32(bytes, 22))))
+      if (dibSize == 12)
+        return Some(ImageInfo("bmp", le16(bytes, 18), le16(bytes, 20)))
+      return None // unknown DIB header: malformed -> None, not garbage
+    }
     None
   }
 

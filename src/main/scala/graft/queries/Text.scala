@@ -926,12 +926,18 @@ object Text {
         |  COUNT(DISTINCT CASE WHEN is_b = 1 THEN doc_id END) AS docs_affected,
         |  CAST(SUM(is_b) AS DOUBLE) / COUNT(*) AS boiler_frac
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
-          .as("gram"))
+      // cached: the frame feeds BOTH the boiler-threshold aggregation and
+      // the probe join, and Spark reuses no plan subtrees on its own —
+      // uncached, the tokenize+explode stage (the query's most expensive
+      // part) would run twice
+      val grams = graft.TransientCaches.register(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 5)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+            .as("gram"))
+          .cache())
       val boiler = grams.groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 5)
@@ -1030,13 +1036,16 @@ object Text {
         |       AS DOUBLE) / COUNT(*) AS novelty_frac
         |FROM dg d JOIN fs f USING (gram)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
-      val dg = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
-          .as("gram"))
-        .distinct()
+      // cached: consumed by the first-seer aggregation AND the join back
+      val dg = graft.TransientCaches.register(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
+            .as("gram"))
+          .distinct()
+          .cache())
       val fs = dg.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       dg.join(fs, "gram")
         .groupBy("lang")
@@ -1076,13 +1085,17 @@ object Text {
         |FROM sh JOIN per pa ON pa.source = sh.src_a
         |        JOIN per pb ON pb.source = sh.src_b
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      val dg = t(s, dir, "documents")
-        .select(col("source"), toks(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 5)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
-          .as("gram"))
-        .distinct()
+      // cached: consumed THREE times — the per-source counts and both
+      // sides of the self-join
+      val dg = graft.TransientCaches.register(
+        t(s, dir, "documents")
+          .select(col("source"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 5)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+            .as("gram"))
+          .distinct()
+          .cache())
       val per = dg.groupBy("source").agg(count(lit(1)).as("n"))
       val sh = dg.as("a")
         .join(dg.as("b"),

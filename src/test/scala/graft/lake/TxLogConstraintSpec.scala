@@ -148,6 +148,24 @@ class TxLogConstraintSpec extends SparkSpec {
     }
   }
 
+  test("a constraint committed between a batch's validation and its commit fails the write") {
+    val root = seeded()
+    // the batch validates against a constraint-free table; the hook then
+    // lands bal_nonneg BEFORE the batch's commit attempt — without the
+    // commit-time guard the violating rows would slip right past the
+    // fresh constraint (whose own validation scan never saw them either)
+    TxLog.postEnforceHook =
+      () => TxLog.addConstraint(spark, root, "bal_nonneg", "bal >= 0")
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.append(spark,
+          Seq((9L, -3.0, "p1")).toDF("id", "bal", "part"), root, Seq("part"))
+      }
+    } finally TxLog.postEnforceHook = () => ()
+    TxLog.constraintsOf(spark, root).keySet shouldBe Set("bal_nonneg")
+    TxLog.readLatest(spark, root).count() shouldBe 2L
+  }
+
   test("SQL surface: ALTER TABLE ADD/DROP CONSTRAINT + SHOW CONSTRAINTS") {
     val root = seeded()
     TxLogSql.register(spark, "cons_sql", root, partitionCols = Seq("part"))

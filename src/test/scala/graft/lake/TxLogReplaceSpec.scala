@@ -96,6 +96,36 @@ class TxLogReplaceSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 4L
   }
 
+  test("a zero-match replaceWhere with a narrower batch never narrows the table schema") {
+    val root = seeded()
+    TxLog.replaceWhere(spark,
+      Seq((50L, "zz")).toDF("id", "part"),
+      root, col("part") === "zz")
+    val out = TxLog.readLatest(spark, root)
+    out.columns.toSet shouldBe Set("id", "bal", "part")
+    out.count() shouldBe 5L
+    // existing rows keep their bal; the new row reads NULL for it
+    out.filter(col("id") === 1L).head().getDouble(
+      out.columns.indexOf("bal")) shouldBe 10.0
+    out.filter(col("id") === 50L).head().isNullAt(
+      out.columns.indexOf("bal")) shouldBe true
+  }
+
+  test("replacePartitions matches partition values containing escaped characters") {
+    val root = Files.createTempDirectory("graft-repl-esc").toString
+    // ':' is Hive-path-escaped to %3A in the directory name; the filter
+    // takes the RAW value and must still match (scope check and removal)
+    TxLog.append(spark,
+      Seq((1L, "2024-01-01 00:00:00"), (2L, "plain"))
+        .toDF("id", "part"), root, Seq("part"))
+    TxLog.replacePartitions(spark,
+      Seq((9L, "2024-01-01 00:00:00")).toDF("id", "part"),
+      root, Map("part" -> "2024-01-01 00:00:00"))
+    TxLog.readLatest(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq shouldBe Seq(
+      (2L, "plain"), (9L, "2024-01-01 00:00:00"))
+  }
+
   test("SQL INSERT OVERWRITE PARTITION replaces only the named partition") {
     val root = seeded()
     TxLogSql.register(spark, "repl_sql", root, partitionCols = Seq("part"))

@@ -44,6 +44,22 @@ class MediaSpec extends SparkSpec {
     ImageCodec.parseHeader(Array.empty[Byte]) shouldBe None
   }
 
+  test("parseHeader reads OS/2 BITMAPCOREHEADER BMPs and rejects unknown DIB headers") {
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // OS/2 core header: u16 width/height at 18/20 — the i32 offsets of
+    // BITMAPINFOHEADER would merge them into one garbage dimension
+    val os2 = "BM".getBytes("US-ASCII") ++ le32b(38) ++ le32b(0) ++
+      le32b(26) ++ le32b(12) ++ le16b(13) ++ le16b(7) ++ le16b(1) ++ le16b(24)
+    ImageCodec.parseHeader(os2).map(i => (i.format, i.width, i.height)) shouldBe
+      Some(("bmp", 13, 7))
+    // unknown DIB header size: malformed -> None, never fabricated dims
+    val weird = "BM".getBytes("US-ASCII") ++ le32b(38) ++ le32b(0) ++
+      le32b(26) ++ le32b(17) ++ Array.fill[Byte](16)(1)
+    ImageCodec.parseHeader(weird) shouldBe None
+  }
+
   test("decodeBatch decodes real image payloads: dims + pixel luminance features") {
     val png = makeImage(16, 4, "png")
     val Seq(f) = Media.decodeBatch(Seq(rec(1L, png)))
