@@ -335,6 +335,11 @@ object TxLogSql {
     *     rows are validated at ALTER time, every later write refuses a
     *     violating batch before its commit
     *   - `SHOW CONSTRAINTS [ON] t` — the table's live constraint set
+    *   - time-travel READS in plain SELECT grammar:
+    *     `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF '<ts>'` —
+    *     the pinned snapshot substitutes for the relation before
+    *     analysis, composing with joins/CTEs/aggregates and the live
+    *     view in one statement
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -480,14 +485,69 @@ object TxLogSql {
         // straight through to spark.sql (registered tables resolve as
         // their views), so `run` is a complete single entry point for a
         // SQL-only client.
-        dispatchDml(spark, parsePlan(spark, other), other,
-          strict = false) match {
+        val parsed = parsePlan(spark, other)
+        dispatchDml(spark, parsed, other, strict = false) match {
           case Some(v) => Seq((v, "dml")).toDF("version", "operation")
           case None =>
             guardRegisteredViewDdl(spark, other)
-            spark.sql(other)
+            resolveTimeTravel(spark, parsed, other) match {
+              case Some(p) => planToDf(spark, p)
+              case None    => spark.sql(other)
+            }
         }
     }
+  }
+
+  /** `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF '<ts>'` on a
+    * registered table: Spark's grammar parses the time-travel suffix for
+    * ANY relation but executes it only for DSv2 catalog tables — here
+    * the pinned snapshot's plan is substituted for the relation BEFORE
+    * analysis, so the full read grammar (joins against the live view,
+    * CTEs, aggregates, multiple pinned versions in one statement) works
+    * over any historical version with no [[TxLog.createView]] staging
+    * step. Unregistered relations keep their node and surface Spark's
+    * own time-travel error.
+    */
+  private def resolveTimeTravel(spark: SparkSession, plan: LogicalPlan,
+                                sqlText: String): Option[LogicalPlan] = {
+    var hit = false
+    def substitute(
+        tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel): LogicalPlan =
+      targetOpt(spark, tt.relation) match {
+        case None => tt
+        case Some((name, reg)) =>
+          val version = (tt.version, tt.timestamp) match {
+            case (Some(v), _) =>
+              try v.toLong
+              catch { case _: NumberFormatException =>
+                fail(sqlText, s"VERSION AS OF expects a numeric commit " +
+                  s"version, got '$v'") }
+            case (None, Some(org.apache.spark.sql.catalyst.expressions
+                .Literal(s, _: org.apache.spark.sql.types.StringType))) =>
+              TxLog.versionAtTimestamp(spark, reg.root,
+                parseTimestampMs(String.valueOf(s), sqlText))
+            case _ =>
+              fail(sqlText, "TIMESTAMP AS OF supports literal " +
+                "timestamps on this surface")
+          }
+          hit = true
+          SubqueryAlias(name,
+            TxLog.readAt(spark, reg.root, version).queryExecution.analyzed)
+      }
+    // manual recursion: UnresolvedWith is a UNARY node — its CTE
+    // definitions are NOT children, so a plain transformUp would skip
+    // `WITH x AS (SELECT ... FROM t VERSION AS OF n)` entirely
+    def tx(p: LogicalPlan): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        w.copy(child = tx(w.child),
+          cteRelations = w.cteRelations.map { case (n, sa, o) =>
+            (n, tx(sa).asInstanceOf[SubqueryAlias], o) })
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        substitute(tt)
+      case other => other.mapChildren(tx)
+    }
+    val out = tx(plan)
+    if (hit) Some(out) else None
   }
 
   /** View DDL naming a registered table: rejected, not passed through. A

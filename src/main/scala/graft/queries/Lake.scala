@@ -262,11 +262,15 @@ object Lake {
       TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),
         root, Seq("c_mktsegment"))                                // v1
 
-      TxLog.createView(s, "acid_cust_v0", root, Some(0L))
-      TxLog.createView(s, "acid_cust", root)
-      s.sql(
-        """WITH v0 AS (SELECT c_mktsegment, COUNT(*) AS n0 FROM acid_cust_v0
-          |            GROUP BY 1)
+      // both read mechanisms in one statement: the v0 side uses the
+      // native `VERSION AS OF` grammar (TxLogSql.resolveTimeTravel
+      // substitutes the pinned snapshot pre-analysis), the live side the
+      // registered read view — same oracle either way
+      graft.lake.TxLogSql.register(s, "acid_cust", root,
+        partitionCols = Seq("c_mktsegment"))
+      graft.lake.TxLogSql.run(s,
+        """WITH v0 AS (SELECT c_mktsegment, COUNT(*) AS n0
+          |            FROM acid_cust VERSION AS OF 0 GROUP BY 1)
           |SELECT l.c_mktsegment, COUNT(*) AS n_latest,
           |  COUNT(*) - COALESCE(MAX(v0.n0), 0) AS n_added
           |FROM acid_cust l LEFT JOIN v0 ON v0.c_mktsegment = l.c_mktsegment

@@ -399,6 +399,50 @@ class TxLogSqlSpec extends SparkSpec {
     TxLogSql.run(spark, "DROP VIEW mnt_other")
   }
 
+  test("SELECT ... VERSION AS OF reads a pinned snapshot through plain SQL") {
+    val root = freshTable("tt_read")
+    TxLogSql.execute(spark, "DELETE FROM tt_read WHERE bal < 0")  // v1
+    TxLogSql.execute(spark, "UPDATE tt_read SET bal = bal + 1")   // v2
+    // live view reflects v2; the pinned read reproduces v0 exactly
+    TxLogSql.run(spark, "SELECT count(*) AS n FROM tt_read")
+      .head().getLong(0) shouldBe 3L
+    TxLogSql.run(spark,
+      "SELECT count(*) AS n FROM tt_read VERSION AS OF 0")
+      .head().getLong(0) shouldBe 4L
+    // pinned and live compose in ONE statement (the before/after join)
+    val drifted = TxLogSql.run(spark,
+      """SELECT v0.id FROM tt_read VERSION AS OF 0 v0
+        |LEFT JOIN tt_read cur ON v0.id = cur.id
+        |WHERE cur.id IS NULL ORDER BY v0.id""".stripMargin)
+      .as[Long].collect().toSeq
+    drifted shouldBe Seq(2L) // the deleted negative-balance row
+    // TIMESTAMP AS OF far in the future resolves to the latest version
+    TxLogSql.run(spark,
+      "SELECT count(*) AS n FROM tt_read TIMESTAMP AS OF '2999-01-01 00:00:00'")
+      .head().getLong(0) shouldBe 3L
+    // CTE bodies are NOT plan children (UnresolvedWith is unary) — the
+    // substitution must reach inside WITH definitions too
+    TxLogSql.run(spark,
+      """WITH old AS (SELECT id FROM tt_read VERSION AS OF 0)
+        |SELECT count(*) AS n FROM old""".stripMargin)
+      .head().getLong(0) shouldBe 4L
+  }
+
+  test("time-travel misuse fails loudly; unregistered tables keep Spark's error") {
+    freshTable("tt_bad")
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "SELECT * FROM tt_bad VERSION AS OF 'abc'")
+    }
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "SELECT * FROM tt_bad TIMESTAMP AS OF current_timestamp()")
+    }
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("tt_plain")
+    intercept[Exception] {
+      TxLogSql.run(spark, "SELECT * FROM tt_plain VERSION AS OF 0").collect()
+    }
+  }
+
   test("INSERT BY NAME aligns case-variant column names onto the table schema") {
     freshTable("dml_byname")
     // batch columns arrive as ID/BAL/S/PART: BY NAME must land them on
