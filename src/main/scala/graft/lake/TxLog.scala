@@ -2198,7 +2198,8 @@ object TxLog {
     liveSizesIn(fileSystem(spark, root), root,
       resolve(spark, root, None).live, _ => true)
 
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val fs = fileSystem(spark, root)
     val commits = history(spark, root)
@@ -2210,7 +2211,9 @@ object TxLog {
       .toSet
     val everAdded = commits.flatMap(_.add).distinct
     val victims = everAdded.filterNot(referenced)
-    victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    // DRY RUN: report what the real run would delete, touch nothing —
+    // the operator preview every destructive maintenance command needs
+    if (!dryRun) victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     victims
   }
 }

@@ -259,7 +259,8 @@ object TxLogSql {
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -340,6 +341,10 @@ object TxLogSql {
     *     the pinned snapshot substitutes for the relation before
     *     analysis, composing with joins/CTEs/aggregates and the live
     *     view in one statement
+    *   - `FROM table_changes('t', after_version[, to_version])` — the
+    *     change feed as a table-valued function (rows tagged
+    *     `_change_type` / `_commit_version`), Delta's CDC-read shape
+    *     over [[TxLog.readChanges]]
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -406,11 +411,13 @@ object TxLogSql {
           .toDF("location", "version", "num_files", "size_bytes",
             "num_small_files", "partition_columns")
 
-      case VacuumRe(ident, retain) =>
+      case VacuumRe(ident, retain, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)
         val keep = Option(retain).map(_.toInt)
           .getOrElse(DefaultVacuumKeepVersions)
-        TxLog.vacuum(spark, reg.root, keep).toDF("deleted_file")
+        // DRY RUN lists the victims without deleting (Delta's preview)
+        TxLog.vacuum(spark, reg.root, keep, dryRun = dry != null)
+          .toDF(if (dry != null) "would_delete_file" else "deleted_file")
 
       case OptimizeRe(ident, whereText, zorderCols) =>
         val (name, reg) = lookup(spark, ident, sqlText)
@@ -534,6 +541,36 @@ object TxLogSql {
           SubqueryAlias(name,
             TxLog.readAt(spark, reg.root, version).queryExecution.analyzed)
       }
+    // `table_changes('t', after_version[, to_version])` — the change
+    // feed ([[TxLog.readChanges]]: rows tagged _change_type /
+    // _commit_version for every commit AFTER the given version) as a
+    // table-valued function, Delta's CDC-read shape. Spark parses any
+    // unknown TVF into this node, so the substitution needs no grammar.
+    def substituteChanges(
+        tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction): LogicalPlan = {
+      def lit(e: Expression): Any = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+        case other => fail(sqlText,
+          s"table_changes expects literal arguments, got: ${other.sql}")
+      }
+      val args = tvf.functionArgs.map(lit)
+      val (tblName, after, to) = args match {
+        case Seq(t, a)    => (String.valueOf(t), String.valueOf(a), None)
+        case Seq(t, a, b) => (String.valueOf(t), String.valueOf(a),
+          Some(String.valueOf(b)))
+        case _ => fail(sqlText,
+          "table_changes takes (table, after_version[, to_version])")
+      }
+      val (name, reg) = lookup(spark, tblName, sqlText)
+      def ver(s: String) =
+        try s.toLong catch { case _: NumberFormatException =>
+          fail(sqlText, s"table_changes expects numeric commit versions, " +
+            s"got '$s'") }
+      hit = true
+      SubqueryAlias(name,
+        TxLog.readChanges(spark, reg.root, ver(after), to.map(ver))
+          .queryExecution.analyzed)
+    }
     // manual recursion: UnresolvedWith is a UNARY node — its CTE
     // definitions are NOT children, so a plain transformUp would skip
     // `WITH x AS (SELECT ... FROM t VERSION AS OF n)` entirely
@@ -544,6 +581,10 @@ object TxLogSql {
             (n, tx(sa).asInstanceOf[SubqueryAlias], o) })
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         substitute(tt)
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") =>
+        substituteChanges(tvf)
       case other => other.mapChildren(tx)
     }
     val out = tx(plan)

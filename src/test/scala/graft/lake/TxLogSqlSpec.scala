@@ -284,6 +284,12 @@ class TxLogSqlSpec extends SparkSpec {
   test("VACUUM RETAIN n VERSIONS deletes only files dead to the window") {
     val root = fragmentedTable("mnt_vac")
     TxLogSql.run(spark, "OPTIMIZE mnt_vac") // v4: 4 fragments -> 1 packed
+    // DRY RUN first: same victim list, nothing touched
+    val preview = TxLogSql.run(spark,
+      "VACUUM mnt_vac RETAIN 1 VERSIONS DRY RUN")
+    preview.columns.toSeq shouldBe Seq("would_delete_file")
+    preview.count() shouldBe 4L
+    TxLog.readAt(spark, root, 2L).count() shouldBe 3L // time travel intact
     val deleted = TxLogSql.run(spark, "VACUUM mnt_vac RETAIN 1 VERSIONS")
       .as[String].collect().toSeq
     deleted should have size 4 // the packed-away fragments
@@ -426,6 +432,34 @@ class TxLogSqlSpec extends SparkSpec {
       """WITH old AS (SELECT id FROM tt_read VERSION AS OF 0)
         |SELECT count(*) AS n FROM old""".stripMargin)
       .head().getLong(0) shouldBe 4L
+  }
+
+  test("table_changes('t', after[, to]) reads the change feed through SQL") {
+    val root = freshTable("tt_cdc")
+    TxLogSql.execute(spark, "DELETE FROM tt_cdc WHERE bal < 0")     // v1
+    TxLogSql.execute(spark,
+      "INSERT INTO tt_cdc VALUES (9, 'i', 1.0, 'p2')")              // v2
+    // the full delta after v0: v1's delete + v2's insert
+    TxLogSql.run(spark,
+      """SELECT _change_type, _commit_version, id
+        |FROM table_changes('tt_cdc', 0) ORDER BY _commit_version, id""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq shouldBe Seq(
+      ("delete", 1L, 2L), ("insert", 2L, 9L))
+    // bounded window + aggregation over the feed
+    TxLogSql.run(spark,
+      """SELECT count(*) AS n FROM table_changes('tt_cdc', 0, 1)
+        |WHERE _change_type = 'delete'""".stripMargin)
+      .head().getLong(0) shouldBe 1L
+    // misuse fails loudly: non-literal args, bad version, unregistered
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "SELECT * FROM table_changes('tt_cdc', id)")
+    }
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "SELECT * FROM table_changes('tt_cdc', 'x')")
+    }
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "SELECT * FROM table_changes('nope', 0)")
+    }
   }
 
   test("time-travel misuse fails loudly; unregistered tables keep Spark's error") {
