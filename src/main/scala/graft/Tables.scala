@@ -52,16 +52,13 @@ object Tables {
 
   /** Load one fixture table from an sf directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * the nanosAsLong escape hatch (the column arrives as LongType epoch
-    * nanos — fine for ordering/dedup; convert via timestamp_micros(ns/1000)
-    * when a real timestamp is needed).
+    * Timestamp columns (`events.ts`, `o_orderdate`, `l_shipdate`) are
+    * parquet TIMESTAMP(MICROS) without a zone, which Spark reads natively
+    * as TIMESTAMP_NTZ; every harness pins the session time zone to UTC,
+    * so epoch conversions (`unix_micros(cast(ts AS TIMESTAMP))`) agree
+    * with DuckDB's `epoch_us(ts)` exactly.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // idempotent session default, set once (not per-call) to avoid a
-    // racy-looking repeated write on the hot path
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def raw = spark.read.parquet(s"$dir/$name.parquet")
     if (!hotEnabled) raw
     else hotMemo.getOrElseUpdate((spark, dir, name), {

@@ -31,11 +31,17 @@ object AsOfJoin {
     // Precision-preserving time normalization: cast("long") would truncate
     // TimestampType to whole SECONDS (sub-second order lost -> a right row
     // 0.5s after the left row would "match"); use unix_micros for
-    // timestamps. Tolerance is therefore in MICROSECONDS for timestamp
-    // columns, in the column's own units for numeric ones.
+    // timestamps. TIMESTAMP_NTZ has no epoch function of its own and
+    // rejects a direct bigint cast, so it routes through TimestampType
+    // first — the session time zone then defines its epoch consistently
+    // on both sides. Tolerance is therefore in MICROSECONDS for timestamp
+    // columns, in DAYS for dates, in the column's own units for numerics.
     def asLong(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
         case _ => col(c).cast("long")
       }
     val leftCols = left.columns.toSeq

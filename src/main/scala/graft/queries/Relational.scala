@@ -920,10 +920,9 @@ object Relational {
         .orderBy("l_linestatus")
     },
 
-    // Event-time tumbling window over the nanosecond event timestamps
-    // (read as epoch-nanos longs per the Tables.t nanosAsLong contract;
-    // `ts div 1000` stays integral — a double division would lose
-    // precision above 2^53 ns).
+    // Event-time tumbling window over the event timestamps (parquet
+    // TIMESTAMP(MICROS), read natively as TIMESTAMP_NTZ — window() takes
+    // it directly, no epoch arithmetic).
     QDef(
       "q50_time_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -931,8 +930,7 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
-        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -1008,10 +1006,11 @@ object Relational {
           leftTime = "ts", rightTime = "ts",
           rightValues = Seq("click_id", "click_ts"))
         .select(col("purchase_id"), col("user_id"), col("click_id"),
-          // per-value micro truncation BEFORE subtracting — DuckDB reads
-          // the TIMESTAMP(NANOS) column at microsecond precision, so the
-          // oracle's epoch_us values are per-value-truncated too
-          (expr("ts div 1000") - expr("click_ts div 1000")).as("gap_us"))
+          // both engines read the same TIMESTAMP(MICROS) values, so the
+          // micros difference is exact on both sides (session TZ is UTC
+          // everywhere, making the NTZ -> epoch conversion unambiguous)
+          (unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
         .orderBy("purchase_id")
     },
 
@@ -1166,7 +1165,7 @@ object Relational {
         |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val daily = t(s, dir, "events")
-        .withColumn("day", expr("date_trunc('DAY', timestamp_micros(ts div 1000))"))
+        .withColumn("day", expr("date_trunc('DAY', ts)"))
         .groupBy("event_type", "day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val merged = daily
@@ -1191,8 +1190,8 @@ object Relational {
     // boundary is a >30min event-time gap; session id = running count of
     // boundaries per user. Two windows over ONE shuffle on user_id, then a
     // per-session aggregate — the standard lag+cumsum rewrite that scales
-    // as a plain keyed window. Times in microseconds (DuckDB reads the
-    // nanos column at micro precision).
+    // as a plain keyed window. Times in epoch microseconds on both sides
+    // (unix_micros here, epoch_us in the oracle, session TZ UTC).
     QDef(
       "q59_sessionize_batch",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
@@ -1213,7 +1212,7 @@ object Relational {
       val wOrd = Window.partitionBy("user_id").orderBy("t")
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
         .withColumn("brk",
           when(col("t") - lag(col("t"), 1).over(wOrd) > gapUs, 1).otherwise(0))
         .withColumn("session_id", sum(col("brk")).over(wRun).cast("long"))
@@ -1248,7 +1247,7 @@ object Relational {
       val gapUs = 30L * 60 * 1000000
       val chunkUs = 2L * 3600 * 1000000 // 2 h salt granularity (4x the gap)
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
       graft.operators.SaltedSessionize
         .sessionize(ev, "user_id", "t", gapUs, chunkUs)
         .groupBy("user_id", "session_id")

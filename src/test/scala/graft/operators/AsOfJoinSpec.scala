@@ -44,16 +44,20 @@ class AsOfJoinSpec extends SparkSpec {
       clicks.withColumn("click_ts", col("ts")),
       key = "user_id", leftTime = "ts", rightTime = "ts",
       rightValues = Seq("click_id", "click_ts"))
-    val tol = 60L * 1000 * 1000 * 1000 // 60s in nanos
+    val tol = 60L * 1000 * 1000 // 60s in micros (timestamp-column contract)
     val tight = AsOfJoin.asOf(purchases,
       clicks.withColumn("click_ts", col("ts")),
       key = "user_id", leftTime = "ts", rightTime = "ts",
       rightValues = Seq("click_id", "click_ts"), tolerance = Some(tol))
 
     val looseMatched = loose.filter(col("click_id").isNotNull)
-    val tightRows = tight.collect().map(r =>
-      (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id")),
-        Option(r.getAs[Any]("click_ts")), r.getAs[Long]("ts"))).toSeq
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    val tightRows = tight
+      .select(col("purchase_id"), col("click_id"),
+        us("click_ts").as("cts_us"), us("ts").as("ts_us"))
+      .collect().map(r =>
+        (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id")),
+          Option(r.getAs[Any]("cts_us")), r.getAs[Long]("ts_us"))).toSeq
 
     // every tight match is within tolerance; every in-tolerance loose match
     // survives
@@ -62,7 +66,7 @@ class AsOfJoinSpec extends SparkSpec {
         (ts - cts.get.asInstanceOf[Long]) should be <= tol
     }
     val inTolLoose = looseMatched
-      .filter(col("ts") - col("click_ts") <= tol).count()
+      .filter(us("ts") - us("click_ts") <= tol).count()
     tightRows.count(_._2.isDefined).toLong shouldBe inTolLoose
   }
 
