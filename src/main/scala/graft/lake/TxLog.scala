@@ -64,13 +64,21 @@ object TxLog {
     */
   type FileStats = Map[String, Map[String, (Double, Double)]]
 
+  /** Deletion-vector reference: one live data file -> (root-relative
+    * sidecar path holding its deleted row positions, cumulative deleted
+    * row count). The count makes [[countRows]] stay metadata-only.
+    */
+  type DvRef = (String, Long)
+
   final case class Commit(version: Long, operation: String, timestampMs: Long,
                           add: Seq[String], remove: Seq[String],
                           schemaDdl: String, partitionCols: Seq[String],
                           stats: FileStats = Map.empty,
                           txn: Option[(String, Long)] = None,
                           consAdd: Map[String, String] = Map.empty,
-                          consDrop: Seq[String] = Seq.empty)
+                          consDrop: Seq[String] = Seq.empty,
+                          dv: Map[String, DvRef] = Map.empty,
+                          dvDrop: Seq[String] = Seq.empty)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -123,6 +131,15 @@ object TxLog {
     if (c.consDrop.nonEmpty) {
       val cd = n.putArray("consDrop"); c.consDrop.foreach(cd.add)
     }
+    if (c.dv.nonEmpty) {
+      val dn = n.putObject("dv")
+      c.dv.foreach { case (file, (path, rows)) =>
+        val e = dn.putObject(file); e.put("path", path); e.put("rows", rows)
+      }
+    }
+    if (c.dvDrop.nonEmpty) {
+      val dd = n.putArray("dvDrop"); c.dvDrop.foreach(dd.add)
+    }
     n.toString
   }
 
@@ -142,11 +159,19 @@ object TxLog {
     }
     val consDrop =
       if (n.has("consDrop")) arr("consDrop") else Seq.empty[String]
+    val dv = {
+      val b = Map.newBuilder[String, DvRef]
+      Option(n.get("dv")).foreach(_.properties().forEach(e =>
+        b += e.getKey -> (e.getValue.get("path").asText,
+          e.getValue.get("rows").asLong)))
+      b.result()
+    }
+    val dvDrop = if (n.has("dvDrop")) arr("dvDrop") else Seq.empty[String]
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
       n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
       Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)),
-      consAdd, consDrop)
+      consAdd, consDrop, dv, dvDrop)
   }
 
   // -------------------------------------------------------------------
@@ -322,8 +347,12 @@ object TxLog {
   def countRows(spark: SparkSession, root: String,
                 version: Option[Long] = None): Long = {
     val snap = resolve(spark, root, version)
+    // deletion vectors carry their cumulative row count in the commit,
+    // so the metadata-only path stays metadata-only: file rows minus
+    // vector rows, per file
     val counted = snap.live.flatMap(f =>
-      snap.stats.get(f).flatMap(_.get(RowCountKey)).map(_._1.toLong))
+      snap.stats.get(f).flatMap(_.get(RowCountKey))
+        .map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
     if (counted.size == snap.live.size) counted.sum
     else snapshot(spark, root, snap).count()
   }
@@ -386,7 +415,9 @@ object TxLog {
                          maxAttempts: Int = 50,
                          txn: Option[(String, Long)] = None,
                          consAdd: Map[String, String] = Map.empty,
-                         consDrop: Seq[String] = Seq.empty): Long = {
+                         consDrop: Seq[String] = Seq.empty,
+                         dv: Map[String, DvRef] = Map.empty,
+                         dvDrop: Seq[String] = Seq.empty): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var tailWaitMs = 0L
@@ -432,7 +463,7 @@ object TxLog {
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
-          consAdd, consDrop)
+          consAdd, consDrop, dv, dvDrop)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -738,27 +769,21 @@ object TxLog {
           s"condition — filter the batch or widen the condition")
     val current = resolve(spark, root, None)
     val parts = partitionColsOf(spark, root, current)
-    val snap = snapshot(spark, root, current)
-    val fs = fileSystem(spark, root)
-    val rootDec = rootDecodedPath(fs, root)
     val liveSet = current.live.toSet
-    val matchedFiles = snap
-      .withColumn("_file", input_file_name())
+    val matchedFiles = taggedVisible(spark, root, current)
       .filter(condition)
-      .select("_file").distinct().collect()
-      .map(_.getString(0))
-      .flatMap(f => relFromInputFile(f, rootDec))
+      .select("__dv_file").distinct().collect()
+      .map(r => decodeRel(r.getString(0)))
       .filter(liveSet.contains)
       .toSeq
     // survivors: matched files' rows the condition does NOT select (NULL
-    // keeps the row — DELETE semantics), carried over verbatim
+    // keeps the row — DELETE semantics), carried over verbatim; DV-aware
+    // so vector-deleted rows don't resurrect through the rewrite
     val survivors =
       if (matchedFiles.isEmpty) None
-      else Some(spark.read
-        .option("basePath", root)
-        .schema(StructType.fromDDL(current.schemaDdl))
-        .parquet(matchedFiles.map(f => s"$root/$f"): _*)
-        .filter(coalesce(not(condition), lit(true))))
+      else Some(
+        readLiveFiles(spark, root, current.schemaDdl, matchedFiles, current)
+          .filter(coalesce(not(condition), lit(true))))
     val staged = survivors match {
       case Some(s) => s.unionByName(df, allowMissingColumns = true)
       case None    => df
@@ -1090,7 +1115,7 @@ object TxLog {
         bloomKeepFiles(spark, root, keyHead, hashes,
           current.copy(live = probeLive))
       } else probeLive
-    val snap = snapshot(spark, root, current.copy(live = bloomProbeLive))
+    val snap = taggedVisible(spark, root, current.copy(live = bloomProbeLive))
     // SIZE-GATED key probe: broadcasting the update keys is the right
     // plan for CDC-sized deltas (no shuffle of the table side), but a
     // backfill-sized merge would ship the whole key set to every executor
@@ -1103,15 +1128,11 @@ object TxLog {
       if (nKeys <= broadcastKeyLimit(spark)) broadcast(touchedKeys)
       else touchedKeys
     // file-granular match probe: which live files hold a matched key?
-    val fs = fileSystem(spark, root)
-    val rootDec = rootDecodedPath(fs, root)
     val liveSet = current.live.toSet
     val matchedFiles = snap
-      .withColumn("_file", input_file_name())
       .join(keys, keyCols, "left_semi")
-      .select("_file").distinct().collect()
-      .map(_.getString(0))
-      .flatMap(f => relFromInputFile(f, rootDec))
+      .select("__dv_file").distinct().collect()
+      .map(r => decodeRel(r.getString(0)))
       .filter(liveSet.contains)
       .toSeq
     // a delete-only batch whose keys match nothing: a no-op, not an
@@ -1120,14 +1141,12 @@ object TxLog {
     // survivors of the matched files + all updates, in the update schema
     // (merge is also a schema-evolution point: survivors read missing new
     // columns as null)
-    val matchedPaths = matchedFiles.map(f => s"$root/$f")
     val survivors =
-      if (matchedPaths.isEmpty) None
-      else Some(spark.read
-        .option("basePath", root)
-        .schema(StructType.fromDDL(current.schemaDdl))
-        .parquet(matchedPaths: _*)
-        .join(keys, keyCols, "left_anti"))
+      if (matchedFiles.isEmpty) None
+      else Some(
+        // DV-aware: a vector-deleted row is not a survivor
+        readLiveFiles(spark, root, current.schemaDdl, matchedFiles, current)
+          .join(keys, keyCols, "left_anti"))
     val staged = survivors match {
       case Some(s) => s.unionByName(updates, allowMissingColumns = true)
       case None    => updates
@@ -1249,6 +1268,82 @@ object TxLog {
         org.apache.spark.sql.functions.coalesce(!cond,
           org.apache.spark.sql.functions.lit(true))))
 
+  /** Row-level DELETE as a DELETION VECTOR: instead of rewriting every
+    * file containing a match ([[delete]]), write a positional sidecar
+    * (`_txlog/dv/…` parquet of `(file, row_index)` pairs) and commit a
+    * data-less `delete_dv` version referencing it. Readers anti-join the
+    * vector at scan time (see [[applyDv]]).
+    *
+    * This is the 100 TB path for sparse deletes — the GDPR/right-to-be-
+    * forgotten shape where a handful of rows match in each of thousands
+    * of 1 GB files: the rewrite path re-encodes O(matched FILES) bytes,
+    * the vector path writes O(matched ROWS) positions. The trade is a
+    * per-read anti-join against a deleted-rows-sized side (broadcast-
+    * sized by construction); [[compact]] (OPTIMIZE) materializes vectors
+    * back into clean files, restoring zero-overhead scans — same
+    * lifecycle as Delta deletion vectors. Vectors are CUMULATIVE per
+    * file: a second delete writes the union sidecar and repoints the
+    * file, so a reader consults exactly one sidecar per file.
+    *
+    * Same SQL semantics as [[delete]] (a NULL predicate row is not
+    * deleted), same stale-base conflict rule as every read-modify-write
+    * commit. Time travel to a pre-delete version reads the old dv state
+    * (none), so deleted rows stay visible there.
+    */
+  def deleteVectored(spark: SparkSession, root: String,
+                     condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val current = resolve(spark, root, None)
+    if (current.live.isEmpty) return current.version
+    // visible rows WITH their (file, pos) identity: the DV-filtered scan,
+    // id columns kept — a row already deleted by a live vector cannot
+    // rematch, so the new sidecar is (old rows) ∪ (disjoint new rows)
+    val matched = taggedVisible(spark, root, current)
+      .filter(coalesce(condition, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .cache()
+    try {
+      val newCounts = matched.groupBy("file").agg(count(lit(1)).as("n"))
+        .collect().map(r => decodeRel(r.getString(0)) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) return current.version // no match: no-op
+      val liveSet = current.live.toSet
+      // fail loudly if the executor-side path extraction ever disagrees
+      // with the log's canonical rel form — committing a vector that no
+      // read would match silently un-deletes the rows
+      val unknown = newCounts.keysIterator.filterNot(liveSet.contains).toSeq
+      require(unknown.isEmpty,
+        s"deletion-vector file id not in the live set: ${unknown.head}")
+      val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
+      val allRows =
+        if (prev.isEmpty) matched.select("file", "pos")
+        else matched.select("file", "pos")
+          .unionByName(dvRowsFor(spark, root, prev))
+      val sidecarRel = s"$LogDirName/dv/dv_${
+        UUID.randomUUID().toString.replace("-", "").take(16)}"
+      val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
+      // few-million positions per output file: one file for the common
+      // sparse delete, bounded parallelism for a bulk one
+      val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
+      allRows.repartition(nOut)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
+      val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
+        f -> (sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)) }
+      commitLoop(spark, root, "delete_dv",
+        partitionColsOf(spark, root, current), { (commits, _) =>
+          // read-modify-write: the union sidecar was computed against
+          // `current`, so any interleaved commit invalidates it
+          if (commits.lastOption.map(_.version) != Some(current.version))
+            throw new java.util.ConcurrentModificationException(
+              s"delete_dv based on version ${current.version} conflicts " +
+                s"with concurrent commit " +
+                s"${commits.lastOption.map(_.version).orNull} at $root — " +
+                "re-run the delete")
+          (Seq.empty, Seq.empty,
+            commits.lastOption.map(_.schemaDdl).getOrElse(current.schemaDdl))
+        }, dv = dvMap)
+    } finally { matched.unpersist(); () }
+  }
+
   /** Row-level UPDATE: apply `set` (column -> new-value expression) to the
     * rows matching `condition`, rewriting only the files containing a
     * match — non-matching rows of those files are carried over verbatim.
@@ -1306,28 +1401,21 @@ object TxLog {
                               condition: org.apache.spark.sql.Column,
                               operation: String, statsCols: Seq[String],
                               rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
-    import org.apache.spark.sql.functions.input_file_name
     val current = resolve(spark, root, None)
-    val snap = snapshot(spark, root, current)
-    val fs = fileSystem(spark, root)
-    val rootDec = rootDecodedPath(fs, root)
     val liveSet = current.live.toSet
-    val matchedFiles = snap
-      .withColumn("_file", input_file_name())
+    val matchedFiles = taggedVisible(spark, root, current)
       .filter(condition)
-      .select("_file").distinct().collect()
-      .map(_.getString(0))
-      .flatMap(f => relFromInputFile(f, rootDec))
+      .select("__dv_file").distinct().collect()
+      .map(r => decodeRel(r.getString(0)))
       .filter(liveSet.contains)
       .toSeq
     if (matchedFiles.isEmpty) return current.version // no row matches: no-op
 
     val parts = partitionColsOf(spark, root, current)
+    // DV-aware read: rows a live deletion vector already removed must not
+    // be resurrected by the rewrite
     val staged = rewrite(
-      spark.read
-        .option("basePath", root)
-        .schema(StructType.fromDDL(current.schemaDdl))
-        .parquet(matchedFiles.map(f => s"$root/$f"): _*),
+      readLiveFiles(spark, root, current.schemaDdl, matchedFiles, current),
       condition)
     val (adds, ddl) = stage(staged, root, parts)
     // UPDATE can SET a row into violation; DELETE only removes rows it
@@ -1361,7 +1449,13 @@ object TxLog {
       // miss pre-checkpoint state on a truncated log)
       val target = resolve(spark, root, Some(toVersion))
       (target.live.diff(have), have.diff(target.live), target.schemaDdl)
-    })
+    },
+      // deletion-vector state must roll back WITH the live set: drop
+      // every current vector on a file that stays live, then re-point
+      // the target's vectors — rows vector-deleted after `toVersion`
+      // reappear, rows deleted before it stay gone
+      dv = target0.dvs.view.filterKeys(target0.live.toSet).toMap,
+      dvDrop = target0.live)
   }
 
   /** CLONE: an independent table at `dstRoot` whose version 0 reproduces
@@ -1386,7 +1480,11 @@ object TxLog {
       s"clone target $dstRoot already has a commit log")
     val snap = resolve(spark, srcRoot, version)
     val parts = partitionColsOf(spark, srcRoot, snap)
-    val files = snap.live
+    val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    // deletion-vector sidecars ride along (they are directories — the
+    // per-entry FileUtil.copy below is recursive), and the clone's v0
+    // commit re-points the same root-relative refs
+    val files = snap.live ++ liveDvs.values.map(_._1).toSeq.distinct
     if (files.nonEmpty) {
       val (src, dst) = (srcRoot, dstRoot) // stable locals for the closure
       // ship the SESSION's Hadoop config to the tasks as plain pairs
@@ -1418,8 +1516,9 @@ object TxLog {
       if (commits.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"clone target $dstRoot gained a commit mid-clone")
-      (files, Seq.empty, snap.schemaDdl)
-    }, snap.stats.view.filterKeys(files.toSet).toMap)
+      // add = DATA files only; sidecars are referenced via dv, not add
+      (snap.live, Seq.empty, snap.schemaDdl)
+    }, snap.stats.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs)
   }
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {
@@ -1551,6 +1650,11 @@ object TxLog {
                  version: Option[Long] = None): Option[(Double, Double)] = {
     val snap = resolve(spark, root, version)
     if (snap.live.isEmpty) return None
+    // a deletion vector may have removed exactly the row holding a
+    // file's min or max, making the committed stats an over-approximation
+    // — fine for PRUNING (superset), wrong as an ANSWER. Fall back to the
+    // scan until OPTIMIZE materializes the vectors away.
+    if (snap.live.exists(snap.dvs.contains)) return None
     val perFile = snap.live.map(f => snap.stats.get(f).flatMap(_.get(column)))
     if (perFile.exists(_.isEmpty)) None
     else {
@@ -1615,11 +1719,14 @@ object TxLog {
     val agg = new BloomFilterAggregate(
       org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
       Literal(expectedKeysPerFile), Literal(numBits))
-    val rows = snapshot(spark, root, snap)
-      .groupBy(input_file_name().as("__f"))
+    // taggedVisible (not snapshot): input_file_name cannot resolve on the
+    // joined plan a DV'd table reads through, and vector-deleted rows
+    // only ever ADD bloom bits (false positives, never false negatives) —
+    // excluding them just keeps the filters tight
+    val rows = taggedVisible(spark, root, snap)
+      .groupBy(col("__dv_file").as("__f"))
       .agg(org.apache.spark.sql.graftnative.toColumn(
         agg.toAggregateExpression()).as("bloom"))
-    val rootDec = rootDecodedPath(fileSystem(spark, root), root)
     val liveSet = snap.live.toSet
     import spark.implicits._
     // The bitsets never visit the driver: path normalization + live-set
@@ -1630,7 +1737,7 @@ object TxLog {
       .as[(String, Array[Byte])]
       .flatMap { case (f, bloom) =>
         Option(bloom).flatMap(b =>
-          relFromInputFile(f, rootDec).filter(liveSet.contains).map(_ -> b))
+          Some(decodeRel(f)).filter(liveSet.contains).map(_ -> b))
       }
       .toDF("file", "bloom")
       // bound output files without a single-task bottleneck: ~8k
@@ -1751,18 +1858,52 @@ object TxLog {
     require(commits.nonEmpty, s"no commits after version $fromVersion in $root")
     val schema = StructType.fromDDL(commits.last.schemaDdl)
     val fs = fileSystem(spark, root)
-    val missing = commits.flatMap(c => c.add ++ c.remove).distinct
+    val missing = commits.flatMap(c =>
+        c.add ++ c.remove ++ c.dv.valuesIterator.map(_._1)).distinct
       .filterNot(f => fs.exists(new Path(s"$root/$f")))
     require(missing.isEmpty,
       s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
+    def readRel(files: Seq[String]) =
+      spark.read.option("basePath", root).schema(schema)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    // deletion-vector state folds FORWARD through the range so each
+    // commit's delta is computed against the state it actually changed:
+    // a removed file's rows emit as deletes MINUS what its vector had
+    // already deleted, and a delete_dv commit emits exactly the rows its
+    // sidecar added over the file's previous vector
+    var dvState = scala.util.Try(resolve(spark, root, Some(fromVersion)))
+      .toOption.map(_.dvs).getOrElse(Map.empty[String, DvRef])
     val parts = commits.flatMap { c =>
-      Seq((c.add, "insert"), (c.remove, "delete")).collect {
-        case (files, typ) if files.nonEmpty =>
-          spark.read.option("basePath", root).schema(schema)
-            .parquet(files.map(f => s"$root/$f"): _*)
-            .withColumn("_change_type", lit(typ))
-            .withColumn("_commit_version", lit(c.version))
-      }
+      val insertPart =
+        if (c.add.isEmpty) Seq.empty
+        else Seq(readRel(c.add).withColumn("_change_type", lit("insert")))
+      val removePart =
+        if (c.remove.isEmpty) Seq.empty
+        else Seq(applyDv(spark, root, readRel(c.remove),
+            dvState.view.filterKeys(c.remove.toSet).toMap)
+          .withColumn("_change_type", lit("delete")))
+      val dvPart =
+        if (c.dv.isEmpty) Seq.empty
+        else {
+          val newRows = dvRowsFor(spark, root, c.dv)
+          val oldDvs = dvState.view.filterKeys(c.dv.keySet).toMap
+          val delta =
+            if (oldDvs.isEmpty) newRows
+            else newRows.join(dvRowsFor(spark, root, oldDvs),
+              Seq("file", "pos"), "left_anti")
+          val tagged = readRel(c.dv.keys.toSeq.sorted)
+            .withColumn("__dv_file", relPathExpr(spark, root))
+            .withColumn("__dv_pos",
+              org.apache.spark.sql.functions.col("_metadata.row_index"))
+          Seq(tagged.join(delta,
+              tagged("__dv_file") === delta("file") &&
+                tagged("__dv_pos") === delta("pos"), "left_semi")
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete")))
+        }
+      dvState = dvState -- c.remove -- c.dvDrop ++ c.dv
+      (insertPart ++ removePart ++ dvPart)
+        .map(_.withColumn("_commit_version", lit(c.version)))
     }
     if (parts.isEmpty) {
       // a range of data-less commits (no-op rollback, empty write) is a
@@ -1821,7 +1962,8 @@ object TxLog {
   private final case class Snapshot(live: Seq[String], schemaDdl: String,
                                     version: Long, stats: FileStats,
                                     txns: Map[String, Long] = Map.empty,
-                                    constraints: Map[String, String] = Map.empty)
+                                    constraints: Map[String, String] = Map.empty,
+                                    dvs: Map[String, DvRef] = Map.empty)
 
   /** Resolve the snapshot at `upTo` (None = latest) from the newest
     * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
@@ -1849,8 +1991,12 @@ object TxLog {
       val consB = Map.newBuilder[String, String]
       Option(n.get("constraints")).foreach(_.properties().forEach(e =>
         consB += e.getKey -> e.getValue.asText()))
+      val dvB = Map.newBuilder[String, DvRef]
+      Option(n.get("dv")).foreach(_.properties().forEach(e =>
+        dvB += e.getKey -> (e.getValue.get("path").asText,
+          e.getValue.get("rows").asLong)))
       Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
-        txnsB.result(), consB.result())
+        txnsB.result(), consB.result(), dvB.result())
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -1876,10 +2022,125 @@ object TxLog {
     val constraints = tail.foldLeft(
       base.map(_.constraints).getOrElse(Map.empty[String, String]))(
       (acc, c) => acc -- c.consDrop ++ c.consAdd)
+    // deletion vectors fold per FILE: a commit's dv map REPLACES the
+    // file's vector (each sidecar is cumulative), removing or explicitly
+    // dv-dropping a file clears it; freshly added files never carry one
+    val dvs = tail.foldLeft(base.map(_.dvs).getOrElse(Map.empty[String, DvRef]))(
+      (acc, c) => acc -- c.remove -- c.dvDrop ++ c.dv)
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
       tail.lastOption.map(_.version).getOrElse(base.get.version),
-      stats, txns, constraints)
+      stats, txns, constraints, dvs)
+  }
+
+  // -------------------------------------------------------------------
+  // Deletion-vector plumbing (see [[deleteVectored]] for the design)
+  // -------------------------------------------------------------------
+
+  /** Encode a DECODED absolute path to the URI raw-path form
+    * `_metadata.file_path` renders (java.net.URI quoting — the same
+    * quoting Hadoop `Path.toUri` applies, verified by `TxLogDvSpec`
+    * against partition values with spaces and Hive `%XX` escapes).
+    */
+  private def uriEncodePath(p: String): String =
+    new java.net.URI(null, null, p, null).getRawPath
+
+  private def encodeRel(rel: String): String =
+    uriEncodePath("/" + rel).stripPrefix("/")
+
+  /** Inverse of [[encodeRel]] — '+' is pre-escaped because URLDecoder
+    * would turn a literal plus into a space (URI quoting never emits
+    * '+' for space, so the round trip is exact).
+    */
+  private def decodeRel(enc: String): String =
+    java.net.URLDecoder.decode(enc.replace("+", "%2B"), "UTF-8")
+
+  /** Root-relative URI-ENCODED path of each scanned row's source file,
+    * extracted from `_metadata.file_path` executor-side. Matching on the
+    * encoded suffix (never on the absolute string) keeps the comparison
+    * independent of how the filesystem renders scheme and authority.
+    */
+  private def relPathExpr(spark: SparkSession, root: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val encRoot = uriEncodePath(rootDecodedPath(fileSystem(spark, root), root))
+    regexp_extract(col("_metadata.file_path"),
+      java.util.regex.Pattern.quote(encRoot) + "/(.*)$", 1)
+  }
+
+  /** The deleted-position rows `(file ENCODED-rel, pos)` for `dvs`' files:
+    * each file's rows come from its OWN (cumulative) sidecar only, so a
+    * superseded sidecar still referenced by another file contributes
+    * nothing stale.
+    */
+  private def dvRowsFor(spark: SparkSession, root: String,
+                        dvs: Map[String, DvRef]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dvs.groupBy(_._2._1).toSeq.sortBy(_._1).map { case (sc, entries) =>
+      val encs = entries.keysIterator.map(encodeRel).toSeq
+      spark.read.parquet(s"$root/$sc").where(col("file").isin(encs: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Filter `base` (a parquet scan of live files under `root`) down to
+    * its NON-deleted rows by anti-joining `(file, row_index)` against the
+    * files' deletion vectors. No-op (and zero plan overhead) when no file
+    * has a vector. The DV side is row-count-proportional to DELETED rows
+    * only — metadata-sized next to the data — so Spark's size estimation
+    * broadcasts it and the scan side never shuffles.
+    */
+  private def applyDv(spark: SparkSession, root: String, base: DataFrame,
+                      dvs: Map[String, DvRef]): DataFrame = {
+    if (dvs.isEmpty) return base
+    import org.apache.spark.sql.functions.col
+    val tagged = base
+      .withColumn("__dv_file", relPathExpr(spark, root))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val dvRows = dvRowsFor(spark, root, dvs)
+    tagged.join(dvRows,
+        tagged("__dv_file") === dvRows("file") &&
+          tagged("__dv_pos") === dvRows("pos"), "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+
+  /** DV-aware read of a SUBSET of a snapshot's live files — the shared
+    * scan for every operation that rewrites specific files (merge
+    * survivors, delete/update rewrites, compaction): rows already
+    * deleted by a file's vector must not ride along into the rewrite.
+    */
+  private def readLiveFiles(spark: SparkSession, root: String,
+                            schemaDdl: String, files: Seq[String],
+                            snap: Snapshot): DataFrame = {
+    val base = spark.read
+      .option("basePath", root)
+      .schema(StructType.fromDDL(schemaDdl))
+      .parquet(files.map(f => s"$root/$f"): _*)
+    applyDv(spark, root, base, snap.dvs.view.filterKeys(files.toSet).toMap)
+  }
+
+  /** The snapshot's VISIBLE rows with their `__dv_file` (encoded
+    * root-relative path) and `__dv_pos` (row index) identity columns
+    * retained — the shared probe scan for file-granular operations.
+    * The id columns must be materialized BEFORE the dv anti-join:
+    * `input_file_name()`/`_metadata` cannot be resolved on a joined
+    * plan (multi-source), which is also why the probes use this instead
+    * of tagging [[snapshot]]'s output.
+    */
+  private def taggedVisible(spark: SparkSession, root: String,
+                            snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tagged = spark.read
+      .option("basePath", root)
+      .schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(snap.live.map(f => s"$root/$f"): _*)
+      .withColumn("__dv_file", relPathExpr(spark, root))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    if (liveDvs.isEmpty) tagged
+    else {
+      val dvRows = dvRowsFor(spark, root, liveDvs)
+      tagged.join(dvRows, tagged("__dv_file") === dvRows("file") &&
+        tagged("__dv_pos") === dvRows("pos"), "left_anti")
+    }
   }
 
   private def snapshot(spark: SparkSession, root: String,
@@ -1891,10 +2152,12 @@ object TxLog {
     if (snap.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read
-        .option("basePath", root)
-        .schema(schema)
-        .parquet(snap.live.map(f => s"$root/$f"): _*)
+      applyDv(spark, root,
+        spark.read
+          .option("basePath", root)
+          .schema(schema)
+          .parquet(snap.live.map(f => s"$root/$f"): _*),
+        snap.dvs.view.filterKeys(snap.live.toSet).toMap)
   }
 
   // -------------------------------------------------------------------
@@ -1942,6 +2205,15 @@ object TxLog {
     if (snap.constraints.nonEmpty) {
       val cn = n.putObject("constraints")
       snap.constraints.foreach { case (name, sql) => cn.put(name, sql) }
+    }
+    // live files' deletion vectors: losing one would resurrect its
+    // deleted rows on a checkpoint-truncated log
+    val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    if (liveDvs.nonEmpty) {
+      val dn = n.putObject("dv")
+      liveDvs.foreach { case (file, (path, rows)) =>
+        val e = dn.putObject(file); e.put("path", path); e.put("rows", rows)
+      }
     }
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
@@ -2078,13 +2350,17 @@ object TxLog {
       partitionFilter.forall { case (k, v) =>
         segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
+    // candidates: small files (the packing case) plus ANY file carrying a
+    // deletion vector (the purge case — OPTIMIZE is what materializes
+    // vectors back into clean files, whatever the file's size)
     val small = liveSizesIn(fs, root, current.live, dirMatches)
-      .filter { case (_, len) => len < smallerThanBytes }
+      .filter { case (f, len) =>
+        len < smallerThanBytes || current.dvs.contains(f) }
     val groups = small.groupBy { case (f, _) => relDir(f) }
-      .filter(_._2.size >= 2)
+      .filter { case (_, files) =>
+        files.size >= 2 || files.exists(f => current.dvs.contains(f._1)) }
     if (groups.isEmpty) return current.version
 
-    val schema = StructType.fromDDL(current.schemaDdl)
     // one branch per directory, each repartitioned to its own packed file
     // count; the union concatenates branch partitions without a shuffle,
     // so the staged write emits exactly ceil(dirBytes/targetBytes) files
@@ -2092,8 +2368,12 @@ object TxLog {
     val packed = groups.toSeq.sortBy(_._1).map { case (_, files) =>
       val nOut = math.max(1,
         math.ceil(files.map(_._2).sum.toDouble / targetBytes).toInt)
-      spark.read.option("basePath", root).schema(schema)
-        .parquet(files.map { case (f, _) => s"$root/$f" }: _*)
+      // DV-aware: compaction MATERIALIZES deletion vectors — packed
+      // outputs carry only surviving rows and start vector-free (their
+      // sources' dv entries drop with the files), restoring
+      // zero-overhead scans for the packed range
+      readLiveFiles(spark, root, current.schemaDdl,
+        files.map(_._1), current)
         .repartition(nOut)
     }.reduce(_ unionByName _)
 
@@ -2198,6 +2478,16 @@ object TxLog {
     liveSizesIn(fileSystem(spark, root), root,
       resolve(spark, root, None).live, _ => true)
 
+  /** (files carrying a deletion vector, total vector-deleted rows) at the
+    * latest snapshot — the DESCRIBE DETAIL health numbers that tell an
+    * operator when an OPTIMIZE purge is due.
+    */
+  def dvSummary(spark: SparkSession, root: String): (Long, Long) = {
+    val snap = resolve(spark, root, None)
+    val live = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    (live.size.toLong, live.valuesIterator.map(_._2).sum)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
              dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
@@ -2211,9 +2501,24 @@ object TxLog {
       .toSet
     val everAdded = commits.flatMap(_.add).distinct
     val victims = everAdded.filterNot(referenced)
+    // deletion-vector sidecars age out the same way: a sidecar is live
+    // while ANY retained version's dv state points at it (each new
+    // vector on a file supersedes the previous sidecar, so superseded
+    // ones accumulate until vacuumed)
+    val dvStates = commits.scanLeft(Map.empty[String, DvRef])(
+      (acc, c) => acc -- c.remove -- c.dvDrop ++ c.dv).drop(1)
+    val retainedSidecars = commits.indices
+      .filter(i => commits(i).version >= keepFrom)
+      .flatMap(i => dvStates(i).valuesIterator.map(_._1))
+      .toSet
+    val dvVictims = commits.flatMap(_.dv.valuesIterator.map(_._1))
+      .distinct.filterNot(retainedSidecars)
     // DRY RUN: report what the real run would delete, touch nothing —
     // the operator preview every destructive maintenance command needs
-    if (!dryRun) victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
-    victims
+    if (!dryRun) {
+      victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+      dvVictims.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    }
+    victims ++ dvVictims
   }
 }

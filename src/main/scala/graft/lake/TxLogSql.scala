@@ -112,8 +112,18 @@ object TxLogSql {
     plan match {
 
       case d: DeleteFromTable => resolve(d.table).map { case (name, reg) =>
-        val v = TxLog.delete(spark, reg.root,
-          toColumn(unqualify(d.condition)), reg.statsCols)
+        // spark.graft.delete.mode=vector writes a positional deletion
+        // vector instead of rewriting matched files (TxLog.deleteVectored
+        // — the sparse-delete path); default stays the rewrite
+        val mode = spark.conf
+          .getOption("spark.graft.delete.mode").getOrElse("rewrite")
+        val cond = toColumn(unqualify(d.condition))
+        val v = mode match {
+          case "vector"  => TxLog.deleteVectored(spark, reg.root, cond)
+          case "rewrite" => TxLog.delete(spark, reg.root, cond, reg.statsCols)
+          case other => fail(sqlText,
+            s"unknown spark.graft.delete.mode '$other' (rewrite|vector)")
+        }
         refresh(spark, name, reg); v
       }
 
@@ -406,10 +416,12 @@ object TxLogSql {
         val sizes = TxLog.liveSizes(spark, reg.root)
         val version = TxLog.latestVersion(spark, reg.root).getOrElse(-1L)
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
+        val (nDv, dvRows) = TxLog.dvSummary(spark, reg.root)
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
-          small.toLong, reg.partitionCols.mkString(",")))
+          small.toLong, nDv, dvRows, reg.partitionCols.mkString(",")))
           .toDF("location", "version", "num_files", "size_bytes",
-            "num_small_files", "partition_columns")
+            "num_small_files", "num_deletion_vectors",
+            "deleted_row_count", "partition_columns")
 
       case VacuumRe(ident, retain, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)

@@ -818,6 +818,49 @@ object Lake {
         .orderBy("o_orderpriority")
     },
 
+    // Deletion vectors (lake/TxLog.deleteVectored): two vector DELETEs —
+    // the second cumulative on the same files — then an OPTIMIZE that
+    // materializes the vectors into clean files. Visible rows must equal
+    // the declarative filter at every step, whichever mechanism (anti-join
+    // against the sidecar before OPTIMIZE, plain scan after) serves the
+    // read; the oracle states the end state. The 100 TB point: neither
+    // DELETE rewrote a data file — each wrote O(matched rows) positions,
+    // the GDPR-delete shape where a rewrite would re-encode terabytes.
+    QDef(
+      "q103_delete_vectors",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal >= 0
+        |  AND NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 1000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dvdemo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust, root, Seq("c_mktsegment"))                 // v0
+      TxLog.deleteVectored(s, root, col("c_acctbal") < 0)              // v1
+      TxLog.deleteVectored(s, root,                                    // v2
+        col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 1000)
+      // the metadata-only count must agree with the vector-filtered scan
+      require(TxLog.countRows(s, root) == TxLog.readLatest(s, root).count(),
+        "dv metadata count diverged from the scan")
+      TxLog.compact(s, root)                                           // v3: purge
+      require(TxLog.dvSummary(s, root) == ((0L, 0L)),
+        "OPTIMIZE left deletion vectors behind")
+
+      TxLog.readLatest(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

@@ -1,0 +1,223 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Deletion vectors: positional deletes without file rewrites
+  * (TxLog.deleteVectored + the DV-aware read/maintenance paths).
+  */
+class TxLogDvSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-txdv").toString
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+    (4L, "d", 40.0), (5L, "e", 50.0), (6L, "f", 60.0)
+  ).toDF("id", "s", "v")
+
+  test("deleteVectored removes rows without touching data files; result matches rewrite delete") {
+    val rootDv = tmpRoot(); val rootRw = tmpRoot()
+    TxLog.append(spark, base, rootDv)
+    TxLog.append(spark, base, rootRw)
+    val filesBefore = TxLog.liveSizes(spark, rootDv).toMap
+
+    TxLog.deleteVectored(spark, rootDv, col("id") % 2 === 0)
+    TxLog.delete(spark, rootRw, col("id") % 2 === 0)
+
+    // identical visible rows through both mechanisms
+    val got = TxLog.readLatest(spark, rootDv).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = TxLog.readLatest(spark, rootRw).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    got shouldBe want
+    got.map(_._1) shouldBe Seq(1L, 3L, 5L)
+
+    // the vector path left every data file byte-identical in place;
+    // vectors exist only on the files that actually held a match
+    TxLog.liveSizes(spark, rootDv).toMap shouldBe filesBefore
+    val (nDv, nRows) = TxLog.dvSummary(spark, rootDv)
+    nDv should be >= 1L
+    nRows shouldBe 3L
+  }
+
+  test("time travel: pre-delete version still shows the deleted rows") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, base, root)
+    val v1 = TxLog.deleteVectored(spark, root, col("id") <= 2)
+    v1 shouldBe v0 + 1
+    TxLog.readAt(spark, root, v0).count() shouldBe 6L
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+  }
+
+  test("vectors are cumulative per file: a second delete unions, null predicate rows survive") {
+    val root = tmpRoot()
+    TxLog.append(spark, base
+      .withColumn("maybe", when(col("id") === 5, lit(null: String))
+        .otherwise(col("s"))), root)
+    TxLog.deleteVectored(spark, root, col("id") === 1)
+    // predicate is NULL for id=5 (maybe IS NULL): SQL DELETE keeps it
+    TxLog.deleteVectored(spark, root, col("maybe") >= "d" && col("id") >= 4)
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(2L, 3L, 5L)
+    TxLog.dvSummary(spark, root)._2 shouldBe 3L
+  }
+
+  test("metadata-only countRows subtracts vector rows; minMaxFast falls back") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root, statsCols = Seq("v"))
+    TxLog.countRows(spark, root) shouldBe 6L
+    TxLog.minMaxFast(spark, root, "v") shouldBe Some((10.0, 60.0))
+    TxLog.deleteVectored(spark, root, col("v") >= 50.0)
+    TxLog.countRows(spark, root) shouldBe 4L
+    // stats would still claim max=60 — the fast path must decline
+    TxLog.minMaxFast(spark, root, "v") shouldBe None
+  }
+
+  test("vector-deleted rows never resurrect through UPDATE or MERGE rewrites") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id") === 2)
+    // UPDATE rewrites the file containing id=3 — id=2 lives in the same
+    // file set and must stay gone
+    TxLog.update(spark, root, col("id") === 3, Map("v" -> lit(99.0)))
+    val after = TxLog.readLatest(spark, root).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    after.map(_._1) shouldBe Seq(1L, 3L, 4L, 5L, 6L)
+    after.find(_._1 == 3L).map(_._3) shouldBe Some(99.0)
+    // merge an upsert for id=4: survivors of its file must exclude id=2
+    TxLog.deleteVectored(spark, root, col("id") === 1)
+    TxLog.merge(spark, Seq((4L, "D", 44.0)).toDF("id", "s", "v"),
+      root, Seq("id"), Seq.empty)
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L, 5L, 6L)
+  }
+
+  test("OPTIMIZE materializes vectors: rows stay gone, dv count drops to zero") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id").isin(2L, 4L))
+    TxLog.dvSummary(spark, root)._2 shouldBe 2L
+    TxLog.compact(spark, root)
+    TxLog.dvSummary(spark, root) shouldBe ((0L, 0L))
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(1L, 3L, 5L, 6L)
+  }
+
+  test("rollback restores the dv state of the target version") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, base, root)
+    val v1 = TxLog.deleteVectored(spark, root, col("id") === 1)
+    TxLog.deleteVectored(spark, root, col("id") === 3)
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+    // back to "only id=1 deleted"
+    TxLog.rollback(spark, root, v1)
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(2L, 3L, 4L, 5L, 6L)
+    // back to "nothing deleted"
+    TxLog.rollback(spark, root, v0)
+    TxLog.readLatest(spark, root).count() shouldBe 6L
+  }
+
+  test("checkpoint persists vectors; partitioned tables with escaped values work end-to-end") {
+    val root = tmpRoot()
+    // partition values with a space and a Hive-escaped '=' exercise the
+    // URI-encoding of _metadata.file_path against the log's decoded form
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c=d"), (4L, "c=d"))
+      .toDF("id", "p")
+    TxLog.append(spark, df, root, partitionCols = Seq("p"))
+    TxLog.deleteVectored(spark, root, col("id").isin(1L, 3L))
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "p").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((2L, "a b"), (4L, "c=d"))
+    // checkpoint + more commits, then read through the checkpoint
+    TxLog.checkpoint(spark, root)
+    TxLog.append(spark, Seq((5L, "a b")).toDF("id", "p"), root, Seq("p"))
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(2L, 4L, 5L)
+  }
+
+  test("CDC feed: delete_dv emits exactly the newly deleted rows; removed DV'd files don't re-emit them") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id") === 2)
+    TxLog.deleteVectored(spark, root, col("id") === 4)
+    val ch = TxLog.readChanges(spark, root, fromVersion = v0)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    ch shouldBe Seq((2L, "delete", v0 + 1), (4L, "delete", v0 + 2))
+    // compact materializes: its remove-side deletes must NOT include the
+    // vector-deleted ids again, and its adds re-insert only survivors
+    val vc = TxLog.compact(spark, root)
+    val ch2 = TxLog.readChanges(spark, root, fromVersion = vc - 1,
+      toVersion = Some(vc))
+    ch2.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq
+      .sorted shouldBe Seq(1L, 3L, 5L, 6L)
+    ch2.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq
+      .sorted shouldBe Seq(1L, 3L, 5L, 6L)
+  }
+
+  test("clone carries vectors; vacuum reaps superseded sidecars but keeps live ones") {
+    val root = tmpRoot()
+    // one data file, so the second delete's cumulative sidecar supersedes
+    // the first one's on the SAME file
+    TxLog.append(spark, base.repartition(1), root)
+    TxLog.deleteVectored(spark, root, col("id") === 1) // sidecar A (superseded)
+    TxLog.deleteVectored(spark, root, col("id") === 2) // sidecar B (cumulative)
+    val dst = tmpRoot() + "/clone"
+    TxLog.cloneTable(spark, root, dst)
+    TxLog.readLatest(spark, dst).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L, 5L, 6L)
+    // clone is independent: vacuuming the source does not break it
+    val gone = TxLog.vacuum(spark, root, keepLast = 1)
+    gone.count(_.startsWith(s"${TxLog.LogDirName}/dv/")) shouldBe 1
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+    TxLog.readLatest(spark, dst).count() shouldBe 4L
+  }
+
+  test("replaceWhere and bloom index work on a DV'd table (no resurrect, no false negative)") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id") === 3)
+    // predicate-scoped overwrite on files also holding the deleted row:
+    // survivors must not include id=3
+    TxLog.replaceWhere(spark,
+      Seq((6L, "F", 66.0)).toDF("id", "s", "v"), root, col("id") >= 6)
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "s").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e"), (6L, "F"))
+    // bloom index builds over the DV-filtered scan and still finds
+    // every visible key
+    TxLog.buildBloomIndex(spark, root, "id", expectedKeysPerFile = 100L)
+    TxLog.readEquals(spark, root, "id", Seq(4L, 6L)).orderBy("id")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(4L, 6L)
+  }
+
+  test("SQL surface: DELETE routes through vectors under the conf; DESCRIBE DETAIL reports them") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLogSql.register(spark, "dv_t", root)
+    try {
+      spark.conf.set("spark.graft.delete.mode", "vector")
+      TxLogSql.run(spark, "DELETE FROM dv_t WHERE id IN (2, 4)")
+      TxLogSql.run(spark, "SELECT id FROM dv_t ORDER BY id")
+        .as[Long].collect().toSeq shouldBe Seq(1L, 3L, 5L, 6L)
+      val det = TxLogSql.run(spark, "DESCRIBE DETAIL dv_t")
+        .select("num_deletion_vectors", "deleted_row_count")
+        .as[(Long, Long)].head()
+      det._2 shouldBe 2L
+      // OPTIMIZE purges; detail returns to zero
+      TxLogSql.run(spark, "OPTIMIZE dv_t")
+      TxLogSql.run(spark, "DESCRIBE DETAIL dv_t")
+        .select("deleted_row_count").as[Long].head() shouldBe 0L
+    } finally {
+      spark.conf.unset("spark.graft.delete.mode")
+      TxLogSql.unregister(spark, "dv_t")
+    }
+  }
+}
