@@ -408,6 +408,20 @@ object TxLog {
     */
   private final class AlreadyCommitted(val watermark: Long) extends Exception
 
+  /** The table's version as seen inside a [[commitLoop]] delta callback —
+    * the raw tail's last version, falling back to checkpoint-aware
+    * resolution when the tail is EMPTY (a checkpoint-truncated log, which
+    * readers and commitLoop both support). Read-modify-write operations
+    * compare this against the version their rewrite was computed from;
+    * comparing the raw tail alone would make every such commit on a
+    * truncated log fail "conflicted" forever.
+    */
+  private def tailVersion(spark: SparkSession, root: String,
+                          commits: Seq[Commit]): Option[Long] =
+    commits.lastOption.map(_.version)
+      .orElse(scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.version))
+
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
                          delta: (Seq[Commit], Seq[String]) => (Seq[String], Seq[String], String),
@@ -791,7 +805,7 @@ object TxLog {
     val (adds, ddl) = stage(staged, root, parts)
     enforceConstraints(spark, root, adds, ddl, "replace_where")
     commitLoop(spark, root, "replace_where", parts, { (commits, _) =>
-      if (commits.lastOption.map(_.version) != Some(current.version))
+      if (tailVersion(spark, root, commits) != Some(current.version))
         throw new java.util.ConcurrentModificationException(
           s"replaceWhere based on version ${current.version} conflicts " +
             s"with concurrent commit " +
@@ -873,7 +887,7 @@ object TxLog {
       partitionColsOf(spark, root, current), { (commits, _) =>
         // any commit after the validation scan may have added rows this
         // constraint never saw — fail the add, not the data
-        if (commits.lastOption.map(_.version) != Some(current.version))
+        if (tailVersion(spark, root, commits) != Some(current.version))
           throw new java.util.ConcurrentModificationException(
             s"addConstraint($name) validated version ${current.version} " +
               s"but ${commits.lastOption.map(_.version).orNull} committed " +
@@ -1161,7 +1175,7 @@ object TxLog {
       // merge against the new state; silent last-writer-wins would lose
       // the concurrent writer's rows. (append/overwrite/upsert recompute
       // their delta per attempt and need no such check.)
-      if (commits.lastOption.map(_.version) != Some(current.version))
+      if (tailVersion(spark, root, commits) != Some(current.version))
         throw new java.util.ConcurrentModificationException(
           s"$operation based on version ${current.version} conflicts with " +
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
@@ -1328,19 +1342,25 @@ object TxLog {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
       val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
         f -> (sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)) }
-      commitLoop(spark, root, "delete_dv",
+      try commitLoop(spark, root, "delete_dv",
         partitionColsOf(spark, root, current), { (commits, _) =>
           // read-modify-write: the union sidecar was computed against
           // `current`, so any interleaved commit invalidates it
-          if (commits.lastOption.map(_.version) != Some(current.version))
+          if (tailVersion(spark, root, commits) != Some(current.version))
             throw new java.util.ConcurrentModificationException(
               s"delete_dv based on version ${current.version} conflicts " +
-                s"with concurrent commit " +
-                s"${commits.lastOption.map(_.version).orNull} at $root — " +
-                "re-run the delete")
+                s"with a concurrent commit at $root — re-run the delete")
           (Seq.empty, Seq.empty,
             commits.lastOption.map(_.schemaDdl).getOrElse(current.schemaDdl))
         }, dv = dvMap)
+      catch { case t: Throwable =>
+        // the sidecar is referenced by no commit — reap it now rather
+        // than leaking an orphan no maintenance pass would reclaim
+        try fileSystem(spark, root)
+          .delete(new Path(s"$root/$sidecarRel"), true)
+        catch { case _: IOException => () }
+        throw t
+      }
     } finally { matched.unpersist(); () }
   }
 
@@ -1422,7 +1442,7 @@ object TxLog {
     // never changes, so its survivors stay valid by construction
     if (operation != "delete") enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, parts, { (commits, _) =>
-      if (commits.lastOption.map(_.version) != Some(current.version))
+      if (tailVersion(spark, root, commits) != Some(current.version))
         throw new java.util.ConcurrentModificationException(
           s"$operation based on version ${current.version} conflicts with " +
             s"concurrent commit ${commits.lastOption.map(_.version).orNull} " +
@@ -1719,11 +1739,19 @@ object TxLog {
     val agg = new BloomFilterAggregate(
       org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
       Literal(expectedKeysPerFile), Literal(numBits))
-    // taggedVisible (not snapshot): input_file_name cannot resolve on the
-    // joined plan a DV'd table reads through, and vector-deleted rows
-    // only ever ADD bloom bits (false positives, never false negatives) —
-    // excluding them just keeps the filters tight
-    val rows = taggedVisible(spark, root, snap)
+    // the RAW tagged scan, deliberately NOT DV-filtered: a rollback can
+    // resurrect vector-deleted rows while the file keeps its index row
+    // (it was neither added nor rewritten), so a filter built without
+    // them would then return FALSE NEGATIVES — silently missing rows in
+    // readEquals and duplicate keys through the merge probe. Deleted
+    // rows' bits cost only false positives (an extra scanned file).
+    // _metadata (not input_file_name) because the probe column must be
+    // materialized directly on the scan relation.
+    val rows = spark.read
+      .option("basePath", root)
+      .schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(snap.live.map(f => s"$root/$f"): _*)
+      .withColumn("__dv_file", relPathExpr(spark, root))
       .groupBy(col("__dv_file").as("__f"))
       .agg(org.apache.spark.sql.graftnative.toColumn(
         agg.toAggregateExpression()).as("bloom"))
@@ -1858,51 +1886,98 @@ object TxLog {
     require(commits.nonEmpty, s"no commits after version $fromVersion in $root")
     val schema = StructType.fromDDL(commits.last.schemaDdl)
     val fs = fileSystem(spark, root)
-    val missing = commits.flatMap(c =>
-        c.add ++ c.remove ++ c.dv.valuesIterator.map(_._1)).distinct
-      .filterNot(f => fs.exists(new Path(s"$root/$f")))
-    require(missing.isEmpty,
-      s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
     def readRel(files: Seq[String]) =
       spark.read.option("basePath", root).schema(schema)
         .parquet(files.map(f => s"$root/$f"): _*)
     // deletion-vector state folds FORWARD through the range so each
     // commit's delta is computed against the state it actually changed:
     // a removed file's rows emit as deletes MINUS what its vector had
-    // already deleted, and a delete_dv commit emits exactly the rows its
-    // sidecar added over the file's previous vector
+    // already deleted, a delete_dv commit emits exactly the rows its
+    // sidecar added over the file's previous vector, and a dv-state
+    // SHRINK (rollback) emits the resurrected rows as inserts.
+    // Seeding must be exact: an unresolvable fromVersion (below a
+    // checkpoint-truncation horizon) silently treated as "no vectors"
+    // would re-emit already-consumed deletes — fail loudly instead,
+    // unless the table provably never had a vector.
     var dvState = scala.util.Try(resolve(spark, root, Some(fromVersion)))
-      .toOption.map(_.dvs).getOrElse(Map.empty[String, DvRef])
+      .toOption.map(_.dvs).getOrElse {
+        val anyDvEver = commits.exists(c => c.dv.nonEmpty || c.dvDrop.nonEmpty) ||
+          scala.util.Try(resolve(spark, root, None)).toOption
+            .exists(_.dvs.nonEmpty)
+        if (fromVersion >= 0 && anyDvEver)
+          throw new IllegalArgumentException(
+            s"change feed from $fromVersion cannot reconstruct deletion-" +
+              s"vector state below the checkpoint-truncation horizon of " +
+              s"$root — start the feed at a resolvable version")
+        Map.empty[String, DvRef]
+      }
+    // vacuum guard BEFORE any scan: in-range files + in-range sidecars +
+    // the pre-range sidecars the remove/shrink paths below will read
+    val preRangeSidecars = {
+      val touched = commits.flatMap(c => c.remove ++ c.dvDrop).toSet
+      dvState.view.filterKeys(touched).valuesIterator.map(_._1).toSeq
+    }
+    val missing = (commits.flatMap(c =>
+        c.add ++ c.remove ++ c.dv.valuesIterator.map(_._1)) ++ preRangeSidecars)
+      .distinct.filterNot(f => fs.exists(new Path(s"$root/$f")))
+    require(missing.isEmpty,
+      s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
     val parts = commits.flatMap { c =>
       val insertPart =
         if (c.add.isEmpty) Seq.empty
-        else Seq(readRel(c.add).withColumn("_change_type", lit("insert")))
+        else Seq(
+          // a re-added file can carry a vector in the SAME commit
+          // (rollback past a compaction): only its VISIBLE rows were
+          // inserted at this version
+          applyDv(spark, root, readRel(c.add),
+            c.dv.view.filterKeys(c.add.toSet).toMap)
+          .withColumn("_change_type", lit("insert")))
       val removePart =
         if (c.remove.isEmpty) Seq.empty
         else Seq(applyDv(spark, root, readRel(c.remove),
             dvState.view.filterKeys(c.remove.toSet).toMap)
           .withColumn("_change_type", lit("delete")))
+      // vector GROWTH on already-live files -> deletes (rows in the new
+      // sidecar beyond the file's previous vector). Files added in this
+      // very commit are excluded: their state is fully expressed by the
+      // DV-filtered insert above.
+      val dvGrowFiles = c.dv.keySet -- c.add.toSet
       val dvPart =
-        if (c.dv.isEmpty) Seq.empty
+        if (dvGrowFiles.isEmpty) Seq.empty
         else {
-          val newRows = dvRowsFor(spark, root, c.dv)
-          val oldDvs = dvState.view.filterKeys(c.dv.keySet).toMap
+          val grow = c.dv.view.filterKeys(dvGrowFiles).toMap
+          val newRows = dvRowsFor(spark, root, grow)
+          val oldDvs = dvState.view.filterKeys(dvGrowFiles).toMap
           val delta =
             if (oldDvs.isEmpty) newRows
             else newRows.join(dvRowsFor(spark, root, oldDvs),
               Seq("file", "pos"), "left_anti")
-          val tagged = readRel(c.dv.keys.toSeq.sorted)
-            .withColumn("__dv_file", relPathExpr(spark, root))
-            .withColumn("__dv_pos",
-              org.apache.spark.sql.functions.col("_metadata.row_index"))
-          Seq(tagged.join(delta,
-              tagged("__dv_file") === delta("file") &&
-                tagged("__dv_pos") === delta("pos"), "left_semi")
-            .drop("__dv_file", "__dv_pos")
+          Seq(rowsAtPositions(spark, root, grow.keys.toSeq.sorted,
+              delta, schema)
             .withColumn("_change_type", lit("delete")))
         }
+      // vector SHRINK on still-live files (only a rollback produces one,
+      // marked by dvDrop) -> the resurrected rows emit as inserts
+      val shrinkFiles =
+        if (c.dvDrop.isEmpty) Set.empty[String]
+        else dvState.keySet.intersect(c.dvDrop.toSet) --
+          c.remove.toSet -- c.add.toSet
+      val resurrectPart =
+        if (shrinkFiles.isEmpty) Seq.empty
+        else {
+          val oldDvs = dvState.view.filterKeys(shrinkFiles).toMap
+          val newDvs = c.dv.view.filterKeys(shrinkFiles).toMap
+          val oldRows = dvRowsFor(spark, root, oldDvs)
+          val back =
+            if (newDvs.isEmpty) oldRows
+            else oldRows.join(dvRowsFor(spark, root, newDvs),
+              Seq("file", "pos"), "left_anti")
+          Seq(rowsAtPositions(spark, root, shrinkFiles.toSeq.sorted,
+              back, schema)
+            .withColumn("_change_type", lit("insert")))
+        }
       dvState = dvState -- c.remove -- c.dvDrop ++ c.dv
-      (insertPart ++ removePart ++ dvPart)
+      (insertPart ++ removePart ++ dvPart ++ resurrectPart)
         .map(_.withColumn("_commit_version", lit(c.version)))
     }
     if (parts.isEmpty) {
@@ -2088,9 +2163,23 @@ object TxLog {
     * only — metadata-sized next to the data — so Spark's size estimation
     * broadcasts it and the scan side never shuffles.
     */
+  /** The DV machinery materializes these two probe columns on scans; a
+    * user column with either name would be silently clobbered and then
+    * dropped — refuse loudly instead.
+    */
+  private def guardDvProbeCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(c => c == "__dv_file" || c == "__dv_pos")
+    if (clash.nonEmpty)
+      throw new IllegalStateException(
+        s"column name(s) ${clash.mkString(", ")} are reserved by the " +
+          "deletion-vector read path; rename the column(s) to use " +
+          "vector deletes on this table")
+  }
+
   private def applyDv(spark: SparkSession, root: String, base: DataFrame,
                       dvs: Map[String, DvRef]): DataFrame = {
     if (dvs.isEmpty) return base
+    guardDvProbeCols(base)
     import org.apache.spark.sql.functions.col
     val tagged = base
       .withColumn("__dv_file", relPathExpr(spark, root))
@@ -2117,6 +2206,25 @@ object TxLog {
     applyDv(spark, root, base, snap.dvs.view.filterKeys(files.toSet).toMap)
   }
 
+  /** The data rows of `files` at the `(file, pos)` positions listed in
+    * `positions` — the semi-join shared by the change feed's vector
+    * delta paths (rows a commit's vector newly deleted, rows a rollback
+    * resurrected).
+    */
+  private def rowsAtPositions(spark: SparkSession, root: String,
+                              files: Seq[String], positions: DataFrame,
+                              schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tagged = spark.read.option("basePath", root).schema(schema)
+      .parquet(files.map(f => s"$root/$f"): _*)
+      .withColumn("__dv_file", relPathExpr(spark, root))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    tagged.join(positions,
+        tagged("__dv_file") === positions("file") &&
+          tagged("__dv_pos") === positions("pos"), "left_semi")
+      .drop("__dv_file", "__dv_pos")
+  }
+
   /** The snapshot's VISIBLE rows with their `__dv_file` (encoded
     * root-relative path) and `__dv_pos` (row index) identity columns
     * retained — the shared probe scan for file-granular operations.
@@ -2128,10 +2236,12 @@ object TxLog {
   private def taggedVisible(spark: SparkSession, root: String,
                             snap: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val tagged = spark.read
+    val base = spark.read
       .option("basePath", root)
       .schema(StructType.fromDDL(snap.schemaDdl))
       .parquet(snap.live.map(f => s"$root/$f"): _*)
+    guardDvProbeCols(base)
+    val tagged = base
       .withColumn("__dv_file", relPathExpr(spark, root))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
@@ -2306,11 +2416,14 @@ object TxLog {
     * compacting is millions of file opens per query.
     *
     * Concurrency: compaction rewrites rows verbatim, so it COMMUTES with
-    * any concurrent commit that keeps its source files live (appends,
-    * upserts/merges of other files) — those proceed; only a commit that
-    * removed one of the sources (a merge rewriting the same file, a
-    * concurrent compact) is a real conflict and fails with
-    * `ConcurrentModificationException` for the caller to re-run. The
+    * any concurrent commit that keeps its source files live AND their
+    * deletion vectors unchanged (appends, upserts/merges of other files)
+    * — those proceed; a commit that removed one of the sources (a merge
+    * rewriting the same file, a concurrent compact) or changed a
+    * source's deletion vector (a concurrent delete_dv, whose deletes the
+    * pre-vector packed rows would resurrect) is a real conflict and
+    * fails with `ConcurrentModificationException` for the caller to
+    * re-run. The
     * committed schema is the winning state's latest, so a concurrent
     * schema evolution is respected (packed files read null for columns
     * they predate, like any old file).
@@ -2391,6 +2504,17 @@ object TxLog {
         throw new java.util.ConcurrentModificationException(
           s"compact sources rewritten concurrently (${gone.head}) at " +
             s"$root — re-run the compact")
+      // liveness is not enough since deletion vectors exist: a concurrent
+      // delete_dv removes NO file but changes which of a source's rows
+      // are alive — committing the pre-vector packed rows would
+      // resurrect its deletes (and clear its vector via `remove`)
+      val nowDvs = scala.util.Try(resolve(spark, root, None))
+        .toOption.map(_.dvs).getOrElse(Map.empty[String, DvRef])
+      val dvChanged = removed.filter(f => nowDvs.get(f) != current.dvs.get(f))
+      if (dvChanged.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"compact source ${dvChanged.head} gained/changed a deletion " +
+            s"vector concurrently at $root — re-run the compact")
       (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
     }, computeStats(spark, root, adds, statCols))
   }
@@ -2444,7 +2568,28 @@ object TxLog {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_stage_")
         && st.getModificationTime < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
-    victims ++ deadStages
+    // deletion-vector sidecars a crashed deleteVectored left behind
+    // (written, never committed): referenced by no commit's dv map and
+    // no checkpoint, so the same age-guarded reclamation applies.
+    // (vacuum handles COMMITTED-then-superseded sidecars; this handles
+    // never-committed ones.)
+    val dvReferenced: Set[String] = history(spark, root)
+      .flatMap(_.dv.valuesIterator.map(_._1)).toSet ++ {
+        val ckpt = scala.util.Try(resolve(spark, root, None)).toOption
+        ckpt.map(_.dvs.valuesIterator.map(_._1).toSet).getOrElse(Set.empty)
+      }
+    val dvDir = new Path(s"$root/$LogDirName/dv")
+    val deadSidecars =
+      if (!fs.exists(dvDir)) Seq.empty
+      else fs.listStatus(dvDir).toSeq
+        .filter { st =>
+          val rel = s"$LogDirName/dv/${st.getPath.getName}"
+          !dvReferenced.contains(rel) && st.getModificationTime < cutoff
+        }
+        .map { st =>
+          fs.delete(st.getPath, true); s"$LogDirName/dv/${st.getPath.getName}"
+        }
+    victims ++ deadStages ++ deadSidecars
   }
 
   /** Physically delete data files only referenced by versions older than
@@ -2486,6 +2631,18 @@ object TxLog {
     val snap = resolve(spark, root, None)
     val live = snap.dvs.view.filterKeys(snap.live.toSet).toMap
     (live.size.toLong, live.valuesIterator.map(_._2).sum)
+  }
+
+  /** Everything DESCRIBE DETAIL reports, from ONE log resolution and one
+    * listing pass: (version, live file sizes, files with a deletion
+    * vector, vector-deleted rows).
+    */
+  def detail(spark: SparkSession,
+             root: String): (Long, Seq[(String, Long)], Long, Long) = {
+    val snap = resolve(spark, root, None)
+    val sizes = liveSizesIn(fileSystem(spark, root), root, snap.live, _ => true)
+    val dvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    (snap.version, sizes, dvs.size.toLong, dvs.valuesIterator.map(_._2).sum)
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int,

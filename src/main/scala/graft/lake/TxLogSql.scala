@@ -413,10 +413,9 @@ object TxLogSql {
 
       case DescribeDetailRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
-        val sizes = TxLog.liveSizes(spark, reg.root)
-        val version = TxLog.latestVersion(spark, reg.root).getOrElse(-1L)
+        // one log resolution + one listing for every field
+        val (version, sizes, nDv, dvRows) = TxLog.detail(spark, reg.root)
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
-        val (nDv, dvRows) = TxLog.dvSummary(spark, reg.root)
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
           small.toLong, nDv, dvRows, reg.partitionCols.mkString(",")))
           .toDF("location", "version", "num_files", "size_bytes",

@@ -198,6 +198,85 @@ class TxLogDvSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(4L, 6L)
   }
 
+  test("bloom index has no false negatives after a rollback resurrects vector-deleted rows") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, base.repartition(1), root)
+    TxLog.deleteVectored(spark, root, col("id") === 3)
+    // index built while id=3 is vector-deleted — its bits must still
+    // cover the row, or the rollback below silently loses it
+    TxLog.buildBloomIndex(spark, root, "id", expectedKeysPerFile = 100L)
+    TxLog.rollback(spark, root, v0)
+    TxLog.readEquals(spark, root, "id", Seq(3L))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
+  }
+
+  test("CDC feed: rollback shrinking a live file's vector emits the resurrected rows as inserts") {
+    val root = tmpRoot()
+    val v0 = TxLog.append(spark, base.repartition(1), root)
+    val v1 = TxLog.deleteVectored(spark, root, col("id") === 2)
+    val v2 = TxLog.deleteVectored(spark, root, col("id") === 4)
+    val v3 = TxLog.rollback(spark, root, v1)
+    TxLog.readChanges(spark, root, fromVersion = v2, toVersion = Some(v3))
+      .select("id", "_change_type").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((4L, "insert"))
+    // rollback all the way to v0: the remaining vector-delete reverts too
+    val v4 = TxLog.rollback(spark, root, v0)
+    TxLog.readChanges(spark, root, fromVersion = v3, toVersion = Some(v4))
+      .select("id", "_change_type").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((2L, "insert"))
+    TxLog.readLatest(spark, root).count() shouldBe 6L
+  }
+
+  test("CDC feed: a rollback re-adding a file WITH a vector inserts only its visible rows") {
+    val root = tmpRoot()
+    TxLog.append(spark, base.repartition(1), root)
+    val v1 = TxLog.deleteVectored(spark, root, col("id") === 2)
+    val v2 = TxLog.compact(spark, root) // materializes, removes the file
+    val v3 = TxLog.rollback(spark, root, v1) // re-adds file + vector
+    val ch = TxLog.readChanges(spark, root, fromVersion = v2,
+      toVersion = Some(v3))
+    ch.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq
+      .sorted shouldBe Seq(1L, 3L, 4L, 5L, 6L) // id=2 must NOT re-insert
+  }
+
+  test("a user column named __dv_pos is refused by the vector path, not clobbered") {
+    val root = tmpRoot()
+    TxLog.append(spark, base.withColumn("__dv_pos", col("id") * 10), root)
+    val e = intercept[IllegalStateException] {
+      TxLog.deleteVectored(spark, root, col("id") === 1)
+    }
+    e.getMessage should include ("__dv_pos")
+  }
+
+  test("cleanOrphans reaps a never-committed sidecar dir; committed sidecars survive") {
+    val root = tmpRoot()
+    TxLog.append(spark, base.repartition(1), root)
+    TxLog.deleteVectored(spark, root, col("id") === 1) // committed sidecar
+    // simulate a deleteVectored that crashed between sidecar write and
+    // commit: an unreferenced dir under _txlog/dv
+    Seq(("x", 0L)).toDF("file", "pos")
+      .write.parquet(s"$root/_txlog/dv/dv_orphan")
+    val gone = TxLog.cleanOrphans(spark, root, olderThanMs = -60000)
+    gone should contain ("_txlog/dv/dv_orphan")
+    gone.count(_.startsWith("_txlog/dv/")) shouldBe 1
+    TxLog.readLatest(spark, root).count() shouldBe 5L // vector still applies
+  }
+
+  test("deleteVectored works on a checkpoint-truncated log (empty commit tail)") {
+    val root = tmpRoot()
+    (1 to 3).foreach(i =>
+      TxLog.append(spark, Seq((i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v"), root))
+    TxLog.checkpoint(spark, root)
+    // truncate: drop every raw commit, keep the checkpoint
+    val logDir = new java.io.File(s"$root/_txlog")
+    logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(_.delete())
+    TxLog.deleteVectored(spark, root, col("id") === 2)
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("SQL surface: DELETE routes through vectors under the conf; DESCRIBE DETAIL reports them") {
     val root = tmpRoot()
     TxLog.append(spark, base, root)
