@@ -1364,6 +1364,84 @@ object TxLog {
     } finally { matched.unpersist(); () }
   }
 
+  /** Row-level UPDATE as merge-on-read: vector-delete the matched rows'
+    * positions and APPEND their updated images in ONE commit — write
+    * cost O(matched rows), not O(matched files) ([[update]]'s rewrite).
+    * The complement of [[deleteVectored]], same trade: sparse frequent
+    * updates against huge files pay a tiny write now and a broadcast
+    * anti-join per read until OPTIMIZE materializes the vectors away.
+    * Each `set` expression evaluates against the OLD row; constraints
+    * are enforced on the staged updated rows (an UPDATE can SET a row
+    * into violation); a `set` touching a partition column lands the
+    * updated rows in their new directory. The change feed sees exactly
+    * delete(old image) + insert(new image) at the committed version.
+    */
+  def updateVectored(spark: SparkSession, root: String,
+                     condition: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     statsCols: Seq[String] = Seq.empty): Long = {
+    require(set.nonEmpty, "update needs at least one set column")
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val current = resolve(spark, root, None)
+    if (current.live.isEmpty) return current.version
+    val dataCols = StructType.fromDDL(current.schemaDdl).fieldNames.toSeq
+    val badSet = set.keySet -- dataCols.toSet
+    require(badSet.isEmpty, s"update sets unknown column(s): $badSet")
+    val matched = taggedVisible(spark, root, current)
+      .filter(coalesce(condition, lit(false)))
+      .cache()
+    try {
+      val positions = matched
+        .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      val newCounts = positions.groupBy("file").agg(count(lit(1)).as("n"))
+        .collect().map(r => decodeRel(r.getString(0)) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) return current.version // no match: no-op
+      val liveSet = current.live.toSet
+      val unknown = newCounts.keysIterator.filterNot(liveSet.contains).toSeq
+      require(unknown.isEmpty,
+        s"deletion-vector file id not in the live set: ${unknown.head}")
+      // the matched rows' updated images — set expressions see the OLD
+      // row (one projection, so swap-style sets like a->b, b->a work)
+      val updated = matched.select(dataCols.map { c =>
+        set.get(c) match {
+          case Some(v) => v.as(c) // rows here all matched the condition
+          case None    => col(c)
+        }
+      }: _*)
+      val parts = partitionColsOf(spark, root, current)
+      val (adds, ddl) = stage(updated, root, parts)
+      enforceConstraints(spark, root, adds, ddl, "update_dv")
+      val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
+      val allRows =
+        if (prev.isEmpty) positions
+        else positions.unionByName(dvRowsFor(spark, root, prev))
+      val sidecarRel = s"$LogDirName/dv/dv_${
+        UUID.randomUUID().toString.replace("-", "").take(16)}"
+      val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
+      val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
+      allRows.repartition(nOut)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
+      val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
+        f -> (sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)) }
+      try commitLoop(spark, root, "update_dv", parts, { (commits, _) =>
+          if (tailVersion(spark, root, commits) != Some(current.version))
+            throw new java.util.ConcurrentModificationException(
+              s"update_dv based on version ${current.version} conflicts " +
+                s"with a concurrent commit at $root — re-run the update")
+          (adds, Seq.empty,
+            commits.lastOption.map(_.schemaDdl).getOrElse(current.schemaDdl))
+        }, computeStats(spark, root, adds, statsCols), dv = dvMap)
+      catch { case t: Throwable =>
+        // the sidecar is referenced by no commit; the staged adds become
+        // ordinary orphans for cleanOrphans, but the sidecar would leak
+        try fileSystem(spark, root)
+          .delete(new Path(s"$root/$sidecarRel"), true)
+        catch { case _: IOException => () }
+        throw t
+      }
+    } finally { matched.unpersist(); () }
+  }
+
   /** Row-level UPDATE: apply `set` (column -> new-value expression) to the
     * rows matching `condition`, rewriting only the files containing a
     * match — non-matching rows of those files are carried over verbatim.

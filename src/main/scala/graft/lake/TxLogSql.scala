@@ -135,7 +135,18 @@ object TxLogSql {
         }.toMap
         require(set.size == u.assignments.size,
           s"duplicate SET column in: $sqlText")
-        val v = TxLog.update(spark, reg.root, cond, set, reg.statsCols)
+        // spark.graft.update.mode=vector: merge-on-read UPDATE (vector
+        // old positions + append updated rows — TxLog.updateVectored)
+        val mode = spark.conf
+          .getOption("spark.graft.update.mode").getOrElse("rewrite")
+        val v = mode match {
+          case "vector" =>
+            TxLog.updateVectored(spark, reg.root, cond, set, reg.statsCols)
+          case "rewrite" =>
+            TxLog.update(spark, reg.root, cond, set, reg.statsCols)
+          case other => fail(sqlText,
+            s"unknown spark.graft.update.mode '$other' (rewrite|vector)")
+        }
         refresh(spark, name, reg); v
       }
 

@@ -277,25 +277,77 @@ class TxLogDvSpec extends SparkSpec {
       .as[Long].collect().toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("updateVectored matches rewrite update; CDC sees delete(old)+insert(new); OPTIMIZE purges") {
+    val rootV = tmpRoot(); val rootR = tmpRoot()
+    TxLog.append(spark, base, rootV)
+    TxLog.append(spark, base, rootR)
+    val filesBefore = TxLog.liveSizes(spark, rootV).map(_._1).toSet
+
+    val vUp = TxLog.updateVectored(spark, rootV,
+      col("id") % 2 === 0, Map("v" -> (col("v") + 1000), "s" -> lit("UP")))
+    TxLog.update(spark, rootR,
+      col("id") % 2 === 0, Map("v" -> (col("v") + 1000), "s" -> lit("UP")))
+    TxLog.readLatest(spark, rootV).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq shouldBe
+      TxLog.readLatest(spark, rootR).orderBy("id")
+        .as[(Long, String, Double)].collect().toSeq
+    // every original file untouched; only NEW files were added
+    filesBefore.subsetOf(
+      TxLog.liveSizes(spark, rootV).map(_._1).toSet) shouldBe true
+    // change feed: the old images delete, the new images insert, same version
+    val ch = TxLog.readChanges(spark, rootV, fromVersion = vUp - 1,
+      toVersion = Some(vUp))
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    ch.filter(_._3 == "delete").map(_._1) shouldBe Seq(2L, 4L, 6L)
+    ch.filter(_._3 == "insert")
+      .map(r => (r._1, r._2)) shouldBe Seq((2L, "UP"), (4L, "UP"), (6L, "UP"))
+    // metadata count unchanged by an update; purge clears the vectors
+    TxLog.countRows(spark, rootV) shouldBe 6L
+    TxLog.compact(spark, rootV)
+    TxLog.dvSummary(spark, rootV) shouldBe ((0L, 0L))
+    TxLog.readLatest(spark, rootV).filter(col("s") === "UP")
+      .count() shouldBe 3L
+  }
+
+  test("updateVectored moves rows across partitions and chains with deleteVectored") {
+    val root = tmpRoot()
+    val df = Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "p")
+    TxLog.append(spark, df, root, partitionCols = Seq("p"))
+    TxLog.updateVectored(spark, root, col("id") === 2, Map("p" -> lit("p2")))
+    TxLog.readLatest(spark, root).filter(col("p") === "p2")
+      .select("id").as[Long].collect().toSeq.sorted shouldBe Seq(2L, 3L)
+    // a later vector delete must see the updated row, not the old image
+    TxLog.deleteVectored(spark, root, col("p") === "p2" && col("id") === 2)
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "p").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "p1"), (3L, "p2"))
+  }
+
   test("SQL surface: DELETE routes through vectors under the conf; DESCRIBE DETAIL reports them") {
     val root = tmpRoot()
     TxLog.append(spark, base, root)
     TxLogSql.register(spark, "dv_t", root)
     try {
       spark.conf.set("spark.graft.delete.mode", "vector")
+      spark.conf.set("spark.graft.update.mode", "vector")
       TxLogSql.run(spark, "DELETE FROM dv_t WHERE id IN (2, 4)")
       TxLogSql.run(spark, "SELECT id FROM dv_t ORDER BY id")
         .as[Long].collect().toSeq shouldBe Seq(1L, 3L, 5L, 6L)
+      TxLogSql.run(spark, "UPDATE dv_t SET s = 'X' WHERE id = 5")
+      TxLogSql.run(spark, "SELECT s FROM dv_t WHERE id = 5")
+        .as[String].collect().toSeq shouldBe Seq("X")
       val det = TxLogSql.run(spark, "DESCRIBE DETAIL dv_t")
         .select("num_deletion_vectors", "deleted_row_count")
         .as[(Long, Long)].head()
-      det._2 shouldBe 2L
+      det._2 shouldBe 3L // 2 deleted + 1 old image of the updated row
       // OPTIMIZE purges; detail returns to zero
       TxLogSql.run(spark, "OPTIMIZE dv_t")
       TxLogSql.run(spark, "DESCRIBE DETAIL dv_t")
         .select("deleted_row_count").as[Long].head() shouldBe 0L
     } finally {
       spark.conf.unset("spark.graft.delete.mode")
+      spark.conf.unset("spark.graft.update.mode")
       TxLogSql.unregister(spark, "dv_t")
     }
   }
