@@ -1141,6 +1141,15 @@ object TxLog {
     val keys =
       if (nKeys <= broadcastKeyLimit(spark)) broadcast(touchedKeys)
       else touchedKeys
+    // MERGE-ON-READ mode (spark.graft.merge.mode=vector): instead of
+    // rewriting every file holding a matched key, vector the matched
+    // rows' positions and append the updates — the CDC-merge shape at
+    // 100 TB, where a handful of changed keys per 1 GB file would
+    // otherwise re-encode the world. Same pruned probe scan; the
+    // rewrite machinery below is simply skipped.
+    if (spark.conf.getOption("spark.graft.merge.mode").contains("vector"))
+      return mergeVectoredTail(spark, root, current, snap, keys, keyCols,
+        updates, partitionCols, statsCols, operation, noUpserts)
     // file-granular match probe: which live files hold a matched key?
     val liveSet = current.live.toSet
     val matchedFiles = snap
@@ -1185,6 +1194,71 @@ object TxLog {
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols))
+  }
+
+  /** [[mergeImpl]]'s merge-on-read tail: the matched keys' current rows
+    * become deletion-vector positions (old images), the updates append
+    * as new files, ONE commit carries both. `snap` is the already
+    * stats/bloom-pruned probe scan with id columns. Unmatched update
+    * keys simply insert (their vector contribution is empty); a
+    * delete-only batch vectors without staging anything.
+    */
+  private def mergeVectoredTail(spark: SparkSession, root: String,
+                                current: Snapshot, snap: DataFrame,
+                                keys: DataFrame, keyCols: Seq[String],
+                                updates: DataFrame,
+                                partitionCols: Seq[String],
+                                statsCols: Seq[String], operation: String,
+                                noUpserts: Boolean): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val matched = snap.join(keys, keyCols, "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .cache()
+    try {
+      val newCounts = matched.groupBy("file").agg(count(lit(1)).as("n"))
+        .collect().map(r => decodeRel(r.getString(0)) -> r.getLong(1)).toMap
+      if (noUpserts && newCounts.isEmpty) return current.version
+      val liveSet = current.live.toSet
+      val unknown = newCounts.keysIterator.filterNot(liveSet.contains).toSeq
+      require(unknown.isEmpty,
+        s"deletion-vector file id not in the live set: ${unknown.head}")
+      val (adds, ddl) =
+        if (noUpserts) (Seq.empty[String], current.schemaDdl)
+        else stage(updates, root, partitionCols)
+      enforceConstraints(spark, root, adds, ddl, operation)
+      val dvMap: Map[String, DvRef] =
+        if (newCounts.isEmpty) Map.empty
+        else {
+          val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
+          val allRows =
+            if (prev.isEmpty) matched.select("file", "pos")
+            else matched.select("file", "pos")
+              .unionByName(dvRowsFor(spark, root, prev))
+          val sidecarRel = s"$LogDirName/dv/dv_${
+            UUID.randomUUID().toString.replace("-", "").take(16)}"
+          val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
+          val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
+          allRows.repartition(nOut)
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
+          newCounts.map { case (f, n) =>
+            f -> ((sidecarRel,
+              n + current.dvs.get(f).map(_._2).getOrElse(0L)): DvRef) }
+        }
+      def reapSidecar(): Unit = dvMap.values.headOption.foreach { case (sc, _) =>
+        try fileSystem(spark, root).delete(new Path(s"$root/$sc"), true)
+        catch { case _: IOException => () }
+      }
+      try commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
+          if (tailVersion(spark, root, commits) != Some(current.version))
+            throw new java.util.ConcurrentModificationException(
+              s"$operation based on version ${current.version} conflicts " +
+                s"with a concurrent commit at $root — re-run the $operation")
+          // same schema policy as the rewrite path: an unmatched merge's
+          // raw update schema must not narrow the committed table
+          (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
+        }, computeStats(spark, root, adds, statsCols), dv = dvMap)
+      catch { case t: Throwable => reapSidecar(); throw t }
+    } finally { matched.unpersist(); () }
   }
 
   /** Apply a CHANGE-FEED batch (rows tagged `_change_type`

@@ -324,6 +324,54 @@ class TxLogDvSpec extends SparkSpec {
       .toSeq shouldBe Seq((1L, "p1"), (3L, "p2"))
   }
 
+  test("merge mode=vector: upserts without rewriting files, matches rewrite-merge results") {
+    val rootV = tmpRoot(); val rootR = tmpRoot()
+    TxLog.append(spark, base, rootV)
+    TxLog.append(spark, base, rootR)
+    val filesBefore = TxLog.liveSizes(spark, rootV).map(_._1).toSet
+    val batch = Seq((2L, "B2", 222.0), (7L, "g", 70.0)).toDF("id", "s", "v")
+
+    spark.conf.set("spark.graft.merge.mode", "vector")
+    val vm = try TxLog.merge(spark, batch, rootV, Seq("id"), Seq.empty)
+      finally spark.conf.unset("spark.graft.merge.mode")
+    TxLog.merge(spark, batch, rootR, Seq("id"), Seq.empty)
+
+    TxLog.readLatest(spark, rootV).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq shouldBe
+      TxLog.readLatest(spark, rootR).orderBy("id")
+        .as[(Long, String, Double)].collect().toSeq
+    // no original file was rewritten — the matched key's old image is
+    // vectored, not re-encoded
+    filesBefore.subsetOf(
+      TxLog.liveSizes(spark, rootV).map(_._1).toSet) shouldBe true
+    TxLog.dvSummary(spark, rootV)._2 shouldBe 1L
+    // change feed: delete(old image of id=2) + inserts (upsert + new key)
+    val ch = TxLog.readChanges(spark, rootV, fromVersion = vm - 1,
+      toVersion = Some(vm))
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSeq
+    ch.filter(_._3 == "delete") shouldBe Seq((2L, "b", "delete"))
+    ch.filter(_._3 == "insert").map(_._1).sorted shouldBe Seq(2L, 7L)
+  }
+
+  test("applyCdc under merge mode=vector nets and converges without rewrites") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    val changes = Seq(
+      (1L, "a9", 19.0, "insert", 5L),  // update key 1
+      (3L, "c", 30.0, "delete", 5L),   // delete key 3
+      (9L, "i", 90.0, "insert", 5L)    // new key 9
+    ).toDF("id", "s", "v", "_change_type", "_commit_version")
+    spark.conf.set("spark.graft.merge.mode", "vector")
+    try TxLog.applyCdc(spark, changes, root, Seq("id"))
+    finally spark.conf.unset("spark.graft.merge.mode")
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "s").as[(Long, String)].collect().toSeq shouldBe Seq(
+      (1L, "a9"), (2L, "b"), (4L, "d"), (5L, "e"), (6L, "f"), (9L, "i"))
+    // both touched keys (update + delete) are vectored, no file rewritten
+    TxLog.dvSummary(spark, root)._2 shouldBe 2L
+  }
+
   test("SQL surface: DELETE routes through vectors under the conf; DESCRIBE DETAIL reports them") {
     val root = tmpRoot()
     TxLog.append(spark, base, root)

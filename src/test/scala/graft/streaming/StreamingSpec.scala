@@ -227,6 +227,33 @@ class StreamingSpec extends SparkSpec {
     got.toSet shouldBe Set((1L, None), (2L, Some(9L)))
   }
 
+  test("change-feed stream delivers deletion-vector deletes as delete rows") {
+    import graft.lake.TxLog
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-cdc-dv").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-dv-ckpt").toString
+    TxLog.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)  // v0
+    TxLog.deleteVectored(spark, root, col("id") === 2)             // v1
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream
+      .format("graft.streaming.TxLogChangeSourceProvider")
+      .option("root", root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.select("id", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.filter(_._3 == 1L).toSeq shouldBe Seq((2L, "delete", 1L))
+    got.filter(_._3 == 0L).map(_._1).sorted shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("txlog sink refuses to start without a dedup identity") {
     intercept[IllegalArgumentException] {
       new TxLogSinkProvider().createSink(spark.sqlContext,
