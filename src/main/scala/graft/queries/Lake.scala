@@ -861,6 +861,64 @@ object Lake {
         .orderBy("c_mktsegment")
     },
 
+    // Merge-on-read DML (updateVectored + merge.mode=vector): an UPDATE
+    // and a MERGE that never rewrite a data file — old images become
+    // vector positions, new images append — then the read must equal the
+    // declarative replay regardless of mechanism. The oracle applies the
+    // update and the upsert as plain SQL over the fixture; the engine
+    // side additionally pins that NO pre-existing file was rewritten
+    // (the whole point of the mode) before OPTIMIZE materializes.
+    QDef(
+      "q104_vector_dml",
+      """WITH base AS (SELECT o_orderkey, o_orderpriority,
+        |                     CAST(o_totalprice AS DOUBLE) AS price
+        |              FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority,
+        |          CASE WHEN o_orderpriority = '1-URGENT'
+        |               THEN CAST(price * 1.1 AS DOUBLE) ELSE price END AS price
+        |        FROM base),
+        |fin AS (SELECT o_orderkey, o_orderpriority,
+        |          CASE WHEN o_orderkey % 97 = 0 THEN CAST(0.0 AS DOUBLE)
+        |               ELSE price END AS price
+        |        FROM upd)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "vecdml")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+        .repartition(col("o_orderpriority"))
+      TxLog.append(s, orders, root, Seq("o_orderpriority"))            // v0
+      val before = TxLog.liveSizes(s, root).map(_._1).toSet
+
+      TxLog.updateVectored(s, root,                                    // v1
+        col("o_orderpriority") === "1-URGENT",
+        Map("price" -> (col("price") * 1.1)))
+      val batch = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("price", lit(0.0))
+      s.conf.set("spark.graft.merge.mode", "vector")
+      try TxLog.merge(s, batch, root, Seq("o_orderkey"),               // v2
+        Seq("o_orderpriority"))
+      finally s.conf.unset("spark.graft.merge.mode")
+
+      // the mode's contract: every pre-existing file is still live,
+      // untouched — both DMLs only appended and vectored
+      require(before.subsetOf(TxLog.liveSizes(s, root).map(_._1).toSet),
+        "vector DML rewrote a pre-existing file")
+
+      TxLog.readLatest(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("price")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

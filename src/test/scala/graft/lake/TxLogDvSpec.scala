@@ -324,6 +324,16 @@ class TxLogDvSpec extends SparkSpec {
       .toSeq shouldBe Seq((1L, "p1"), (3L, "p2"))
   }
 
+  test("a DV'd read plans a broadcast anti-join — no shuffle enters the scan path") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id") === 2)
+    val plan = TxLog.readLatest(spark, root).queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+    plan should include ("LeftAnti")
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 0
+  }
+
   test("merge mode=vector: upserts without rewriting files, matches rewrite-merge results") {
     val rootV = tmpRoot(); val rootR = tmpRoot()
     TxLog.append(spark, base, rootV)
