@@ -1146,10 +1146,17 @@ object TxLog {
     // rows' positions and append the updates — the CDC-merge shape at
     // 100 TB, where a handful of changed keys per 1 GB file would
     // otherwise re-encode the world. Same pruned probe scan; the
-    // rewrite machinery below is simply skipped.
-    if (spark.conf.getOption("spark.graft.merge.mode").contains("vector"))
-      return mergeVectoredTail(spark, root, current, snap, keys, keyCols,
-        updates, partitionCols, statsCols, operation, noUpserts)
+    // rewrite machinery below is simply skipped. Validated like the
+    // SQL-layer delete/update modes: a typo'd value must not silently
+    // buy the full-rewrite cost the mode exists to avoid.
+    spark.conf.getOption("spark.graft.merge.mode").getOrElse("rewrite") match {
+      case "vector" =>
+        return mergeVectoredTail(spark, root, current, snap, keys, keyCols,
+          updates, partitionCols, statsCols, operation, noUpserts)
+      case "rewrite" => ()
+      case other => throw new IllegalArgumentException(
+        s"unknown spark.graft.merge.mode '$other' (rewrite|vector)")
+    }
     // file-granular match probe: which live files hold a matched key?
     val liveSet = current.live.toSet
     val matchedFiles = snap
@@ -1226,28 +1233,12 @@ object TxLog {
         if (noUpserts) (Seq.empty[String], current.schemaDdl)
         else stage(updates, root, partitionCols)
       enforceConstraints(spark, root, adds, ddl, operation)
-      val dvMap: Map[String, DvRef] =
-        if (newCounts.isEmpty) Map.empty
+      val (sidecarRel, dvMap) =
+        if (newCounts.isEmpty) (None, Map.empty[String, DvRef])
         else {
-          val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
-          val allRows =
-            if (prev.isEmpty) matched.select("file", "pos")
-            else matched.select("file", "pos")
-              .unionByName(dvRowsFor(spark, root, prev))
-          val sidecarRel = s"$LogDirName/dv/dv_${
-            UUID.randomUUID().toString.replace("-", "").take(16)}"
-          val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
-          val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
-          allRows.repartition(nOut)
-            .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
-          newCounts.map { case (f, n) =>
-            f -> ((sidecarRel,
-              n + current.dvs.get(f).map(_._2).getOrElse(0L)): DvRef) }
+          val (sc, m) = writeDvSidecar(spark, root, matched, newCounts, current)
+          (Some(sc), m)
         }
-      def reapSidecar(): Unit = dvMap.values.headOption.foreach { case (sc, _) =>
-        try fileSystem(spark, root).delete(new Path(s"$root/$sc"), true)
-        catch { case _: IOException => () }
-      }
       try commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
           if (tailVersion(spark, root, commits) != Some(current.version))
             throw new java.util.ConcurrentModificationException(
@@ -1257,7 +1248,9 @@ object TxLog {
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
         }, computeStats(spark, root, adds, statsCols), dv = dvMap)
-      catch { case t: Throwable => reapSidecar(); throw t }
+      catch { case t: Throwable =>
+        sidecarRel.foreach(reapSidecar(spark, root, _)); throw t
+      }
     } finally { matched.unpersist(); () }
   }
 
@@ -1401,21 +1394,8 @@ object TxLog {
       val unknown = newCounts.keysIterator.filterNot(liveSet.contains).toSeq
       require(unknown.isEmpty,
         s"deletion-vector file id not in the live set: ${unknown.head}")
-      val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
-      val allRows =
-        if (prev.isEmpty) matched.select("file", "pos")
-        else matched.select("file", "pos")
-          .unionByName(dvRowsFor(spark, root, prev))
-      val sidecarRel = s"$LogDirName/dv/dv_${
-        UUID.randomUUID().toString.replace("-", "").take(16)}"
-      val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
-      // few-million positions per output file: one file for the common
-      // sparse delete, bounded parallelism for a bulk one
-      val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
-      allRows.repartition(nOut)
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
-      val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
-        f -> (sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)) }
+      val (sidecarRel, dvMap) =
+        writeDvSidecar(spark, root, matched, newCounts, current)
       try commitLoop(spark, root, "delete_dv",
         partitionColsOf(spark, root, current), { (commits, _) =>
           // read-modify-write: the union sidecar was computed against
@@ -1430,10 +1410,7 @@ object TxLog {
       catch { case t: Throwable =>
         // the sidecar is referenced by no commit — reap it now rather
         // than leaking an orphan no maintenance pass would reclaim
-        try fileSystem(spark, root)
-          .delete(new Path(s"$root/$sidecarRel"), true)
-        catch { case _: IOException => () }
-        throw t
+        reapSidecar(spark, root, sidecarRel); throw t
       }
     } finally { matched.unpersist(); () }
   }
@@ -1485,33 +1462,24 @@ object TxLog {
       val parts = partitionColsOf(spark, root, current)
       val (adds, ddl) = stage(updated, root, parts)
       enforceConstraints(spark, root, adds, ddl, "update_dv")
-      val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
-      val allRows =
-        if (prev.isEmpty) positions
-        else positions.unionByName(dvRowsFor(spark, root, prev))
-      val sidecarRel = s"$LogDirName/dv/dv_${
-        UUID.randomUUID().toString.replace("-", "").take(16)}"
-      val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
-      val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
-      allRows.repartition(nOut)
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
-      val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
-        f -> (sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)) }
+      val (sidecarRel, dvMap) =
+        writeDvSidecar(spark, root, positions, newCounts, current)
       try commitLoop(spark, root, "update_dv", parts, { (commits, _) =>
           if (tailVersion(spark, root, commits) != Some(current.version))
             throw new java.util.ConcurrentModificationException(
               s"update_dv based on version ${current.version} conflicts " +
                 s"with a concurrent commit at $root — re-run the update")
+          // committedDdl, not the old schema verbatim: a SET whose
+          // expression widens a column's type staged files the old
+          // schema cannot read — the type-conflict check must reject
+          // that BEFORE the commit, exactly like the rewrite path
           (adds, Seq.empty,
-            commits.lastOption.map(_.schemaDdl).getOrElse(current.schemaDdl))
+            committedDdl(spark, commits, ddl, "update_dv", root))
         }, computeStats(spark, root, adds, statsCols), dv = dvMap)
       catch { case t: Throwable =>
         // the sidecar is referenced by no commit; the staged adds become
         // ordinary orphans for cleanOrphans, but the sidecar would leak
-        try fileSystem(spark, root)
-          .delete(new Path(s"$root/$sidecarRel"), true)
-        catch { case _: IOException => () }
-        throw t
+        reapSidecar(spark, root, sidecarRel); throw t
       }
     } finally { matched.unpersist(); () }
   }
@@ -2357,6 +2325,40 @@ object TxLog {
       .parquet(files.map(f => s"$root/$f"): _*)
     applyDv(spark, root, base, snap.dvs.view.filterKeys(files.toSet).toMap)
   }
+
+  /** Write the cumulative sidecar for `newCounts`' files: the new
+    * `positions` (file ENCODED-rel, pos) unioned with those files'
+    * previous vectors. Returns the sidecar's root-relative path and the
+    * dv map for the commit. The caller must [[reapSidecar]] if its
+    * commit never lands — until a commit references it, nothing else
+    * ever reclaims it.
+    */
+  private def writeDvSidecar(spark: SparkSession, root: String,
+                             positions: DataFrame,
+                             newCounts: Map[String, Long],
+                             current: Snapshot): (String, Map[String, DvRef]) = {
+    val prev = current.dvs.view.filterKeys(newCounts.keySet).toMap
+    val allRows =
+      if (prev.isEmpty) positions.select("file", "pos")
+      else positions.select("file", "pos")
+        .unionByName(dvRowsFor(spark, root, prev))
+    val sidecarRel = s"$LogDirName/dv/dv_${
+      UUID.randomUUID().toString.replace("-", "").take(16)}"
+    val totalRows = newCounts.values.sum + prev.values.map(_._2).sum
+    // few-million positions per output file: one file for the common
+    // sparse case, bounded parallelism for a bulk one
+    val nOut = math.max(1, math.min(32, (totalRows / 4000000L).toInt))
+    allRows.repartition(nOut)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$sidecarRel")
+    val dvMap: Map[String, DvRef] = newCounts.map { case (f, n) =>
+      f -> ((sidecarRel, n + current.dvs.get(f).map(_._2).getOrElse(0L)): DvRef) }
+    (sidecarRel, dvMap)
+  }
+
+  private def reapSidecar(spark: SparkSession, root: String,
+                          sidecarRel: String): Unit =
+    try { fileSystem(spark, root).delete(new Path(s"$root/$sidecarRel"), true); () }
+    catch { case _: IOException => () }
 
   /** The data rows of `files` at the `(file, pos)` positions listed in
     * `positions` — the semi-join shared by the change feed's vector

@@ -310,6 +310,21 @@ class TxLogDvSpec extends SparkSpec {
       .count() shouldBe 3L
   }
 
+  test("updateVectored rejects a type-changing SET before committing (no poisoned files)") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    // id is LONG; id / 2 is DOUBLE — committing the staged files under
+    // the old schema would break every later read of them
+    val e = intercept[IllegalArgumentException] {
+      TxLog.updateVectored(spark, root, col("id") === 2,
+        Map("id" -> (col("id") / 2)))
+    }
+    e.getMessage should include ("changes column type")
+    // the refused update left no trace: same rows, no vectors
+    TxLog.readLatest(spark, root).count() shouldBe 6L
+    TxLog.dvSummary(spark, root) shouldBe ((0L, 0L))
+  }
+
   test("updateVectored moves rows across partitions and chains with deleteVectored") {
     val root = tmpRoot()
     val df = Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "p")
