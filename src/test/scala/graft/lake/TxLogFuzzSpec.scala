@@ -6,10 +6,11 @@ import java.nio.file.Files
 
 /** Seeded random-op fuzz over the commit log: a few dozen randomly chosen
   * appends / merges / deletes / updates / CDC batches / compactions /
-  * rollbacks are applied both to the table and to an in-memory model of
-  * row state; after EVERY op the table must equal the model, and at the
-  * end every historical version must still time-travel to its recorded
-  * model state. One test, many op interleavings — the cheap insurance
+  * rollbacks — plus the merge-on-read (deletion-vector) twins of
+  * delete/update/merge — are applied both to the table and to an
+  * in-memory model of row state; after EVERY op the table must equal
+  * the model, and at the end every historical version must still
+  * time-travel to its recorded model state. One test, many op interleavings — the cheap insurance
   * that op combinations nobody wrote a bespoke spec for (merge after
   * rollback after compact, ...) still compose correctly.
   */
@@ -33,9 +34,9 @@ class TxLogFuzzSpec extends SparkSpec {
     model = (1L to 10L).map(k => k -> k.toDouble).toMap
     record(TxLog.append(spark, df(model), root, statsCols = Seq("id")))
 
-    for (step <- 1 to 25) {
+    for (step <- 1 to 35) {
       val keys = (1L to 30L).toVector
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 => // append fresh keys (avoid dup rows in the model)
           val fresh = keys.filter(!model.contains(_))
           if (fresh.nonEmpty) {
@@ -81,6 +82,28 @@ class TxLogFuzzSpec extends SparkSpec {
           val tv = targets(rnd.nextInt(targets.size))
           model = versions(tv)
           record(TxLog.rollback(spark, root, tv))
+        case 7 => // VECTOR delete (merge-on-read twin of case 2)
+          val cut = rnd.nextInt(30).toLong
+          val before = model
+          model = model.filter { case (k, _) => k > cut }
+          if (model != before)
+            record(TxLog.deleteVectored(spark, root, col("id") <= cut))
+        case 8 => // VECTOR update (merge-on-read twin of case 3)
+          val cut = rnd.nextInt(30).toLong
+          if (model.exists(_._1 >= cut)) {
+            model = model.map { case (k, v) =>
+              k -> (if (k >= cut) v + 0.25 else v) }
+            record(TxLog.updateVectored(spark, root, col("id") >= cut,
+              Map("x" -> (col("x") + 0.25))))
+          }
+        case 9 => // VECTOR merge (merge-on-read twin of case 1)
+          val batch = rnd.shuffle(keys).take(4)
+            .map(k => k -> (step * 2000 + k).toDouble).toMap
+          model ++= batch
+          spark.conf.set("spark.graft.merge.mode", "vector")
+          try record(TxLog.merge(spark, df(batch), root,
+            keyCols = Seq("id"), partitionCols = Seq.empty))
+          finally spark.conf.unset("spark.graft.merge.mode")
       }
       withClue(s"after step $step: ") { state() shouldBe model }
     }
