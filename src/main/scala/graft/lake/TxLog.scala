@@ -2296,15 +2296,29 @@ object TxLog {
           "vector deletes on this table")
   }
 
+  /** Deleted-row count at or below which the DV side gets an EXPLICIT
+    * broadcast hint: the commit metadata knows the exact row count, so
+    * the plan guarantee costs nothing — Spark's own size estimation of
+    * the sidecar parquet would usually reach the same plan, but a
+    * mis-estimate here would shuffle the DATA side, the one plan shape
+    * the vector design must never produce. Above the bound (a table
+    * overdue for OPTIMIZE), estimation decides.
+    */
+  private val DvBroadcastRowLimit = 5000000L
+
   private def applyDv(spark: SparkSession, root: String, base: DataFrame,
                       dvs: Map[String, DvRef]): DataFrame = {
     if (dvs.isEmpty) return base
     guardDvProbeCols(base)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     val tagged = base
       .withColumn("__dv_file", relPathExpr(spark, root))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    val dvRows = dvRowsFor(spark, root, dvs)
+    val raw = dvRowsFor(spark, root, dvs)
+    val dvRows =
+      if (dvs.valuesIterator.map(_._2).sum <= DvBroadcastRowLimit)
+        broadcast(raw)
+      else raw
     tagged.join(dvRows,
         tagged("__dv_file") === dvRows("file") &&
           tagged("__dv_pos") === dvRows("pos"), "left_anti")
@@ -2401,7 +2415,11 @@ object TxLog {
     val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
     if (liveDvs.isEmpty) tagged
     else {
-      val dvRows = dvRowsFor(spark, root, liveDvs)
+      val raw = dvRowsFor(spark, root, liveDvs)
+      val dvRows =
+        if (liveDvs.valuesIterator.map(_._2).sum <= DvBroadcastRowLimit)
+          org.apache.spark.sql.functions.broadcast(raw)
+        else raw
       tagged.join(dvRows, tagged("__dv_file") === dvRows("file") &&
         tagged("__dv_pos") === dvRows("pos"), "left_anti")
     }
