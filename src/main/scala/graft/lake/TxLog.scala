@@ -78,7 +78,8 @@ object TxLog {
                           consAdd: Map[String, String] = Map.empty,
                           consDrop: Seq[String] = Seq.empty,
                           dv: Map[String, DvRef] = Map.empty,
-                          dvDrop: Seq[String] = Seq.empty)
+                          dvDrop: Seq[String] = Seq.empty,
+                          metrics: Map[String, Long] = Map.empty)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -140,6 +141,10 @@ object TxLog {
     if (c.dvDrop.nonEmpty) {
       val dd = n.putArray("dvDrop"); c.dvDrop.foreach(dd.add)
     }
+    if (c.metrics.nonEmpty) {
+      val mn = n.putObject("metrics")
+      c.metrics.foreach { case (k, v) => mn.put(k, v) }
+    }
     n.toString
   }
 
@@ -167,11 +172,17 @@ object TxLog {
       b.result()
     }
     val dvDrop = if (n.has("dvDrop")) arr("dvDrop") else Seq.empty[String]
+    val metrics = {
+      val b = Map.newBuilder[String, Long]
+      Option(n.get("metrics")).foreach(_.properties().forEach(e =>
+        b += e.getKey -> e.getValue.asLong()))
+      b.result()
+    }
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
       n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
       Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)),
-      consAdd, consDrop, dv, dvDrop)
+      consAdd, consDrop, dv, dvDrop, metrics)
   }
 
   // -------------------------------------------------------------------
@@ -431,7 +442,8 @@ object TxLog {
                          consAdd: Map[String, String] = Map.empty,
                          consDrop: Seq[String] = Seq.empty,
                          dv: Map[String, DvRef] = Map.empty,
-                         dvDrop: Seq[String] = Seq.empty): Long = {
+                         dvDrop: Seq[String] = Seq.empty,
+                         metrics: Map[String, Long] = Map.empty): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var tailWaitMs = 0L
@@ -477,7 +489,7 @@ object TxLog {
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
-          consAdd, consDrop, dv, dvDrop)
+          consAdd, consDrop, dv, dvDrop, metrics)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -1200,7 +1212,9 @@ object TxLog {
       // live file stages only the update rows, and committing their raw
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols))
+    }, computeStats(spark, root, adds, statsCols),
+      metrics = Map("numMatchedFiles" -> matchedFiles.size.toLong,
+        "numAddedFiles" -> adds.size.toLong))
   }
 
   /** [[mergeImpl]]'s merge-on-read tail: the matched keys' current rows
@@ -1247,7 +1261,9 @@ object TxLog {
           // same schema policy as the rewrite path: an unmatched merge's
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
-        }, computeStats(spark, root, adds, statsCols), dv = dvMap)
+        }, computeStats(spark, root, adds, statsCols), dv = dvMap,
+        metrics = Map("numMatchedRows" -> newCounts.values.sum,
+          "numAddedFiles" -> adds.size.toLong))
       catch { case t: Throwable =>
         sidecarRel.foreach(reapSidecar(spark, root, _)); throw t
       }
@@ -1406,7 +1422,9 @@ object TxLog {
                 s"with a concurrent commit at $root — re-run the delete")
           (Seq.empty, Seq.empty,
             commits.lastOption.map(_.schemaDdl).getOrElse(current.schemaDdl))
-        }, dv = dvMap)
+        }, dv = dvMap,
+        metrics = Map("numDeletedRows" -> newCounts.values.sum,
+          "numVectoredFiles" -> newCounts.size.toLong))
       catch { case t: Throwable =>
         // the sidecar is referenced by no commit — reap it now rather
         // than leaking an orphan no maintenance pass would reclaim
@@ -1475,7 +1493,10 @@ object TxLog {
           // that BEFORE the commit, exactly like the rewrite path
           (adds, Seq.empty,
             committedDdl(spark, commits, ddl, "update_dv", root))
-        }, computeStats(spark, root, adds, statsCols), dv = dvMap)
+        }, computeStats(spark, root, adds, statsCols), dv = dvMap,
+        metrics = Map("numUpdatedRows" -> newCounts.values.sum,
+          "numAddedFiles" -> adds.size.toLong,
+          "numVectoredFiles" -> newCounts.size.toLong))
       catch { case t: Throwable =>
         // the sidecar is referenced by no commit; the staged adds become
         // ordinary orphans for cleanOrphans, but the sidecar would leak
@@ -1571,7 +1592,9 @@ object TxLog {
       // here — kept for uniformity with the other non-replacing commits
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols))
+    }, computeStats(spark, root, adds, statsCols),
+      metrics = Map("numRewrittenFiles" -> matchedFiles.size.toLong,
+        "numAddedFiles" -> adds.size.toLong))
   }
 
   /** New commit restoring the live set (and schema) of `toVersion` —
@@ -2688,7 +2711,9 @@ object TxLog {
           s"compact source ${dvChanged.head} gained/changed a deletion " +
             s"vector concurrently at $root — re-run the compact")
       (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
-    }, computeStats(spark, root, adds, statCols))
+    }, computeStats(spark, root, adds, statCols),
+      metrics = Map("numPackedFiles" -> removed.size.toLong,
+        "numOutputFiles" -> adds.size.toLong))
   }
 
   /** Delete data files NO commit ever referenced — the residue of writers

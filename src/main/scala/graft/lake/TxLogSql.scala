@@ -418,9 +418,9 @@ object TxLogSql {
         val (_, reg) = lookup(spark, ident, sqlText)
         TxLog.history(spark, reg.root).map { c =>
           (c.version, c.operation, new java.sql.Timestamp(c.timestampMs),
-            c.add.size, c.remove.size)
+            c.add.size, c.remove.size, c.metrics)
         }.toDF("version", "operation", "timestamp",
-          "num_added_files", "num_removed_files")
+          "num_added_files", "num_removed_files", "operation_metrics")
 
       case DescribeDetailRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)

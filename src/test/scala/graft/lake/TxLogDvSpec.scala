@@ -397,6 +397,24 @@ class TxLogDvSpec extends SparkSpec {
     TxLog.dvSummary(spark, root)._2 shouldBe 2L
   }
 
+  test("operation metrics ride the commit and surface through DESCRIBE HISTORY") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    TxLog.deleteVectored(spark, root, col("id").isin(1L, 2L))
+    TxLog.updateVectored(spark, root, col("id") === 3, Map("v" -> lit(33.0)))
+    TxLog.compact(spark, root)
+    TxLogSql.register(spark, "m_t", root)
+    try {
+      val hist = TxLogSql.run(spark, "DESCRIBE HISTORY m_t")
+        .select("operation", "operation_metrics")
+        .collect()
+        .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+      hist("delete_dv")("numDeletedRows") shouldBe 2L
+      hist("update_dv")("numUpdatedRows") shouldBe 1L
+      hist("compact")("numPackedFiles") should be >= 1L
+    } finally TxLogSql.unregister(spark, "m_t")
+  }
+
   test("SQL surface: DELETE routes through vectors under the conf; DESCRIBE DETAIL reports them") {
     val root = tmpRoot()
     TxLog.append(spark, base, root)
