@@ -280,7 +280,8 @@ object TxLogSql {
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val VacuumRe =
-    ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+    ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+WHERE\s+(.+?))?""" +
@@ -433,10 +434,22 @@ object TxLogSql {
             "num_small_files", "num_deletion_vectors",
             "deleted_row_count", "partition_columns")
 
-      case VacuumRe(ident, retain, dry) =>
+      case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)
-        val keep = Option(retain).map(_.toInt)
-          .getOrElse(DefaultVacuumKeepVersions)
+        // RETAIN n HOURS (the Delta grammar) maps to a version count:
+        // every version committed inside the window stays fully
+        // readable, resolved against commit timestamps — metadata only
+        val keep = (Option(retain), Option(unit).map(_.toUpperCase)) match {
+          case (Some(n), Some("HOURS")) =>
+            val cutoff = System.currentTimeMillis() - n.toLong * 3600 * 1000
+            val commits = TxLog.history(spark, reg.root)
+            val head = commits.lastOption.map(_.version).getOrElse(-1L)
+            val oldest = commits.find(_.timestampMs >= cutoff)
+              .map(_.version).getOrElse(head)
+            math.max(1L, head - oldest + 1).toInt
+          case (Some(n), _) => n.toInt
+          case _            => DefaultVacuumKeepVersions
+        }
         // DRY RUN lists the victims without deleting (Delta's preview)
         TxLog.vacuum(spark, reg.root, keep, dryRun = dry != null)
           .toDF(if (dry != null) "would_delete_file" else "deleted_file")

@@ -298,6 +298,22 @@ class TxLogSqlSpec extends SparkSpec {
     intercept[Exception] { TxLog.readAt(spark, root, 2L).collect() }
   }
 
+  test("VACUUM RETAIN n HOURS maps the wall-clock window to versions") {
+    val root = fragmentedTable("mnt_vach")
+    TxLogSql.run(spark, "OPTIMIZE mnt_vach") // packs away 4 fragments
+    // everything was committed seconds ago: a 1000-hour window retains
+    // every version, so nothing is reclaimable
+    TxLogSql.run(spark, "VACUUM mnt_vach RETAIN 1000 HOURS DRY RUN")
+      .count() shouldBe 0L
+    // a zero-hour window keeps only the head: the packed-away fragments
+    // become victims, exactly like RETAIN 1 VERSIONS
+    val gone = TxLogSql.run(spark, "VACUUM mnt_vach RETAIN 0 HOURS")
+      .as[String].collect().toSeq
+    gone should have size 4
+    spark.sql("SELECT COUNT(*) FROM mnt_vach").as[Long].head() shouldBe 4L
+    TxLogSql.unregister(spark, "mnt_vach")
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves by wall clock (epoch-ms form)") {
     val root = fragmentedTable("mnt_rst_ts")
     val tsAfterLoad = TxLog.history(spark, root).last.timestampMs
