@@ -1574,11 +1574,23 @@ object TxLog {
 
     val parts = partitionColsOf(spark, root, current)
     // DV-aware read: rows a live deletion vector already removed must not
-    // be resurrected by the rewrite
-    val staged = rewrite(
-      readLiveFiles(spark, root, current.schemaDdl, matchedFiles, current),
-      condition)
+    // be resurrected by the rewrite. The observation rides the staged
+    // write's own job (no second scan) and supplies the matched-row
+    // count, so rewrite- and vector-mode DML record the SAME row-level
+    // metric keys (a monitor keyed on numDeletedRows must not read zero
+    // because a session conf chose the rewrite path).
+    val obs = org.apache.spark.sql.Observation()
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    val src = readLiveFiles(spark, root, current.schemaDdl, matchedFiles,
+        current)
+      .observe(obs, sum(when(coalesce(condition, lit(false)), 1L)
+        .otherwise(0L)).as("n_match"), count(lit(1)).as("n_in"))
+    val staged = rewrite(src, condition)
     val (adds, ddl) = stage(staged, root, parts)
+    val matchedRows = Option(obs.get.getOrElse("n_match", null))
+      .collect { case n: Long => n }.getOrElse(0L)
+    val rowKey =
+      if (operation == "delete") "numDeletedRows" else "numUpdatedRows"
     // UPDATE can SET a row into violation; DELETE only removes rows it
     // never changes, so its survivors stay valid by construction
     if (operation != "delete") enforceConstraints(spark, root, adds, ddl, operation)
@@ -1593,7 +1605,8 @@ object TxLog {
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols),
-      metrics = Map("numRewrittenFiles" -> matchedFiles.size.toLong,
+      metrics = Map(rowKey -> matchedRows,
+        "numRewrittenFiles" -> matchedFiles.size.toLong,
         "numAddedFiles" -> adds.size.toLong))
   }
 
@@ -2842,12 +2855,42 @@ object TxLog {
     (snap.version, sizes, dvs.size.toLong, dvs.valuesIterator.map(_._2).sum)
   }
 
-  def vacuum(spark: SparkSession, root: String, keepLast: Int,
-             dryRun: Boolean = false): Seq[String] = {
-    require(keepLast >= 1, "must retain at least the latest version")
-    val fs = fileSystem(spark, root)
+  /** `VACUUM ... RETAIN n HOURS` (the Delta wall-clock form): keep every
+    * version a timestamp-based read INSIDE the window could resolve to.
+    * `versionAtTimestamp` semantics are at-or-before, so the version
+    * LIVE at the window start must survive too — retaining only the
+    * versions committed after the cutoff would let `TIMESTAMP AS OF` an
+    * in-window instant resolve to a vacuumed live set. One log read
+    * serves both the mapping and the reclamation.
+    */
+  def vacuumRetainHours(spark: SparkSession, root: String, hours: Long,
+                        dryRun: Boolean = false): Seq[String] = {
+    require(hours >= 0, "retention hours must be non-negative")
     val commits = history(spark, root)
     if (commits.isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - hours * 3600 * 1000
+    val head = commits.last.version
+    val keep = commits.filter(_.timestampMs <= cutoff).lastOption match {
+      // the version live AT the window start anchors the window
+      case Some(atCutoff) => math.max(1L, head - atCutoff.version + 1).toInt
+      // whole available log is inside the window: keep everything
+      case None => math.max(1L, head - commits.head.version + 1).toInt
+    }
+    vacuumCore(spark, root, commits, keep, dryRun)
+  }
+
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             dryRun: Boolean = false): Seq[String] = {
+    val commits = history(spark, root)
+    if (commits.isEmpty) return Seq.empty
+    vacuumCore(spark, root, commits, keepLast, dryRun)
+  }
+
+  private def vacuumCore(spark: SparkSession, root: String,
+                         commits: Seq[Commit], keepLast: Int,
+                         dryRun: Boolean): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val fs = fileSystem(spark, root)
     val keepFrom = commits.last.version - keepLast + 1
     val referenced = commits.indices
       .filter(i => commits(i).version >= keepFrom)

@@ -324,14 +324,19 @@ object TxLogSql {
     * grows —
     *
     *   - `DESCRIBE HISTORY t` — the commit log as a DataFrame (version,
-    *     operation, timestamp, file counts)
+    *     operation, timestamp, file counts, operation_metrics — the
+    *     per-commit operational counts each op records, e.g.
+    *     numDeletedRows / numMatchedFiles / numPackedFiles)
     *   - `DESCRIBE DETAIL t` — table health at a glance (location,
-    *     version, live file count/bytes, small-file count, partition
-    *     columns) from one listing pass — the input to "should I
-    *     OPTIMIZE" decisions
-    *   - `VACUUM t [RETAIN n VERSIONS]` — physically delete files only
+    *     version, live file count/bytes, small-file count, deletion-
+    *     vector count and vector-deleted rows, partition columns) from
+    *     one listing pass — the input to "should I OPTIMIZE" decisions
+    *   - `VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]` — physically
+    *     delete files (and superseded deletion-vector sidecars) only
     *     referenced by versions older than the retention window
-    *     ([[TxLog.vacuum]]); returns the deleted paths
+    *     ([[TxLog.vacuum]] / [[TxLog.vacuumRetainHours]] — the hours
+    *     form keeps every version a TIMESTAMP AS OF inside the window
+    *     can resolve to); returns the deleted paths; `DRY RUN` previews
     *   - `OPTIMIZE t [WHERE part = 'x' AND ...]` — bin-pack small files
     *     ([[TxLog.compact]]); the WHERE is a PARTITION scope (matched
     *     against directory names before any listing), the form every
@@ -436,23 +441,20 @@ object TxLogSql {
 
       case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)
-        // RETAIN n HOURS (the Delta grammar) maps to a version count:
-        // every version committed inside the window stays fully
-        // readable, resolved against commit timestamps — metadata only
-        val keep = (Option(retain), Option(unit).map(_.toUpperCase)) match {
+        // DRY RUN lists the victims without deleting (Delta's preview);
+        // RETAIN n HOURS resolves wall clock -> versions inside TxLog
+        // (one log read serves the mapping and the reclamation)
+        val victims = (Option(retain), Option(unit).map(_.toUpperCase)) match {
           case (Some(n), Some("HOURS")) =>
-            val cutoff = System.currentTimeMillis() - n.toLong * 3600 * 1000
-            val commits = TxLog.history(spark, reg.root)
-            val head = commits.lastOption.map(_.version).getOrElse(-1L)
-            val oldest = commits.find(_.timestampMs >= cutoff)
-              .map(_.version).getOrElse(head)
-            math.max(1L, head - oldest + 1).toInt
-          case (Some(n), _) => n.toInt
-          case _            => DefaultVacuumKeepVersions
+            TxLog.vacuumRetainHours(spark, reg.root, n.toLong,
+              dryRun = dry != null)
+          case (Some(n), _) =>
+            TxLog.vacuum(spark, reg.root, n.toInt, dryRun = dry != null)
+          case _ =>
+            TxLog.vacuum(spark, reg.root, DefaultVacuumKeepVersions,
+              dryRun = dry != null)
         }
-        // DRY RUN lists the victims without deleting (Delta's preview)
-        TxLog.vacuum(spark, reg.root, keep, dryRun = dry != null)
-          .toDF(if (dry != null) "would_delete_file" else "deleted_file")
+        victims.toDF(if (dry != null) "would_delete_file" else "deleted_file")
 
       case OptimizeRe(ident, whereText, zorderCols) =>
         val (name, reg) = lookup(spark, ident, sqlText)

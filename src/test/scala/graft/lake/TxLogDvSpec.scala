@@ -405,6 +405,10 @@ class TxLogDvSpec extends SparkSpec {
     TxLog.compact(spark, root)
     TxLogSql.register(spark, "m_t", root)
     try {
+      // rewrite-mode DML records the SAME row-level keys as vector mode
+      // (a metrics consumer must not read zero because of a mode conf)
+      TxLog.delete(spark, root, col("id") === 4)
+      TxLog.update(spark, root, col("id") >= 5, Map("v" -> lit(0.0)))
       val hist = TxLogSql.run(spark, "DESCRIBE HISTORY m_t")
         .select("operation", "operation_metrics")
         .collect()
@@ -412,6 +416,8 @@ class TxLogDvSpec extends SparkSpec {
       hist("delete_dv")("numDeletedRows") shouldBe 2L
       hist("update_dv")("numUpdatedRows") shouldBe 1L
       hist("compact")("numPackedFiles") should be >= 1L
+      hist("delete")("numDeletedRows") shouldBe 1L
+      hist("update")("numUpdatedRows") shouldBe 2L
     } finally TxLogSql.unregister(spark, "m_t")
   }
 

@@ -314,6 +314,30 @@ class TxLogSqlSpec extends SparkSpec {
     TxLogSql.unregister(spark, "mnt_vach")
   }
 
+  test("VACUUM RETAIN n HOURS keeps the version live at the window start (in-window time travel survives)") {
+    val root = Files.createTempDirectory("graft-vach2").toString
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v0
+    TxLogSql.register(spark, "mnt_vach2", root)
+    try {
+      TxLogSql.execute(spark, "DELETE FROM mnt_vach2 WHERE id = 1")     // v1 rewrites
+      // backdate: v0 five hours old, v1 one hour old — a 2-hour window
+      // starts INSIDE v0's reign, so v0's files must survive the vacuum
+      val now = System.currentTimeMillis()
+      Seq(0L -> (now - 5 * 3600 * 1000L), 1L -> (now - 1 * 3600 * 1000L))
+        .foreach { case (v, ts) =>
+          val p = java.nio.file.Paths.get(f"$root/_txlog/$v%020d.json")
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          java.nio.file.Files.write(p, s.replaceAll(
+            "\"timestampMs\":\\d+", s""""timestampMs":$ts""").getBytes("UTF-8"))
+        }
+      TxLogSql.run(spark, "VACUUM mnt_vach2 RETAIN 2 HOURS")
+        .count() shouldBe 0L // v0 anchors the window: nothing reclaimable
+      // the in-window instant (90 min ago) still resolves and reads v0
+      TxLog.readAtTimestamp(spark, root,
+        now - 90 * 60 * 1000L).count() shouldBe 2L
+    } finally TxLogSql.unregister(spark, "mnt_vach2")
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves by wall clock (epoch-ms form)") {
     val root = fragmentedTable("mnt_rst_ts")
     val tsAfterLoad = TxLog.history(spark, root).last.timestampMs
