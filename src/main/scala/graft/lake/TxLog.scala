@@ -1059,7 +1059,8 @@ object TxLog {
                         deleteKeys: Option[DataFrame], root: String,
                         keyCols: Seq[String], partitionCols: Seq[String],
                         statsCols: Seq[String], operation: String,
-                        noUpserts: Boolean): Long = {
+                        noUpserts: Boolean,
+                        extraMetrics: Map[String, Long] = Map.empty): Long = {
     require(keyCols.nonEmpty, s"$operation needs key columns")
     import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
     // every key this operation touches: upserted + deleted
@@ -1164,7 +1165,8 @@ object TxLog {
     spark.conf.getOption("spark.graft.merge.mode").getOrElse("rewrite") match {
       case "vector" =>
         return mergeVectoredTail(spark, root, current, snap, keys, keyCols,
-          updates, partitionCols, statsCols, operation, noUpserts)
+          updates, partitionCols, statsCols, operation, noUpserts,
+          extraMetrics)
       case "rewrite" => ()
       case other => throw new IllegalArgumentException(
         s"unknown spark.graft.merge.mode '$other' (rewrite|vector)")
@@ -1213,8 +1215,9 @@ object TxLog {
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols),
-      metrics = Map("numMatchedFiles" -> matchedFiles.size.toLong,
-        "numAddedFiles" -> adds.size.toLong))
+      metrics = extraMetrics ++
+        Map("numMatchedFiles" -> matchedFiles.size.toLong,
+          "numAddedFiles" -> adds.size.toLong))
   }
 
   /** [[mergeImpl]]'s merge-on-read tail: the matched keys' current rows
@@ -1230,7 +1233,8 @@ object TxLog {
                                 updates: DataFrame,
                                 partitionCols: Seq[String],
                                 statsCols: Seq[String], operation: String,
-                                noUpserts: Boolean): Long = {
+                                noUpserts: Boolean,
+                                extraMetrics: Map[String, Long]): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val matched = snap.join(keys, keyCols, "left_semi")
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
@@ -1262,8 +1266,9 @@ object TxLog {
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
         }, computeStats(spark, root, adds, statsCols), dv = dvMap,
-        metrics = Map("numMatchedRows" -> newCounts.values.sum,
-          "numAddedFiles" -> adds.size.toLong))
+        metrics = extraMetrics ++
+          Map("numMatchedRows" -> newCounts.values.sum,
+            "numAddedFiles" -> adds.size.toLong))
       catch { case t: Throwable =>
         sidecarRel.foreach(reapSidecar(spark, root, _)); throw t
       }
@@ -1341,7 +1346,11 @@ object TxLog {
       val deleteKeys = cached.filter(col("_change_type") === "delete")
         .select(keyCols.map(col): _*)
       mergeImpl(spark, upserts, Some(deleteKeys), root, keyCols,
-        partitionCols, statsCols, "merge_cdc", noUpserts = nUps == 0L)
+        partitionCols, statsCols, "merge_cdc", noUpserts = nUps == 0L,
+        // the netted feed composition — the numbers a replication
+        // monitor wants per applied batch
+        extraMetrics = Map("numFeedUpserts" -> nUps,
+          "numFeedDeletes" -> nDel))
     } finally { cached.unpersist(); () }
   }
 

@@ -397,6 +397,46 @@ class TxLogDvSpec extends SparkSpec {
     TxLog.dvSummary(spark, root)._2 shouldBe 2L
   }
 
+  test("racing vector deletes: one wins, the loser conflicts and succeeds on retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    TxLog.append(spark, base.repartition(1), root)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def attempt(cond: org.apache.spark.sql.Column): Future[Boolean] = Future {
+      gate.await()
+      try { TxLog.deleteVectored(spark, root, cond); true }
+      catch { case _: java.util.ConcurrentModificationException => false }
+    }
+    val (a, b) = (attempt(col("id") <= 2), attempt(col("id") >= 5))
+    val results = Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+    // exactly one side may lose (both can win if one commits before the
+    // other resolves); every loser retries cleanly against the new state
+    if (!results(0)) TxLog.deleteVectored(spark, root, col("id") <= 2)
+    if (!results(1)) TxLog.deleteVectored(spark, root, col("id") >= 5)
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L)
+    // no orphan sidecars: every dv dir on disk is referenced by a commit
+    val refd = TxLog.history(spark, root)
+      .flatMap(_.dv.valuesIterator.map(_._1)).toSet
+    val onDisk = Option(new java.io.File(s"$root/_txlog/dv").listFiles())
+      .getOrElse(Array.empty).map(f => s"_txlog/dv/${f.getName}").toSet
+    onDisk shouldBe refd
+  }
+
+  test("applyCdc records the netted feed composition in the commit metrics") {
+    val root = tmpRoot()
+    TxLog.append(spark, base, root)
+    val changes = Seq(
+      (1L, "a9", 19.0, "insert"), (3L, "c", 30.0, "delete")
+    ).toDF("id", "s", "v", "_change_type")
+    TxLog.applyCdc(spark, changes, root, Seq("id"))
+    val m = TxLog.history(spark, root).last.metrics
+    m("numFeedUpserts") shouldBe 1L
+    m("numFeedDeletes") shouldBe 1L
+  }
+
   test("operation metrics ride the commit and surface through DESCRIBE HISTORY") {
     val root = tmpRoot()
     TxLog.append(spark, base, root)
