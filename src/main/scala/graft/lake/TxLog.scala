@@ -2079,7 +2079,10 @@ object TxLog {
     // vacuum guard BEFORE any scan: in-range files + in-range sidecars +
     // the pre-range sidecars the remove/shrink paths below will read
     val preRangeSidecars = {
-      val touched = commits.flatMap(c => c.remove ++ c.dvDrop).toSet
+      // the GROW delta path also reads the pre-range sidecar for files
+      // whose vector grows in-range (c.dv minus same-commit adds)
+      val touched = commits.flatMap(c =>
+        c.remove ++ c.dvDrop ++ (c.dv.keySet -- c.add.toSet)).toSet
       dvState.view.filterKeys(touched).valuesIterator.map(_._1).toSeq
     }
     val missing = (commits.flatMap(c =>
@@ -2879,11 +2882,12 @@ object TxLog {
     if (commits.isEmpty) return Seq.empty
     val cutoff = System.currentTimeMillis() - hours * 3600 * 1000
     val head = commits.last.version
+    def clamp(n: Long): Int = math.min(Int.MaxValue.toLong, math.max(1L, n)).toInt
     val keep = commits.filter(_.timestampMs <= cutoff).lastOption match {
       // the version live AT the window start anchors the window
-      case Some(atCutoff) => math.max(1L, head - atCutoff.version + 1).toInt
+      case Some(atCutoff) => clamp(head - atCutoff.version + 1)
       // whole available log is inside the window: keep everything
-      case None => math.max(1L, head - commits.head.version + 1).toInt
+      case None => clamp(head - commits.head.version + 1)
     }
     vacuumCore(spark, root, commits, keep, dryRun)
   }

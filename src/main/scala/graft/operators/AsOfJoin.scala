@@ -44,6 +44,21 @@ object AsOfJoin {
         case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
         case _ => col(c).cast("long")
       }
+    // Each side normalizes by its own type, so a DateType column (epoch
+    // DAYS) against a timestamp column (epoch MICROS) would silently
+    // compare incommensurate units and produce nonsense matches — reject
+    // mixed unit families up front.
+    def unitFamily(df: DataFrame, c: String): String =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => "timestamp (micros)"
+        case org.apache.spark.sql.types.DateType => "date (days)"
+        case _ => "numeric (own units)"
+      }
+    val (lFam, rFam) = (unitFamily(left, leftTime), unitFamily(right, rightTime))
+    require(lFam == rFam,
+      s"as-of time columns must share a unit family: left '$leftTime' is " +
+        s"$lFam but right '$rightTime' is $rFam — cast one side first")
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(key).as("__k"), asLong(left, leftTime).as("__t"),

@@ -162,6 +162,28 @@ class TxLogDvSpec extends SparkSpec {
       .sorted shouldBe Seq(1L, 3L, 5L, 6L)
   }
 
+  test("CDC feed fails loudly when the GROW path's pre-range sidecar was vacuumed") {
+    val root = tmpRoot()
+    // one data file so the second delete GROWS the first delete's vector
+    TxLog.append(spark, base.coalesce(1), root)
+    val v1 = TxLog.deleteVectored(spark, root, col("id") === 2)
+    TxLog.deleteVectored(spark, root, col("id") === 4)
+    // the grow delta at v2 reads v1's (now superseded) sidecar to subtract
+    // already-emitted deletes; reap it by hand, as a vacuum would
+    val s1 = TxLog.history(spark, root).find(_.version == v1)
+      .get.dv.valuesIterator.map(_._1).toSeq
+    s1 should not be empty
+    s1.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(p, true) shouldBe true
+    }
+    val err = intercept[IllegalArgumentException] {
+      TxLog.readChanges(spark, root, fromVersion = v1).collect()
+    }
+    err.getMessage should include("needs vacuumed")
+  }
+
   test("clone carries vectors; vacuum reaps superseded sidecars but keeps live ones") {
     val root = tmpRoot()
     // one data file, so the second delete's cumulative sidecar supersedes

@@ -70,6 +70,21 @@ class AsOfJoinSpec extends SparkSpec {
     tightRows.count(_._2.isDefined).toLong shouldBe inTolLoose
   }
 
+  test("mixed unit families (date vs timestamp) are rejected") {
+    val leftDate = purchases.withColumn("d", col("ts").cast("date"))
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(leftDate, clicks.withColumn("click_ts", col("ts")),
+        key = "user_id", leftTime = "d", rightTime = "ts",
+        rightValues = Seq("click_id"))
+    }
+    err.getMessage should include("unit family")
+    // same family on both sides (date/date) still works
+    val rightDate = clicks.withColumn("d", col("ts").cast("date"))
+    AsOfJoin.asOf(leftDate, rightDate, key = "user_id",
+      leftTime = "d", rightTime = "d", rightValues = Seq("click_id"))
+      .count() should be > 0L
+  }
+
   test("plan shape: one hash shuffle, no nested loop") {
     val df = AsOfJoin.asOf(purchases,
       clicks.withColumn("click_ts", col("ts")),
