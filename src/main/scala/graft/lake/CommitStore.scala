@@ -1,0 +1,167 @@
+package graft.lake
+
+import java.io.IOException
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The commit-claim primitive behind [[TxLog]]'s optimistic concurrency,
+  * extracted as a seam because the ACID guarantee is exactly as strong as
+  * this one operation: whoever can make "create version file v if absent"
+  * atomic owns snapshot isolation, and a store that silently CAN'T (the
+  * S3-class object stores — last-writer-wins PUT, no compare-and-swap on
+  * a key) must be told so loudly rather than losing racing commits.
+  *
+  * The split mirrors the LogStore / commit-coordinator seam every
+  * log-based table format grew for the same reason: data files and
+  * derived state (checkpoints, DV sidecars, bloom indexes) go to the
+  * plain filesystem — they are written once under names only a committed
+  * log entry references, so they need no atomicity — while the LOG ENTRY
+  * claim, and the reads/listings that recover log state, go through the
+  * store. A deployment whose lake lives on an object store implements
+  * this trait against an external CAS (a DynamoDB-style coordinator
+  * table, a database row, a ZK node) and installs it with
+  * [[CommitStore.install]]; everything above the seam is unchanged.
+  */
+trait CommitStore {
+
+  /** Atomically create `p` with `bytes` iff absent; false on a lost race.
+    * MUST be a real compare-and-swap: two concurrent claims of the same
+    * path must never both return true.
+    */
+  def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean
+
+  /** Full contents of log entry `p`. */
+  def read(fs: FileSystem, p: Path): Array[Byte]
+
+  /** Entries of the log directory `dir` (empty when absent). */
+  def list(fs: FileSystem, dir: Path): Seq[Path]
+}
+
+/** Default store: the data filesystem itself supplies the atomic
+  * create-if-absent.
+  *
+  *  - `file:` — Hadoop's local create(overwrite=false) is check-then-
+  *    create, NOT atomic (two racing writers can both "win"; caught by
+  *    the concurrent-append spec under load), so the claim is a POSIX
+  *    hard link of a fully-written hidden temp: O(1), atomic, fails if
+  *    the target exists, and the commit is content-complete the instant
+  *    it becomes visible.
+  *  - HDFS-family schemes — create(overwrite=false) is an atomic
+  *    namespace operation and is used directly; there the visible-
+  *    before-written window exists, which [[TxLog]]'s in-flight-tail
+  *    handling covers.
+  *  - Anything else (s3/s3a/gs/...) — REFUSED. Plain create on an
+  *    eventually-CAS-less object store would turn every version race
+  *    into a silently lost commit; the error tells the operator to
+  *    install a CAS-backed [[CommitStore]] instead.
+  */
+object FsCommitStore extends CommitStore {
+
+  /** Schemes whose create(overwrite=false) is an atomic namespace op. */
+  private val AtomicCreateSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "abfs", "abfss", "ofs", "o3fs")
+
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    fs.getUri.getScheme match {
+      case "file" =>
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally fs.delete(tmp, false)
+      case s if AtomicCreateSchemes(s) =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: IOException => false }
+      case s =>
+        throw new UnsupportedOperationException(
+          s"filesystem scheme '$s' has no atomic create-if-absent: a " +
+            s"commit claim through it could silently lose a racing " +
+            s"writer's commit. Install a CAS-backed CommitStore for this " +
+            s"table root (CommitStore.install) backed by an external " +
+            s"coordinator (e.g. a DynamoDB-style conditional put).")
+    }
+
+  override def read(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  override def list(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+}
+
+object CommitStore {
+
+  // longest-prefix match on the table root so one JVM can serve tables on
+  // mixed stores (a local scratch table next to an object-store lake)
+  private val byPrefix = new ConcurrentHashMap[String, CommitStore]()
+
+  /** Route every log-entry claim/read/list under `rootPrefix` through
+    * `store`. Prefix-matched against the path string and its URI path,
+    * longest prefix wins.
+    */
+  def install(rootPrefix: String, store: CommitStore): Unit =
+    byPrefix.put(rootPrefix, store)
+
+  def uninstall(rootPrefix: String): Unit = byPrefix.remove(rootPrefix)
+
+  def forPath(p: Path): CommitStore = {
+    if (byPrefix.isEmpty) return FsCommitStore
+    val s = p.toString
+    val u = p.toUri.getPath
+    var best: CommitStore = FsCommitStore
+    var bestLen = -1
+    byPrefix.forEach { (prefix, store) =>
+      if ((s.startsWith(prefix) || (u != null && u.startsWith(prefix))) &&
+          prefix.length > bestLen) {
+        best = store; bestLen = prefix.length
+      }
+    }
+    best
+  }
+}
+
+/** In-memory compare-and-swap standing in for an external commit
+  * coordinator: the claim races are decided by `putIfAbsent` on a shared
+  * map (a genuine CAS), and the WINNER then writes the entry through to
+  * the filesystem — single writer, so the plain create can't race.
+  * Reads/listings stay on the filesystem, where the winner's
+  * write-through put them. This is exactly the shape of a
+  * DynamoDB-style S3 commit coordinator, scoped to one JVM — which makes
+  * it both the test double proving the seam carries the guarantee and
+  * the template for a real object-store implementation.
+  */
+final class CasOverlayCommitStore extends CommitStore {
+
+  private val claimed = new ConcurrentHashMap[String, Boolean]()
+
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    if (claimed.putIfAbsent(p.toUri.getPath, true) != null) false
+    else {
+      // won the CAS: write through (plain create is safe — single writer)
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+      true
+    }
+
+  override def read(fs: FileSystem, p: Path): Array[Byte] =
+    FsCommitStore.read(fs, p)
+
+  override def list(fs: FileSystem, dir: Path): Seq[Path] =
+    FsCommitStore.list(fs, dir)
+
+  def claimCount: Int = claimed.size()
+}

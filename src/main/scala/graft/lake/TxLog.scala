@@ -38,9 +38,11 @@ import java.util.UUID
   *     create(overwrite=false) throws, it re-reads the log (recomputing
   *     its remove set against the winner's state) and retries at the next
   *     version — optimistic concurrency with file-level conflict
-  *     granularity. Atomic create-if-absent holds on HDFS and local FS;
-  *     object stores without it need the usual external CAS (same caveat
-  *     as every log-based format).
+  *     granularity. The claim is a pluggable [[CommitStore]]: local FS
+  *     and HDFS-family schemes get a native atomic create-if-absent
+  *     ([[FsCommitStore]]); object stores without one must install a
+  *     CAS-backed store ([[CommitStore.install]]) and are REFUSED
+  *     (loudly, at claim time) rather than silently losing races.
   *  3. REMOVED files are not physically deleted — old snapshots stay
   *     readable for time travel ([[readAt]]) and [[rollback]] — until an
   *     explicit [[vacuum]] reclaims versions older than a retention
@@ -209,10 +211,10 @@ object TxLog {
                          afterVersion: Long = -1L): Seq[(String, Option[Commit])] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .filter { st =>
-        st.getPath.getName match {
+    val store = CommitStore.forPath(dir)
+    store.list(fs, dir)
+      .filter { p =>
+        p.getName match {
           // version bound applied at the LISTING, before any file is
           // opened — this is what makes checkpointed resolution O(tail)
           // reads instead of O(log length)
@@ -220,13 +222,12 @@ object TxLog {
           case _          => false
         }
       }
-      .sortBy(_.getPath.getName)
-      .map { st =>
+      .sortBy(_.getName)
+      .map { p =>
         val parsed = scala.util.Try {
-          val in = fs.open(st.getPath)
-          try fromJson(new String(in.readAllBytes(), UTF_8)) finally in.close()
+          fromJson(new String(store.read(fs, p), UTF_8))
         }.toOption
-        st.getPath.getName -> parsed
+        p.getName -> parsed
       }
   }
 
@@ -492,7 +493,7 @@ object TxLog {
           consAdd, consDrop, dv, dvDrop, metrics)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
-        if (atomicClaim(fs, p, toJson(c).getBytes(UTF_8))) {
+        if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
           if ((version + 1) % CheckpointInterval == 0)
@@ -507,39 +508,6 @@ object TxLog {
     }
     -1L // unreachable
   }
-
-  /** Atomically claim the commit file `p` with `bytes`, returning false on
-    * a lost race. Hadoop's LOCAL create(overwrite=false) is check-then-
-    * create — NOT atomic (two racing writers can both "win" and one commit
-    * is silently lost; caught by the concurrent-append spec under load) —
-    * so on file: URIs the claim is a POSIX hard link of a fully-written
-    * hidden temp (O(1), atomic, fails if the target exists, and the commit
-    * is content-complete the instant it becomes visible). On HDFS-style
-    * stores create(overwrite=false) is an atomic namespace operation and
-    * is used directly; there the visible-before-written window exists,
-    * which the in-flight-tail handling covers.
-    */
-  private def atomicClaim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
-    if ("file".equals(fs.getUri.getScheme)) {
-      val tmp = new Path(p.getParent,
-        s".${p.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(p.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally fs.delete(tmp, false)
-    } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch { case _: IOException => false }
-    }
 
   /** Commit-time schema policy for APPEND-family writes (append /
     * appendIdempotent / appendChecked / upsertPartitions — everything
@@ -2218,7 +2186,7 @@ object TxLog {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     require(fs.exists(dir), s"not a txlog table: $root")
-    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
     val ckptVersion = names.collect { case CkptFile(v) => v.toLong }
       .filter(v => upTo.forall(v <= _)).maxOption
     val base = ckptVersion.map { v =>

@@ -83,6 +83,13 @@ object Similarity {
     exactMemo.clear()
   }
 
+  /** Memo occupancy (frames, codebooks, exact-contract rows) — lets the
+    * cleanup spec assert [[clearCache]] really empties every cross-query
+    * cache, exactMemo included.
+    */
+  private[queries] def cachedEntryCounts: (Int, Int, Int) =
+    (memo.size, pqMemo.size, exactMemo.size)
+
   /** Corpus with per-row norm, projected once before any pairwise stage. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     withNorms(s, dir).select(col("vec_id").as("cand_id"), col("embedding"),

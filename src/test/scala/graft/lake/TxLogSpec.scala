@@ -124,6 +124,82 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 6L
   }
 
+  test("concurrent appends hold through an installed CAS CommitStore") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    val store = new CasOverlayCommitStore
+    CommitStore.install(root, store)
+    try {
+      val futures = (0 until 6).map { i =>
+        Future(TxLog.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
+      }
+      val versions = Await.result(Future.sequence(futures), 120.seconds)
+      versions.sorted shouldBe (0L until 6L)
+      TxLog.readLatest(spark, root).count() shouldBe 6L
+      // the race really went through the seam, not the default FS claim
+      store.claimCount shouldBe 6
+    } finally CommitStore.uninstall(root)
+  }
+
+  test("a non-atomic CommitStore loses a racing commit — the seam carries the guarantee") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    // deliberately broken double: check-then-create with a rendezvous in
+    // the TOCTOU window, so two racing claims of the same version BOTH
+    // "win". If the commit protocol above the seam could mask this, the
+    // assertions below would fail — proving correctness flows from the
+    // store's CAS, not from luck in the retry loop.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val broken = new CommitStore {
+      override def claim(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path,
+                         bytes: Array[Byte]): Boolean = {
+        if (fs.exists(p)) return false
+        try barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Exception => () } // lone claimer: proceed anyway
+        val out = fs.create(p, true) // overwrite=true: last writer wins
+        try out.write(bytes) finally out.close()
+        true
+      }
+      override def read(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Array[Byte] =
+        FsCommitStore.read(fs, p)
+      override def list(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        FsCommitStore.list(fs, dir)
+    }
+    CommitStore.install(root, broken)
+    try {
+      val futures = (0 until 2).map { i =>
+        Future(TxLog.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
+      }
+      val versions = Await.result(Future.sequence(futures), 120.seconds)
+      // both writers believe they committed version 0...
+      versions.toSet shouldBe Set(0L)
+      // ...and one append is silently gone: the lost update this store
+      // family causes, and the reason FsCommitStore refuses such schemes
+      TxLog.readLatest(spark, root).count() shouldBe 1L
+    } finally CommitStore.uninstall(root)
+  }
+
+  test("FsCommitStore refuses schemes without atomic create-if-absent") {
+    val fakeS3 = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    fakeS3.setConf(spark.sparkContext.hadoopConfiguration)
+    val err = intercept[UnsupportedOperationException] {
+      FsCommitStore.claim(fakeS3,
+        new org.apache.hadoop.fs.Path("/tmp/never-written.json"),
+        Array[Byte](1))
+    }
+    err.getMessage should include("atomic create-if-absent")
+    err.getMessage should include("CommitStore.install")
+  }
+
   test("vacuum reclaims files outside the retention window, keeps retained versions readable") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)       // v0

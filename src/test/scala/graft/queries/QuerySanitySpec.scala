@@ -65,4 +65,19 @@ class QuerySanitySpec extends SparkSpec {
   test("entry returns rows (driver smoke check)") {
     SparkEntry.entry(spark).count() should be > 0L
   }
+
+  test("Similarity.clearCache empties every cross-query memo, exactMemo included") {
+    val dir = sf("sf0.001")
+    Similarity.annWarmup(spark, dir)
+    val (frames, codebooks, exact) = Similarity.cachedEntryCounts
+    frames should be > 0
+    codebooks should be > 0
+    exact should be > 0
+    // relative: other suites' caches may legitimately be live in the
+    // shared session — only Similarity's frames must leave storage
+    val beforeClear = spark.sparkContext.getPersistentRDDs.size
+    Similarity.clearCache()
+    Similarity.cachedEntryCounts shouldBe ((0, 0, 0))
+    spark.sparkContext.getPersistentRDDs.size should be < beforeClear
+  }
 }
