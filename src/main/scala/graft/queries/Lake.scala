@@ -919,6 +919,82 @@ object Lake {
         .orderBy("o_orderpriority")
     },
 
+    // Streaming tier, driver-pinned for the first time: the commit log's
+    // change feed STREAMED under Trigger.AvailableNow — capped to one
+    // commit per micro-batch to exercise admission control and the
+    // pinned-head drain — through the exactly-once txlog SINK into a
+    // second ACID table, whose final state the oracle replays
+    // declaratively from the fixture (q74's feed shape, extended to v0).
+    // A wrong offset advance (skipped/duplicated batch), a broken
+    // backpressure cap, or a sink dedup failure all change the sink's
+    // contents and turn this row red. Scale shape: each micro-batch costs
+    // the CHANGED bytes of one commit (no table rescan) and commits as
+    // one sink version — the 100 TB incremental-pipeline loop.
+    QDef(
+      "q105_stream_drain",
+      """WITH bld AS (SELECT c_mktsegment, c_acctbal FROM customer
+        |             WHERE c_mktsegment = 'BUILDING'),
+        |ch AS (
+        |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+        |         c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(1 AS BIGINT), c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), c_mktsegment, c_acctbal FROM bld
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), c_mktsegment, c_acctbal + 100
+        |  FROM bld)
+        |SELECT change_type, commit_version, c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val srcRoot = Tables.scratch(dir, "sdrain_src")
+      val sinkRoot = Tables.scratch(dir, "sdrain_sink")
+      val ckpt = Tables.scratch(dir, "sdrain_ckpt")
+      val fs = new Path(srcRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcRoot, sinkRoot, ckpt).foreach { r =>
+        val p = new Path(r); if (fs.exists(p)) fs.delete(p, true)
+      }
+
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+        .repartition(col("c_mktsegment"))
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 0),
+        srcRoot, Seq("c_mktsegment"))                             // v0
+      TxLog.append(s, cust.filter(col("c_custkey") % 2 === 1),
+        srcRoot, Seq("c_mktsegment"))                             // v1
+      TxLog.upsertPartitions(s,                                   // v2
+        cust.filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") + 100),
+        srcRoot, Seq("c_mktsegment"))
+
+      val q = s.readStream
+        .format("graft.streaming.TxLogChangeSourceProvider")
+        .option("root", srcRoot)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .writeStream
+        .format("graft.streaming.TxLogSinkProvider")
+        .option("root", sinkRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        s"q105 stream drain did not finish: $srcRoot -> $sinkRoot")
+
+      TxLog.readLatest(s, sinkRoot)
+        .groupBy("change_type", "commit_version", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("change_type", "commit_version", "c_mktsegment")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
