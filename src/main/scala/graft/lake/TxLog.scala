@@ -3,7 +3,7 @@ package graft.lake
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.io.IOException
 import java.nio.charset.StandardCharsets.UTF_8
@@ -886,6 +886,43 @@ object TxLog {
       partitionColsOf(spark, root, current),
       (_, _) => (Seq.empty, Seq.empty, current.schemaDdl),
       consDrop = Seq(name))
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit — the
+    * explicit twin of the write-path merge evolution ([[committedDdl]]),
+    * matching the reference's add-column catalog step
+    * (staging_to_curated.py:152-168, `wr.catalog.add_column`). Types are
+    * clamped to the catalog whitelist like O-23's write-side evolution
+    * ([[CatalogOps.clampType]] — struct/array/map degrade to string);
+    * existing columns are never altered or dropped, so every
+    * already-written file stays readable (its rows read NULL for the new
+    * columns, exactly like files that predate a write-side evolution).
+    * No data file is touched: the commit carries only the widened DDL.
+    */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[(String, String)]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val current = resolve(spark, root, None)
+    val cur = StructType.fromDDL(current.schemaDdl)
+    val evolved = cols.foldLeft(cur) { case (acc, (n, t)) =>
+      require(!acc.exists(_.name.equalsIgnoreCase(n)),
+        s"column $n already exists on $root")
+      val clamped = CatalogOps.clampType(t)
+      val dt = StructType.fromDDL(s"`$n` $clamped").head.dataType
+      acc.add(StructField(n, dt))
+    }
+    commitLoop(spark, root, "addColumns",
+      partitionColsOf(spark, root, current), { (commits, _) =>
+        // the widened DDL was computed against `current`; a write racing
+        // in between may itself have evolved the schema — fail the DDL,
+        // not the data, and let the caller re-run against the new state
+        if (tailVersion(spark, root, commits) != Some(current.version))
+          throw new java.util.ConcurrentModificationException(
+            s"addColumns evolved from version ${current.version} but " +
+              s"${commits.lastOption.map(_.version).orNull} committed " +
+              s"since at $root — re-run")
+        (Seq.empty, Seq.empty, evolved.toDDL)
+      })
   }
 
   /** Enforce the table's constraints on freshly STAGED files, between

@@ -304,6 +304,9 @@ object TxLogSql {
   private val DropConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+DROP\s+CONSTRAINT\s+""" +
       """(\w+)\s*;?\s*""").r
+  private val AddColumnsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+COLUMNS?\s*""" +
+      """\(([^;]*)\)\s*;?\s*""").r
   private val ShowConstraintsRe =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(`[^`]+`|[\w.]+)\s*;?\s*""".r
   /** What DESCRIBE SCAN accepts as its inner statement: the query-shaped
@@ -509,6 +512,24 @@ object TxLogSql {
         val v = TxLog.dropConstraint(spark, reg.root, name)
         Seq((v, "dropConstraint")).toDF("version", "operation")
 
+      // the reference's explicit catalog evolution
+      // (staging_to_curated.py:152-168) on the commit log: metadata-only
+      // commit, whitelist-clamped types, old partitions stay readable.
+      // Caught here because the managed view behind a registered table
+      // would reject Spark's own ALTER TABLE.
+      case AddColumnsRe(ident, colsText) =>
+        val (name, reg) = lookup(spark, ident, sqlText)
+        val itemRe = """(?s)\s*(`[^`]+`|\w+)\s+(.+)""".r
+        val cols = splitTopLevel(colsText).map {
+          case itemRe(n, t) => stripQuotes(n) -> t.trim
+          case item => fail(sqlText,
+            s"cannot parse ADD COLUMNS item '$item' (expected: name TYPE)")
+        }
+        if (cols.isEmpty) fail(sqlText, "empty ADD COLUMNS list")
+        val v = TxLog.addColumns(spark, reg.root, cols)
+        refresh(spark, name, reg) // the view must expose the new columns
+        Seq((v, "addColumns")).toDF("version", "operation")
+
       case ShowConstraintsRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
         TxLog.constraintsOf(spark, reg.root).toSeq.sortBy(_._1)
@@ -693,6 +714,24 @@ object TxLogSql {
         s"OPTIMIZE WHERE supports only partition equalities " +
           s"(col = 'value' AND ...); got: $other")
     }.toMap
+
+  /** Split a column-definition list on commas OUTSIDE any paren/angle
+    * nesting, so `decimal(30,6)` and `map<string,int>` survive intact.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c =>
+        if (c == '(' || c == '<') depth += 1
+        else if (c == ')' || c == '>') depth -= 1
+        sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def stripQuotes(ident: String): String =
     if (ident.length >= 2 && ident.head == '`' && ident.last == '`')

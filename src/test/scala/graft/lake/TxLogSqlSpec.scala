@@ -530,4 +530,39 @@ class TxLogSqlSpec extends SparkSpec {
       .as[(Long, String, Double, String)].collect().toSeq shouldBe
       Seq((9L, "z", 1.0, "p1"))
   }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema metadata-only; old rows read NULL") {
+    val root = freshTable("ddl_addcols")
+    val filesBefore = TxLog.liveSizes(spark, root).toMap
+    val res = TxLogSql.run(spark,
+      "ALTER TABLE ddl_addcols ADD COLUMNS (score decimal(30,6), tags struct<a:int,b:string>)")
+    res.select("operation").as[String].collect().toSeq shouldBe Seq("addColumns")
+
+    // metadata-only: not one data file rewritten
+    TxLog.liveSizes(spark, root).toMap shouldBe filesBefore
+    // whitelist clamp: decimal passes verbatim, struct degrades to string
+    val sch = TxLog.readLatest(spark, root).schema
+    sch("score").dataType.simpleString shouldBe "decimal(30,6)"
+    sch("tags").dataType.simpleString shouldBe "string"
+    // the registered view exposes the new columns, old rows null-fill
+    spark.sql("SELECT COUNT(*) FROM ddl_addcols WHERE score IS NULL")
+      .as[Long].head() shouldBe 4L
+
+    // the evolved column is writable and the pre-evolution rows survive
+    TxLog.append(spark,
+      Seq((9L, "z", 1.0, "p1", "2.5", "t"))
+        .toDF("id", "s", "bal", "part", "score", "tags")
+        .withColumn("score", col("score").cast("decimal(30,6)")),
+      root, Seq("part"))
+    TxLogSql.register(spark, "ddl_addcols", root, partitionCols = Seq("part"))
+    spark.sql(
+      "SELECT COUNT(*), COUNT(score) FROM ddl_addcols")
+      .as[(Long, Long)].head() shouldBe ((5L, 1L))
+
+    // adding an existing column (any case) fails loudly
+    val err = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ALTER TABLE ddl_addcols ADD COLUMNS (BAL double)")
+    }
+    err.getMessage should include("already exists")
+  }
 }
