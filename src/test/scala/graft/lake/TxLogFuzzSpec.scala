@@ -116,4 +116,50 @@ class TxLogFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("cross-process writers: no lost updates, contiguous version chain") {
+    // three SEPARATE JVMs hammer one table — the claim contract is
+    // cross-process (shared-nothing writers arbitrated only by the
+    // store's atomic create), which no in-JVM thread race can prove
+    val root = Files.createTempDirectory("graft-xproc").toString
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 4
+    val writers = Seq("w0", "w1", "w2")
+    val procs = writers.map { w =>
+      // same --add-opens set the build gives every forked Spark JVM
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+      val cmd = Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
+        Seq("graft.lake.TxLogHammer", root, w, perWriter.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(
+        Files.createTempFile(s"hammer-$w", ".log").toFile)
+      w -> pb.start()
+    }
+    procs.foreach { case (w, p) =>
+      p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      withClue(s"writer $w exit code (see its temp log): ") {
+        p.exitValue() shouldBe 0
+      }
+    }
+
+    val total = writers.size * perWriter
+    // contiguous version chain 0..total-1, one commit per batch
+    val versions = TxLog.history(spark, root).map(_.version)
+    versions shouldBe (0L until total.toLong)
+    // no lost updates: every (writer, seq) row survived
+    val rows = TxLog.readLatest(spark, root)
+      .as[(String, Long)].collect().toSet
+    rows shouldBe writers.flatMap(w =>
+      (0 until perWriter).map(s => (w, s.toLong))).toSet
+  }
 }

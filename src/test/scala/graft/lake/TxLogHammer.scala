@@ -1,0 +1,34 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process writer for the CROSS-PROCESS multi-writer fuzz: appends
+  * `n` one-row batches tagged (writerId, seq) to the table at `root`,
+  * each through the normal optimistic commit loop, then exits 0.
+  *
+  * The in-JVM fuzz ([[TxLogFuzzSpec]]) races writers as threads, but the
+  * claim primitive's contract is cross-PROCESS: the local-FS hard-link
+  * claim (and any real CommitStore) must arbitrate writers that share no
+  * JVM state at all. The spec spawns several of these under
+  * ProcessBuilder and audits the table afterwards.
+  */
+object TxLogHammer {
+  def main(args: Array[String]): Unit = {
+    val Array(root, writerId, nStr) = args
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"txlog-hammer-$writerId")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      (0 until n).foreach { seq =>
+        TxLog.append(spark, Seq((writerId, seq.toLong)).toDF("writer", "seq"),
+          root)
+      }
+    } finally spark.stop()
+  }
+}
