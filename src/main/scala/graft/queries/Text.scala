@@ -984,9 +984,11 @@ object Text {
     // Per-source balancing cap — dataset mixing's guard against one
     // domain swamping the blend (the "no more than N docs per source"
     // rule). Keep order is md5(doc_id): deterministic, content-blind, and
-    // engine-agnostic. ONE rank window partitioned by source; at 100 TB
-    // no source's partition exceeds the cap's selection working set, and
-    // a skewed source would switch to the salted two-phase form q64 uses.
+    // engine-agnostic. Runs through CapPerKey's SALTED two-phase plan —
+    // rank within (source, salt) buckets, then re-rank the bounded
+    // survivor set — so a single dominant crawl domain cannot turn the
+    // cap into one straggler sort task at 100 TB; the per-source totals
+    // ride phase 1 as bucket counts (one scan serves cap and census).
     QDef(
       "q98_source_cap",
       """WITH r AS (SELECT source, lang, n_chars,
@@ -999,15 +1001,16 @@ object Text {
         |  CAST(SUM(CASE WHEN rnk <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS kept_chars
         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("source"), col("n_chars"),
-          row_number().over(w).as("rnk"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("rnk") <= 15, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("rnk") <= 15, col("n_chars")).otherwise(0L))
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val ann = graft.operators.CapPerKey.annotated(docs, Seq("source"),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")), cap = 15)
+      ann.groupBy("source")
+        .agg(
+          sum(when(col("__r1") === 1, col("__bucket_rows")).otherwise(0L))
+            .as("n_total"),
+          sum(when(col("__rnk") <= 15, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__rnk") <= 15, col("n_chars")).otherwise(0L))
             .cast("long").as("kept_chars"))
         .orderBy("source")
     },
