@@ -888,6 +888,58 @@ object TxLog {
       consDrop = Seq(name))
   }
 
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`: retrofit
+    * data-skipping stats onto the CURRENT live files — the fix for a
+    * legacy table written without `statsCols`, which until now could
+    * only gain skipping through a full `cluster`/`compact` rewrite. One
+    * pruned columnar scan of the named columns computes per-file min/max
+    * (plus the row-count pseudo-column that makes [[countRows]]
+    * metadata-only), and the stats land as a DATA-LESS commit: no file
+    * moves, no bytes rewritten — O(scan of named columns) once, then
+    * every later [[readRange]]/merge probe skips on them. Per-file maps
+    * MERGE with existing stats, so columns analyzed earlier keep their
+    * bounds. Mixed-type safety is [[computeStats]]'s: a column whose
+    * values don't all cast numerically records no bounds for that file
+    * (conservatively kept) rather than under-covering ones.
+    */
+  def analyzeStats(spark: SparkSession, root: String,
+                   statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "ANALYZE needs at least one column")
+    val current = resolve(spark, root, None)
+    val schema = StructType.fromDDL(current.schemaDdl)
+    val missing = statsCols
+      .filterNot(c => schema.exists(_.name.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"ANALYZE column(s) not in $root's schema: ${missing.mkString(", ")}")
+    val fresh = computeStats(spark, root, current.live, statsCols)
+    val merged = fresh.map { case (f, m) =>
+      f -> (current.stats.getOrElse(f, Map.empty[String, (Double, Double)]) ++ m)
+    }
+    commitLoop(spark, root, "analyze",
+      partitionColsOf(spark, root, current), { (commits, _) =>
+        // the scan covered `current`'s live set; files committed since
+        // weren't analyzed and a raced evolution must not be clobbered
+        // by this commit's schema echo — fail the maintenance op, not
+        // the data, and let the caller re-run
+        if (tailVersion(spark, root, commits) != Some(current.version))
+          throw new java.util.ConcurrentModificationException(
+            s"analyze scanned version ${current.version} but " +
+              s"${commits.lastOption.map(_.version).orNull} committed " +
+              s"since at $root — re-run")
+        (Seq.empty, Seq.empty, current.schemaDdl)
+      }, stats = merged)
+  }
+
+  /** Distinct partition directory paths of the CURRENT live set (Hive
+    * `k=v[/k2=v2]` form, values in their on-disk escaped rendering) —
+    * metadata-only: the answer comes from the log's file list, no
+    * listing or scan. Empty for an unpartitioned table.
+    */
+  def partitionValues(spark: SparkSession, root: String): Seq[String] =
+    resolve(spark, root, None).live
+      .map(_.split('/').dropRight(1).mkString("/"))
+      .filter(_.nonEmpty).distinct.sorted
+
   /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit — the
     * explicit twin of the write-path merge evolution ([[committedDdl]]),
     * matching the reference's add-column catalog step

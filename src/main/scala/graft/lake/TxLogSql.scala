@@ -307,6 +307,11 @@ object TxLogSql {
   private val AddColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^;]*)\)\s*;?\s*""").r
+  private val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+""" +
+      """STATISTICS\s+FOR\s+COLUMNS\s+\(?([^();]+?)\)?\s*;?\s*""").r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val ShowConstraintsRe =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(`[^`]+`|[\w.]+)\s*;?\s*""".r
   /** What DESCRIBE SCAN accepts as its inner statement: the query-shaped
@@ -529,6 +534,24 @@ object TxLogSql {
         val v = TxLog.addColumns(spark, reg.root, cols)
         refresh(spark, name, reg) // the view must expose the new columns
         Seq((v, "addColumns")).toDF("version", "operation")
+
+      // Spark's ANALYZE grammar targets catalog tables; here the stats
+      // land in the commit log as a data-less version and feed
+      // readRange/merge pruning (the statsCols retrofit for tables
+      // written without them)
+      case AnalyzeRe(ident, colsText) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val cols = colsText.split(",").map(c => stripQuotes(c.trim))
+          .filter(_.nonEmpty).toSeq
+        if (cols.isEmpty) fail(sqlText, "empty ANALYZE column list")
+        val v = TxLog.analyzeStats(spark, reg.root, cols)
+        Seq((v, "analyze")).toDF("version", "operation")
+
+      case ShowPartitionsRe(ident) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        if (reg.partitionCols.isEmpty)
+          fail(sqlText, s"table ${stripQuotes(ident)} is not partitioned")
+        TxLog.partitionValues(spark, reg.root).toDF("partition")
 
       case ShowConstraintsRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)

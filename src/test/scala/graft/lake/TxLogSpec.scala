@@ -147,43 +147,54 @@ class TxLogSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val root = tmpRoot()
     // deliberately broken double: check-then-create with a rendezvous in
     // the TOCTOU window, so two racing claims of the same version BOTH
     // "win". If the commit protocol above the seam could mask this, the
     // assertions below would fail — proving correctness flows from the
-    // store's CAS, not from luck in the retry loop.
-    val barrier = new java.util.concurrent.CyclicBarrier(2)
-    val broken = new CommitStore {
-      override def claim(fs: org.apache.hadoop.fs.FileSystem,
-                         p: org.apache.hadoop.fs.Path,
-                         bytes: Array[Byte]): Boolean = {
-        if (fs.exists(p)) return false
-        try barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: Exception => () } // lone claimer: proceed anyway
-        val out = fs.create(p, true) // overwrite=true: last writer wins
-        try out.write(bytes) finally out.close()
-        true
+    // store's CAS, not from luck in the retry loop. The rendezvous is
+    // best-effort (a loaded box can serialize the writers past the
+    // barrier timeout), so the race retries on a fresh table until the
+    // collision materializes.
+    def attempt(): (Set[Long], Long) = {
+      val root = tmpRoot()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val broken = new CommitStore {
+        override def claim(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           bytes: Array[Byte]): Boolean = {
+          if (fs.exists(p)) return false
+          try barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: Exception => () } // lone claimer: proceed anyway
+          val out = fs.create(p, true) // overwrite=true: last writer wins
+          try out.write(bytes) finally out.close()
+          true
+        }
+        override def read(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Array[Byte] =
+          FsCommitStore.read(fs, p)
+        override def list(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+          FsCommitStore.list(fs, dir)
       }
-      override def read(fs: org.apache.hadoop.fs.FileSystem,
-                        p: org.apache.hadoop.fs.Path): Array[Byte] =
-        FsCommitStore.read(fs, p)
-      override def list(fs: org.apache.hadoop.fs.FileSystem,
-                        dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-        FsCommitStore.list(fs, dir)
+      CommitStore.install(root, broken)
+      try {
+        val futures = (0 until 2).map { i =>
+          Future(TxLog.append(spark,
+            Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
+        }
+        val versions = Await.result(Future.sequence(futures), 240.seconds)
+        (versions.toSet, TxLog.readLatest(spark, root).count())
+      } finally CommitStore.uninstall(root)
     }
-    CommitStore.install(root, broken)
-    try {
-      val futures = (0 until 2).map { i =>
-        Future(TxLog.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "s"), root))
-      }
-      val versions = Await.result(Future.sequence(futures), 120.seconds)
-      // both writers believe they committed version 0...
-      versions.toSet shouldBe Set(0L)
-      // ...and one append is silently gone: the lost update this store
-      // family causes, and the reason FsCommitStore refuses such schemes
-      TxLog.readLatest(spark, root).count() shouldBe 1L
-    } finally CommitStore.uninstall(root)
+    val collided = (1 to 3).iterator.map(_ => attempt())
+      .find { case (vs, _) => vs == Set(0L) }
+    withClue("no double-win in 3 race attempts: ") {
+      collided.isDefined shouldBe true
+    }
+    // both writers believed they committed version 0, and one append is
+    // silently gone: the lost update this store family causes, and the
+    // reason FsCommitStore refuses such schemes
+    collided.get._2 shouldBe 1L
   }
 
   test("FsCommitStore refuses schemes without atomic create-if-absent") {

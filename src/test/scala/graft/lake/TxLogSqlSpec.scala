@@ -565,4 +565,48 @@ class TxLogSqlSpec extends SparkSpec {
     }
     err.getMessage should include("already exists")
   }
+
+  test("ANALYZE TABLE retrofits skipping stats as a data-less commit") {
+    val root = Files.createTempDirectory("graft-analyze").toString
+    // two stats-LESS appends with disjoint id ranges, one file each
+    TxLog.append(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(1), root)
+    TxLog.append(spark,
+      (1000L to 1100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(1),
+      root)
+    TxLogSql.register(spark, "ana_t", root)
+    val filesBefore = TxLog.liveSizes(spark, root).toMap
+
+    val res = TxLogSql.run(spark,
+      "ANALYZE TABLE ana_t COMPUTE STATISTICS FOR COLUMNS id")
+    res.select("operation").as[String].collect().toSeq shouldBe Seq("analyze")
+
+    // data-less: same files, commit adds/removes nothing
+    TxLog.liveSizes(spark, root).toMap shouldBe filesBefore
+    val c = TxLog.history(spark, root).last
+    c.add shouldBe empty
+    c.remove shouldBe empty
+
+    // proof the stats WORK: corrupt the hi-range file; a pruned range
+    // read of the lo range must skip it (pre-ANALYZE it would die), and
+    // the metadata count now answers with no data IO at all
+    val hiRel = TxLog.history(spark, root)(1).add.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$hiRel"),
+      "not parquet".getBytes)
+    TxLog.readRange(spark, root, "id", 0, 200).count() shouldBe 100L
+    TxLog.countRows(spark, root) shouldBe 201L
+  }
+
+  test("SHOW PARTITIONS answers from the log; unpartitioned tables are refused") {
+    freshTable("show_parts")
+    TxLogSql.run(spark, "SHOW PARTITIONS show_parts")
+      .as[String].collect().toSeq shouldBe Seq("part=p1", "part=p2")
+    val root = Files.createTempDirectory("graft-noparts").toString
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    TxLogSql.register(spark, "show_noparts", root)
+    val err = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "SHOW PARTITIONS show_noparts")
+    }
+    err.getMessage should include("not partitioned")
+  }
 }
