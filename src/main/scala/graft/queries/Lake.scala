@@ -995,6 +995,43 @@ object Lake {
         .orderBy("change_type", "commit_version", "c_mktsegment")
     },
 
+    // ANALYZE TABLE end-to-end: q69's range scan, but the table is
+    // committed WITHOUT statsCols and the skipping stats come solely
+    // from the data-less analyze commit. The oracle is the plain WHERE
+    // over the fixture — an analyze that under-covers a file's true
+    // bounds makes readRange prune a matching file (missing rows, hash
+    // mismatch), one that fails to attach stats at all still returns
+    // correct rows but loses the pruning this demo exists to exercise
+    // (TxLogSqlSpec pins the no-IO proof with a corrupted file). The
+    // 100 TB story: a legacy table gains data skipping for one pruned
+    // columnar scan of the named columns, no rewrite.
+    QDef(
+      "q106_stats_retrofit",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "anademo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val slice = maxKey / 4 + 1
+      // four stats-LESS commits of disjoint key slices
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root)
+      }
+      TxLog.analyzeStats(s, root, Seq("o_orderkey"))
+      TxLog.readRange(s, root, "o_orderkey", 500, 1500)
+        .orderBy("o_orderkey")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
