@@ -520,10 +520,10 @@ object TxLogSql {
       // the reference's explicit catalog evolution
       // (staging_to_curated.py:152-168) on the commit log: metadata-only
       // commit, whitelist-clamped types, old partitions stay readable.
-      // Caught here because the managed view behind a registered table
-      // would reject Spark's own ALTER TABLE.
-      case AddColumnsRe(ident, colsText) =>
-        val (name, reg) = lookup(spark, ident, sqlText)
+      // Guarded: ALTER TABLE ADD COLUMNS is valid Spark SQL for catalog
+      // tables, so unregistered targets keep Spark's own behavior.
+      case AddColumnsRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
+        val (name, reg) = lookupOpt(spark, ident).get
         val itemRe = """(?s)\s*(`[^`]+`|\w+)\s+(.+)""".r
         val cols = splitTopLevel(colsText).map {
           case itemRe(n, t) => stripQuotes(n) -> t.trim
@@ -535,20 +535,23 @@ object TxLogSql {
         refresh(spark, name, reg) // the view must expose the new columns
         Seq((v, "addColumns")).toDF("version", "operation")
 
-      // Spark's ANALYZE grammar targets catalog tables; here the stats
-      // land in the commit log as a data-less version and feed
-      // readRange/merge pruning (the statsCols retrofit for tables
-      // written without them)
-      case AnalyzeRe(ident, colsText) =>
-        val (_, reg) = lookup(spark, ident, sqlText)
+      // ANALYZE TABLE / SHOW PARTITIONS are VALID Spark SQL for catalog
+      // tables, so these two are claimed only for REGISTERED tables
+      // (guarded match) — unregistered targets fall through to
+      // spark.sql and keep Spark's own semantics. For registered tables
+      // the stats land in the commit log as a data-less version and
+      // feed readRange/merge pruning (the statsCols retrofit), and the
+      // partition listing answers from the log with no filesystem walk.
+      case AnalyzeRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
+        val (_, reg) = lookupOpt(spark, ident).get
         val cols = colsText.split(",").map(c => stripQuotes(c.trim))
           .filter(_.nonEmpty).toSeq
         if (cols.isEmpty) fail(sqlText, "empty ANALYZE column list")
         val v = TxLog.analyzeStats(spark, reg.root, cols)
         Seq((v, "analyze")).toDF("version", "operation")
 
-      case ShowPartitionsRe(ident) =>
-        val (_, reg) = lookup(spark, ident, sqlText)
+      case ShowPartitionsRe(ident) if lookupOpt(spark, ident).isDefined =>
+        val (_, reg) = lookupOpt(spark, ident).get
         if (reg.partitionCols.isEmpty)
           fail(sqlText, s"table ${stripQuotes(ident)} is not partitioned")
         TxLog.partitionValues(spark, reg.root).toDF("partition")
@@ -765,6 +768,15 @@ object TxLogSql {
     * backquoted or qualified — the registry is keyed by the bare name,
     * like [[target]] for parsed DML).
     */
+  /** [[lookup]] without the failure: for statements that are also valid
+    * Spark SQL and must pass through when the target is not registered.
+    */
+  private def lookupOpt(spark: SparkSession,
+                        ident: String): Option[(String, Registration)] = {
+    val name = normalize(stripQuotes(ident).split('.').last)
+    registry.get((spark, name)).map(name -> _)
+  }
+
   private def lookup(spark: SparkSession, ident: String,
                      sqlText: String): (String, Registration) = {
     val name = normalize(stripQuotes(ident).split('.').last)

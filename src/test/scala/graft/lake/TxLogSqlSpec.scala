@@ -597,6 +597,21 @@ class TxLogSqlSpec extends SparkSpec {
     TxLog.countRows(spark, root) shouldBe 201L
   }
 
+  test("ANALYZE/SHOW PARTITIONS/ADD COLUMNS on unregistered tables pass through to Spark") {
+    // these statements are valid Spark SQL: a catalog table must keep
+    // Spark's own semantics, not hit the registry
+    spark.sql("DROP TABLE IF EXISTS plaincat")
+    spark.sql("CREATE TABLE plaincat (id BIGINT, p STRING) USING PARQUET PARTITIONED BY (p)")
+    try {
+      spark.sql("INSERT INTO plaincat VALUES (1, 'a')")
+      TxLogSql.run(spark, "ANALYZE TABLE plaincat COMPUTE STATISTICS FOR COLUMNS id")
+      TxLogSql.run(spark, "SHOW PARTITIONS plaincat")
+        .collect().map(_.getString(0)).toSeq shouldBe Seq("p=a")
+      TxLogSql.run(spark, "ALTER TABLE plaincat ADD COLUMNS (extra INT)")
+      spark.table("plaincat").columns should contain("extra")
+    } finally spark.sql("DROP TABLE plaincat")
+  }
+
   test("SHOW PARTITIONS answers from the log; unpartitioned tables are refused") {
     freshTable("show_parts")
     TxLogSql.run(spark, "SHOW PARTITIONS show_parts")
