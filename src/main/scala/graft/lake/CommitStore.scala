@@ -110,22 +110,26 @@ object CommitStore {
   private val byPrefix = new ConcurrentHashMap[String, CommitStore]()
 
   /** Route every log-entry claim/read/list under `rootPrefix` through
-    * `store`. Prefix-matched against the path string and its URI path,
-    * longest prefix wins.
+    * `store`. Matched against the path string and its URI path at
+    * path-COMPONENT granularity (so `/lake/t1` never captures
+    * `/lake/t10`), longest prefix wins.
     */
   def install(rootPrefix: String, store: CommitStore): Unit =
-    byPrefix.put(rootPrefix, store)
+    byPrefix.put(rootPrefix.replaceAll("/+$", ""), store)
 
-  def uninstall(rootPrefix: String): Unit = byPrefix.remove(rootPrefix)
+  def uninstall(rootPrefix: String): Unit =
+    byPrefix.remove(rootPrefix.replaceAll("/+$", ""))
 
   def forPath(p: Path): CommitStore = {
     if (byPrefix.isEmpty) return FsCommitStore
     val s = p.toString
     val u = p.toUri.getPath
+    def covers(prefix: String, path: String): Boolean =
+      path == prefix || path.startsWith(prefix + "/")
     var best: CommitStore = FsCommitStore
     var bestLen = -1
     byPrefix.forEach { (prefix, store) =>
-      if ((s.startsWith(prefix) || (u != null && u.startsWith(prefix))) &&
+      if ((covers(prefix, s) || (u != null && covers(prefix, u))) &&
           prefix.length > bestLen) {
         best = store; bestLen = prefix.length
       }
@@ -148,14 +152,23 @@ final class CasOverlayCommitStore extends CommitStore {
 
   private val claimed = new ConcurrentHashMap[String, Boolean]()
 
-  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
-    if (claimed.putIfAbsent(p.toUri.getPath, true) != null) false
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    val key = p.toUri.getPath
+    if (claimed.putIfAbsent(key, true) != null) false
     else {
-      // won the CAS: write through (plain create is safe — single writer)
-      val out = fs.create(p, false)
-      try out.write(bytes) finally out.close()
-      true
+      // won the CAS: write through (plain create is safe — single
+      // writer). If the write-through FAILS the claim must be ROLLED
+      // BACK, or the version is permanently wedged: no entry exists,
+      // yet every later claimer loses the CAS and retries to death.
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case t: Throwable => claimed.remove(key); throw t
+      }
     }
+  }
 
   override def read(fs: FileSystem, p: Path): Array[Byte] =
     FsCommitStore.read(fs, p)

@@ -295,7 +295,8 @@ object TxLog {
 
   private def computeStats(spark: SparkSession, root: String,
                            rels: Seq[String],
-                           statsCols: Seq[String]): FileStats = {
+                           statsCols: Seq[String],
+                           readSchema: Option[StructType] = None): FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
     require(!statsCols.contains(RowCountKey),
       s"'$RowCountKey' is the reserved row-count pseudo-column")
@@ -328,7 +329,13 @@ object TxLog {
       // metadata-only COUNT(*) ([[countRows]])
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__n")
-    val rows = spark.read.option("basePath", root)
+    // an explicit schema (analyzeStats passes the table's) makes a
+    // schema-HETEROGENEOUS live set readable: files predating an
+    // evolution null-fill the evolved columns instead of failing
+    // analysis when Spark's single-file inference samples one of them.
+    // Write-path callers omit it — freshly staged files are homogeneous.
+    val reader = spark.read.option("basePath", root)
+    val rows = readSchema.fold(reader)(reader.schema)
       .parquet(rels.map(r => s"$root/$r"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -911,7 +918,14 @@ object TxLog {
       .filterNot(c => schema.exists(_.name.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"ANALYZE column(s) not in $root's schema: ${missing.mkString(", ")}")
-    val fresh = computeStats(spark, root, current.live, statsCols)
+    // canonicalize to the schema's spelling: stats are LOOKED UP
+    // case-sensitively by readRange/merge, so bounds recorded under the
+    // caller's casing would silently buy zero skipping
+    val canon = statsCols.map(c =>
+      schema.find(_.name.equalsIgnoreCase(c)).get.name)
+    // the table schema makes pre-evolution files readable (null-filled)
+    val fresh = computeStats(spark, root, current.live, canon,
+      readSchema = Some(schema))
     val merged = fresh.map { case (f, m) =>
       f -> (current.stats.getOrElse(f, Map.empty[String, (Double, Double)]) ++ m)
     }
@@ -939,6 +953,13 @@ object TxLog {
     resolve(spark, root, None).live
       .map(_.split('/').dropRight(1).mkString("/"))
       .filter(_.nonEmpty).distinct.sorted
+
+  /** The table's partition columns from the LOG's ground truth (live
+    * file layout, falling back to commit metadata for an empty table) —
+    * not from any caller-side registration, which may have omitted them.
+    */
+  def partitionColumns(spark: SparkSession, root: String): Seq[String] =
+    partitionColsOf(spark, root, resolve(spark, root, None))
 
   /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit — the
     * explicit twin of the write-path merge evolution ([[committedDdl]]),

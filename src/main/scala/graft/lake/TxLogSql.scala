@@ -552,7 +552,9 @@ object TxLogSql {
 
       case ShowPartitionsRe(ident) if lookupOpt(spark, ident).isDefined =>
         val (_, reg) = lookupOpt(spark, ident).get
-        if (reg.partitionCols.isEmpty)
+        // partitioning is decided by the LOG, not the registration (a
+        // register() call may legitimately omit partitionCols)
+        if (TxLog.partitionColumns(spark, reg.root).isEmpty)
           fail(sqlText, s"table ${stripQuotes(ident)} is not partitioned")
         TxLog.partitionValues(spark, reg.root).toDF("partition")
 
@@ -764,10 +766,6 @@ object TxLogSql {
       ident.substring(1, ident.length - 1)
     else ident
 
-  /** Registry lookup for a maintenance-statement identifier (possibly
-    * backquoted or qualified — the registry is keyed by the bare name,
-    * like [[target]] for parsed DML).
-    */
   /** [[lookup]] without the failure: for statements that are also valid
     * Spark SQL and must pass through when the target is not registered.
     */
@@ -777,6 +775,10 @@ object TxLogSql {
     registry.get((spark, name)).map(name -> _)
   }
 
+  /** Registry lookup for a maintenance-statement identifier (possibly
+    * backquoted or qualified — the registry is keyed by the bare name,
+    * like [[target]] for parsed DML).
+    */
   private def lookup(spark: SparkSession, ident: String,
                      sqlText: String): (String, Registration) = {
     val name = normalize(stripQuotes(ident).split('.').last)

@@ -44,7 +44,22 @@ object CapPerKey {
     * `sum(if(__r1 = 1, __bucket_rows, 0))` per key is the key's total.
     */
   def annotated(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-                cap: Int, nSalts: Int = 16): DataFrame = {
+                cap: Int, nSalts: Int = 16): DataFrame =
+    core(df, keyCols, orderCols, cap, nSalts, census = true)
+
+  /** Rows surviving the cap, original columns preserved. Skips the
+    * bucket-count window [[annotated]] carries — a cap-only caller
+    * should not pay for the census.
+    */
+  def keep(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+           cap: Int, nSalts: Int = 16): DataFrame =
+    core(df, keyCols, orderCols, cap, nSalts, census = false)
+      .filter(col("__rnk") <= cap)
+      .drop("__r1", "__rnk")
+
+  private def core(df: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[Column], cap: Int, nSalts: Int,
+                   census: Boolean): DataFrame = {
     require(cap >= 1, s"cap must be >= 1 (got $cap)")
     require(nSalts >= 2, s"nSalts must be >= 2 (got $nSalts)")
     val keyExprs = keyCols.map(col)
@@ -54,21 +69,15 @@ object CapPerKey {
       pmod(xxhash64(orderCols: _*), lit(nSalts)))
     val bucket = Window.partitionBy(keyExprs :+ col("__salt"): _*)
     val w1 = bucket.orderBy(orderCols: _*)
-    val survivors = salted
-      .withColumn("__r1", row_number().over(w1))
-      .withColumn("__bucket_rows",
+    val ranked = salted.withColumn("__r1", row_number().over(w1))
+    val counted =
+      if (census) ranked.withColumn("__bucket_rows",
         count(lit(1)).over(bucket).cast("long"))
-      .filter(col("__r1") <= cap)
+      else ranked
     val w2 = Window.partitionBy(keyExprs: _*).orderBy(orderCols: _*)
-    survivors
+    counted
+      .filter(col("__r1") <= cap)
       .withColumn("__rnk", row_number().over(w2))
       .drop("__salt")
   }
-
-  /** Rows surviving the cap, original columns preserved. */
-  def keep(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-           cap: Int, nSalts: Int = 16): DataFrame =
-    annotated(df, keyCols, orderCols, cap, nSalts)
-      .filter(col("__rnk") <= cap)
-      .drop("__r1", "__bucket_rows", "__rnk")
 }

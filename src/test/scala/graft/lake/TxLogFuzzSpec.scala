@@ -145,12 +145,14 @@ class TxLogFuzzSpec extends SparkSpec {
         Files.createTempFile(s"hammer-$w", ".log").toFile)
       w -> pb.start()
     }
-    procs.foreach { case (w, p) =>
-      p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-      withClue(s"writer $w exit code (see its temp log): ") {
-        p.exitValue() shouldBe 0
+    try {
+      procs.foreach { case (w, p) =>
+        p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        withClue(s"writer $w exit code (see its temp log): ") {
+          p.exitValue() shouldBe 0
+        }
       }
-    }
+    } finally procs.foreach(_._2.destroyForcibly()) // no orphan 2g JVMs
 
     val total = writers.size * perWriter
     // contiguous version chain 0..total-1, one commit per batch

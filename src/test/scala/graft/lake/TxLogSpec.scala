@@ -197,6 +197,35 @@ class TxLogSpec extends SparkSpec {
     collided.get._2 shouldBe 1L
   }
 
+  test("CommitStore prefix routing is component-bounded and the CAS overlay rolls back a failed write-through") {
+    // /lake/t1's store must not capture the sibling /lake/t10
+    val base = tmpRoot()
+    val store = new CasOverlayCommitStore
+    CommitStore.install(s"$base/t1", store)
+    try {
+      CommitStore.forPath(new org.apache.hadoop.fs.Path(
+        s"$base/t1/_txlog/x.json")) shouldBe store
+      CommitStore.forPath(new org.apache.hadoop.fs.Path(
+        s"$base/t10/_txlog/x.json")) shouldBe FsCommitStore
+    } finally CommitStore.uninstall(s"$base/t1")
+
+    // write-through failure must release the in-memory claim, or the
+    // version wedges: no entry on disk, every retry losing the CAS
+    val root = tmpRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parent is a FILE, so create() under it fails
+    val blocker = new org.apache.hadoop.fs.Path(s"$root/blocked")
+    val out = fs.create(blocker, true); out.write(1); out.close()
+    val p = new org.apache.hadoop.fs.Path(s"$root/blocked/0.json")
+    val cas = new CasOverlayCommitStore
+    intercept[Exception] { cas.claim(fs, p, Array[Byte](1)) }
+    // claim released: after the obstruction clears, the SAME path claims
+    fs.delete(blocker, false)
+    fs.mkdirs(blocker)
+    cas.claim(fs, p, Array[Byte](1)) shouldBe true
+  }
+
   test("FsCommitStore refuses schemes without atomic create-if-absent") {
     val fakeS3 = new org.apache.hadoop.fs.RawLocalFileSystem {
       override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")

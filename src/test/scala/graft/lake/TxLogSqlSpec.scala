@@ -597,6 +597,30 @@ class TxLogSqlSpec extends SparkSpec {
     TxLog.countRows(spark, root) shouldBe 201L
   }
 
+  test("ANALYZE survives schema evolution and canonicalizes column case") {
+    val root = Files.createTempDirectory("graft-anaevo").toString
+    TxLog.append(spark,
+      (1L to 50L).map(i => (i, s"r$i")).toDF("id", "s").repartition(1), root)
+    TxLog.addColumns(spark, root, Seq("score" -> "double"))
+    TxLog.append(spark,
+      (1000L to 1050L).map(i => (i, s"r$i", i * 1.5))
+        .toDF("id", "s", "score").repartition(1), root)
+    TxLogSql.register(spark, "ana_evo", root)
+    // pre-evolution file lacks `score` physically: ANALYZE must read the
+    // live set under the TABLE schema (null-fill), not per-file inference
+    // — and the UPPERCASE spelling must land as schema-cased stats
+    TxLogSql.run(spark,
+      "ANALYZE TABLE ana_evo COMPUTE STATISTICS FOR COLUMNS ID, SCORE")
+    // stats usable under the schema's casing: corrupt the hi file; a
+    // lo-range read must prune it (case-mismatched stats would not)
+    val hiRel = TxLog.history(spark, root)
+      .filter(_.add.nonEmpty).last.add.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$hiRel"),
+      "not parquet".getBytes)
+    TxLog.readRange(spark, root, "id", 0, 100).count() shouldBe 50L
+    TxLog.countRows(spark, root) shouldBe 101L
+  }
+
   test("ANALYZE/SHOW PARTITIONS/ADD COLUMNS on unregistered tables pass through to Spark") {
     // these statements are valid Spark SQL: a catalog table must keep
     // Spark's own semantics, not hit the registry
