@@ -2938,11 +2938,18 @@ object TxLog {
     * vector, vector-deleted rows).
     */
   def detail(spark: SparkSession,
-             root: String): (Long, Seq[(String, Long)], Long, Long) = {
+             root: String): (Long, Seq[(String, Long)], Long, Long, Long) = {
     val snap = resolve(spark, root, None)
     val sizes = liveSizesIn(fileSystem(spark, root), root, snap.live, _ => true)
     val dvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
-    (snap.version, sizes, dvs.size.toLong, dvs.valuesIterator.map(_._2).sum)
+    // stats coverage = live files carrying the row-count pseudo-stat
+    // (i.e. written with statsCols or ANALYZEd): the "do I need an
+    // ANALYZE before range queries prune / counts go metadata-only"
+    // signal, free from the same resolution
+    val withStats = snap.live.count(f =>
+      snap.stats.get(f).exists(_.contains(RowCountKey)))
+    (snap.version, sizes, dvs.size.toLong,
+      dvs.valuesIterator.map(_._2).sum, withStats.toLong)
   }
 
   /** `VACUUM ... RETAIN n HOURS` (the Delta wall-clock form): keep every

@@ -439,13 +439,16 @@ object TxLogSql {
       case DescribeDetailRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
         // one log resolution + one listing for every field
-        val (version, sizes, nDv, dvRows) = TxLog.detail(spark, reg.root)
+        val (version, sizes, nDv, dvRows, nWithStats) =
+          TxLog.detail(spark, reg.root)
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
-          small.toLong, nDv, dvRows, reg.partitionCols.mkString(",")))
+          small.toLong, nDv, dvRows, nWithStats,
+          reg.partitionCols.mkString(",")))
           .toDF("location", "version", "num_files", "size_bytes",
             "num_small_files", "num_deletion_vectors",
-            "deleted_row_count", "partition_columns")
+            "deleted_row_count", "num_files_with_stats",
+            "partition_columns")
 
       case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)

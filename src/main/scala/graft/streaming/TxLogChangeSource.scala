@@ -131,8 +131,12 @@ object TxLogChangeSource {
 
 /** `format("graft.streaming.TxLogChangeSourceProvider")` registration.
   * Options: `root` (table root, required); `startingVersion` (exclusive
-  * lower bound, default -1 = from the beginning); `maxVersionsPerTrigger`
-  * (commit-count backpressure cap per micro-batch, default unbounded).
+  * lower bound, default -1 = from the beginning) OR `startingTimestamp`
+  * (epoch ms, 'yyyy-MM-dd HH:mm:ss', or ISO-8601 — the feed includes
+  * every commit at-or-after the instant, resolved against the available
+  * log once at stream start; mutually exclusive with `startingVersion`);
+  * `maxVersionsPerTrigger` (commit-count backpressure cap per
+  * micro-batch, default unbounded).
   */
 final class TxLogChangeSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -143,6 +147,31 @@ final class TxLogChangeSourceProvider extends StreamSourceProvider
     parameters.getOrElse("root",
       throw new IllegalArgumentException(
         "txlog-changes needs option(\"root\", <table root>)"))
+
+  private def startVersion(spark: SparkSession,
+                           parameters: Map[String, String]): Long =
+    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "txlog-changes takes startingVersion OR startingTimestamp, not both")
+      case (Some(v), None) => v.toLong
+      case (None, Some(ts)) =>
+        val ms =
+          if (ts.trim.forall(_.isDigit)) ts.trim.toLong
+          else scala.util.Try(java.time.Instant.parse(ts.trim).toEpochMilli)
+            .orElse(scala.util.Try(
+              java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+            .getOrElse(throw new IllegalArgumentException(
+              s"cannot parse startingTimestamp '$ts' (epoch ms, " +
+                "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
+        // at-or-after semantics: the EXCLUSIVE from is the last commit
+        // strictly before the instant (-1 when the instant predates the
+        // whole available log — the feed then starts at its beginning)
+        TxLog.history(spark, root(parameters))
+          .takeWhile(_.timestampMs < ms)
+          .lastOption.map(_.version).getOrElse(-1L)
+      case (None, None) => -1L
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -155,6 +184,6 @@ final class TxLogChangeSourceProvider extends StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new TxLogChangeSource(sqlContext.sparkSession, root(parameters),
-      parameters.getOrElse("startingVersion", "-1").toLong,
+      startVersion(sqlContext.sparkSession, parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }

@@ -158,15 +158,21 @@ class TxLogSqlSpec extends SparkSpec {
   }
 
   test("DESCRIBE DETAIL reports table health; OPTIMIZE empties the small-file count") {
-    fragmentedTable("mnt_det")
+    val root = fragmentedTable("mnt_det")
     val d1 = TxLogSql.run(spark, "DESCRIBE DETAIL mnt_det")
-      .select("version", "num_files", "num_small_files")
-      .as[(Long, Long, Long)].head()
-    d1 shouldBe ((3L, 4L, 4L))
+      .select("version", "num_files", "num_small_files",
+        "num_files_with_stats")
+      .as[(Long, Long, Long, Long)].head()
+    d1 shouldBe ((3L, 4L, 4L, 0L)) // fragmented commits carry no stats
     TxLogSql.run(spark, "OPTIMIZE mnt_det")
     val d2 = TxLogSql.run(spark, "DESCRIBE DETAIL mnt_det")
       .select("version", "num_files").as[(Long, Long)].head()
     d2 shouldBe ((4L, 1L))
+    // ANALYZE flips the coverage signal to full
+    TxLog.analyzeStats(spark, root, Seq("id"))
+    TxLogSql.run(spark, "DESCRIBE DETAIL mnt_det")
+      .select("num_files", "num_files_with_stats")
+      .as[(Long, Long)].head() shouldBe ((1L, 1L))
   }
 
   test("DESCRIBE SCAN previews planned bytes against the session budget") {

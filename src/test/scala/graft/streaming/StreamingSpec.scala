@@ -171,6 +171,42 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq shouldBe Seq((1L, "a"), (2L, "B!"))
   }
 
+  test("change-feed stream startingTimestamp includes exactly the commits at-or-after the instant") {
+    import graft.lake.TxLog
+    val root = Files.createTempDirectory("graft-cdc-ts").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-ts-ckpt").toString
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)            // v0
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)            // v1
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root)            // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.streaming.TxLogChangeSourceProvider")
+      .option("root", root)
+      .option("startingTimestamp", between.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.select("_commit_version").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    got.toSet shouldBe Set(1L, 2L) // v0 predates the instant
+    // both options together are refused (provider-level: createSource is
+    // lazy under readStream, so exercise it directly)
+    intercept[IllegalArgumentException] {
+      new TxLogChangeSourceProvider().createSource(spark.sqlContext,
+        Files.createTempDirectory("graft-cdc-ts-meta").toString, None, "p",
+        Map("root" -> root, "startingVersion" -> "0",
+          "startingTimestamp" -> between.toString))
+    }.getMessage should include("not both")
+  }
+
   test("change-feed stream backpressure: maxVersionsPerTrigger bounds each batch, AvailableNow still drains to the head") {
     import graft.lake.TxLog
     val root = Files.createTempDirectory("graft-cdc-bp").toString
