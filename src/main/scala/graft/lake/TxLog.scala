@@ -379,6 +379,16 @@ object TxLog {
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'
     * root-relative paths and the batch schema DDL.
+    *
+    * `spark.graft.optimizeWrite=true` repartitions the batch on its
+    * partition columns first: without it, N input partitions × P
+    * partition values spray up to N×P files per commit (the small-file
+    * flood every partitioned streaming/ETL sink suffers at scale); with
+    * it, each partition value is written by the tasks that own its key
+    * range — one-ish file per partition value per commit, Delta's
+    * optimizeWrite shape. Off by default: it adds a shuffle, and batches
+    * already clustered by the caller (the common case in this codebase's
+    * queries) would pay it for nothing.
     */
   private def stage(df: DataFrame, root: String,
                     partitionCols: Seq[String]): (Seq[String], String) = {
@@ -386,7 +396,13 @@ object TxLog {
     val fs = fileSystem(spark, root)
     val stageId = UUID.randomUUID().toString.replace("-", "").take(12)
     val stageDir = s"$root/_stage_$stageId"
-    val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    val toWrite =
+      if (partitionCols.nonEmpty &&
+          spark.conf.getOption("spark.graft.optimizeWrite").contains("true"))
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w = toWrite.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stageDir)
 

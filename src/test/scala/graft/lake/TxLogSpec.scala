@@ -240,6 +240,28 @@ class TxLogSpec extends SparkSpec {
     err.getMessage should include("CommitStore.install")
   }
 
+  test("optimizeWrite collapses the N-partitions x P-values file spray") {
+    val data = (1L to 400L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
+      .repartition(8) // 8 input partitions x 4 values = up to 32 files
+    val sprayRoot = tmpRoot()
+    TxLog.append(spark, data, sprayRoot, Seq("p"))
+    val sprayed = TxLog.history(spark, sprayRoot).head.add.size
+
+    val packedRoot = tmpRoot()
+    spark.conf.set("spark.graft.optimizeWrite", "true")
+    try TxLog.append(spark, data, packedRoot, Seq("p"))
+    finally spark.conf.unset("spark.graft.optimizeWrite")
+    val packed = TxLog.history(spark, packedRoot).head.add.size
+
+    sprayed should be > 4 // the spray this conf exists to stop
+    packed shouldBe 4     // one file per partition value
+    // identical content either way
+    TxLog.readLatest(spark, packedRoot).orderBy("id")
+      .as[(Long, String)].collect() shouldBe
+      TxLog.readLatest(spark, sprayRoot).orderBy("id")
+        .as[(Long, String)].collect()
+  }
+
   test("vacuum reclaims files outside the retention window, keeps retained versions readable") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "old")).toDF("id", "s"), root)       // v0
