@@ -376,10 +376,13 @@ object TxLogSql {
     *     the pinned snapshot substitutes for the relation before
     *     analysis, composing with joins/CTEs/aggregates and the live
     *     view in one statement
-    *   - `FROM table_changes('t', after_version[, to_version])` — the
-    *     change feed as a table-valued function (rows tagged
-    *     `_change_type` / `_commit_version`), Delta's CDC-read shape
-    *     over [[TxLog.readChanges]]
+    *   - `FROM table_changes('t', after[, to])` — the change feed as a
+    *     table-valued function (rows tagged `_change_type` /
+    *     `_commit_version`), Delta's CDC-read shape over
+    *     [[TxLog.readChanges]]. Numeric bounds are commit versions
+    *     (`after` exclusive, `to` inclusive); quoted string bounds are
+    *     TIMESTAMPS — the lower includes every commit at-or-after the
+    *     instant, the upper is at-or-before
     *
     * Every statement returns a DataFrame (maintenance results, or the
     * committed version for DML), so a SQL-only client can drive the whole
@@ -651,13 +654,22 @@ object TxLogSql {
           "table_changes takes (table, after_version[, to_version])")
       }
       val (name, reg) = lookup(spark, tblName, sqlText)
-      def ver(s: String) =
+      // each bound is a commit version OR a timestamp string (Delta's
+      // CDC-read option pair): the lower bound includes every commit
+      // at-or-after the instant (exclusive-from = last commit strictly
+      // before it), the upper bound is at-or-before
+      def bound(s: String, lower: Boolean): Long =
         try s.toLong catch { case _: NumberFormatException =>
-          fail(sqlText, s"table_changes expects numeric commit versions, " +
-            s"got '$s'") }
+          val ms = parseTimestampMs(s, sqlText)
+          if (lower)
+            TxLog.history(spark, reg.root).takeWhile(_.timestampMs < ms)
+              .lastOption.map(_.version).getOrElse(-1L)
+          else TxLog.versionAtTimestamp(spark, reg.root, ms)
+        }
       hit = true
       SubqueryAlias(name,
-        TxLog.readChanges(spark, reg.root, ver(after), to.map(ver))
+        TxLog.readChanges(spark, reg.root, bound(after, lower = true),
+          to.map(bound(_, lower = false)))
           .queryExecution.analyzed)
     }
     // manual recursion: UnresolvedWith is a UNARY node — its CTE

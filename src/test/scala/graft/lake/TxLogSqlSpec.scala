@@ -496,6 +496,20 @@ class TxLogSqlSpec extends SparkSpec {
       """SELECT count(*) AS n FROM table_changes('tt_cdc', 0, 1)
         |WHERE _change_type = 'delete'""".stripMargin)
       .head().getLong(0) shouldBe 1L
+    // timestamp bounds: a string instant selects at-or-after; numeric
+    // literals stay versions
+    val ts1 = java.time.Instant.ofEpochMilli(
+      TxLog.history(spark, root).find(_.version == 1L).get.timestampMs)
+      .toString
+    TxLogSql.run(spark,
+      s"""SELECT _commit_version FROM table_changes('tt_cdc', '$ts1')
+         |ORDER BY _commit_version""".stripMargin)
+      .as[Long].collect().toSeq shouldBe Seq(1L, 2L)
+    TxLogSql.run(spark,
+      s"""SELECT count(*) AS n
+         |FROM table_changes('tt_cdc', 0, '$ts1')
+         |WHERE _change_type = 'delete'""".stripMargin)
+      .head().getLong(0) shouldBe 1L
     // misuse fails loudly: non-literal args, bad version, unregistered
     intercept[IllegalArgumentException] {
       TxLogSql.run(spark, "SELECT * FROM table_changes('tt_cdc', id)")
