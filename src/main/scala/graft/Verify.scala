@@ -30,7 +30,15 @@ object Verify {
     // order then never depends on plan internals on either engine.
     val dumpedCols = scala.collection.mutable.Map[String, Seq[String]]()
     val digests = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (never set by the driver): dump only the
+    // named queries, e.g. SPARK_GRAFT_ONLY=q107_stream_window.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val canonical = df.columns.sorted.map(c => col(c).asc)

@@ -1032,6 +1032,97 @@ object Lake {
         .orderBy("o_orderkey")
     },
 
+    // STATEFUL streaming, driver-pinned (q105 pins the source->sink
+    // exactly-once loop; this row pins the watermark + windowed-state
+    // tier on top of it): a watermarked event-time tumbling-day
+    // aggregate over the change-feed stream, drained under
+    // Trigger.AvailableNow one commit per micro-batch. Three source
+    // commits: v0/v1 split the events fixture at its time midpoint, so
+    // the watermark RATCHETS mid-stream and the early windows are
+    // emitted + evicted from state before the stream ends; v2 replays
+    // clones of the first days' rows — below the watermark by
+    // construction, so the stateful operator must DROP them (their
+    // windows were already finalized). Append-mode finals accumulate in
+    // the exactly-once txlog sink across micro-batches. The oracle
+    // replays the semantics declaratively: every fixture event exactly
+    // once, late clones excluded, and only windows closed at the final
+    // watermark (max ts - the 1h delay) emitted. A leaky watermark
+    // (late clones counted), premature eviction (missing windows),
+    // double emission (duplicate sink rows inflate n), or a wrong
+    // offset advance all change the final state and turn the row red.
+    // Scale shape: per-batch cost is one commit's changed bytes; state
+    // is bounded by open-window count x event types, not corpus size.
+    QDef(
+      "q107_stream_window",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |w AS (SELECT date_trunc('day', ts) AS ws, event_type, value
+        |      FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM w, mx
+        |WHERE ws + INTERVAL 1 DAY <= mx.m - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      val srcRoot = Tables.scratch(dir, "swin_src")
+      val sinkRoot = Tables.scratch(dir, "swin_sink")
+      val ckpt = Tables.scratch(dir, "swin_ckpt")
+      val fs = new Path(srcRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcRoot, sinkRoot, ckpt).foreach { r =>
+        val p = new Path(r); if (fs.exists(p)) fs.delete(p, true)
+      }
+
+      val ev = t(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"),
+        col("ts"), col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mn = b.getAs[java.time.LocalDateTime](0)
+      val mx = b.getAs[java.time.LocalDateTime](1)
+      val mid = mn.plus(java.time.Duration.between(mn, mx).dividedBy(2))
+      TxLog.append(s, ev.filter(col("ts") < lit(mid)), srcRoot)   // v0
+      TxLog.append(s, ev.filter(col("ts") >= lit(mid)), srcRoot)  // v1
+      // v2: late replays — clones of rows from windows ALREADY closed by
+      // the time this commit streams (window end <= mid - 1 day <= the
+      // watermark, which reached max(ts) - 1h after v1). Every clone must
+      // be dropped by the watermark filter; none may reopen a window.
+      TxLog.append(s,
+        ev.filter(col("ts") < lit(mid.minusDays(2)))
+          .withColumn("event_id", col("event_id") + 10000000L),
+        srcRoot)                                                  // v2
+
+      val q = s.readStream
+        .format("graft.streaming.TxLogChangeSourceProvider")
+        .option("root", srcRoot)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .filter(col("_change_type") === "insert")
+        // watermarks require TIMESTAMP (not NTZ); the session tz is
+        // pinned UTC, so the cast is a pure wall-clock reinterpretation
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .writeStream
+        .format("graft.streaming.TxLogSinkProvider")
+        .option("root", sinkRoot)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        s"q107 stream window drain did not finish: $srcRoot -> $sinkRoot")
+
+      TxLog.readLatest(s, sinkRoot)
+        .select("w_start", "event_type", "n", "total_value")
+        .orderBy("w_start", "event_type")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

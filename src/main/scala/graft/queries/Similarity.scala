@@ -758,6 +758,87 @@ object Similarity {
     QDef("q82_sim_topk_ivfpq", annContractOracle("ivfpq")) { (s, dir) =>
       annContract("ivfpq", rawAnn("q82_sim_topk_ivfpq")(s, dir),
         s, dir, minMeanRecall = 0.2)
+    },
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // embedding near-dup detection blocked by k-means cells instead of an
+    // all-pairs or block-pair join — the paper's observation is that
+    // semantic duplicates land in the same coarse cluster, so pairwise
+    // cosine only ever runs WITHIN a cell. Pipeline: assign the q61
+    // corpus (organic + planted ~0.992-cosine clones) to its nearest
+    // trained centroid (broadcast map-side pass, q41's assignment step),
+    // equi-join on cell id for candidate pairs, exact-cosine verify at
+    // the q42 threshold, then large-star/small-star connected components
+    // (q71's operator) pick one canonical keeper per duplicate group.
+    // The cell assignment is exported (q71 scratch pattern) and
+    // EVERYTHING downstream of it — the perturbed corpus, the within-cell
+    // pair set, the transitive closure, the keeper choice — is recomputed
+    // independently by DuckDB, so a wrong cosine, a lost pair, or a
+    // broken component merge turns the row red; NorthStarSpec separately
+    // bounds planted-clone capture (the blocking-quality contract the
+    // oracle, which replays the engine's own blocking, cannot state).
+    // Scale shape: shuffle keys are bounded by the centroid count, the
+    // per-cell quadratic work is the paper's accepted cost (cells are
+    // corpus/k sized and AQE-splittable), and nothing corpus-sized is
+    // ever broadcast or collected.
+    QDef(
+      "q108_semantic_dedup",
+      s"""WITH RECURSIVE
+         |pert AS (SELECT vec_id + 1000000 AS vec_id,
+         |        [CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE embedding[i] END
+         |         for i in range(1, len(embedding) + 1)] AS embedding
+         |      FROM embeddings WHERE vec_id % 40 = 0),
+         |u AS (SELECT vec_id, embedding FROM embeddings
+         |      UNION ALL SELECT vec_id, embedding FROM pert),
+         |c AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+         |      FROM u),
+         |cells AS (SELECT vec_id, cell
+         |          FROM read_parquet('__SCRATCH__/q108_cells/*.parquet')),
+         |j AS (SELECT c.vec_id, c.embedding, c.nrm, cells.cell
+         |      FROM c JOIN cells USING (vec_id) WHERE c.nrm > 0),
+         |p AS (SELECT a.vec_id AS pu, b.vec_id AS pv
+         |      FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${duckDot("a.embedding", "b.embedding")}
+         |            / (a.nrm * b.nrm) >= 0.5),
+         |e AS (SELECT pu AS eu, pv AS ev FROM p
+         |      UNION SELECT pv, pu FROM p),
+         |n AS (SELECT DISTINCT eu AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.eu, reach.r FROM e JOIN reach ON e.ev = reach.node),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |sized AS (SELECT component, COUNT(*) AS csize
+         |          FROM comp GROUP BY component)
+         |SELECT c2.node AS vec_id, c2.component, s.csize,
+         |       c2.node = c2.component AS keep
+         |FROM comp c2 JOIN sized s USING (component)
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val corpus = lshCorpus(s, dir).select("vec_id", "embedding", "nrm")
+      val cents = trainedCentroids(s, dir, nCells = 16)
+      val assigned = ivfCells(corpus, cents, "vec_id", "embedding", "nrm",
+        keep = 1)
+      // materialize the blocking once and hand the SAME copy to the
+      // oracle — everything after this line is independently recomputed
+      val cellsPath = Tables.scratch(dir, "q108_cells")
+      assigned.select("vec_id", "cell").coalesce(1)
+        .write.mode("overwrite").parquet(cellsPath)
+      val withCell = corpus.join(s.read.parquet(cellsPath), "vec_id")
+      val a = withCell.select(col("cell"), col("vec_id").as("u"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withCell.select(col("cell"), col("vec_id").as("v"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("u") < col("v"))
+        .withColumn("cosine", dotExpr("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.5)
+        .select("u", "v")
+      val comps = graft.operators.ConnectedComponents.components(pairs)
+      val sized = comps.groupBy("component").agg(count(lit(1)).as("csize"))
+      comps.join(sized, "component")
+        .select(col("node").as("vec_id"), col("component"), col("csize"),
+          (col("node") === col("component")).as("keep"))
+        .orderBy("vec_id")
     })
 
   /** Int8 scalar-quantized top-k (q60's raw result): per-vector min/max

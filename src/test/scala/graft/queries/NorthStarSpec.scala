@@ -182,4 +182,28 @@ class NorthStarSpec extends SparkSpec {
     // must survive
     pq.intersect(brute).size.toDouble / brute.size should be >= 0.8
   }
+
+  test("q108 semantic dedup captures most planted clones despite cell blocking") {
+    import org.apache.spark.sql.functions.col
+    val comps = graft.SparkEntry.queries("q108_semantic_dedup")(spark, dir)
+      .select("vec_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // denominator = ALL planted clones in the corpus (vec_id % 40 == 0,
+    // cloned at +1e6), not just those that surfaced in a component — a
+    // clone absent from the result IS a blocking miss
+    val nPlanted = graft.Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 40 === 0).count()
+    nPlanted should be > 0L
+    val captured = comps.keys.filter(_ >= 1000000L)
+      .count(p => comps.get(p - 1000000L).contains(comps(p)))
+    // SemDeDup's premise: ~identical vectors (cosine ~0.992) share a
+    // k-means cell almost always; the accepted loss is the occasional
+    // clone that lands across a cell boundary (measured capture on the
+    // fixture: 12/13). 0.75 is the collapse floor, not the target.
+    captured.toDouble / nPlanted should be >= 0.75
+    // and every captured group keeps exactly its minimum id
+    comps.foreach { case (node, component) =>
+      component should be <= node
+    }
+  }
 }
