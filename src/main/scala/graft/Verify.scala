@@ -79,9 +79,13 @@ object Verify {
       s"""{"sf_dir": ${q(sfDir)}, "cpus": ${q(cpus)}, "queries": {""",
       ",", "}}")
     Files.writeString(Paths.get(s"$outDir/digest.json"), digestJson)
-    try Files.writeString(
-      Paths.get("/root/repo/VERIFY_DIGEST.json"), digestJson)
-    catch { case _: Throwable => () } // repo path absent off this box
+    // A filtered run's digest covers only the named queries — writing it
+    // over the repo copy would silently shrink the committed full-run
+    // record, so only unfiltered runs refresh it.
+    if (only.isEmpty)
+      try Files.writeString(
+        Paths.get("/root/repo/VERIFY_DIGEST.json"), digestJson)
+      catch { case _: Throwable => () } // repo path absent off this box
     spark.stop()
   }
 }

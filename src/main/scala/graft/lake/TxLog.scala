@@ -526,6 +526,16 @@ object TxLog {
         } else {
           bumpOrFail(
             s"txlog commit conflict after $maxAttempts attempts at $root")
+          // A lost claim is not always VISIBLE yet on re-list: with an
+          // external CAS CommitStore the winner registered the version
+          // but its log-file write-through may still be in flight (the
+          // filesystem store never has this window — its winner is
+          // content-complete at claim time, which is why the in-flight
+          // tail wait above cannot cover it). Without a pause the loser
+          // re-lists the same stale tail, recomputes the same version,
+          // and burns the whole retry budget inside one benign race.
+          // Linear backoff, capped: 50 attempts span ~several seconds.
+          Thread.sleep(math.min(100L, 5L * attempt))
         }
       }
     }
@@ -976,6 +986,20 @@ object TxLog {
     */
   def partitionColumns(spark: SparkSession, root: String): Seq[String] =
     partitionColsOf(spark, root, resolve(spark, root, None))
+
+  /** Partition columns + live partition directory values from ONE log
+    * resolution — SHOW PARTITIONS' exact shape. Calling
+    * [[partitionColumns]] and [[partitionValues]] separately pays two
+    * full tail reads (+ checkpoint replays) for one statement.
+    */
+  def partitionInfo(spark: SparkSession,
+                    root: String): (Seq[String], Seq[String]) = {
+    val snap = resolve(spark, root, None)
+    val values = snap.live
+      .map(_.split('/').dropRight(1).mkString("/"))
+      .filter(_.nonEmpty).distinct.sorted
+    (partitionColsOf(spark, root, snap), values)
+  }
 
   /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit — the
     * explicit twin of the write-path merge evolution ([[committedDdl]]),
@@ -1850,6 +1874,36 @@ object TxLog {
           s"in $root")
     at.last.version
   }
+
+  /** Timestamp-literal parser shared by every timestamp-bound surface
+    * (SQL `TIMESTAMP AS OF` / `table_changes`, the streaming source's
+    * `startingTimestamp`): epoch milliseconds, a UTC
+    * `yyyy-MM-dd HH:mm:ss[.SSS]`, or an ISO-8601 instant. One parser so
+    * the accepted formats can never drift between surfaces; None when
+    * unparseable — each caller raises its own error naming its option.
+    */
+  def parseTimestampMs(ts: String): Option[Long] = {
+    val t = ts.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) scala.util.Try(t.toLong).toOption
+    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .toOption
+  }
+
+  /** Exclusive lower bound for at-or-after-`tsMs` change-feed semantics:
+    * the HIGHEST version whose commit timestamp is strictly before the
+    * instant (-1 when the instant predates the whole available log, so
+    * the feed starts at its beginning). `filter`, not `takeWhile`:
+    * commit timestamps are each writer's wall clock, so cross-host skew
+    * can make them locally non-monotonic — the version sequence stays
+    * authoritative, exactly like [[versionAtTimestamp]]'s upper bound.
+    */
+  def versionStrictlyBefore(spark: SparkSession, root: String,
+                            tsMs: Long): Long =
+    history(spark, root).filter(_.timestampMs < tsMs)
+      .lastOption.map(_.version).getOrElse(-1L)
 
   /** Point-in-time time travel: the snapshot as of wall-clock `tsMs`
     * ([[versionAtTimestamp]] then [[readAt]]).

@@ -309,7 +309,9 @@ object TxLogSql {
       """\(([^;]*)\)\s*;?\s*""").r
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+""" +
-      """STATISTICS\s+FOR\s+COLUMNS\s+\(?([^();]+?)\)?\s*;?\s*""").r
+      """STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+\(?([^();]+?)\)?)\s*;?\s*""").r
+  private val AnalyzePlainRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val ShowConstraintsRe =
@@ -548,21 +550,46 @@ object TxLogSql {
       // the stats land in the commit log as a data-less version and
       // feed readRange/merge pruning (the statsCols retrofit), and the
       // partition listing answers from the log with no filesystem walk.
-      case AnalyzeRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
+      case AnalyzeRe(ident, all, colsText) if lookupOpt(spark, ident).isDefined =>
         val (_, reg) = lookupOpt(spark, ident).get
-        val cols = colsText.split(",").map(c => stripQuotes(c.trim))
-          .filter(_.nonEmpty).toSeq
+        val cols =
+          if (all != null) {
+            // FOR ALL COLUMNS: every schema column except partition
+            // columns (their values live in directory names, not file
+            // data, so a per-file scan has nothing to bound). Non-numeric
+            // columns are safe to include — computeStats records bounds
+            // only for cleanly castable values and stays conservative
+            // (no stats = never pruned) otherwise.
+            val (pcols, _) = TxLog.partitionInfo(spark, reg.root)
+            val pset = pcols.map(_.toLowerCase).toSet
+            TxLog.readLatest(spark, reg.root).schema.fieldNames.toSeq
+              .filterNot(c => pset(c.toLowerCase))
+          } else colsText.split(",").map(c => stripQuotes(c.trim))
+            .filter(_.nonEmpty).toSeq
         if (cols.isEmpty) fail(sqlText, "empty ANALYZE column list")
         val v = TxLog.analyzeStats(spark, reg.root, cols)
         Seq((v, "analyze")).toDF("version", "operation")
 
+      // Valid Spark syntax whose table-level form this engine has no
+      // use for (row counts are already metadata-only — DESCRIBE
+      // DETAIL): fail with the supported forms instead of falling
+      // through to spark.sql, which would die on the temp-view-backed
+      // registration with an unrelated catalog error.
+      case AnalyzePlainRe(ident) if lookupOpt(spark, ident).isDefined =>
+        fail(sqlText,
+          s"ANALYZE on graft table ${stripQuotes(ident)} computes " +
+            "column skipping stats: use COMPUTE STATISTICS FOR COLUMNS " +
+            "(c1, ...) or FOR ALL COLUMNS")
+
       case ShowPartitionsRe(ident) if lookupOpt(spark, ident).isDefined =>
         val (_, reg) = lookupOpt(spark, ident).get
         // partitioning is decided by the LOG, not the registration (a
-        // register() call may legitimately omit partitionCols)
-        if (TxLog.partitionColumns(spark, reg.root).isEmpty)
+        // register() call may legitimately omit partitionCols); one
+        // resolution answers both the check and the listing
+        val (pcols, values) = TxLog.partitionInfo(spark, reg.root)
+        if (pcols.isEmpty)
           fail(sqlText, s"table ${stripQuotes(ident)} is not partitioned")
-        TxLog.partitionValues(spark, reg.root).toDF("partition")
+        values.toDF("partition")
 
       case ShowConstraintsRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
@@ -640,32 +667,43 @@ object TxLogSql {
     // unknown TVF into this node, so the substitution needs no grammar.
     def substituteChanges(
         tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction): LogicalPlan = {
-      def lit(e: Expression): Any = e match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
-        case other => fail(sqlText,
-          s"table_changes expects literal arguments, got: ${other.sql}")
-      }
+      def lit(e: Expression): org.apache.spark.sql.catalyst.expressions.Literal =
+        e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+          case other => fail(sqlText,
+            s"table_changes expects literal arguments, got: ${other.sql}")
+        }
       val args = tvf.functionArgs.map(lit)
       val (tblName, after, to) = args match {
-        case Seq(t, a)    => (String.valueOf(t), String.valueOf(a), None)
-        case Seq(t, a, b) => (String.valueOf(t), String.valueOf(a),
-          Some(String.valueOf(b)))
+        case Seq(t, a)    => (String.valueOf(t.value), a, None)
+        case Seq(t, a, b) => (String.valueOf(t.value), a, Some(b))
         case _ => fail(sqlText,
           "table_changes takes (table, after_version[, to_version])")
       }
       val (name, reg) = lookup(spark, tblName, sqlText)
-      // each bound is a commit version OR a timestamp string (Delta's
-      // CDC-read option pair): the lower bound includes every commit
-      // at-or-after the instant (exclusive-from = last commit strictly
-      // before it), the upper bound is at-or-before
-      def bound(s: String, lower: Boolean): Long =
-        try s.toLong catch { case _: NumberFormatException =>
-          val ms = parseTimestampMs(s, sqlText)
-          if (lower)
-            TxLog.history(spark, reg.root).takeWhile(_.timestampMs < ms)
-              .lastOption.map(_.version).getOrElse(-1L)
+      // Each bound is a commit VERSION (numeric literal) or a TIMESTAMP
+      // (string literal — Delta's CDC-read option pair). The literal's
+      // TYPE decides: a QUOTED all-digit string is epoch milliseconds,
+      // never a version — the same digits-mean-epoch rule as the
+      // streaming startingTimestamp option, where everything is a
+      // string. The lower bound includes every commit at-or-after the
+      // instant (exclusive-from = last commit strictly before it, skew-
+      // robust via versionStrictlyBefore); the upper is at-or-before.
+      def bound(l: org.apache.spark.sql.catalyst.expressions.Literal,
+                lower: Boolean): Long = l.dataType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          val s = String.valueOf(l.value)
+          val ms = TxLog.parseTimestampMs(s).getOrElse(fail(sqlText,
+            s"cannot parse table_changes timestamp '$s' (epoch ms, " +
+              "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
+          if (lower) TxLog.versionStrictlyBefore(spark, reg.root, ms)
           else TxLog.versionAtTimestamp(spark, reg.root, ms)
-        }
+        case _ =>
+          try String.valueOf(l.value).toLong
+          catch { case _: NumberFormatException => fail(sqlText,
+            "table_changes bound must be an integer version or a " +
+              s"timestamp string, got: ${l.sql}") }
+      }
       hit = true
       SubqueryAlias(name,
         TxLog.readChanges(spark, reg.root, bound(after, lower = true),
@@ -731,17 +769,10 @@ object TxLogSql {
     * pinned to UTC (build.sbt), so the wall-clock form has exactly one
     * meaning.
     */
-  private def parseTimestampMs(ts: String, sqlText: String): Long = {
-    val t = ts.trim
-    if (t.forall(_.isDigit)) t.toLong
-    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
-      .orElse(scala.util.Try(
-        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-      .getOrElse(fail(sqlText,
-        s"cannot parse TIMESTAMP AS OF '$ts' (epoch ms, " +
-          "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
-  }
+  private def parseTimestampMs(ts: String, sqlText: String): Long =
+    TxLog.parseTimestampMs(ts).getOrElse(fail(sqlText,
+      s"cannot parse TIMESTAMP AS OF '$ts' (epoch ms, " +
+        "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
 
   /** OPTIMIZE's WHERE is a PARTITION filter, not a row predicate:
     * conjunctions of `col = 'value'` equalities on partition columns,

@@ -155,21 +155,13 @@ final class TxLogChangeSourceProvider extends StreamSourceProvider
         "txlog-changes takes startingVersion OR startingTimestamp, not both")
       case (Some(v), None) => v.toLong
       case (None, Some(ts)) =>
-        val ms =
-          if (ts.trim.forall(_.isDigit)) ts.trim.toLong
-          else scala.util.Try(java.time.Instant.parse(ts.trim).toEpochMilli)
-            .orElse(scala.util.Try(
-              java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-            .getOrElse(throw new IllegalArgumentException(
-              s"cannot parse startingTimestamp '$ts' (epoch ms, " +
-                "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
-        // at-or-after semantics: the EXCLUSIVE from is the last commit
-        // strictly before the instant (-1 when the instant predates the
-        // whole available log — the feed then starts at its beginning)
-        TxLog.history(spark, root(parameters))
-          .takeWhile(_.timestampMs < ms)
-          .lastOption.map(_.version).getOrElse(-1L)
+        // parsing + at-or-after bound resolution shared with the SQL
+        // table_changes surface — one implementation, no format drift
+        val ms = TxLog.parseTimestampMs(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse startingTimestamp '$ts' (epoch ms, " +
+              "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
+        TxLog.versionStrictlyBefore(spark, root(parameters), ms)
       case (None, None) => -1L
     }
 

@@ -510,6 +510,14 @@ class TxLogSqlSpec extends SparkSpec {
          |FROM table_changes('tt_cdc', 0, '$ts1')
          |WHERE _change_type = 'delete'""".stripMargin)
       .head().getLong(0) shouldBe 1L
+    // a QUOTED all-digit string is epoch milliseconds (the literal's
+    // TYPE decides version-vs-timestamp), matching the streaming
+    // startingTimestamp option — not a gigantic version number
+    val ms1 = TxLog.history(spark, root).find(_.version == 1L).get.timestampMs
+    TxLogSql.run(spark,
+      s"""SELECT _commit_version FROM table_changes('tt_cdc', '$ms1')
+         |ORDER BY _commit_version""".stripMargin)
+      .as[Long].collect().toSeq shouldBe Seq(1L, 2L)
     // misuse fails loudly: non-literal args, bad version, unregistered
     intercept[IllegalArgumentException] {
       TxLogSql.run(spark, "SELECT * FROM table_changes('tt_cdc', id)")
@@ -615,6 +623,28 @@ class TxLogSqlSpec extends SparkSpec {
       "not parquet".getBytes)
     TxLog.readRange(spark, root, "id", 0, 200).count() shouldBe 100L
     TxLog.countRows(spark, root) shouldBe 201L
+  }
+
+  test("ANALYZE FOR ALL COLUMNS covers non-partition columns; plain form names the syntax") {
+    val root = freshTable("ana_all")
+    val res = TxLogSql.run(spark,
+      "ANALYZE TABLE ana_all COMPUTE STATISTICS FOR ALL COLUMNS")
+    res.select("operation").as[String].collect().toSeq shouldBe Seq("analyze")
+    // numeric columns got bounds; the partition column was excluded (its
+    // values live in directory names — including it would fail the scan)
+    val stats = TxLog.history(spark, root).last.stats
+    stats should not be empty
+    stats.values.foreach { m =>
+      m.keySet should contain allOf ("id", "bal")
+      m.keySet should not contain "part"
+    }
+    // the table-level Spark form is valid syntax this engine has no use
+    // for: fail naming the supported forms, don't fall through to a
+    // confusing temp-view catalog error
+    val e = intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ANALYZE TABLE ana_all COMPUTE STATISTICS")
+    }
+    e.getMessage should include("FOR ALL COLUMNS")
   }
 
   test("ANALYZE survives schema evolution and canonicalizes column case") {
