@@ -115,6 +115,31 @@ class TxLogFuzzSpec extends SparkSpec {
           .toMap shouldBe m
       }
     }
+
+    // CHANGE-FEED replay audit: folding the full feed version-by-version
+    // (deletes, then inserts — a file rewrite emits its surviving rows
+    // as both, which cancel under the fold) must pass through EVERY
+    // recorded model state. This pins the CDC surface to the same ground
+    // truth as snapshot reads and time travel across every random op
+    // interleaving: a feed that skips a commit, re-emits an already-
+    // vectored delete, or mis-attributes a row to the wrong version
+    // breaks the fold at the first affected version.
+    val feedByV = TxLog.readChanges(spark, root, -1L)
+      .select("_commit_version", "_change_type", "id", "x")
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._1)
+    var replay = Map.empty[Long, Double]
+    versions.keys.toSeq.sorted.foreach { v =>
+      feedByV.get(v).foreach { rows =>
+        val dels = rows.filter(_._2 == "delete").map(_._3).toSet
+        val ins = rows.filter(_._2 == "insert")
+          .map(r => r._3 -> r._4).toMap
+        replay = (replay -- dels) ++ ins
+      }
+      withClue(s"change-feed replay at version $v: ") {
+        replay shouldBe versions(v)
+      }
+    }
   }
 
   test("cross-process writers: no lost updates, contiguous version chain") {
