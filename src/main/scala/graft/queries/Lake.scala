@@ -1123,6 +1123,57 @@ object Lake {
         .orderBy("w_start", "event_type")
     },
 
+    // O-2's XML parse seam, oracle-pinned (previously spec-only): build
+    // deterministic vendor-style PO payloads from the fixture tables
+    // (orders as headers, lineitems as repeated <item> elements, every
+    // 100th order deliberately item-less), run the REAL
+    // XmlIngest.parse (from_xml + header-repeat + explode_outer), and
+    // let DuckDB state the same records relationally — a wrong
+    // header-repeat, a dropped empty-payload row, or an item-order
+    // dependence turns the row red. Scale shape: payload construction
+    // is one bounded groupBy; the parse itself is a narrow per-row
+    // projection + generate, exactly how bulk vendor payloads scan.
+    QDef(
+      "q109_xml_parse",
+      """WITH po AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |            WHERE o_orderkey % 50 = 0),
+        |it AS (SELECT l_orderkey, CAST(l_partkey AS VARCHAR) AS sku,
+        |              CAST(l_quantity AS BIGINT) AS qty
+        |       FROM lineitem
+        |       WHERE l_orderkey % 50 = 0 AND l_orderkey % 100 <> 0)
+        |SELECT CAST(po.o_orderkey AS VARCHAR) AS po_number,
+        |       po.o_orderstatus AS status, it.sku, it.qty
+        |FROM po LEFT JOIN it ON it.l_orderkey = po.o_orderkey
+        |ORDER BY po_number, sku, qty""".stripMargin) { (s, dir) =>
+      val po = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val items = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0 &&
+          col("l_orderkey") % 100 =!= 0)
+        .select(col("l_orderkey"),
+          concat(lit("<item><sku>"), col("l_partkey").cast("string"),
+            lit("</sku><qty>"),
+            col("l_quantity").cast("long").cast("string"),
+            lit("</qty></item>")).as("itemXml"))
+        .groupBy("l_orderkey")
+        .agg(concat_ws("", sort_array(collect_list(col("itemXml"))))
+          .as("itemsXml"))
+      val payloads = po
+        .join(items, po("o_orderkey") === items("l_orderkey"), "left")
+        .select(concat(
+          lit("<po><po_number>"), col("o_orderkey").cast("string"),
+          lit("</po_number><status>"), col("o_orderstatus"),
+          lit("</status>"), coalesce(col("itemsXml"), lit("")),
+          lit("</po>")).as("payload"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "po_number STRING, status STRING, " +
+          "item ARRAY<STRUCT<sku: STRING, qty: BIGINT>>")
+      graft.lake.XmlIngest.parse(payloads, schema)
+        .select(col("po_number"), col("status"), col("sku"), col("qty"))
+        .orderBy("po_number", "sku", "qty")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
