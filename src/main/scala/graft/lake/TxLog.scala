@@ -1691,31 +1691,45 @@ object TxLog {
                               rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     val current = resolve(spark, root, None)
     val liveSet = current.live.toSet
-    val matchedFiles = taggedVisible(spark, root, current)
-      .filter(condition)
-      .select("__dv_file").distinct().collect()
-      .map(r => decodeRel(r.getString(0)))
-      .filter(liveSet.contains)
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    // ONE counting pass (DV-aware: only visible rows count) decides each
+    // file's fate: untouched (no matching row — never read again),
+    // FULLY matched, or partially matched. For DELETE a fully-matched
+    // file needs no rewrite at all — it is simply removed in the commit,
+    // the Delta-style file-granular delete. The big-deal consequence at
+    // scale: "DELETE FROM t WHERE part = 'x'" (partition-aligned
+    // predicate) and the no-WHERE truncate never touch data bytes on the
+    // write side — the only IO is this counting scan, and survivors are
+    // rewritten only where a file straddles the predicate.
+    val perFile = taggedVisible(spark, root, current)
+      .groupBy("__dv_file")
+      .agg(sum(when(coalesce(condition, lit(false)), 1L).otherwise(0L))
+        .as("n_match"), count(lit(1)).as("n_vis"))
+      .filter(col("n_match") > 0)
+      .collect()
+      .map(r => (decodeRel(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .filter { case (f, _, _) => liveSet.contains(f) }
       .toSeq
-    if (matchedFiles.isEmpty) return current.version // no row matches: no-op
+    if (perFile.isEmpty) return current.version // no row matches: no-op
 
     val parts = partitionColsOf(spark, root, current)
-    // DV-aware read: rows a live deletion vector already removed must not
-    // be resurrected by the rewrite. The observation rides the staged
-    // write's own job (no second scan) and supplies the matched-row
-    // count, so rewrite- and vector-mode DML record the SAME row-level
-    // metric keys (a monitor keyed on numDeletedRows must not read zero
-    // because a session conf chose the rewrite path).
-    val obs = org.apache.spark.sql.Observation()
-    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
-    val src = readLiveFiles(spark, root, current.schemaDdl, matchedFiles,
-        current)
-      .observe(obs, sum(when(coalesce(condition, lit(false)), 1L)
-        .otherwise(0L)).as("n_match"), count(lit(1)).as("n_in"))
-    val staged = rewrite(src, condition)
-    val (adds, ddl) = stage(staged, root, parts)
-    val matchedRows = Option(obs.get.getOrElse("n_match", null))
-      .collect { case n: Long => n }.getOrElse(0L)
+    val matchedRows = perFile.map(_._2).sum
+    // UPDATE rewrites every matched file (changed rows must be
+    // re-encoded); DELETE rewrites only the stragglers
+    val fullFiles =
+      if (operation == "delete")
+        perFile.collect { case (f, m, v) if m == v => f }
+      else Seq.empty[String]
+    val rewriteFiles = perFile.map(_._1).filterNot(fullFiles.toSet)
+    // DV-aware read: rows a live deletion vector already removed must
+    // not be resurrected by the rewrite
+    val (adds, ddl) =
+      if (rewriteFiles.isEmpty) (Seq.empty[String], current.schemaDdl)
+      else {
+        val src = readLiveFiles(spark, root, current.schemaDdl,
+          rewriteFiles, current)
+        stage(rewrite(src, condition), root, parts)
+      }
     val rowKey =
       if (operation == "delete") "numDeletedRows" else "numUpdatedRows"
     // UPDATE can SET a row into violation; DELETE only removes rows it
@@ -1729,11 +1743,12 @@ object TxLog {
             s"at $root — re-run the $operation")
       // rewrites read the full current schema, so the merge is a no-op
       // here — kept for uniformity with the other non-replacing commits
-      (adds, matchedFiles,
+      (adds, perFile.map(_._1),
         committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols),
       metrics = Map(rowKey -> matchedRows,
-        "numRewrittenFiles" -> matchedFiles.size.toLong,
+        "numRewrittenFiles" -> rewriteFiles.size.toLong,
+        "numRemovedFiles" -> fullFiles.size.toLong,
         "numAddedFiles" -> adds.size.toLong))
   }
 

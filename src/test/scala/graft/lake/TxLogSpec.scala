@@ -28,6 +28,45 @@ class TxLogSpec extends SparkSpec {
   private def tmpRoot(): String =
     Files.createTempDirectory("graft-txlog").toString
 
+  test("DELETE drops fully-matched files metadata-only; straddlers are rewritten") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 50L).map(k => (k, s"r$k")).toDF("id", "s").repartition(1), root)
+    TxLog.append(spark,
+      (100L to 150L).map(k => (k, s"r$k")).toDF("id", "s").repartition(1),
+      root)
+    val before = TxLog.liveSizes(spark, root).map(_._1).toSet
+    before.size shouldBe 2
+
+    // every visible row of the second file matches: the file is REMOVED,
+    // nothing is staged — zero data bytes written
+    TxLog.delete(spark, root, col("id") >= 100)
+    val m = TxLog.history(spark, root).last.metrics
+    m("numDeletedRows") shouldBe 51L
+    m("numRemovedFiles") shouldBe 1L
+    m("numRewrittenFiles") shouldBe 0L
+    m("numAddedFiles") shouldBe 0L
+    // the survivor is the SAME file object, not a rewrite of it
+    TxLog.liveSizes(spark, root).map(_._1).toSet.subsetOf(before) shouldBe true
+    TxLog.readLatest(spark, root).count() shouldBe 50L
+
+    // a predicate that straddles the remaining file rewrites it
+    TxLog.delete(spark, root, col("id") <= 10)
+    val m2 = TxLog.history(spark, root).last.metrics
+    m2("numRemovedFiles") shouldBe 0L
+    m2("numRewrittenFiles") shouldBe 1L
+    m2("numDeletedRows") shouldBe 10L
+    TxLog.readLatest(spark, root).count() shouldBe 40L
+
+    // no-WHERE truncate shape: pure metadata commit, table reads empty
+    TxLog.delete(spark, root, lit(true))
+    val m3 = TxLog.history(spark, root).last.metrics
+    m3("numAddedFiles") shouldBe 0L
+    m3("numRewrittenFiles") shouldBe 0L
+    TxLog.readLatest(spark, root).count() shouldBe 0L
+  }
+
   test("append + readLatest roundtrip; versions increment from 0") {
     val root = tmpRoot()
     val v0 = TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
