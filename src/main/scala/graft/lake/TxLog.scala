@@ -1692,46 +1692,61 @@ object TxLog {
     val current = resolve(spark, root, None)
     val liveSet = current.live.toSet
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
-    // ONE counting pass (DV-aware: only visible rows count) decides each
-    // file's fate: untouched (no matching row — never read again),
-    // FULLY matched, or partially matched. For DELETE a fully-matched
-    // file needs no rewrite at all — it is simply removed in the commit,
-    // the Delta-style file-granular delete. The big-deal consequence at
-    // scale: "DELETE FROM t WHERE part = 'x'" (partition-aligned
-    // predicate) and the no-WHERE truncate never touch data bytes on the
-    // write side — the only IO is this counting scan, and survivors are
-    // rewritten only where a file straddles the predicate.
-    val perFile = taggedVisible(spark, root, current)
-      .groupBy("__dv_file")
-      .agg(sum(when(coalesce(condition, lit(false)), 1L).otherwise(0L))
-        .as("n_match"), count(lit(1)).as("n_vis"))
-      .filter(col("n_match") > 0)
-      .collect()
-      .map(r => (decodeRel(r.getString(0)), r.getLong(1), r.getLong(2)))
-      .filter { case (f, _, _) => liveSet.contains(f) }
+    // PHASE 1 — find the matched files with a FILTERED scan: the
+    // predicate reaches the source as a real filter, so partition-
+    // aligned conjuncts prune whole directories and the rest pushes into
+    // parquet row-group skipping. Untouched files cost their metadata.
+    val matchedFiles = taggedVisible(spark, root, current)
+      .filter(condition)
+      .select("__dv_file").distinct().collect()
+      .map(r => decodeRel(r.getString(0)))
+      .filter(liveSet.contains)
       .toSeq
-    if (perFile.isEmpty) return current.version // no row matches: no-op
+    if (matchedFiles.isEmpty) return current.version // no row matches: no-op
 
     val parts = partitionColsOf(spark, root, current)
-    val matchedRows = perFile.map(_._2).sum
+    val rowKey =
+      if (operation == "delete") "numDeletedRows" else "numUpdatedRows"
+    // PHASE 2 (DELETE only) — one DV-aware counting pass over JUST the
+    // matched files classifies each: FULLY matched (removed in the
+    // commit with no rewrite — the Delta-style file-granular delete) or
+    // straddling (survivors rewritten). The scale consequence:
+    // "DELETE FROM t WHERE part = 'x'" and the no-WHERE truncate write
+    // zero data bytes — their IO is bounded by the matched bytes read.
     // UPDATE rewrites every matched file (changed rows must be
-    // re-encoded); DELETE rewrites only the stragglers
-    val fullFiles =
-      if (operation == "delete")
-        perFile.collect { case (f, m, v) if m == v => f }
-      else Seq.empty[String]
-    val rewriteFiles = perFile.map(_._1).filterNot(fullFiles.toSet)
+    // re-encoded), so it skips the pass and counts on the rewrite job.
+    val (fullFiles, rewriteFiles, deleteRows) =
+      if (operation == "delete") {
+        val perFile = taggedVisible(spark, root, current,
+            onlyFiles = Some(matchedFiles))
+          .groupBy("__dv_file")
+          .agg(sum(when(coalesce(condition, lit(false)), 1L).otherwise(0L))
+            .as("n_match"), count(lit(1)).as("n_vis"))
+          .collect()
+          .map(r => (decodeRel(r.getString(0)), r.getLong(1), r.getLong(2)))
+        val full = perFile.collect { case (f, m, v) if m == v => f }.toSeq
+        (full, matchedFiles.filterNot(full.toSet),
+          perFile.iterator.map(_._2).sum)
+      } else (Seq.empty[String], matchedFiles, 0L)
+
     // DV-aware read: rows a live deletion vector already removed must
-    // not be resurrected by the rewrite
+    // not be resurrected by the rewrite. For UPDATE the matched-row
+    // count rides the staged write's own job (no second scan), so both
+    // DML modes record the same row-level metric keys.
+    val obs = org.apache.spark.sql.Observation()
     val (adds, ddl) =
       if (rewriteFiles.isEmpty) (Seq.empty[String], current.schemaDdl)
       else {
         val src = readLiveFiles(spark, root, current.schemaDdl,
-          rewriteFiles, current)
+            rewriteFiles, current)
+          .observe(obs, sum(when(coalesce(condition, lit(false)), 1L)
+            .otherwise(0L)).as("n_match"))
         stage(rewrite(src, condition), root, parts)
       }
-    val rowKey =
-      if (operation == "delete") "numDeletedRows" else "numUpdatedRows"
+    val matchedRows =
+      if (operation == "delete") deleteRows
+      else Option(obs.get.getOrElse("n_match", null))
+        .collect { case n: Long => n }.getOrElse(0L)
     // UPDATE can SET a row into violation; DELETE only removes rows it
     // never changes, so its survivors stay valid by construction
     if (operation != "delete") enforceConstraints(spark, root, adds, ddl, operation)
@@ -1743,7 +1758,7 @@ object TxLog {
             s"at $root — re-run the $operation")
       // rewrites read the full current schema, so the merge is a no-op
       // here — kept for uniformity with the other non-replacing commits
-      (adds, perFile.map(_._1),
+      (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
     }, computeStats(spark, root, adds, statsCols),
       metrics = Map(rowKey -> matchedRows,
@@ -2613,17 +2628,20 @@ object TxLog {
     * of tagging [[snapshot]]'s output.
     */
   private def taggedVisible(spark: SparkSession, root: String,
-                            snap: Snapshot): DataFrame = {
+                            snap: Snapshot,
+                            onlyFiles: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = spark.read
       .option("basePath", root)
       .schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(snap.live.map(f => s"$root/$f"): _*)
+      .parquet(onlyFiles.getOrElse(snap.live).map(f => s"$root/$f"): _*)
     guardDvProbeCols(base)
     val tagged = base
       .withColumn("__dv_file", relPathExpr(spark, root))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    val liveDvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
+    val scanned = onlyFiles.getOrElse(snap.live).toSet
+    val liveDvs = snap.dvs.view
+      .filterKeys(f => scanned(f) && snap.live.contains(f)).toMap
     if (liveDvs.isEmpty) tagged
     else {
       val raw = dvRowsFor(spark, root, liveDvs)

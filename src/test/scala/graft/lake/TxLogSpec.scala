@@ -67,6 +67,31 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 0L
   }
 
+  test("partition-scoped DELETE never reads other partitions' data") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "p1"), (2L, "p1"), (3L, "p2"), (4L, "p2")).toDF("id", "part"),
+      root, Seq("part"), statsCols = Seq("id"))
+    // corrupt p1's data file: if either the matched-file scan or the
+    // full/partial classification read outside the predicate's
+    // partition, the delete would die right here
+    TxLog.liveSizes(spark, root).map(_._1).filter(_.contains("part=p1"))
+      .foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/$f"), "junk".getBytes)
+      }
+    val nP2 = TxLog.liveSizes(spark, root).map(_._1)
+      .count(_.contains("part=p2")).toLong
+    TxLog.delete(spark, root, col("part") === "p2")
+    val m = TxLog.history(spark, root).last.metrics
+    m("numDeletedRows") shouldBe 2L
+    m("numRemovedFiles") shouldBe nP2
+    m("numAddedFiles") shouldBe 0L
+    // metadata-only count: the corrupt survivor partition is never read
+    TxLog.countRows(spark, root) shouldBe 2L
+  }
+
   test("append + readLatest roundtrip; versions increment from 0") {
     val root = tmpRoot()
     val v0 = TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
