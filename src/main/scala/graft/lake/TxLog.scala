@@ -1692,55 +1692,73 @@ object TxLog {
     val current = resolve(spark, root, None)
     val liveSet = current.live.toSet
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
-    // PHASE 1 — find the matched files with a FILTERED scan: the
-    // predicate reaches the source as a real filter, so partition-
-    // aligned conjuncts prune whole directories and the rest pushes into
-    // parquet row-group skipping. Untouched files cost their metadata.
-    val matchedFiles = taggedVisible(spark, root, current)
+    // PHASE 1 — find the matched files AND their per-file matched-row
+    // counts in ONE FILTERED scan: the predicate reaches the source as a
+    // real filter, so partition-aligned conjuncts prune whole
+    // directories and the rest pushes into parquet row-group skipping.
+    // Untouched files cost their metadata; the counts ride the same
+    // aggregation, so the predicate columns are decoded exactly once.
+    val matchedCounts = taggedVisible(spark, root, current)
       .filter(condition)
-      .select("__dv_file").distinct().collect()
-      .map(r => decodeRel(r.getString(0)))
-      .filter(liveSet.contains)
-      .toSeq
+      .groupBy("__dv_file").agg(count(lit(1)).as("n_match"))
+      .collect()
+      .map(r => decodeRel(r.getString(0)) -> r.getLong(1))
+    // a matched file outside the live set means the executor-side path
+    // extraction disagrees with the log's canonical rel form — dropping
+    // it would commit a "successful" DML that silently skipped its rows
+    // (same loud-failure rule as deleteVectored's sidecar check)
+    val unknownM = matchedCounts.iterator.map(_._1)
+      .filterNot(liveSet.contains).toSeq
+    require(unknownM.isEmpty,
+      s"$operation matched-file id not in the live set: ${unknownM.head}")
+    val matchedFiles = matchedCounts.map(_._1).toSeq
     if (matchedFiles.isEmpty) return current.version // no row matches: no-op
 
     val parts = partitionColsOf(spark, root, current)
     val rowKey =
       if (operation == "delete") "numDeletedRows" else "numUpdatedRows"
-    // PHASE 2 (DELETE only) — one DV-aware counting pass over JUST the
-    // matched files classifies each: FULLY matched (removed in the
+    // PHASE 2 (DELETE only) — one VISIBLE-ROW counting pass over JUST
+    // the matched files classifies each: FULLY matched (removed in the
     // commit with no rewrite — the Delta-style file-granular delete) or
-    // straddling (survivors rewritten). The scale consequence:
-    // "DELETE FROM t WHERE part = 'x'" and the no-WHERE truncate write
-    // zero data bytes — their IO is bounded by the matched bytes read.
-    // UPDATE rewrites every matched file (changed rows must be
-    // re-encoded), so it skips the pass and counts on the rewrite job.
+    // straddling (survivors rewritten). No predicate evaluation here —
+    // phase 1 already counted matches per file, so this pass decodes no
+    // data columns (footer-cost row counts + the DV anti-join). The
+    // scale consequence: "DELETE FROM t WHERE part = 'x'" and the
+    // no-WHERE truncate write zero data bytes — their IO is bounded by
+    // the matched bytes read once. UPDATE rewrites every matched file
+    // (changed rows must be re-encoded), so it skips the pass and
+    // counts on the rewrite job.
     val (fullFiles, rewriteFiles, deleteRows) =
       if (operation == "delete") {
-        val perFile = taggedVisible(spark, root, current,
+        val mc = matchedCounts.toMap
+        val vis = taggedVisible(spark, root, current,
             onlyFiles = Some(matchedFiles))
-          .groupBy("__dv_file")
-          .agg(sum(when(coalesce(condition, lit(false)), 1L).otherwise(0L))
-            .as("n_match"), count(lit(1)).as("n_vis"))
+          .groupBy("__dv_file").agg(count(lit(1)).as("n_vis"))
           .collect()
-          .map(r => (decodeRel(r.getString(0)), r.getLong(1), r.getLong(2)))
-        val full = perFile.collect { case (f, m, v) if m == v => f }.toSeq
+          .map(r => decodeRel(r.getString(0)) -> r.getLong(1)).toMap
+        // a file absent from the visible pass (cannot happen — it held a
+        // visible match) would classify conservatively as straddling
+        val full = matchedFiles.filter(f => vis.get(f).contains(mc(f)))
         (full, matchedFiles.filterNot(full.toSet),
-          perFile.iterator.map(_._2).sum)
+          matchedCounts.iterator.map(_._2).sum)
       } else (Seq.empty[String], matchedFiles, 0L)
 
     // DV-aware read: rows a live deletion vector already removed must
     // not be resurrected by the rewrite. For UPDATE the matched-row
     // count rides the staged write's own job (no second scan), so both
-    // DML modes record the same row-level metric keys.
+    // DML modes record the same row-level metric keys; DELETE already
+    // has its count from phase 1, so it skips the Observation and its
+    // per-row predicate re-evaluation entirely.
     val obs = org.apache.spark.sql.Observation()
     val (adds, ddl) =
       if (rewriteFiles.isEmpty) (Seq.empty[String], current.schemaDdl)
       else {
-        val src = readLiveFiles(spark, root, current.schemaDdl,
-            rewriteFiles, current)
-          .observe(obs, sum(when(coalesce(condition, lit(false)), 1L)
-            .otherwise(0L)).as("n_match"))
+        val src0 = readLiveFiles(spark, root, current.schemaDdl,
+          rewriteFiles, current)
+        val src =
+          if (operation == "delete") src0
+          else src0.observe(obs, sum(when(coalesce(condition, lit(false)),
+            1L).otherwise(0L)).as("n_match"))
         stage(rewrite(src, condition), root, parts)
       }
     val matchedRows =
@@ -2640,8 +2658,12 @@ object TxLog {
       .withColumn("__dv_file", relPathExpr(spark, root))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val scanned = onlyFiles.getOrElse(snap.live).toSet
+    // set lookups on BOTH membership tests: snap.live is a Seq, and a
+    // linear contains per vectored file would be O(D*L) driver work on
+    // a large table; when onlyFiles is absent, scanned IS the live set
+    val liveSet = if (onlyFiles.isEmpty) scanned else snap.live.toSet
     val liveDvs = snap.dvs.view
-      .filterKeys(f => scanned(f) && snap.live.contains(f)).toMap
+      .filterKeys(f => scanned(f) && liveSet(f)).toMap
     if (liveDvs.isEmpty) tagged
     else {
       val raw = dvRowsFor(spark, root, liveDvs)
