@@ -2138,6 +2138,69 @@ object TxLog {
     spark.read.parquet(bloomDir(root, column).toString).count()
   }
 
+  /** INCREMENTAL bloom-index maintenance: index only the live files the
+    * sidecar does not cover yet, and APPEND their rows. Correct by
+    * construction because data files are immutable by name — a staged
+    * file's contents never change under its name (rewrites stage NEW
+    * names), so an existing index row can never go stale. Rows for dead
+    * files are left in place (they cost probe work, never correctness:
+    * [[bloomKeepFiles]] intersects with the live set) — a periodic
+    * [[buildBloomIndex]] is the compaction that drops them.
+    *
+    * This is the 100 TB maintenance shape: the full rebuild re-hashes
+    * O(table) bytes per cycle, the refresh O(bytes added since the last
+    * one) — the same incremental contract as ANALYZE's stats retrofit.
+    * No sidecar yet = full build. Returns the number of NEWLY indexed
+    * files (0 = the index already covers the snapshot).
+    */
+  def refreshBloomIndex(spark: SparkSession, root: String, column: String,
+                        expectedKeysPerFile: Long = 1000000L,
+                        fpp: Double = 0.01): Long = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val dir = bloomDir(root, column)
+    if (!fileSystem(spark, root).exists(dir))
+      return buildBloomIndex(spark, root, column, expectedKeysPerFile, fpp)
+    val snap = resolve(spark, root, None)
+    require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(column),
+      s"no column $column in $root")
+    // metadata-sized collect: just the indexed NAMES (never a bitset)
+    val indexed = spark.read.parquet(dir.toString)
+      .select("file").collect().map(_.getString(0)).toSet
+    val missing = snap.live.filterNot(indexed.contains)
+    if (missing.isEmpty) return 0L
+    val numBits = bloomNumBits(expectedKeysPerFile, fpp)
+    val agg = new BloomFilterAggregate(
+      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
+      Literal(expectedKeysPerFile), Literal(numBits))
+    // same raw (NOT DV-filtered) scan rule as the full build — see the
+    // false-negative note there — but over ONLY the missing files
+    val rows = spark.read
+      .option("basePath", root)
+      .schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(missing.map(f => s"$root/$f"): _*)
+      .withColumn("__dv_file", relPathExpr(spark, root))
+      .groupBy(col("__dv_file").as("__f"))
+      .agg(org.apache.spark.sql.graftnative.toColumn(
+        agg.toAggregateExpression()).as("bloom"))
+    val missingSet = missing.toSet
+    import spark.implicits._
+    val out = rows.select(col("__f"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bloom) =>
+        Option(bloom).flatMap(b =>
+          Some(decodeRel(f)).filter(missingSet.contains).map(_ -> b))
+      }
+      .toDF("file", "bloom")
+      .repartition(math.max(1, missing.size / 8192))
+    // APPEND, never overwrite: the existing rows stay valid forever
+    // (file immutability), and append avoids the read-while-truncating
+    // hazard an in-place overwrite of the sidecar would have
+    out.write.mode(SaveMode.Append).parquet(dir.toString)
+    missing.size.toLong
+  }
+
   /** The files of `snap` that might contain ANY of the probe hashes,
     * per the column's bloom index; files without an index row (no index
     * built, or written after the build) are conservatively kept.

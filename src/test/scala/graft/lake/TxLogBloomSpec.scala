@@ -78,6 +78,51 @@ class TxLogBloomSpec extends SparkSpec {
     TxLog.bloomScanFileCount(spark, root, "k", Seq("fresh-key")) shouldBe 1
   }
 
+  test("refresh indexes only the files added since the build") {
+    val (root, _) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    // nothing changed: the refresh touches zero files
+    TxLog.refreshBloomIndex(spark, root, "k",
+      expectedKeysPerFile = 1000) shouldBe 0L
+    TxLog.append(spark,
+      Seq(("fresh-key", 9)).toDF("k", "commit").repartition(1), root)
+    TxLog.refreshBloomIndex(spark, root, "k",
+      expectedKeysPerFile = 1000) shouldBe 1L
+    // the new file is now INDEXED, so a probe for an old-only key skips
+    // it (the conservative keep for unindexed files no longer applies)
+    TxLog.bloomScanFileCount(spark, root, "k",
+      Seq("no-such-key")) shouldBe 0
+    // and the fresh key still resolves, through its own index row
+    TxLog.readEquals(spark, root, "k", Seq("fresh-key"))
+      .select("commit").as[Int].collect() shouldBe Array(9)
+  }
+
+  test("refresh without a prior build is the full build") {
+    val (root, firstKeys) = freshTable()
+    TxLog.refreshBloomIndex(spark, root, "k",
+      expectedKeysPerFile = 1000) shouldBe 4L
+    TxLog.bloomScanFileCount(spark, root, "k",
+      Seq(firstKeys(2))) should be <= 2
+  }
+
+  test("refresh stays exact across a rewrite (dead rows are harmless)") {
+    val (root, firstKeys) = freshTable()
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000)
+    // rewrite commit 1's file: its rows move to a NEW file name; the old
+    // name's index row goes dead but can never mis-prune (dead names are
+    // not in the live set)
+    TxLog.delete(spark, root, col("k") === firstKeys(1))
+    TxLog.append(spark,
+      Seq((firstKeys(1), 1)).toDF("k", "commit").repartition(1), root)
+    TxLog.refreshBloomIndex(spark, root, "k",
+      expectedKeysPerFile = 1000) should be >= 1L
+    val rows = TxLog.readEquals(spark, root, "k", Seq(firstKeys(1)))
+      .select("commit").as[Int].collect()
+    rows shouldBe Array(1)
+    // every live file indexed again: an absent key scans nothing
+    TxLog.bloomScanFileCount(spark, root, "k", Seq("no-such-key")) shouldBe 0
+  }
+
   test("without an index readEquals degrades to a full-scan filter") {
     val (root, firstKeys) = freshTable()
     TxLog.bloomScanFileCount(spark, root, "k", Seq(firstKeys(1))) shouldBe 4
