@@ -949,9 +949,23 @@ object TxLog {
     // caller's casing would silently buy zero skipping
     val canon = statsCols.map(c =>
       schema.find(_.name.equalsIgnoreCase(c)).get.name)
+    // INCREMENTAL: scan only the files missing bounds for at least one
+    // named column. Files are immutable and computeStats deterministic,
+    // so a recomputation could never change a recorded bound — skipping
+    // covered files turns the re-ANALYZE after N appends from O(table)
+    // into O(bytes appended), the refreshBloomIndex contract. Files
+    // whose column never yields bounds (all-null pre-evolution reads,
+    // non-castable values) stay in the rescan set — a bounded
+    // conservative cost, never a wrong skip.
+    val toScan = current.live.filterNot(f =>
+      canon.forall(c => current.stats.get(f).exists(_.contains(c))))
+    if (toScan.isEmpty) return current.version // fully covered: no-op
     // the table schema makes pre-evolution files readable (null-filled)
-    val fresh = computeStats(spark, root, current.live, canon,
+    val fresh = computeStats(spark, root, toScan, canon,
       readSchema = Some(schema))
+    // per-file replace semantics in replay (acc ++ c.stats): merge each
+    // scanned file's new bounds with its existing ones; unscanned files
+    // simply keep their bounds from earlier commits
     val merged = fresh.map { case (f, m) =>
       f -> (current.stats.getOrElse(f, Map.empty[String, (Double, Double)]) ++ m)
     }

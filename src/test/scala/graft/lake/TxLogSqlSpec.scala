@@ -625,6 +625,35 @@ class TxLogSqlSpec extends SparkSpec {
     TxLog.countRows(spark, root) shouldBe 201L
   }
 
+  test("ANALYZE is incremental: covered files are never rescanned") {
+    val root = Files.createTempDirectory("graft-anainc").toString
+    // first file WITH stats at write time; second without
+    TxLog.append(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    TxLog.append(spark,
+      (1000L to 1100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(1),
+      root)
+    // corrupt the covered file: an ANALYZE that rescans it would die,
+    // the incremental one must only read the uncovered file
+    val coveredRel = TxLog.history(spark, root).head.add.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$coveredRel"),
+      "not parquet".getBytes)
+    TxLogSql.register(spark, "ana_inc", root)
+    TxLogSql.run(spark,
+      "ANALYZE TABLE ana_inc COMPUTE STATISTICS FOR COLUMNS id")
+    // both files now carry bounds: the metadata count needs no data IO
+    // (the corrupted file would fail any scan), and a hi-range read
+    // prunes the corrupted lo file
+    TxLog.countRows(spark, root) shouldBe 201L
+    TxLog.readRange(spark, root, "id", 900, 2000).count() shouldBe 101L
+    // fully covered: a second ANALYZE is a version-level no-op
+    val v = TxLog.history(spark, root).last.version
+    TxLogSql.run(spark,
+      "ANALYZE TABLE ana_inc COMPUTE STATISTICS FOR COLUMNS id")
+    TxLog.history(spark, root).last.version shouldBe v
+  }
+
   test("ANALYZE FOR ALL COLUMNS covers non-partition columns; plain form names the syntax") {
     val root = freshTable("ana_all")
     val res = TxLogSql.run(spark,
