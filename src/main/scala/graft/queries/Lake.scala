@@ -1174,6 +1174,90 @@ object Lake {
         .orderBy("po_number", "sku", "qty")
     },
 
+    // INCREMENTAL index/stats maintenance end-to-end (q84 pins the full
+    // bloom build, q106 the full ANALYZE; this row pins the REFRESH
+    // path both features grow at 100 TB, where re-deriving metadata
+    // over the whole table per cycle is the cost the incremental forms
+    // exist to avoid). Two scratch tables: a hash-sliced one whose
+    // bloom index is built on half the commits and REFRESHED for the
+    // rest (refreshBloomIndex — append-only rows for the new files), a
+    // range-sliced one ANALYZEd after half the commits and re-ANALYZEd
+    // after the rest (incremental: covered files skipped). The reads go
+    // through the index tiers (readEquals / readRange), so a refresh
+    // that writes a wrong bitset (false negative on the new files) or
+    // an incremental ANALYZE that clobbers or mis-merges bounds drops
+    // rows and turns the row red; the spec side pins the no-rescan IO
+    // proofs (TxLogBloomSpec / TxLogSqlSpec corrupted-file tests).
+    QDef(
+      "q110_incremental_maintenance",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |                  CAST(o_totalprice AS DOUBLE) AS price
+        |           FROM orders),
+        |b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM o)
+        |SELECT 'bloom' AS src, o.o_orderkey, o.price FROM o, b
+        |WHERE o.o_orderkey IN (b.lo, b.hi)
+        |UNION ALL
+        |SELECT 'range' AS src, o.o_orderkey, o.price FROM o, b
+        |WHERE o.o_orderkey >= (b.hi // 4) + 1
+        |  AND o.o_orderkey <= 3 * ((b.hi // 4) + 1)
+        |ORDER BY src, o_orderkey""".stripMargin) { (s, dir) =>
+      val broot = Tables.scratch(dir, "incmaint_bloom")
+      val rroot = Tables.scratch(dir, "incmaint_range")
+      val fs = new Path(broot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(broot, rroot).foreach { r =>
+        val p = new Path(r); if (fs.exists(p)) fs.delete(p, true)
+      }
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (loKey, hiKey) = (bounds.getLong(0), bounds.getLong(1))
+
+      // bloom tier: hash slices (range stats prune nothing), index
+      // built over commits 0-1, then REFRESHED to cover commits 2-3
+      (0L until 2L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+            .repartition(1), broot)
+      }
+      TxLog.buildBloomIndex(s, broot, "o_orderkey",
+        expectedKeysPerFile = 1000000L, fpp = 0.01)
+      (2L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+            .repartition(1), broot)
+      }
+      TxLog.refreshBloomIndex(s, broot, "o_orderkey",
+        expectedKeysPerFile = 1000000L, fpp = 0.01)
+      val bloomRows = TxLog.readEquals(s, broot, "o_orderkey",
+          Seq(loKey, hiKey))
+        .select(lit("bloom").as("src"), col("o_orderkey"), col("price"))
+
+      // stats tier: disjoint key ranges, stats-less commits; ANALYZE
+      // covers the first half, the re-ANALYZE after the second half
+      // scans only the new files
+      val slice = hiKey / 4 + 1
+      (0L until 2L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1), rroot)
+      }
+      TxLog.analyzeStats(s, rroot, Seq("o_orderkey"))
+      (2L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1), rroot)
+      }
+      TxLog.analyzeStats(s, rroot, Seq("o_orderkey"))
+      // the probe range spans one file from EACH analyze round
+      val rangeRows = TxLog.readRange(s, rroot, "o_orderkey",
+          slice, 3 * slice)
+        .select(lit("range").as("src"), col("o_orderkey"), col("price"))
+
+      bloomRows.unionByName(rangeRows).orderBy("src", "o_orderkey")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column
