@@ -2215,6 +2215,30 @@ object TxLog {
     missing.size.toLong
   }
 
+  /** Drop `column`'s bloom index (the sidecar directory). The index is
+    * DERIVED state — dropping it costs only point-lookup pruning, never
+    * correctness. Returns whether an index existed. No schema check:
+    * the index of a since-evolved-away column must stay droppable.
+    */
+  def dropBloomIndex(spark: SparkSession, root: String,
+                     column: String): Boolean = {
+    val dir = bloomDir(root, column)
+    val fs = fileSystem(spark, root)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  /** Columns with a live bloom index at `root` (sidecar directories
+    * under `_txlog/bloom_<column>/`) — DESCRIBE DETAIL's index listing.
+    */
+  def bloomIndexColumns(spark: SparkSession, root: String): Seq[String] = {
+    val logDir = new Path(s"$root/$LogDirName")
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(logDir)) return Seq.empty
+    fs.listStatus(logDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bloom_"))
+      .map(_.getPath.getName.stripPrefix("bloom_")).sorted
+  }
+
   /** The files of `snap` that might contain ANY of the probe hashes,
     * per the column's bloom index; files without an index row (no index
     * built, or written after the build) are conservatively kept.

@@ -314,6 +314,14 @@ object TxLogSql {
     """(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
+  // Delta-shaped bloom index lifecycle: CREATE builds over the current
+  // snapshot, REFRESH indexes only the files added since, DROP removes
+  // the sidecar. Single column per statement; OPTIONS allows fpp and
+  // numItems (expected keys per file).
+  private val BloomIndexRe =
+    ("""(?is)\s*(CREATE|REFRESH|DROP)\s+BLOOMFILTER\s+INDEX\s+ON\s+""" +
+      """(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s+FOR\s+COLUMNS\s*\(\s*""" +
+      """(`[^`]+`|\w+)(?:\s+OPTIONS\s*\(([^)]*)\))?\s*\)\s*;?\s*""").r
   private val ShowConstraintsRe =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(`[^`]+`|[\w.]+)\s*;?\s*""".r
   /** What DESCRIBE SCAN accepts as its inner statement: the query-shaped
@@ -449,11 +457,12 @@ object TxLogSql {
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
           small.toLong, nDv, dvRows, nWithStats,
-          reg.partitionCols.mkString(",")))
+          reg.partitionCols.mkString(","),
+          TxLog.bloomIndexColumns(spark, reg.root).mkString(",")))
           .toDF("location", "version", "num_files", "size_bytes",
             "num_small_files", "num_deletion_vectors",
             "deleted_row_count", "num_files_with_stats",
-            "partition_columns")
+            "partition_columns", "bloom_index_columns")
 
       case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)
@@ -580,6 +589,42 @@ object TxLogSql {
           s"ANALYZE on graft table ${stripQuotes(ident)} computes " +
             "column skipping stats: use COMPUTE STATISTICS FOR COLUMNS " +
             "(c1, ...) or FOR ALL COLUMNS")
+
+      case BloomIndexRe(verb, ident, colQ, optsText)
+          if lookupOpt(spark, ident).isDefined =>
+        val (_, reg) = lookupOpt(spark, ident).get
+        val colName = stripQuotes(colQ)
+        val opts = Option(optsText).map(_.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty).map { kv =>
+          kv.split("=") match {
+            case Array(k, v) => k.trim.toLowerCase -> v.trim
+            case _ => fail(sqlText, s"malformed bloom index option: $kv")
+          }
+        }.toMap).getOrElse(Map.empty[String, String])
+        val unknown = opts.keySet -- Set("fpp", "numitems")
+        if (unknown.nonEmpty)
+          fail(sqlText, s"unknown bloom index option(s): " +
+            s"${unknown.mkString(", ")} (supported: fpp, numItems)")
+        verb.toUpperCase(java.util.Locale.ROOT) match {
+          case "DROP" =>
+            // an option on DROP is a likely copy-paste from CREATE with
+            // a different intent — refuse rather than silently ignore
+            if (opts.nonEmpty)
+              fail(sqlText, "DROP BLOOMFILTER INDEX takes no OPTIONS")
+            val existed = TxLog.dropBloomIndex(spark, reg.root, colName)
+            Seq((colName, "drop_bloom_index", if (existed) 1L else 0L))
+              .toDF("column", "operation", "files_indexed")
+          case v =>
+            val fpp = opts.get("fpp").map(_.toDouble).getOrElse(0.01)
+            val keys = opts.get("numitems").map(_.toLong).getOrElse(1000000L)
+            val n =
+              if (v == "CREATE")
+                TxLog.buildBloomIndex(spark, reg.root, colName, keys, fpp)
+              else
+                TxLog.refreshBloomIndex(spark, reg.root, colName, keys, fpp)
+            Seq((colName, s"${v.toLowerCase}_bloom_index", n))
+              .toDF("column", "operation", "files_indexed")
+        }
 
       case ShowPartitionsRe(ident) if lookupOpt(spark, ident).isDefined =>
         val (_, reg) = lookupOpt(spark, ident).get

@@ -654,6 +654,47 @@ class TxLogSqlSpec extends SparkSpec {
     TxLog.history(spark, root).last.version shouldBe v
   }
 
+  test("BLOOMFILTER INDEX lifecycle: CREATE, REFRESH the delta, DROP") {
+    val root = Files.createTempDirectory("graft-sqlbloom").toString
+    (0 until 2).foreach { c =>
+      TxLog.append(spark,
+        (0 until 100).map(i => (f"k${(i * 7 + c) % 500}%03d-c$c", c))
+          .toDF("k", "commit").repartition(1), root)
+    }
+    TxLogSql.register(spark, "blm_t", root)
+    val created = TxLogSql.run(spark,
+      "CREATE BLOOMFILTER INDEX ON TABLE blm_t FOR COLUMNS " +
+        "(k OPTIONS (fpp = 0.01, numItems = 1000))")
+    created.select("operation", "files_indexed")
+      .as[(String, Long)].collect() shouldBe Array(("create_bloom_index", 2L))
+    TxLog.append(spark,
+      Seq(("fresh-key", 9)).toDF("k", "commit").repartition(1), root)
+    val refreshed = TxLogSql.run(spark,
+      "REFRESH BLOOMFILTER INDEX ON blm_t FOR COLUMNS (k)")
+    refreshed.select("files_indexed").as[Long].collect() shouldBe Array(1L)
+    // all three files indexed: an absent key scans zero files
+    TxLog.bloomScanFileCount(spark, root, "k", Seq("no-such-key")) shouldBe 0
+    // DESCRIBE DETAIL lists the indexed column
+    TxLogSql.run(spark, "DESCRIBE DETAIL blm_t")
+      .select("bloom_index_columns").as[String].head() shouldBe "k"
+    val dropped = TxLogSql.run(spark,
+      "DROP BLOOMFILTER INDEX ON blm_t FOR COLUMNS (k)")
+    dropped.select("files_indexed").as[Long].collect() shouldBe Array(1L)
+    // index gone: lookups degrade to conservative full-candidate scans
+    TxLog.bloomScanFileCount(spark, root, "k", Seq("no-such-key")) shouldBe 3
+    TxLogSql.run(spark, "DESCRIBE DETAIL blm_t")
+      .select("bloom_index_columns").as[String].head() shouldBe ""
+    // option hygiene: unknown keys and OPTIONS-on-DROP are refused
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "CREATE BLOOMFILTER INDEX ON blm_t FOR COLUMNS (k OPTIONS (bogus = 1))")
+    }.getMessage should include("bogus")
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "DROP BLOOMFILTER INDEX ON blm_t FOR COLUMNS (k OPTIONS (fpp = 0.1))")
+    }.getMessage should include("no OPTIONS")
+  }
+
   test("ANALYZE FOR ALL COLUMNS covers non-partition columns; plain form names the syntax") {
     val root = freshTable("ana_all")
     val res = TxLogSql.run(spark,
