@@ -81,7 +81,8 @@ object TxLog {
                           consDrop: Seq[String] = Seq.empty,
                           dv: Map[String, DvRef] = Map.empty,
                           dvDrop: Seq[String] = Seq.empty,
-                          metrics: Map[String, Long] = Map.empty)
+                          metrics: Map[String, Long] = Map.empty,
+                          schemaDrop: Seq[String] = Seq.empty)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -147,6 +148,9 @@ object TxLog {
       val mn = n.putObject("metrics")
       c.metrics.foreach { case (k, v) => mn.put(k, v) }
     }
+    if (c.schemaDrop.nonEmpty) {
+      val sd = n.putArray("schemaDrop"); c.schemaDrop.foreach(sd.add)
+    }
     n.toString
   }
 
@@ -180,11 +184,13 @@ object TxLog {
         b += e.getKey -> e.getValue.asLong()))
       b.result()
     }
+    val schemaDrop =
+      if (n.has("schemaDrop")) arr("schemaDrop") else Seq.empty[String]
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
       n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
       Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)),
-      consAdd, consDrop, dv, dvDrop, metrics)
+      consAdd, consDrop, dv, dvDrop, metrics, schemaDrop)
   }
 
   // -------------------------------------------------------------------
@@ -467,7 +473,8 @@ object TxLog {
                          consDrop: Seq[String] = Seq.empty,
                          dv: Map[String, DvRef] = Map.empty,
                          dvDrop: Seq[String] = Seq.empty,
-                         metrics: Map[String, Long] = Map.empty): Long = {
+                         metrics: Map[String, Long] = Map.empty,
+                         schemaDrop: Seq[String] = Seq.empty): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var tailWaitMs = 0L
@@ -513,7 +520,7 @@ object TxLog {
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
-          consAdd, consDrop, dv, dvDrop, metrics)
+          consAdd, consDrop, dv, dvDrop, metrics, schemaDrop)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -564,6 +571,27 @@ object TxLog {
   private def committedDdl(spark: SparkSession, commits: Seq[Commit],
                            batchDdl: String, operation: String,
                            root: String): String = {
+    // DROP COLUMN tombstone guard: the dropped column's physical values
+    // still sit in every pre-drop file, so evolving the name back in
+    // would resurrect stale data there. Common path (log visible from
+    // v0) folds the in-hand commits — zero extra IO; a truncated log
+    // falls back to checkpoint-aware resolution, whose checkpoint
+    // carries the tombstones.
+    val dropped = commits.headOption match {
+      case Some(first) if first.version == 0L => foldDropped(Set.empty, commits)
+      case _ => scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.droppedCols).getOrElse(foldDropped(Set.empty, commits))
+    }
+    if (dropped.nonEmpty) {
+      val hit = StructType.fromDDL(batchDdl).map(_.name)
+        .filter(n => dropped(n.toLowerCase(java.util.Locale.ROOT)))
+      if (hit.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$operation to $root re-adds dropped column(s) " +
+            s"${hit.mkString(", ")}: pre-drop files still hold their old " +
+            "values, which this write would resurrect — rename the batch " +
+            "column, or OVERWRITE the table to rewrite every file first")
+    }
     val cur = commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
     cur match {
       case None => batchDdl
@@ -1034,6 +1062,10 @@ object TxLog {
     val evolved = cols.foldLeft(cur) { case (acc, (n, t)) =>
       require(!acc.exists(_.name.equalsIgnoreCase(n)),
         s"column $n already exists on $root")
+      require(!current.droppedCols(n.toLowerCase(java.util.Locale.ROOT)),
+        s"column $n was DROPPED from $root and pre-drop files still hold " +
+          "its old values — use a different name, or OVERWRITE the table " +
+          "to rewrite every file first")
       val clamped = CatalogOps.clampType(t)
       val dt = StructType.fromDDL(s"`$n` $clamped").head.dataType
       acc.add(StructField(n, dt))
@@ -1050,6 +1082,69 @@ object TxLog {
               s"since at $root — re-run")
         (Seq.empty, Seq.empty, evolved.toDDL)
       })
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN(S)` as a METADATA-ONLY commit: the new
+    * schema simply omits the column, and since every read applies the
+    * commit's DDL as the scan schema (by-name parquet resolution), the
+    * physical values in existing files become invisible without touching
+    * a byte of data — time travel to a pre-drop version still shows them.
+    * The un-rewritten bytes are also why the name is TOMBSTONED
+    * ([[foldDropped]]): evolving the same name back in would resurrect
+    * stale values on every pre-drop file, so [[committedDdl]] and
+    * [[addColumns]] refuse it until an OVERWRITE rewrites the table
+    * (Delta needs column mapping for the same reason; this engine trades
+    * the name's reusability for zero-rewrite drops). Refused for
+    * partition columns (their values live in directory names — dropping
+    * them is a repartitioning rewrite, not a metadata op) and for columns
+    * a CHECK constraint references (drop the constraint first). The
+    * column's bloom index sidecar — derived state over now-invisible
+    * values — is deleted best-effort after the commit lands.
+    */
+  def dropColumns(spark: SparkSession, root: String,
+                  cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "DROP COLUMNS needs at least one column")
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(cols.map(lc).distinct.size == cols.size,
+      s"duplicate column in DROP COLUMNS: ${cols.mkString(", ")}")
+    val current = resolve(spark, root, None)
+    val cur = StructType.fromDDL(current.schemaDdl)
+    val parts = partitionColsOf(spark, root, current)
+    val partSet = parts.map(lc).toSet
+    cols.foreach { c =>
+      require(cur.exists(_.name.equalsIgnoreCase(c)),
+        s"no such column $c on $root")
+      require(!partSet(lc(c)),
+        s"$c is a partition column of $root — its values live in " +
+          "directory names; rewrite the table with a new partitioning " +
+          "instead of dropping it")
+    }
+    val dropSet = cols.map(lc).toSet
+    current.constraints.foreach { case (name, sql) =>
+      val hit = constraintRefs(spark, sql).filter(r => dropSet(lc(r)))
+      require(hit.isEmpty,
+        s"constraint $name (CHECK ($sql)) references ${hit.mkString(", ")}" +
+          s" — drop the constraint first")
+    }
+    val remaining = StructType(cur.filterNot(f => dropSet(lc(f.name))))
+    // at least one DATA column must survive: partition columns live in
+    // directory names, so a partition-only schema has no file contents
+    require(remaining.exists(f => !partSet(lc(f.name))),
+      s"cannot drop every data column of $root")
+    val v = commitLoop(spark, root, "drop_column", parts, { (commits, _) =>
+      // the narrowed DDL was computed against `current`; a racing write
+      // may have evolved the schema — fail the DDL, not the data
+      if (tailVersion(spark, root, commits) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"dropColumns computed from version ${current.version} but " +
+            s"${commits.lastOption.map(_.version).orNull} committed " +
+            s"since at $root — re-run")
+      (Seq.empty, Seq.empty, remaining.toDDL)
+    }, schemaDrop = cols)
+    cols.foreach(c =>
+      try dropBloomIndex(spark, root, c)
+      catch { case _: IOException => () })
+    v
   }
 
   /** Enforce the table's constraints on freshly STAGED files, between
@@ -1883,7 +1978,10 @@ object TxLog {
           s"clone target $dstRoot gained a commit mid-clone")
       // add = DATA files only; sidecars are referenced via dv, not add
       (snap.live, Seq.empty, snap.schemaDdl)
-    }, snap.stats.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs)
+    }, snap.stats.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs,
+      // drop-column tombstones ride along: the clone's files ARE the
+      // source's pre-drop files, stale bytes included
+      schemaDrop = snap.droppedCols.toSeq.sorted)
   }
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {
@@ -2503,7 +2601,33 @@ object TxLog {
                                     version: Long, stats: FileStats,
                                     txns: Map[String, Long] = Map.empty,
                                     constraints: Map[String, String] = Map.empty,
-                                    dvs: Map[String, DvRef] = Map.empty)
+                                    dvs: Map[String, DvRef] = Map.empty,
+                                    droppedCols: Set[String] = Set.empty)
+
+  /** Fold [[Commit.schemaDrop]] tombstones (lower-cased names) across
+    * `commits`. A dropped column's PHYSICAL values still sit in every
+    * pre-drop file, so re-evolving the same name in would silently
+    * resurrect stale data on those files — the tombstone is what lets
+    * [[committedDdl]]/[[addColumns]] refuse that. Two things legitimately
+    * clear a tombstone: an `overwrite` (every live file is rewritten, no
+    * stale bytes remain anywhere reachable), and any commit whose schema
+    * CARRIES the name again (only rollback/restore-shaped full-state
+    * commits can, since the evolution paths refuse — the column and its
+    * era's files came back together, so the data is not stale). The
+    * DDL parse is skipped while the running set is empty — tables that
+    * never drop pay nothing.
+    */
+  private def foldDropped(base: Set[String],
+                          commits: Seq[Commit]): Set[String] =
+    commits.foldLeft(base) { (acc, c) =>
+      val cleared =
+        if (c.operation == "overwrite") Set.empty[String] else acc
+      val withNew =
+        cleared ++ c.schemaDrop.map(_.toLowerCase(java.util.Locale.ROOT))
+      if (withNew.isEmpty || c.schemaDdl.isEmpty) withNew
+      else withNew -- StructType.fromDDL(c.schemaDdl)
+        .map(_.name.toLowerCase(java.util.Locale.ROOT))
+    }
 
   /** Resolve the snapshot at `upTo` (None = latest) from the newest
     * eligible CHECKPOINT plus the commit tail after it — O(tail) instead
@@ -2535,8 +2659,11 @@ object TxLog {
       Option(n.get("dv")).foreach(_.properties().forEach(e =>
         dvB += e.getKey -> (e.getValue.get("path").asText,
           e.getValue.get("rows").asLong)))
+      val droppedB = Set.newBuilder[String]
+      Option(n.get("droppedCols")).foreach(_.elements()
+        .forEachRemaining(e => droppedB += e.asText))
       Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
-        txnsB.result(), consB.result(), dvB.result())
+        txnsB.result(), consB.result(), dvB.result(), droppedB.result())
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -2567,10 +2694,14 @@ object TxLog {
     // dv-dropping a file clears it; freshly added files never carry one
     val dvs = tail.foldLeft(base.map(_.dvs).getOrElse(Map.empty[String, DvRef]))(
       (acc, c) => acc -- c.remove -- c.dvDrop ++ c.dv)
+    // drop-column tombstones survive log truncation like constraints:
+    // losing one would let a later evolution resurrect stale values
+    val dropped = foldDropped(
+      base.map(_.droppedCols).getOrElse(Set.empty), tail)
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
       tail.lastOption.map(_.version).getOrElse(base.get.version),
-      stats, txns, constraints, dvs)
+      stats, txns, constraints, dvs, dropped)
   }
 
   // -------------------------------------------------------------------
@@ -2848,6 +2979,12 @@ object TxLog {
       liveDvs.foreach { case (file, (path, rows)) =>
         val e = dn.putObject(file); e.put("path", path); e.put("rows", rows)
       }
+    }
+    // drop-column tombstones outlive log truncation — losing one would
+    // let a later write evolve the name back in over stale file bytes
+    if (snap.droppedCols.nonEmpty) {
+      val dc = n.putArray("droppedCols")
+      snap.droppedCols.toSeq.sorted.foreach(dc.add)
     }
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
@@ -3210,30 +3347,118 @@ object TxLog {
     vacuumCore(spark, root, commits, keepLast, dryRun)
   }
 
+  /** Truncate the COMMIT LOG to its checkpoints: delete raw log entries
+    * at-or-below the oldest retained checkpoint (readers already resolve
+    * checkpoint + tail) and checkpoints older than `keepCheckpoints`.
+    * This is what bounds metadata growth on a long-lived table — a
+    * 100 TB table commits forever, and without truncation every reader
+    * lists and every 10th commit re-summarizes an ever-growing log.
+    * Only `_txlog` metadata is touched, never data files.
+    *
+    * The trade is explicit: versions below the horizon stop being
+    * readable (time travel/change feeds there already fail loudly), and
+    * data files reclaimable ONLY below the horizon would become
+    * invisible to [[vacuum]]'s replay — so the call is REFUSED while such
+    * files exist (run `vacuum` first), unless `force` accepts leaking
+    * them. Returns the deleted (or, `dryRun`, would-delete) log paths.
+    */
+  def vacuumLog(spark: SparkSession, root: String, keepCheckpoints: Int = 2,
+                dryRun: Boolean = false,
+                force: Boolean = false): Seq[String] = {
+    require(keepCheckpoints >= 1, "must retain at least one checkpoint")
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    require(fs.exists(dir), s"not a txlog table: $root")
+    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    val ckpts = names.collect { case CkptFile(v) => v.toLong }.sorted
+    if (ckpts.isEmpty) return Seq.empty // nothing to anchor a truncation
+    val horizon = ckpts.takeRight(keepCheckpoints).head
+    // strictly BELOW the horizon: the horizon version's own entry stays,
+    // so the visible tail is never empty — latestVersion, the clone
+    // fresh-target check, and the idempotent-append fast path all read
+    // the raw tail and must keep seeing a committed head
+    val logVictims = names
+      .collect { case n @ LogFile(v) if v.toLong < horizon => n }.sorted
+    val ckptVictims = ckpts.dropRight(keepCheckpoints)
+      .map(v => f"$v%020d.checkpoint.json")
+    if (logVictims.isEmpty && ckptVictims.isEmpty) return Seq.empty
+    if (!force) {
+      val commits = history(spark, root)
+      if (commits.nonEmpty) {
+        val keep = math.min(Int.MaxValue.toLong,
+          math.max(1L, commits.last.version - horizon + 1)).toInt
+        val reclaimable = vacuumCore(spark, root, commits, keep,
+          dryRun = true)
+        require(reclaimable.isEmpty,
+          s"vacuumLog would strand ${reclaimable.size} data file(s) " +
+            s"reclaimable only below the horizon (v$horizon) of $root — " +
+            s"run vacuum(keepLast = $keep) first, or pass force = true " +
+            "to leak them")
+      }
+    }
+    val victims = (logVictims ++ ckptVictims).map(n => s"$LogDirName/$n")
+    if (!dryRun)
+      victims.foreach(v => fs.delete(new Path(s"$root/$v"), false))
+    victims
+  }
+
   private def vacuumCore(spark: SparkSession, root: String,
                          commits: Seq[Commit], keepLast: Int,
                          dryRun: Boolean): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val fs = fileSystem(spark, root)
     val keepFrom = commits.last.version - keepLast + 1
+    // On a checkpoint-truncated log ([[vacuumLog]]) the state below the
+    // visible tail lives only in the base checkpoint. Seed BOTH the
+    // retained-version replays and the candidate universe with it:
+    // unseeded replays would mark still-live base files "unreferenced"
+    // (deleting live data), and an unseeded candidate set would never
+    // reclaim a base file the tail later removed (leaking it forever).
+    // resolving AT the tail's first version reads the horizon checkpoint
+    // (vacuumLog keeps that version's entry); re-applying that commit on
+    // top of its own post-state in replayFrom is an idempotent no-op
+    // (set semantics, removes already applied), so the seed is exact
+    val base: Option[Snapshot] =
+      if (commits.head.version == 0L) None
+      else scala.util.Try(
+        resolve(spark, root, Some(commits.head.version))).toOption
+    val baseLive = base.map(_.live).getOrElse(Seq.empty)
+    val baseDvs = base.map(_.dvs).getOrElse(Map.empty[String, DvRef])
+    // the base version itself stays readable through its checkpoint, so
+    // when it falls inside the retention window its state is retained too
+    val protectBase = base.exists(_.version >= keepFrom)
+    def replayFrom(i: Int): Seq[String] = {
+      val live = new scala.collection.mutable.LinkedHashSet[String]
+      live ++= baseLive
+      commits.take(i + 1).foreach { c => live --= c.remove; live ++= c.add }
+      live.toSeq
+    }
     val referenced = commits.indices
       .filter(i => commits(i).version >= keepFrom)
-      .flatMap(i => replay(commits.take(i + 1)))
-      .toSet
-    val everAdded = commits.flatMap(_.add).distinct
+      .flatMap(replayFrom)
+      .toSet ++ (if (protectBase) baseLive.toSet else Set.empty)
+    val everAdded = (baseLive ++ commits.flatMap(_.add)).distinct
+    // existence-filtered: a file an earlier vacuum already deleted is not
+    // a victim — DRY RUN previews what a real run would actually remove,
+    // and vacuumLog's strand check must not refuse over already-gone files
     val victims = everAdded.filterNot(referenced)
+      .filter(f => fs.exists(new Path(s"$root/$f")))
     // deletion-vector sidecars age out the same way: a sidecar is live
     // while ANY retained version's dv state points at it (each new
     // vector on a file supersedes the previous sidecar, so superseded
     // ones accumulate until vacuumed)
-    val dvStates = commits.scanLeft(Map.empty[String, DvRef])(
+    val dvStates = commits.scanLeft(baseDvs)(
       (acc, c) => acc -- c.remove -- c.dvDrop ++ c.dv).drop(1)
     val retainedSidecars = commits.indices
       .filter(i => commits(i).version >= keepFrom)
       .flatMap(i => dvStates(i).valuesIterator.map(_._1))
-      .toSet
-    val dvVictims = commits.flatMap(_.dv.valuesIterator.map(_._1))
+      .toSet ++ (if (protectBase)
+        baseDvs.valuesIterator.map(_._1).toSet else Set.empty)
+    val dvVictims =
+      (baseDvs.valuesIterator.map(_._1).toSeq ++
+        commits.flatMap(_.dv.valuesIterator.map(_._1)))
       .distinct.filterNot(retainedSidecars)
+      .filter(d => fs.exists(new Path(s"$root/$d")))
     // DRY RUN: report what the real run would delete, touch nothing —
     // the operator preview every destructive maintenance command needs
     if (!dryRun) {

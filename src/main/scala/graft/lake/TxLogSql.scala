@@ -279,6 +279,11 @@ object TxLogSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(`[^`]+`|[\w.]+)\s*;?\s*""".r
+  // log-metadata truncation (TxLog.vacuumLog): matched BEFORE VacuumRe
+  private val VacuumLogRe =
+    ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)\s+LOG""" +
+      """(?:\s+RETAIN\s+(\d+)\s+CHECKPOINTS?)?(\s+FORCE)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?""" +
@@ -307,6 +312,10 @@ object TxLogSql {
   private val AddColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^;]*)\)\s*;?\s*""").r
+  // bare single name or parenthesized list; both Spark spellings
+  private val DropColumnsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+DROP\s+COLUMNS?\s+""" +
+      """\(?\s*([^();]+?)\s*\)?\s*;?\s*""").r
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+""" +
       """STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+\(?([^();]+?)\)?)\s*;?\s*""").r
@@ -464,6 +473,18 @@ object TxLogSql {
             "deleted_row_count", "num_files_with_stats",
             "partition_columns", "bloom_index_columns")
 
+      // VACUUM t LOG [RETAIN n CHECKPOINTS] [FORCE] [DRY RUN]: truncate
+      // commit-log METADATA to its checkpoints (bounded log growth on a
+      // long-lived table); data files are never touched, and the call
+      // refuses — without FORCE — while data below the horizon is still
+      // reclaimable by plain VACUUM (truncation would strand it)
+      case VacuumLogRe(ident, keep, force, dry) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val victims = TxLog.vacuumLog(spark, reg.root,
+          keepCheckpoints = Option(keep).map(_.toInt).getOrElse(2),
+          dryRun = dry != null, force = force != null)
+        victims.toDF(if (dry != null) "would_delete_file" else "deleted_file")
+
       case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)
         // DRY RUN lists the victims without deleting (Delta's preview);
@@ -551,6 +572,20 @@ object TxLogSql {
         val v = TxLog.addColumns(spark, reg.root, cols)
         refresh(spark, name, reg) // the view must expose the new columns
         Seq((v, "addColumns")).toDF("version", "operation")
+
+      // Metadata-only column drop: the commit's schema omits the column,
+      // no file is rewritten, and the name is tombstoned against
+      // re-evolution (stale bytes stay in pre-drop files — see
+      // TxLog.dropColumns). Guarded like ADD COLUMNS: unregistered
+      // targets keep Spark's own ALTER TABLE behavior.
+      case DropColumnsRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
+        val (name, reg) = lookupOpt(spark, ident).get
+        val cols = colsText.split(",").map(c => stripQuotes(c.trim))
+          .filter(_.nonEmpty).toSeq
+        if (cols.isEmpty) fail(sqlText, "empty DROP COLUMNS list")
+        val v = TxLog.dropColumns(spark, reg.root, cols)
+        refresh(spark, name, reg) // the view must stop exposing them
+        Seq((v, "drop_column")).toDF("version", "operation")
 
       // ANALYZE TABLE / SHOW PARTITIONS are VALID Spark SQL for catalog
       // tables, so these two are claimed only for REGISTERED tables

@@ -1258,6 +1258,64 @@ object Lake {
       bloomRows.unionByName(rangeRows).orderBy("src", "o_orderkey")
     },
 
+    // Metadata-only DROP COLUMN lifecycle: the commit's schema omits the
+    // column (no file rewritten), pre-drop versions keep it via time
+    // travel, and the tombstone guard — a write re-adding the name would
+    // resurrect stale bytes in pre-drop files — is itself oracle-pinned:
+    // if the engine ever accepts such a write, the 'tombstone_blocked'
+    // row flips to 0 and the driver row goes red.
+    QDef(
+      "q111_drop_column",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority
+        |           FROM orders),
+        |b AS (SELECT COUNT(*) AS n, COUNT(o_orderpriority) AS nc,
+        |             MIN(k) AS lo, MAX(k) AS hi FROM o)
+        |SELECT 'post_drop' AS phase, 2 * n AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_comment_vals, lo AS min_k,
+        |       2 * hi + 1 AS max_k FROM b
+        |UNION ALL
+        |SELECT 'pre_drop', n, nc, lo, hi FROM b
+        |UNION ALL
+        |SELECT 'tombstone_blocked', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM b
+        |ORDER BY phase""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dropcol")
+      val fs = new Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new Path(root); if (fs.exists(p)) fs.delete(p, true)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("priority"))
+      val hi = o.agg(max("k")).head().getLong(0)
+      TxLog.append(s, o.repartition(2), root)
+      val preDropV = TxLog.latestVersion(s, root).get
+      TxLog.dropColumns(s, root, Seq("priority"))
+      // a narrower post-drop append is unremarkable
+      TxLog.append(s, o.select((col("k") + hi + 1).as("k")), root)
+      // the guard is part of the contract: a write carrying the dropped
+      // name again must be refused, not silently merged back in
+      val blocked =
+        try { TxLog.append(s, o.limit(1), root); 0L }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("dropped column") => 1L }
+      val pre = TxLog.readAt(s, root, preDropV)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("priority")).as("n_comment_vals"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(lit("pre_drop").as("phase"), col("n_rows"),
+          col("n_comment_vals"), col("min_k"), col("max_k"))
+      val post = TxLog.readLatest(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(lit("post_drop").as("phase"), col("n_rows"),
+          lit(0L).as("n_comment_vals"), col("min_k"), col("max_k"))
+      val guard = s.range(1).select(
+        lit("tombstone_blocked").as("phase"), lit(blocked).as("n_rows"),
+        lit(0L).as("n_comment_vals"), lit(0L).as("min_k"),
+        lit(0L).as("max_k"))
+      post.unionByName(pre).unionByName(guard).orderBy("phase")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

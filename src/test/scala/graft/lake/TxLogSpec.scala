@@ -1387,4 +1387,200 @@ class TxLogSpec extends SparkSpec {
     }
     e.getMessage should include("predates")
   }
+
+  test("dropColumns is metadata-only: column vanishes, files stay, time travel keeps it") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "score")
+        .repartition(1), root)
+    val preDrop = TxLog.latestVersion(spark, root).get
+    val filesBefore = TxLog.liveSizes(spark, root).map(_._1).toSet
+
+    TxLog.dropColumns(spark, root, Seq("score"))
+    // no file was touched: same live set, same file objects
+    TxLog.liveSizes(spark, root).map(_._1).toSet shouldBe filesBefore
+    TxLog.history(spark, root).last.operation shouldBe "drop_column"
+    // the column is invisible now...
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "s")
+    // ...but a pre-drop snapshot still shows the original values
+    TxLog.readAt(spark, root, preDrop)
+      .select("id", "score").as[(Long, Double)].collect().sorted shouldBe
+      Array((1L, 10.0), (2L, 20.0))
+    // later appends lacking the column are unremarkable
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root)
+    TxLog.readLatest(spark, root).count() shouldBe 3
+  }
+
+  test("dropColumns tombstones the name: every re-add path is refused until OVERWRITE") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "stale-secret")).toDF("id", "payload").repartition(1), root)
+    TxLog.dropColumns(spark, root, Seq("payload"))
+
+    // write-path merge evolution refuses (case-insensitively)
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((2L, "new")).toDF("id", "Payload"), root)
+    }
+    e1.getMessage should include("dropped column")
+    // explicit ADD COLUMNS refuses
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.addColumns(spark, root, Seq("payload" -> "string"))
+    }
+    e2.getMessage should include("DROPPED")
+    // the stale value was never resurrected along the way
+    TxLog.readLatest(spark, root).columns should not contain "payload"
+
+    // OVERWRITE rewrites every file -> the name is reusable, and reads
+    // see only the new values (no stale bytes reachable)
+    TxLog.overwrite(spark, Seq((9L, "fresh")).toDF("id", "payload"), root)
+    TxLog.append(spark, Seq((10L, "fresh2")).toDF("id", "payload"), root)
+    TxLog.readLatest(spark, root).select("payload").as[String]
+      .collect().sorted shouldBe Array("fresh", "fresh2")
+  }
+
+  test("dropColumns tombstone survives checkpoints and rides clones") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "x")).toDF("id", "gone").repartition(1), root)
+    TxLog.dropColumns(spark, root, Seq("gone"))
+    // push past the auto-checkpoint cadence so resolution runs
+    // checkpoint + tail, then prove the guard still holds
+    (0 until TxLog.CheckpointInterval + 2).foreach { i =>
+      TxLog.append(spark, Seq((100L + i, "r")).toDF("id", "s2"), root)
+    }
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((7L, "boo")).toDF("id", "gone"), root)
+    }
+    e.getMessage should include("dropped column")
+
+    // a clone's files ARE pre-drop files — the tombstone must carry over
+    val dst = tmpRoot() + "/clone"
+    TxLog.cloneTable(spark, root, dst)
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((8L, "boo")).toDF("id", "gone"), dst)
+    }
+    e2.getMessage should include("dropped column")
+  }
+
+  test("rollback past a drop restores the column and clears its tombstone") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "keepme")).toDF("id", "col_a").repartition(1), root)
+    val preDrop = TxLog.latestVersion(spark, root).get
+    TxLog.dropColumns(spark, root, Seq("col_a"))
+    TxLog.rollback(spark, root, preDrop)
+    // the column and its era's files came back TOGETHER: values are not
+    // stale, so the name must be writable again
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "col_a")
+    TxLog.append(spark, Seq((2L, "post")).toDF("id", "col_a"), root)
+    TxLog.readLatest(spark, root).select("col_a").as[String]
+      .collect().sorted shouldBe Array("keepme", "post")
+  }
+
+  test("vacuumLog truncates to checkpoints: metadata shrinks, reads and writes continue") {
+    val root = tmpRoot()
+    // versions 0..11; append auto-checkpoints at v9
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    val logDir = new java.io.File(s"$root/_txlog")
+    def rawEntries() = logDir.listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).map(_.getName).sorted
+
+    // dry run: lists the pre-horizon entries, deletes nothing
+    val would = TxLog.vacuumLog(spark, root, keepCheckpoints = 1,
+      dryRun = true)
+    would.size shouldBe 9 // entries 0..8 (the horizon entry v9 stays)
+    rawEntries().length shouldBe 12
+
+    val gone = TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    gone shouldBe would
+    rawEntries().map(_.take(20).toLong).toSeq shouldBe (9L to 11L)
+    // reads: latest intact, horizon readable, below-horizon loud
+    TxLog.readLatest(spark, root).count() shouldBe 12
+    TxLog.readAt(spark, root, 9L).count() shouldBe 10
+    intercept[IllegalArgumentException] {
+      TxLog.readAt(spark, root, 8L).count()
+    }.getMessage should include("no commit at or before")
+    // the table keeps working: appends, history, describe
+    TxLog.append(spark, Seq((99L, "post")).toDF("id", "s"), root)
+    TxLog.readLatest(spark, root).count() shouldBe 13
+    TxLog.history(spark, root).head.version shouldBe 9L
+  }
+
+  test("vacuumLog refuses to strand reclaimable data; vacuum on a truncated log is exact") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    // v12 drops the v0 file (full-file DELETE, metadata-only remove):
+    // that file is now reclaimable only by replaying versions < 12
+    TxLog.delete(spark, root, col("id") === 0L)
+    TxLog.checkpoint(spark, root) // checkpoint at v12 (the new horizon)
+    intercept[IllegalArgumentException] {
+      TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    }.getMessage should include("strand")
+    // reclaim first, then truncation is clean
+    TxLog.vacuum(spark, root, keepLast = 1)
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1).nonEmpty shouldBe true
+    TxLog.readLatest(spark, root).count() shouldBe 11
+
+    // data vacuum AFTER truncation: a base file removed by the tail is
+    // still found and reclaimed (the checkpoint seeds the replay), and
+    // no live file is touched
+    TxLog.delete(spark, root, col("id") === 1L) // drops a pre-horizon file
+    val before = TxLog.liveSizes(spark, root).map(_._1).toSet
+    val reclaimed = TxLog.vacuum(spark, root, keepLast = 1)
+    reclaimed.size shouldBe 1
+    TxLog.liveSizes(spark, root).map(_._1).toSet shouldBe before
+    TxLog.readLatest(spark, root).count() shouldBe 10
+    TxLog.readLatest(spark, root).select("id").as[Long].collect().sorted
+      .take(2) shouldBe Array(2L, 3L)
+  }
+
+  test("VACUUM ... LOG through SQL: dry run previews, real run truncates") {
+    val root = tmpRoot()
+    (0 until 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    TxLogSql.register(spark, "vlog_t", root)
+    val dry = TxLogSql.run(spark, "VACUUM vlog_t LOG RETAIN 1 CHECKPOINTS DRY RUN")
+    dry.columns.toSeq shouldBe Seq("would_delete_file")
+    dry.count() shouldBe 9
+    val real = TxLogSql.run(spark, "VACUUM vlog_t LOG RETAIN 1 CHECKPOINTS")
+    real.columns.toSeq shouldBe Seq("deleted_file")
+    real.count() shouldBe 9
+    spark.table("vlog_t").count() shouldBe 11
+    // FORCE parses; an already-truncated log has nothing left to delete
+    TxLogSql.run(spark, "VACUUM vlog_t LOG FORCE DRY RUN").count() shouldBe 0
+  }
+
+  test("dropColumns refuses partition columns, constrained columns, and dropping everything") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "us", 5.0)).toDF("id", "region", "v"), root,
+      partitionCols = Seq("region"))
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumns(spark, root, Seq("region"))
+    }.getMessage should include("partition column")
+    // id+v are ALL the data columns; only the partition column would
+    // remain, and its values live in directory names, not file bytes
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumns(spark, root, Seq("id", "v"))
+    }.getMessage should include("cannot drop every data column")
+    TxLog.addConstraint(spark, root, "v_pos", "v >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumns(spark, root, Seq("v"))
+    }.getMessage should include("constraint")
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumns(spark, root, Seq("nope"))
+    }.getMessage should include("no such column")
+    // dropping the constraint unblocks the column drop
+    TxLog.dropConstraint(spark, root, "v_pos")
+    TxLog.dropColumns(spark, root, Seq("v"))
+    TxLog.readLatest(spark, root).columns.toSeq.sorted shouldBe
+      Seq("id", "region")
+  }
 }

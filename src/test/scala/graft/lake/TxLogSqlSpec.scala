@@ -695,6 +695,31 @@ class TxLogSqlSpec extends SparkSpec {
     }.getMessage should include("no OPTIONS")
   }
 
+  test("ALTER TABLE DROP COLUMN hides the column metadata-only and blocks re-adding it") {
+    val root = freshTable("ddl_dropcol")
+    val filesBefore = TxLog.liveSizes(spark, root).toMap
+    val res = TxLogSql.run(spark, "ALTER TABLE ddl_dropcol DROP COLUMN bal")
+    res.select("operation").as[String].collect().toSeq shouldBe Seq("drop_column")
+    // metadata-only: not one data file rewritten
+    TxLog.liveSizes(spark, root).toMap shouldBe filesBefore
+    // the registered view stops exposing the column
+    spark.table("ddl_dropcol").columns.toSeq.sorted shouldBe
+      Seq("id", "part", "s")
+    intercept[Exception] {
+      spark.sql("SELECT bal FROM ddl_dropcol").collect()
+    }
+    // parenthesized multi-column spelling parses too, and the tombstone
+    // blocks ADD COLUMNS from resurrecting stale values
+    TxLogSql.run(spark, "ALTER TABLE ddl_dropcol DROP COLUMNS (s)")
+    spark.table("ddl_dropcol").columns.toSeq.sorted shouldBe Seq("id", "part")
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ALTER TABLE ddl_dropcol ADD COLUMNS (bal double)")
+    }.getMessage should include("DROPPED")
+    // pre-drop versions still carry the full schema (time travel)
+    TxLog.readAt(spark, root, 0L).columns.toSeq.sorted shouldBe
+      Seq("bal", "id", "part", "s")
+  }
+
   test("ANALYZE FOR ALL COLUMNS covers non-partition columns; plain form names the syntax") {
     val root = freshTable("ana_all")
     val res = TxLogSql.run(spark,
