@@ -526,9 +526,24 @@ object TxLog {
         if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
-          if ((version + 1) % CheckpointInterval == 0)
+          if ((version + 1) % CheckpointInterval == 0) {
             try checkpoint(spark, root)
             catch { case _: IOException => () }
+            // opt-in hands-free log truncation (Delta's
+            // logRetentionDuration analog): after each checkpoint, trim
+            // entries below the retained-checkpoint horizon. Best-effort
+            // and NEVER forced — while pre-horizon data is still
+            // reclaimable the strand guard refuses and the log simply
+            // keeps growing until a vacuum, the safe direction. A
+            // malformed config value stays LOUD (parsed outside the try)
+            val retain =
+              spark.conf.get("spark.graft.log.retainCheckpoints", "")
+            if (retain.nonEmpty) {
+              val keep = retain.toInt
+              try vacuumLog(spark, root, keepCheckpoints = keep)
+              catch { case _: IOException | _: IllegalArgumentException => () }
+            }
+          }
           return version
         } else {
           bumpOrFail(
@@ -575,12 +590,19 @@ object TxLog {
     // still sit in every pre-drop file, so evolving the name back in
     // would resurrect stale data there. Common path (log visible from
     // v0) folds the in-hand commits — zero extra IO; a truncated log
-    // falls back to checkpoint-aware resolution, whose checkpoint
-    // carries the tombstones.
+    // reads the tombstones through checkpoint-aware resolution and
+    // FAILS THE WRITE if that read fails — a guard against silent data
+    // resurrection must not weaken itself on an IO error.
     val dropped = commits.headOption match {
-      case Some(first) if first.version == 0L => foldDropped(Set.empty, commits)
-      case _ => scala.util.Try(resolve(spark, root, None)).toOption
-        .map(_.droppedCols).getOrElse(foldDropped(Set.empty, commits))
+      case Some(first) if first.version == 0L =>
+        foldDropped(Set.empty, commits)
+      case Some(_) => resolve(spark, root, None).droppedCols
+      case None =>
+        // no visible commits: a fresh table (resolve throws -> no
+        // tombstones can exist) or an externally truncated-to-empty
+        // tail (resolve answers from the checkpoint)
+        scala.util.Try(resolve(spark, root, None)).toOption
+          .map(_.droppedCols).getOrElse(Set.empty)
     }
     if (dropped.nonEmpty) {
       val hit = StructType.fromDDL(batchDdl).map(_.name)
@@ -1120,6 +1142,11 @@ object TxLog {
           "instead of dropping it")
     }
     val dropSet = cols.map(lc).toSet
+    // the TABLE's spelling, not the statement's: the bloom sidecar and
+    // the recorded tombstone must name the column as the schema does,
+    // or a case-variant DROP would leak the index directory
+    val canonical = cols.map(c =>
+      cur.find(_.name.equalsIgnoreCase(c)).get.name)
     current.constraints.foreach { case (name, sql) =>
       val hit = constraintRefs(spark, sql).filter(r => dropSet(lc(r)))
       require(hit.isEmpty,
@@ -1140,8 +1167,8 @@ object TxLog {
             s"${commits.lastOption.map(_.version).orNull} committed " +
             s"since at $root — re-run")
       (Seq.empty, Seq.empty, remaining.toDDL)
-    }, schemaDrop = cols)
-    cols.foreach(c =>
+    }, schemaDrop = canonical)
+    canonical.foreach(c =>
       try dropBloomIndex(spark, root, c)
       catch { case _: IOException => () })
     v
@@ -1915,7 +1942,13 @@ object TxLog {
       // the target's vectors — rows vector-deleted after `toVersion`
       // reappear, rows deleted before it stay gone
       dv = target0.dvs.view.filterKeys(target0.live.toSet).toMap,
-      dvDrop = target0.live)
+      dvDrop = target0.live,
+      // drop-column tombstones are VERSION STATE like dvs: restoring a
+      // post-drop version must restore its tombstones too, or a
+      // rollback chain (past the drop and back again) would leave the
+      // stale-bytes files live with no guard against re-evolving the
+      // dropped name
+      schemaDrop = target0.droppedCols.toSeq.sorted)
   }
 
   /** CLONE: an independent table at `dstRoot` whose version 0 reproduces
@@ -2325,6 +2358,20 @@ object TxLog {
     fs.exists(dir) && fs.delete(dir, true)
   }
 
+  /** (raw log entries, checkpoints) at `root` — DESCRIBE DETAIL's
+    * log-health columns, the "time to VACUUM ... LOG?" signal: entry
+    * count far above the checkpoint cadence means every reader is paying
+    * an oversized listing for state the checkpoints already summarize.
+    */
+  def logCounts(spark: SparkSession, root: String): (Long, Long) = {
+    val dir = new Path(s"$root/$LogDirName")
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(dir)) return (0L, 0L)
+    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    (names.count(LogFile.matches).toLong,
+      names.count(CkptFile.matches).toLong)
+  }
+
   /** Columns with a live bloom index at `root` (sidecar directories
     * under `_txlog/bloom_<column>/`) — DESCRIBE DETAIL's index listing.
     */
@@ -2624,7 +2671,13 @@ object TxLog {
         if (c.operation == "overwrite") Set.empty[String] else acc
       val withNew =
         cleared ++ c.schemaDrop.map(_.toLowerCase(java.util.Locale.ROOT))
-      if (withNew.isEmpty || c.schemaDdl.isEmpty) withNew
+      // Only full-state ops can legitimately carry a tombstoned name
+      // back into the schema — every evolution path refuses it, and
+      // rollback/clone re-declare their target's tombstones explicitly
+      // (schemaDrop above). Parsing only their DDL keeps this fold
+      // allocation-free across ordinary commits on a long log.
+      if (withNew.isEmpty || c.schemaDdl.isEmpty ||
+          (c.operation != "rollback" && c.operation != "clone")) withNew
       else withNew -- StructType.fromDDL(c.schemaDdl)
         .map(_.name.toLowerCase(java.util.Locale.ROOT))
     }
@@ -2669,6 +2722,15 @@ object TxLog {
       .filter(c => upTo.forall(c.version <= _))
     require(base.nonEmpty || tail.nonEmpty,
       s"no commit at or before version ${upTo.getOrElse("latest")} in $root")
+    // With no eligible checkpoint the replay starts from EMPTY state, so
+    // the tail must begin at the log's origin: a tail starting mid-log
+    // (an interrupted vacuumLog, or entries deleted by hand) would
+    // silently resolve to a partial live set missing every pre-gap file
+    require(base.nonEmpty || tail.head.version == 0L,
+      s"log of $root starts at version ${tail.head.version} with no " +
+        s"checkpoint at or before version ${upTo.getOrElse("latest")} — " +
+        "its origin entries are missing (interrupted vacuumLog or " +
+        "hand-deleted log files); cannot resolve a complete snapshot")
     val live = new scala.collection.mutable.LinkedHashSet[String]
     base.foreach(live ++= _.live)
     tail.foreach { c => live --= c.remove; live ++= c.add }
@@ -3417,16 +3479,15 @@ object TxLog {
     // resolving AT the tail's first version reads the horizon checkpoint
     // (vacuumLog keeps that version's entry); re-applying that commit on
     // top of its own post-state in replayFrom is an idempotent no-op
-    // (set semantics, removes already applied), so the seed is exact
+    // (set semantics, removes already applied), so the seed is exact.
+    // A failure reading the checkpoint PROPAGATES: degrading to an
+    // unseeded replay would mark base files unreclaimable (silent leak)
+    // and defeat vacuumLog's strand guard
     val base: Option[Snapshot] =
       if (commits.head.version == 0L) None
-      else scala.util.Try(
-        resolve(spark, root, Some(commits.head.version))).toOption
+      else Some(resolve(spark, root, Some(commits.head.version)))
     val baseLive = base.map(_.live).getOrElse(Seq.empty)
     val baseDvs = base.map(_.dvs).getOrElse(Map.empty[String, DvRef])
-    // the base version itself stays readable through its checkpoint, so
-    // when it falls inside the retention window its state is retained too
-    val protectBase = base.exists(_.version >= keepFrom)
     def replayFrom(i: Int): Seq[String] = {
       val live = new scala.collection.mutable.LinkedHashSet[String]
       live ++= baseLive
@@ -3436,7 +3497,7 @@ object TxLog {
     val referenced = commits.indices
       .filter(i => commits(i).version >= keepFrom)
       .flatMap(replayFrom)
-      .toSet ++ (if (protectBase) baseLive.toSet else Set.empty)
+      .toSet
     val everAdded = (baseLive ++ commits.flatMap(_.add)).distinct
     // existence-filtered: a file an earlier vacuum already deleted is not
     // a victim — DRY RUN previews what a real run would actually remove,
@@ -3452,8 +3513,7 @@ object TxLog {
     val retainedSidecars = commits.indices
       .filter(i => commits(i).version >= keepFrom)
       .flatMap(i => dvStates(i).valuesIterator.map(_._1))
-      .toSet ++ (if (protectBase)
-        baseDvs.valuesIterator.map(_._1).toSet else Set.empty)
+      .toSet
     val dvVictims =
       (baseDvs.valuesIterator.map(_._1).toSeq ++
         commits.flatMap(_.dv.valuesIterator.map(_._1)))

@@ -1316,6 +1316,46 @@ object Lake {
       post.unionByName(pre).unionByName(guard).orderBy("phase")
     },
 
+    // Commit-log truncation lifecycle (TxLog.vacuumLog): 12 commits (the
+    // auto-checkpoint cadence writes a checkpoint at v9), truncate the
+    // log to its checkpoint, and the oracle pins BOTH invariants — the
+    // table's content is unchanged (readers resolve checkpoint + tail),
+    // and versions below the horizon refuse loudly instead of resolving
+    // to a wrong partial state (the flag row flips to 0 if they ever
+    // resolve).
+    QDef(
+      "q112_log_truncation",
+      """WITH o AS (SELECT o_orderstatus AS status FROM orders)
+        |SELECT 'post_truncate' AS phase, status, COUNT(*) AS n
+        |FROM o GROUP BY status
+        |UNION ALL
+        |SELECT 'pre_horizon_unreadable', '', CAST(1 AS BIGINT)
+        |ORDER BY phase, status""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "logtrunc")
+      val fs = new Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new Path(root); if (fs.exists(p)) fs.delete(p, true)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+      (0 until 12).foreach { i =>
+        TxLog.append(s,
+          o.filter(pmod(col("k"), lit(12)) === i).repartition(1), root)
+      }
+      val gone = TxLog.vacuumLog(s, root, keepCheckpoints = 1)
+      require(gone.nonEmpty, s"q112 expected a truncatable log at $root")
+      val unreadable =
+        try { TxLog.readAt(s, root, 0L).count(); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val counts = TxLog.readLatest(s, root)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .select(lit("post_truncate").as("phase"), col("status"), col("n"))
+      val guard = s.range(1).select(
+        lit("pre_horizon_unreadable").as("phase"), lit("").as("status"),
+        lit(unreadable).as("n"))
+      counts.unionByName(guard).orderBy("phase", "status")
+    },
+
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet
     // batches with different schemas in one table directory, unified by
     // mergeSchema — rows from the narrow batch read NULL for the column

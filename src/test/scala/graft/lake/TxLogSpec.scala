@@ -1476,6 +1476,76 @@ class TxLogSpec extends SparkSpec {
       .collect().sorted shouldBe Array("keepme", "post")
   }
 
+  test("a rollback CHAIN back into post-drop state restores the tombstone") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "stale")).toDF("id", "col_a").repartition(1), root)
+    val preDrop = TxLog.latestVersion(spark, root).get
+    val dropV = TxLog.dropColumns(spark, root, Seq("col_a"))
+    TxLog.rollback(spark, root, preDrop) // tombstone cleared, legitimately
+    TxLog.rollback(spark, root, dropV)   // back to post-drop state...
+    // ...the pre-drop file is live again WITH stale col_a bytes and the
+    // schema omits the column — the tombstone must be back in force
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((2L, "boo")).toDF("id", "col_a"), root)
+    }
+    e.getMessage should include("dropped column")
+  }
+
+  test("case-variant DROP COLUMN reaps the bloom sidecar under the table's spelling") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "k1"), (2L, "k2")).toDF("id", "key").repartition(1), root)
+    TxLog.buildBloomIndex(spark, root, "key", 1000L, 0.01)
+    TxLog.bloomIndexColumns(spark, root) shouldBe Seq("key")
+    TxLog.dropColumns(spark, root, Seq("KEY")) // case-variant spelling
+    TxLog.bloomIndexColumns(spark, root) shouldBe Seq.empty
+    // the tombstone is recorded under the canonical name too
+    intercept[IllegalArgumentException] {
+      TxLog.addColumns(spark, root, Seq("Key" -> "string"))
+    }.getMessage should include("DROPPED")
+  }
+
+  test("spark.graft.log.retainCheckpoints truncates hands-free on the checkpoint cadence") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.log.retainCheckpoints", "1")
+    try {
+      (0 until 25).foreach { i => // checkpoints (and truncations) at v9, v19
+        TxLog.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "s")
+          .repartition(1), root)
+      }
+    } finally spark.conf.unset("spark.graft.log.retainCheckpoints")
+    val names = new java.io.File(s"$root/_txlog").listFiles().map(_.getName)
+    names.filter(_.matches("\\d{20}\\.json"))
+      .map(_.take(20).toLong).sorted.toSeq shouldBe (19L to 24L)
+    names.count(_.endsWith(".checkpoint.json")) shouldBe 1
+    // the table is fully usable on the bounded log
+    TxLog.readLatest(spark, root).count() shouldBe 25
+    TxLog.readAt(spark, root, 19L).count() shouldBe 20
+    intercept[IllegalArgumentException] {
+      TxLog.readAt(spark, root, 18L).count()
+    }
+  }
+
+  test("a mid-log gap (interrupted truncation) refuses to resolve, never returns partial state") {
+    val root = tmpRoot()
+    (0 until 8).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(1), root)
+    } // v0..v7, no checkpoint yet (cadence is 10)
+    // simulate an interrupted vacuumLog: entries 0..2 deleted by hand
+    val logDir = new java.io.File(s"$root/_txlog")
+    logDir.listFiles()
+      .filter(f => f.getName.matches("\\d{20}\\.json") &&
+        f.getName.take(20).toLong <= 2)
+      .foreach(_.delete())
+    val e = intercept[IllegalArgumentException] {
+      TxLog.readLatest(spark, root).count()
+    }
+    e.getMessage should include("origin entries are missing")
+  }
+
   test("vacuumLog truncates to checkpoints: metadata shrinks, reads and writes continue") {
     val root = tmpRoot()
     // versions 0..11; append auto-checkpoints at v9
@@ -1555,6 +1625,12 @@ class TxLogSpec extends SparkSpec {
     spark.table("vlog_t").count() shouldBe 11
     // FORCE parses; an already-truncated log has nothing left to delete
     TxLogSql.run(spark, "VACUUM vlog_t LOG FORCE DRY RUN").count() shouldBe 0
+    // DESCRIBE DETAIL surfaces log health: the horizon entry (v9) + v10
+    // remain, one checkpoint anchors them
+    import org.apache.spark.sql.functions.col
+    TxLogSql.run(spark, "DESCRIBE DETAIL vlog_t")
+      .select(col("num_log_entries"), col("num_checkpoints"))
+      .as[(Long, Long)].head() shouldBe ((2L, 1L))
   }
 
   test("dropColumns refuses partition columns, constrained columns, and dropping everything") {
