@@ -1528,6 +1528,49 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("dropColumns racing an append that carries the column stays consistent either way") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 4).foreach { trial =>
+      val root = tmpRoot()
+      TxLog.append(spark,
+        Seq((1L, "v1")).toDF("id", "doomed").repartition(1), root)
+      val drop = Future {
+        // optimistic DDL: a concurrent commit fails it with CME — retry
+        // like a real client until it lands or the guard makes it moot
+        var done = false
+        while (!done) {
+          try { TxLog.dropColumns(spark, root, Seq("doomed")); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException => ()
+            case e: IllegalArgumentException
+                if e.getMessage.contains("no such column") => done = true
+          }
+        }
+      }
+      val appendOutcome = Future {
+        try { TxLog.append(spark,
+          Seq((2L, "v2")).toDF("id", "doomed"), root); "landed" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("dropped column") => "refused" }
+      }
+      Await.result(drop, 60.seconds)
+      val outcome = Await.result(appendOutcome, 60.seconds)
+      // serializable either way: the drop always wins eventually, the
+      // column is invisible, and the tombstone holds regardless of order
+      TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id")
+      intercept[IllegalArgumentException] {
+        TxLog.append(spark, Seq((3L, "v3")).toDF("id", "doomed"), root)
+      }.getMessage should include("dropped column")
+      // if the append landed first, its row must still be visible (id=2)
+      val ids = TxLog.readLatest(spark, root)
+        .select("id").as[Long].collect().sorted.toSeq
+      if (outcome == "landed") ids shouldBe Seq(1L, 2L)
+      else ids shouldBe Seq(1L)
+    }
+  }
+
   test("a mid-log gap (interrupted truncation) refuses to resolve, never returns partial state") {
     val root = tmpRoot()
     (0 until 8).foreach { i =>
