@@ -564,6 +564,34 @@ object TxLog {
     -1L // unreachable
   }
 
+  /** The wider of two primitive types when Spark's parquet reader can
+    * read files of the NARROWER one under the wider scan schema
+    * (SPARK-40876 type widening, probed on this build): the integral
+    * ascent byte->short->int->long, float->double, and
+    * byte/short/int->double. long->double is deliberately excluded —
+    * a double's 53-bit mantissa silently corrupts large longs. None
+    * when neither side widens into the other.
+    */
+  private def widenedType(a: org.apache.spark.sql.types.DataType,
+                          b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) return Some(a)
+    val rank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (rank.get(a), rank.get(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ =>
+        def toDouble(t: DataType) = t == FloatType ||
+          rank.get(t).exists(_ <= 3) // byte/short/int, never long
+        if (a == DoubleType && toDouble(b)) Some(DoubleType)
+        else if (b == DoubleType && toDouble(a)) Some(DoubleType)
+        else if (Set[DataType](a, b) == Set[DataType](FloatType, DoubleType))
+          Some(DoubleType)
+        else None
+    }
+  }
+
   /** Commit-time schema policy for APPEND-family writes (append /
     * appendIdempotent / appendChecked / upsertPartitions — everything
     * that adds data to an existing table; `overwrite` replaces the
@@ -618,6 +646,7 @@ object TxLog {
     cur match {
       case None => batchDdl
       case Some(c) =>
+        val mode = spark.conf.get("spark.graft.schema.mode", "merge")
         val curS = StructType.fromDDL(c)
         val newS = StructType.fromDDL(batchDdl)
         // names match CASE-INSENSITIVELY (Spark's default resolution): a
@@ -626,17 +655,34 @@ object TxLog {
         // breaks every later read under spark.sql.caseSensitive=false
         def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
         def inCur(name: String) = curS.find(f => lower(f.name) == lower(name))
+        // `widen` mode: a type conflict where one side UP-CASTS into the
+        // other commits the wider type instead of failing — safe because
+        // Spark's parquet reader reads files of the narrower physical
+        // type under the wider scan schema (SPARK-40876), in both
+        // directions of arrival order (old-narrow files under a widened
+        // schema, or a narrow late batch into an already-wide table)
+        val widened = scala.collection.mutable
+          .Map[String, org.apache.spark.sql.types.DataType]()
         val conflicts = newS.flatMap(f => inCur(f.name)
           .filter(_.dataType != f.dataType)
-          .map(t => s"`${f.name}` table=${t.dataType.simpleString} " +
-            s"batch=${f.dataType.simpleString}"))
+          .flatMap { t =>
+            (if (mode == "widen") widenedType(t.dataType, f.dataType)
+             else None) match {
+              case Some(w) => widened(lower(f.name)) = w; None
+              case None =>
+                Some(s"`${f.name}` table=${t.dataType.simpleString} " +
+                  s"batch=${f.dataType.simpleString}")
+            }
+          })
         if (conflicts.nonEmpty)
           throw new IllegalArgumentException(
             s"$operation to $root changes column type(s): " +
               s"${conflicts.mkString(", ")} — cast the batch explicitly " +
               "(a committed type change converts no data; it breaks reads " +
-              "of every existing file later, at query time)")
-        if (spark.conf.get("spark.graft.schema.mode", "merge") == "enforce") {
+              "of every existing file later, at query time)" +
+              (if (mode == "widen") "" else "; up-cast pairs like " +
+                "int->long can evolve under spark.graft.schema.mode=widen"))
+        if (mode == "enforce") {
           val curSet = curS.map(f => (lower(f.name), f.dataType)).toSet
           val newSet = newS.map(f => (lower(f.name), f.dataType)).toSet
           if (curSet != newSet)
@@ -646,7 +692,20 @@ object TxLog {
                 s"columns {${curS.map(_.name).mkString(", ")}} — set " +
                 "spark.graft.schema.mode=merge to evolve")
         }
-        StructType(curS ++ newS.filterNot(f => inCur(f.name).nonEmpty))
+        // a widened column's BLOOM INDEX is dropped (derived state):
+        // its rows were hashed under the old type, and xxhash64 of the
+        // same value differs between int and long — stale rows would
+        // rule out files that DO hold the key (silent false negatives).
+        // Idempotent and safe on commit retry / lost race: the cost is
+        // only pruning until the next index build.
+        widened.keySet.foreach { n =>
+          curS.find(f => lower(f.name) == n).foreach(f =>
+            try dropBloomIndex(spark, root, f.name)
+            catch { case _: IOException => () })
+        }
+        StructType(curS.map(f => widened.get(lower(f.name))
+            .map(w => f.copy(dataType = w)).getOrElse(f)) ++
+            newS.filterNot(f => inCur(f.name).nonEmpty))
           .toDDL
     }
   }
@@ -1202,7 +1261,17 @@ object TxLog {
       if (replaceSchema) batchS
       else snap.map(s => StructType.fromDDL(s.schemaDdl)) match {
         case None => batchS
-        case Some(cur) => StructType(cur ++ batchS.filterNot(f =>
+        case Some(cur) => StructType(cur.map { cf =>
+          // on a type conflict read under the WIDER type when one side
+          // up-casts into the other: the staged files carry the batch's
+          // type, and a narrower read schema cannot open them. In merge
+          // mode the conflict still fails the COMMIT right after — this
+          // only keeps the constraint scan able to read what was staged
+          batchS.find(_.name.equalsIgnoreCase(cf.name))
+            .filter(_.dataType != cf.dataType)
+            .flatMap(bf => widenedType(cf.dataType, bf.dataType))
+            .map(w => cf.copy(dataType = w)).getOrElse(cf)
+        } ++ batchS.filterNot(f =>
           cur.exists(_.name.equalsIgnoreCase(f.name))))
       }
     cons.foreach { case (name, sql) =>

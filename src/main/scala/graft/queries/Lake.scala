@@ -1316,6 +1316,43 @@ object Lake {
       post.unionByName(pre).unionByName(guard).orderBy("phase")
     },
 
+    // Up-cast schema evolution (spark.graft.schema.mode=widen): an
+    // int-typed first batch and a long-typed second batch land in one
+    // table; the committed type is the WIDER one and the narrow-physical
+    // file reads correctly under it (SPARK-40876). The oracle restates
+    // the union over the source — plus a flag row pinning that the
+    // schema really widened (flips to 0 if evolution silently stops).
+    QDef(
+      "q113_widen_evolution",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k,
+        |       CAST(1 AS BIGINT) AS widened
+        |FROM o""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "widen")
+      val fs = new Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new Path(root); if (fs.exists(p)) fs.delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+      s.conf.set("spark.graft.schema.mode", "widen")
+      try {
+        TxLog.append(s,
+          o.filter(pmod(col("k"), lit(2)) === 0)
+            .select(col("k").cast("int").as("k")).repartition(1), root)
+        TxLog.append(s,
+          o.filter(pmod(col("k"), lit(2)) === 1).repartition(1), root)
+      } finally s.conf.unset("spark.graft.schema.mode")
+      val widenedFlag =
+        if (TxLog.readLatest(s, root).schema("k").dataType ==
+          org.apache.spark.sql.types.LongType) 1L else 0L
+      TxLog.readLatest(s, root)
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(col("n_rows"), col("sum_k"), col("min_k"), col("max_k"),
+          lit(widenedFlag).as("widened"))
+    },
+
     // Commit-log truncation lifecycle (TxLog.vacuumLog): 12 commits (the
     // auto-checkpoint cadence writes a checkpoint at v9), truncate the
     // log to its checkpoint, and the oracle pins BOTH invariants — the

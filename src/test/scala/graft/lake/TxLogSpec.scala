@@ -1676,6 +1676,79 @@ class TxLogSpec extends SparkSpec {
       .as[(Long, Long)].head() shouldBe ((2L, 1L))
   }
 
+  test("schema.mode=widen: up-cast conflicts evolve to the wider type, both arrival orders") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.schema.mode", "widen")
+    try {
+      // int-typed first file, then a LONG batch widens the column
+      TxLog.append(spark,
+        Seq((1, 1.5f)).toDF("k", "x").repartition(1), root)
+      TxLog.append(spark,
+        Seq((2L, 2.5f)).toDF("k", "x").repartition(1), root)
+      val sch = TxLog.readLatest(spark, root).schema
+      sch("k").dataType.simpleString shouldBe "bigint"
+      // old int-physical file reads correctly under the widened schema
+      TxLog.readLatest(spark, root).select("k").as[Long]
+        .collect().sorted shouldBe Array(1L, 2L)
+      // a NARROW late batch into the widened table: schema stays wide,
+      // the narrow file stays readable
+      TxLog.append(spark, Seq((3, 3.5f)).toDF("k", "x"), root)
+      TxLog.readLatest(spark, root).schema("k")
+        .dataType.simpleString shouldBe "bigint"
+      TxLog.readLatest(spark, root).select("k").as[Long]
+        .collect().sorted shouldBe Array(1L, 2L, 3L)
+      // float -> double widens too
+      TxLog.append(spark, Seq((4L, 4.5d)).toDF("k", "x"), root)
+      TxLog.readLatest(spark, root).schema("x")
+        .dataType.simpleString shouldBe "double"
+      TxLog.readLatest(spark, root).select("x").as[Double]
+        .collect().sorted shouldBe Array(1.5, 2.5, 3.5, 4.5)
+      // non-widenable conflicts still fail, loudly
+      val e = intercept[IllegalArgumentException] {
+        TxLog.append(spark, Seq(("oops", 5.0d)).toDF("k", "x"), root)
+      }
+      e.getMessage should include("changes column type")
+    } finally spark.conf.unset("spark.graft.schema.mode")
+    // default merge mode keeps rejecting up-casts, but names the option
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((9, 9.0d)).toDF("k", "x"), root)
+    }
+    e2.getMessage should include("schema.mode=widen")
+  }
+
+  test("widening a bloom-indexed column drops the index: stale int-hashes must not prune") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1 to 100).map(i => (i, s"s$i")).toDF("k", "s").repartition(1), root)
+    TxLog.buildBloomIndex(spark, root, "k", 1000L, 0.01)
+    TxLog.bloomIndexColumns(spark, root) shouldBe Seq("k")
+    spark.conf.set("spark.graft.schema.mode", "widen")
+    try TxLog.append(spark,
+      Seq((101L, "s101")).toDF("k", "s").repartition(1), root)
+    finally spark.conf.unset("spark.graft.schema.mode")
+    // the index hashed values as INT; probes now hash them as LONG —
+    // keeping it would silently skip files that hold the key
+    TxLog.bloomIndexColumns(spark, root) shouldBe Seq.empty
+    // point lookup stays CORRECT (conservative full candidate set)
+    TxLog.readEquals(spark, root, "k", Seq(50L)).count() shouldBe 1
+  }
+
+  test("constraints still enforce across a widening append") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1, 5.0)).toDF("k", "v").repartition(1), root)
+    TxLog.addConstraint(spark, root, "v_pos", "v >= 0")
+    spark.conf.set("spark.graft.schema.mode", "widen")
+    try {
+      // widening batch that VIOLATES: must be rejected, not slip past
+      // the staged-read (which needs the widened scan schema to open it)
+      intercept[IllegalStateException] {
+        TxLog.append(spark, Seq((2L, -1.0)).toDF("k", "v"), root)
+      }.getMessage should include("v_pos")
+      TxLog.append(spark, Seq((3L, 3.0)).toDF("k", "v"), root)
+      TxLog.readLatest(spark, root).count() shouldBe 2
+    } finally spark.conf.unset("spark.graft.schema.mode")
+  }
+
   test("dropColumns refuses partition columns, constrained columns, and dropping everything") {
     val root = tmpRoot()
     TxLog.append(spark,
