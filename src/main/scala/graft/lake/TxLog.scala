@@ -524,6 +524,22 @@ object TxLog {
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
+          // Close the refresh-vs-widen race: an index build/refresh that
+          // resolved the PRE-widen schema may have re-created
+          // narrow-hashed rows between committedDdl's pre-claim drop and
+          // this claim. Re-drop for any column whose TYPE changed in
+          // this commit (cheap: only runs when the DDL string changed).
+          // A failure here still throws even though the commit is
+          // durable — the caller must learn the index may be stale.
+          commits.lastOption.map(_.schemaDdl)
+            .filter(pd => pd.nonEmpty && pd != schemaDdl).foreach { pd =>
+              val prev = StructType.fromDDL(pd)
+              StructType.fromDDL(schemaDdl).foreach { f =>
+                if (prev.find(_.name.equalsIgnoreCase(f.name))
+                    .exists(_.dataType != f.dataType))
+                  mustDropBloomIndexes(spark, root, f.name)
+              }
+            }
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
           if ((version + 1) % CheckpointInterval == 0) {
@@ -660,7 +676,10 @@ object TxLog {
         // Spark's parquet reader reads files of the narrower physical
         // type under the wider scan schema (SPARK-40876), in both
         // directions of arrival order (old-narrow files under a widened
-        // schema, or a narrow late batch into an already-wide table)
+        // schema, or a narrow late batch into an already-wide table).
+        // Scan-side twin: enforceConstraints' staged-read schema applies
+        // the same widening (plus a batch-type fallback, read-only) —
+        // keep the two merges in sync.
         val widened = scala.collection.mutable
           .Map[String, org.apache.spark.sql.types.DataType]()
         val conflicts = newS.flatMap(f => inCur(f.name)
@@ -668,7 +687,12 @@ object TxLog {
           .flatMap { t =>
             (if (mode == "widen") widenedType(t.dataType, f.dataType)
              else None) match {
-              case Some(w) => widened(lower(f.name)) = w; None
+              case Some(w) =>
+                // a NARROW batch into an already-wide column is a no-op
+                // (committed type unchanged) — recording it would
+                // needlessly destroy the column's valid bloom index below
+                if (w != t.dataType) widened(lower(f.name)) = w
+                None
               case None =>
                 Some(s"`${f.name}` table=${t.dataType.simpleString} " +
                   s"batch=${f.dataType.simpleString}")
@@ -696,13 +720,13 @@ object TxLog {
         // its rows were hashed under the old type, and xxhash64 of the
         // same value differs between int and long — stale rows would
         // rule out files that DO hold the key (silent false negatives).
-        // Idempotent and safe on commit retry / lost race: the cost is
-        // only pruning until the next index build.
-        widened.keySet.foreach { n =>
-          curS.find(f => lower(f.name) == n).foreach(f =>
-            try dropBloomIndex(spark, root, f.name)
-            catch { case _: IOException => () })
-        }
+        // STRICT: a failed drop fails the WRITE — committing the widened
+        // schema over a surviving stale index would make point lookups
+        // silently wrong, the exact outcome this block exists to prevent
+        // (the same fail-closed policy as the tombstone guard above).
+        // Idempotent and safe on commit retry / lost race: the cost of a
+        // drop whose commit never lands is only pruning until rebuild.
+        widened.keySet.foreach(n => mustDropBloomIndexes(spark, root, n))
         StructType(curS.map(f => widened.get(lower(f.name))
             .map(w => f.copy(dataType = w)).getOrElse(f)) ++
             newS.filterNot(f => inCur(f.name).nonEmpty))
@@ -1262,15 +1286,19 @@ object TxLog {
       else snap.map(s => StructType.fromDDL(s.schemaDdl)) match {
         case None => batchS
         case Some(cur) => StructType(cur.map { cf =>
-          // on a type conflict read under the WIDER type when one side
-          // up-casts into the other: the staged files carry the batch's
-          // type, and a narrower read schema cannot open them. In merge
-          // mode the conflict still fails the COMMIT right after — this
-          // only keeps the constraint scan able to read what was staged
+          // on a type conflict the staged files carry the BATCH's type,
+          // so the scan schema must be one that can open them: the wider
+          // type when one side up-casts into the other, else the batch
+          // type itself (a narrower/incompatible table type would crash
+          // this read with a raw parquet conversion error and orphan the
+          // staged files before committedDdl could produce its loud
+          // "changes column type(s)" failure — which still fires at
+          // commit time for every non-widenable conflict)
           batchS.find(_.name.equalsIgnoreCase(cf.name))
             .filter(_.dataType != cf.dataType)
-            .flatMap(bf => widenedType(cf.dataType, bf.dataType))
-            .map(w => cf.copy(dataType = w)).getOrElse(cf)
+            .map(bf => cf.copy(dataType =
+              widenedType(cf.dataType, bf.dataType).getOrElse(bf.dataType)))
+            .getOrElse(cf)
         } ++ batchS.filterNot(f =>
           cur.exists(_.name.equalsIgnoreCase(f.name))))
       }
@@ -2348,8 +2376,37 @@ object TxLog {
       .repartition(math.max(1, snap.live.size / 8192))
     out.write.mode(SaveMode.Overwrite)
       .parquet(bloomDir(root, column).toString)
+    fenceBloomType(spark, root, column,
+      StructType.fromDDL(snap.schemaDdl)
+        .find(_.name.equalsIgnoreCase(column)).get.dataType)
     // metadata-only count of what was just written (footer row counts)
     spark.read.parquet(bloomDir(root, column).toString).count()
+  }
+
+  /** Post-write fence for the index-build-vs-type-widening race: the
+    * sidecar rows just written were hashed under `builtType`; if a
+    * concurrent widen commit landed meanwhile they are poison (hashes of
+    * the wrong type answer definitive wrong "no"s to point lookups) —
+    * delete the sidecar and fail. Combined with commitLoop's post-claim
+    * re-drop this closes the race in both orders: an index write landing
+    * BEFORE that re-drop is deleted by it; one landing AFTER observes
+    * the widened schema here and self-cleans.
+    */
+  private def fenceBloomType(spark: SparkSession, root: String,
+                             column: String,
+                             builtType: org.apache.spark.sql.types.DataType)
+      : Unit = {
+    val nowType = StructType.fromDDL(resolve(spark, root, None).schemaDdl)
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)
+    if (!nowType.contains(builtType)) {
+      fileSystem(spark, root).delete(bloomDir(root, column), true)
+      throw new java.util.ConcurrentModificationException(
+        s"column $column of $root changed type " +
+          s"(${builtType.simpleString} -> " +
+          s"${nowType.map(_.simpleString).getOrElse("<dropped>")}) while " +
+          "its bloom index was building — the just-written index was " +
+          "discarded; re-run the build against the new schema")
+    }
   }
 
   /** INCREMENTAL bloom-index maintenance: index only the live files the
@@ -2412,6 +2469,9 @@ object TxLog {
     // (file immutability), and append avoids the read-while-truncating
     // hazard an in-place overwrite of the sidecar would have
     out.write.mode(SaveMode.Append).parquet(dir.toString)
+    fenceBloomType(spark, root, column,
+      StructType.fromDDL(snap.schemaDdl)
+        .find(_.name.equalsIgnoreCase(column)).get.dataType)
     missing.size.toLong
   }
 
@@ -2426,6 +2486,25 @@ object TxLog {
     val fs = fileSystem(spark, root)
     fs.exists(dir) && fs.delete(dir, true)
   }
+
+  /** Drop EVERY bloom index whose column name case-insensitively matches
+    * `column`, failing LOUDLY if one exists and cannot be deleted — the
+    * strict form the widening path needs: a stale narrow-typed index
+    * surviving a type change answers definitive wrong "no"s to point
+    * lookups, so the caller must not proceed past a failed drop.
+    */
+  private def mustDropBloomIndexes(spark: SparkSession, root: String,
+                                   column: String): Unit =
+    bloomIndexColumns(spark, root)
+      .filter(_.equalsIgnoreCase(column)).foreach { c =>
+        val dir = bloomDir(root, c)
+        val fs = fileSystem(spark, root)
+        if (fs.exists(dir) && !fs.delete(dir, true))
+          throw new IOException(
+            s"cannot drop bloom index of widened column $c at $root — " +
+              "refusing to commit a type change over a stale index " +
+              "(its hashes would prune files that hold the key)")
+      }
 
   /** (raw log entries, checkpoints) at `root` — DESCRIBE DETAIL's
     * log-health columns, the "time to VACUUM ... LOG?" signal: entry

@@ -1733,6 +1733,37 @@ class TxLogSpec extends SparkSpec {
     TxLog.readEquals(spark, root, "k", Seq(50L)).count() shouldBe 1
   }
 
+  test("a narrow batch into an already-wide column keeps the valid bloom index") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s").repartition(1), root)
+    TxLog.buildBloomIndex(spark, root, "k", 1000L, 0.01)
+    spark.conf.set("spark.graft.schema.mode", "widen")
+    try TxLog.append(spark, Seq((101, "s101")).toDF("k", "s"), root)
+    finally spark.conf.unset("spark.graft.schema.mode")
+    // the committed type did NOT change (still long): the index's long
+    // hashes stay valid and must survive the no-op "widening"
+    TxLog.readLatest(spark, root).schema("k")
+      .dataType.simpleString shouldBe "bigint"
+    TxLog.bloomIndexColumns(spark, root) shouldBe Seq("k")
+    TxLog.readEquals(spark, root, "k", Seq(50L)).count() shouldBe 1
+  }
+
+  test("a non-widenable conflict on a constrained table fails loudly, not with a parquet error") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1, 5.0)).toDF("k", "v").repartition(1), root)
+    TxLog.addConstraint(spark, root, "v_pos", "v >= 0")
+    // batch re-types k as STRING: the constraint scan must still open
+    // the staged (string-physical) file, and the COMMIT must then fail
+    // with the schema-policy message — not a raw parquet cast crash
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq(("oops", 1.0)).toDF("k", "v"), root)
+    }
+    e.getMessage should include("changes column type")
+    TxLog.readLatest(spark, root).count() shouldBe 1
+  }
+
   test("constraints still enforce across a widening append") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1, 5.0)).toDF("k", "v").repartition(1), root)
