@@ -529,15 +529,29 @@ object TxLog {
           // narrow-hashed rows between committedDdl's pre-claim drop and
           // this claim. Re-drop for any column whose TYPE changed in
           // this commit (cheap: only runs when the DDL string changed).
-          // A failure here still throws even though the commit is
-          // durable — the caller must learn the index may be stale.
-          commits.lastOption.map(_.schemaDdl)
-            .filter(pd => pd.nonEmpty && pd != schemaDdl).foreach { pd =>
+          // The pre-commit schema falls back to checkpoint-aware
+          // resolution — on a truncated-to-empty tail the raw tail
+          // carries no schema but the checkpoint does, and skipping the
+          // fence there would reopen the race in exactly that state.
+          // A failure throws a DISTINCT exception type even though the
+          // commit is durable: an IOException here would be
+          // indistinguishable from a commit-conflict failure and invite
+          // a retry that duplicates the just-committed data.
+          commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
+            .orElse(snapNow.map(_.schemaDdl).filter(_.nonEmpty))
+            .filter(pd => schemaDdl.nonEmpty && pd != schemaDdl)
+            .foreach { pd =>
               val prev = StructType.fromDDL(pd)
-              StructType.fromDDL(schemaDdl).foreach { f =>
+              try StructType.fromDDL(schemaDdl).foreach { f =>
                 if (prev.find(_.name.equalsIgnoreCase(f.name))
                     .exists(_.dataType != f.dataType))
                   mustDropBloomIndexes(spark, root, f.name)
+              } catch { case e: IOException =>
+                throw new IllegalStateException(
+                  s"commit $version at $root is DURABLE, but dropping " +
+                    "the stale bloom index of a type-changed column " +
+                    "failed — do NOT retry the write (it would duplicate " +
+                    "data); drop or rebuild the index instead", e)
               }
             }
           // best-effort auto-checkpoint on the cadence: losing it only
@@ -658,7 +672,14 @@ object TxLog {
             "values, which this write would resurrect — rename the batch " +
             "column, or OVERWRITE the table to rewrite every file first")
     }
+    // the current schema ALSO falls back to checkpoint-aware resolution:
+    // on an externally truncated-to-empty tail the raw tail carries no
+    // schema but the checkpoint does, and treating that state as a fresh
+    // table would commit the batch schema verbatim — skipping the type
+    // check, widen gating, enforce mode, and the bloom drop at once
     val cur = commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
+      .orElse(scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.schemaDdl).filter(_.nonEmpty))
     cur match {
       case None => batchDdl
       case Some(c) =>
@@ -2335,8 +2356,10 @@ object TxLog {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val snap = resolve(spark, root, None)
-    require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(column),
-      s"no column $column in $root")
+    val snapSchema = StructType.fromDDL(snap.schemaDdl)
+    val builtType = snapSchema.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $column in $root")).dataType
     if (snap.live.isEmpty) return 0L
     val numBits = bloomNumBits(expectedKeysPerFile, fpp)
     val agg = new BloomFilterAggregate(
@@ -2352,7 +2375,7 @@ object TxLog {
     // materialized directly on the scan relation.
     val rows = spark.read
       .option("basePath", root)
-      .schema(StructType.fromDDL(snap.schemaDdl))
+      .schema(snapSchema)
       .parquet(snap.live.map(f => s"$root/$f"): _*)
       .withColumn("__dv_file", relPathExpr(spark, root))
       .groupBy(col("__dv_file").as("__f"))
@@ -2376,9 +2399,7 @@ object TxLog {
       .repartition(math.max(1, snap.live.size / 8192))
     out.write.mode(SaveMode.Overwrite)
       .parquet(bloomDir(root, column).toString)
-    fenceBloomType(spark, root, column,
-      StructType.fromDDL(snap.schemaDdl)
-        .find(_.name.equalsIgnoreCase(column)).get.dataType)
+    fenceBloomType(spark, root, column, builtType)
     // metadata-only count of what was just written (footer row counts)
     spark.read.parquet(bloomDir(root, column).toString).count()
   }
@@ -2399,7 +2420,15 @@ object TxLog {
     val nowType = StructType.fromDDL(resolve(spark, root, None).schemaDdl)
       .find(_.name.equalsIgnoreCase(column)).map(_.dataType)
     if (!nowType.contains(builtType)) {
-      fileSystem(spark, root).delete(bloomDir(root, column), true)
+      val fs = fileSystem(spark, root)
+      val dir = bloomDir(root, column)
+      // the Boolean matters: claiming "discarded" while the poison
+      // sidecar survives would leave silent false negatives in place
+      if (fs.exists(dir) && !fs.delete(dir, true) && fs.exists(dir))
+        throw new IOException(
+          s"column $column of $root changed type while its bloom index " +
+            "was building AND the poison sidecar could not be deleted — " +
+            s"drop it manually ($dir) before any point lookup on $column")
       throw new java.util.ConcurrentModificationException(
         s"column $column of $root changed type " +
           s"(${builtType.simpleString} -> " +
@@ -2434,8 +2463,10 @@ object TxLog {
     if (!fileSystem(spark, root).exists(dir))
       return buildBloomIndex(spark, root, column, expectedKeysPerFile, fpp)
     val snap = resolve(spark, root, None)
-    require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(column),
-      s"no column $column in $root")
+    val snapSchema = StructType.fromDDL(snap.schemaDdl)
+    val builtType = snapSchema.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $column in $root")).dataType
     // metadata-sized collect: just the indexed NAMES (never a bitset)
     val indexed = spark.read.parquet(dir.toString)
       .select("file").collect().map(_.getString(0)).toSet
@@ -2449,7 +2480,7 @@ object TxLog {
     // false-negative note there — but over ONLY the missing files
     val rows = spark.read
       .option("basePath", root)
-      .schema(StructType.fromDDL(snap.schemaDdl))
+      .schema(snapSchema)
       .parquet(missing.map(f => s"$root/$f"): _*)
       .withColumn("__dv_file", relPathExpr(spark, root))
       .groupBy(col("__dv_file").as("__f"))
@@ -2469,9 +2500,7 @@ object TxLog {
     // (file immutability), and append avoids the read-while-truncating
     // hazard an in-place overwrite of the sidecar would have
     out.write.mode(SaveMode.Append).parquet(dir.toString)
-    fenceBloomType(spark, root, column,
-      StructType.fromDDL(snap.schemaDdl)
-        .find(_.name.equalsIgnoreCase(column)).get.dataType)
+    fenceBloomType(spark, root, column, builtType)
     missing.size.toLong
   }
 
@@ -2499,7 +2528,11 @@ object TxLog {
       .filter(_.equalsIgnoreCase(column)).foreach { c =>
         val dir = bloomDir(root, c)
         val fs = fileSystem(spark, root)
-        if (fs.exists(dir) && !fs.delete(dir, true))
+        // re-check existence after a failed delete: Hadoop delete
+        // returns false for an already-gone path, so a concurrent drop
+        // of the same index (two racing widens) must count as success,
+        // not fail this writer spuriously
+        if (fs.exists(dir) && !fs.delete(dir, true) && fs.exists(dir))
           throw new IOException(
             s"cannot drop bloom index of widened column $c at $root — " +
               "refusing to commit a type change over a stale index " +
