@@ -476,6 +476,18 @@ object TxLog {
                          metrics: Map[String, Long] = Map.empty,
                          schemaDrop: Seq[String] = Seq.empty): Long = {
     val fs = fileSystem(spark, root)
+    // parse the auto-truncation config BEFORE any claim: a malformed
+    // value must fail the write while nothing is durable — thrown after
+    // the claim it reads as a generic write failure for a commit that
+    // actually landed, inviting a retry that duplicates the data
+    val retainCheckpoints: Option[Int] = {
+      val v = spark.conf.get("spark.graft.log.retainCheckpoints", "")
+      if (v.isEmpty) None
+      else Some(try v.toInt catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.log.retainCheckpoints must be an integer, got '$v'", e)
+      })
+    }
     var attempt = 0
     var tailWaitMs = 0L
     val maxTailWaitMs = 30000L
@@ -565,11 +577,9 @@ object TxLog {
             // and NEVER forced — while pre-horizon data is still
             // reclaimable the strand guard refuses and the log simply
             // keeps growing until a vacuum, the safe direction. A
-            // malformed config value stays LOUD (parsed outside the try)
-            val retain =
-              spark.conf.get("spark.graft.log.retainCheckpoints", "")
-            if (retain.nonEmpty) {
-              val keep = retain.toInt
+            // malformed config value stays LOUD — but pre-parsed at loop
+            // entry, before anything was durable
+            retainCheckpoints.foreach { keep =>
               try vacuumLog(spark, root, keepCheckpoints = keep)
               catch { case _: IOException | _: IllegalArgumentException => () }
             }
@@ -2357,13 +2367,19 @@ object TxLog {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val snap = resolve(spark, root, None)
     val snapSchema = StructType.fromDDL(snap.schemaDdl)
-    val builtType = snapSchema.find(_.name == column)
+    // case-INSENSITIVE lookup, canonicalized to the schema's spelling
+    // (like dropColumns): every other column path in this feature set
+    // matches case-insensitively, and a case-variant spelling must not
+    // fail — or, worse, ever key a sidecar dir under the wrong casing
+    val field = snapSchema.find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
-        s"no column $column in $root")).dataType
+        s"no column $column in $root"))
+    val canonical = field.name
+    val builtType = field.dataType
     if (snap.live.isEmpty) return 0L
     val numBits = bloomNumBits(expectedKeysPerFile, fpp)
     val agg = new BloomFilterAggregate(
-      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
+      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(canonical))),
       Literal(expectedKeysPerFile), Literal(numBits))
     // the RAW tagged scan, deliberately NOT DV-filtered: a rollback can
     // resurrect vector-deleted rows while the file keeps its index row
@@ -2398,10 +2414,10 @@ object TxLog {
       // (name, bitset) rows per part keeps parts in the tens of MB
       .repartition(math.max(1, snap.live.size / 8192))
     out.write.mode(SaveMode.Overwrite)
-      .parquet(bloomDir(root, column).toString)
-    fenceBloomType(spark, root, column, builtType)
+      .parquet(bloomDir(root, canonical).toString)
+    fenceBloomType(spark, root, canonical, builtType)
     // metadata-only count of what was just written (footer row counts)
-    spark.read.parquet(bloomDir(root, column).toString).count()
+    spark.read.parquet(bloomDir(root, canonical).toString).count()
   }
 
   /** Post-write fence for the index-build-vs-type-widening race: the
@@ -2459,14 +2475,18 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, xxhash64}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val dir = bloomDir(root, column)
-    if (!fileSystem(spark, root).exists(dir))
-      return buildBloomIndex(spark, root, column, expectedKeysPerFile, fpp)
     val snap = resolve(spark, root, None)
     val snapSchema = StructType.fromDDL(snap.schemaDdl)
-    val builtType = snapSchema.find(_.name == column)
+    // same case-insensitive canonicalization as buildBloomIndex: the
+    // sidecar dir and the hashed column must both use the schema spelling
+    val field = snapSchema.find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
-        s"no column $column in $root")).dataType
+        s"no column $column in $root"))
+    val canonical = field.name
+    val builtType = field.dataType
+    val dir = bloomDir(root, canonical)
+    if (!fileSystem(spark, root).exists(dir))
+      return buildBloomIndex(spark, root, canonical, expectedKeysPerFile, fpp)
     // metadata-sized collect: just the indexed NAMES (never a bitset)
     val indexed = spark.read.parquet(dir.toString)
       .select("file").collect().map(_.getString(0)).toSet
@@ -2474,7 +2494,7 @@ object TxLog {
     if (missing.isEmpty) return 0L
     val numBits = bloomNumBits(expectedKeysPerFile, fpp)
     val agg = new BloomFilterAggregate(
-      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(column))),
+      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(canonical))),
       Literal(expectedKeysPerFile), Literal(numBits))
     // same raw (NOT DV-filtered) scan rule as the full build — see the
     // false-negative note there — but over ONLY the missing files
@@ -2500,7 +2520,7 @@ object TxLog {
     // (file immutability), and append avoids the read-while-truncating
     // hazard an in-place overwrite of the sidecar would have
     out.write.mode(SaveMode.Append).parquet(dir.toString)
-    fenceBloomType(spark, root, column, builtType)
+    fenceBloomType(spark, root, canonical, builtType)
     missing.size.toLong
   }
 
@@ -3682,9 +3702,33 @@ object TxLog {
     val everAdded = (baseLive ++ commits.flatMap(_.add)).distinct
     // existence-filtered: a file an earlier vacuum already deleted is not
     // a victim — DRY RUN previews what a real run would actually remove,
-    // and vacuumLog's strand check must not refuse over already-gone files
-    val victims = everAdded.filterNot(referenced)
-      .filter(f => fs.exists(new Path(s"$root/$f")))
+    // and vacuumLog's strand check must not refuse over already-gone
+    // files. The probe is BATCHED — one listStatus per distinct parent
+    // directory instead of a sequential per-file fs.exists: on an
+    // object-store table with ~1M ever-added files, per-path RPCs would
+    // make every vacuum, dry run, and vacuumLog strand guard minutes of
+    // driver-blocked metadata calls.
+    def existingUnder(cands: Seq[String]): Set[String] = {
+      val byDir = cands.groupBy { f =>
+        val i = f.lastIndexOf('/'); if (i < 0) "" else f.substring(0, i)
+      }
+      byDir.keysIterator.flatMap { d =>
+        val dir = if (d.isEmpty) new Path(root) else new Path(s"$root/$d")
+        // names come back DECODED (Path.toUri.getPath), matching the
+        // log's canonical representation; a missing parent dir simply
+        // contributes nothing (all its candidates are already gone)
+        try fs.listStatus(dir).iterator.map { st =>
+          val name = st.getPath.toUri.getPath
+            .substring(st.getPath.toUri.getPath.lastIndexOf('/') + 1)
+          if (d.isEmpty) name else s"$d/$name"
+        } catch { case _: java.io.FileNotFoundException => Iterator.empty }
+      }.toSet
+    }
+    val unrefd = everAdded.filterNot(referenced)
+    val victims = {
+      val present = existingUnder(unrefd)
+      unrefd.filter(present.contains)
+    }
     // deletion-vector sidecars age out the same way: a sidecar is live
     // while ANY retained version's dv state points at it (each new
     // vector on a file supersedes the previous sidecar, so superseded
@@ -3695,11 +3739,15 @@ object TxLog {
       .filter(i => commits(i).version >= keepFrom)
       .flatMap(i => dvStates(i).valuesIterator.map(_._1))
       .toSet
-    val dvVictims =
-      (baseDvs.valuesIterator.map(_._1).toSeq ++
+    val dvVictims = {
+      val cands = (baseDvs.valuesIterator.map(_._1).toSeq ++
         commits.flatMap(_.dv.valuesIterator.map(_._1)))
-      .distinct.filterNot(retainedSidecars)
-      .filter(d => fs.exists(new Path(s"$root/$d")))
+        .distinct.filterNot(retainedSidecars)
+      // sidecars are parquet DIRECTORIES under one parent — the batched
+      // listing covers them with a single round-trip
+      val present = existingUnder(cands)
+      cands.filter(present.contains)
+    }
     // DRY RUN: report what the real run would delete, touch nothing —
     // the operator preview every destructive maintenance command needs
     if (!dryRun) {

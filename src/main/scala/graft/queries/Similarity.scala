@@ -821,7 +821,9 @@ object Similarity {
       // materialize the blocking once and hand the SAME copy to the
       // oracle — everything after this line is independently recomputed
       val cellsPath = Tables.scratch(dir, "q108_cells")
-      assigned.select("vec_id", "cell").coalesce(1)
+      // plain parallel write — the oracle globs the directory, so the
+      // single-task coalesce(1) serialization point was pure overhead
+      assigned.select("vec_id", "cell")
         .write.mode("overwrite").parquet(cellsPath)
       val withCell = corpus.join(s.read.parquet(cellsPath), "vec_id")
       val a = withCell.select(col("cell"), col("vec_id").as("u"),
