@@ -569,8 +569,11 @@ object TxLog {
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
           if ((version + 1) % CheckpointInterval == 0) {
-            try checkpoint(spark, root)
-            catch { case _: IOException => () }
+            // NonFatal, not just IOException: the v2 parquet writer can
+            // surface Spark job failures, and ANY post-claim checkpoint
+            // failure must stay best-effort — the commit is durable
+            try { checkpoint(spark, root); () }
+            catch { case scala.util.control.NonFatal(_) => () }
             // opt-in hands-free log truncation (Delta's
             // logRetentionDuration analog): after each checkpoint, trim
             // entries below the retained-checkpoint horizon. Best-effort
@@ -2570,7 +2573,10 @@ object TxLog {
     if (!fs.exists(dir)) return (0L, 0L)
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
     (names.count(LogFile.matches).toLong,
-      names.count(CkptFile.matches).toLong)
+      // a version carrying both checkpoint formats counts ONCE
+      (names.collect { case CkptFile(v) => v.toLong } ++
+        names.collect { case CkptDirV2(v) => v.toLong })
+        .distinct.size.toLong)
   }
 
   /** Columns with a live bloom index at `root` (sidecar directories
@@ -2852,6 +2858,35 @@ object TxLog {
                                     dvs: Map[String, DvRef] = Map.empty,
                                     droppedCols: Set[String] = Set.empty)
 
+  /** Read a v1 (single-JSON-document) checkpoint into a [[Snapshot]] —
+    * the legacy format, readable forever so pre-v2 logs keep resolving.
+    */
+  private def readCkptV1(spark: SparkSession, root: String,
+                         v: Long): Snapshot = {
+    val fs = fileSystem(spark, root)
+    val in = fs.open(ckptPath(root, v))
+    val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+            finally in.close()
+    val it = n.get("live").elements()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next().asText()
+    val txnsB = Map.newBuilder[String, Long]
+    Option(n.get("txns")).foreach(_.properties().forEach(e =>
+      txnsB += e.getKey -> e.getValue.asLong))
+    val consB = Map.newBuilder[String, String]
+    Option(n.get("constraints")).foreach(_.properties().forEach(e =>
+      consB += e.getKey -> e.getValue.asText()))
+    val dvB = Map.newBuilder[String, DvRef]
+    Option(n.get("dv")).foreach(_.properties().forEach(e =>
+      dvB += e.getKey -> (e.getValue.get("path").asText,
+        e.getValue.get("rows").asLong)))
+    val droppedB = Set.newBuilder[String]
+    Option(n.get("droppedCols")).foreach(_.elements()
+      .forEachRemaining(e => droppedB += e.asText))
+    Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
+      txnsB.result(), consB.result(), dvB.result(), droppedB.result())
+  }
+
   /** Fold [[Commit.schemaDrop]] tombstones (lower-cased names) across
     * `commits`. A dropped column's PHYSICAL values still sit in every
     * pre-drop file, so re-evolving the same name in would silently
@@ -2894,30 +2929,17 @@ object TxLog {
     val dir = new Path(s"$root/$LogDirName")
     require(fs.exists(dir), s"not a txlog table: $root")
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
-    val ckptVersion = names.collect { case CkptFile(v) => v.toLong }
+    // both checkpoint formats are candidates; when one version carries
+    // both forms they summarize identical state and v2 (parquet) wins
+    val ckptForms: Map[Long, Boolean] = // version -> has a v2 form
+      (names.collect { case CkptFile(v) => v.toLong -> false } ++
+        names.collect { case CkptDirV2(v) => v.toLong -> true })
+        .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    val ckptVersion = ckptForms.keysIterator
       .filter(v => upTo.forall(v <= _)).maxOption
     val base = ckptVersion.map { v =>
-      val in = fs.open(ckptPath(root, v))
-      val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
-              finally in.close()
-      val it = n.get("live").elements()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) b += it.next().asText()
-      val txnsB = Map.newBuilder[String, Long]
-      Option(n.get("txns")).foreach(_.properties().forEach(e =>
-        txnsB += e.getKey -> e.getValue.asLong))
-      val consB = Map.newBuilder[String, String]
-      Option(n.get("constraints")).foreach(_.properties().forEach(e =>
-        consB += e.getKey -> e.getValue.asText()))
-      val dvB = Map.newBuilder[String, DvRef]
-      Option(n.get("dv")).foreach(_.properties().forEach(e =>
-        dvB += e.getKey -> (e.getValue.get("path").asText,
-          e.getValue.get("rows").asLong)))
-      val droppedB = Set.newBuilder[String]
-      Option(n.get("droppedCols")).foreach(_.elements()
-        .forEachRemaining(e => droppedB += e.asText))
-      Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
-        txnsB.result(), consB.result(), dvB.result(), droppedB.result())
+      if (ckptForms(v)) readCkptV2(spark, root, v)
+      else readCkptV1(spark, root, v)
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -3203,6 +3225,46 @@ object TxLog {
   private def ckptPath(root: String, version: Long): Path =
     new Path(f"$root/$LogDirName/$version%020d.checkpoint.json")
 
+  /** Format v2: a PARQUET checkpoint directory — one row per live file
+    * (path, min/max stats maps, DV ref) written as a distributed job,
+    * plus an `_meta.json` header (underscore-prefixed, so parquet scans
+    * of the directory ignore it) carrying the table-scoped singletons:
+    * version, schema DDL, txn watermarks, constraints, drop tombstones.
+    *
+    * This removes the last driver-side O(table-files) serialization
+    * point in the engine: the v1 JSON checkpoint builds and parses the
+    * ENTIRE live set — ~10^6 files x multi-column stats at 100 TB — as
+    * one multi-GB driver string per checkpoint write and per cold read
+    * (the wall Delta hit before moving to Parquet checkpoints). Here
+    * the write is a parallel parquet job over metadata-sized rows, the
+    * bytes are columnar and compressed, and the read streams row
+    * batches instead of materializing a document. The commit-log
+    * ENTRIES stay JSON (O(files touched) each — fine); only the
+    * checkpoint is row-scaled with the table.
+    *
+    * v1 checkpoints remain readable forever (existing logs resolve
+    * unchanged); `spark.graft.checkpoint.format=json` opts a writer
+    * back into v1. When both formats exist at one version they
+    * summarize identical state and v2 is preferred.
+    */
+  private val CkptDirV2 = raw"(\d{20})\.checkpoint\.parquet".r
+
+  private def ckptPathV2(root: String, version: Long): Path =
+    new Path(f"$root/$LogDirName/$version%020d.checkpoint.parquet")
+
+  private val CkptMetaName = "_meta.json"
+
+  /** One live file's checkpoint row (v2). Stats ride as two maps keyed
+    * by column (min, max) — the same double-space values as the commit
+    * log; `dvPath`/`dvRows` carry the file's deletion-vector ref when
+    * one is live.
+    */
+  private[lake] final case class CkptRow(idx: Long, file: String,
+                                         statsMin: Map[String, Double],
+                                         statsMax: Map[String, Double],
+                                         dvPath: Option[String],
+                                         dvRows: Option[Long])
+
   /** Write a checkpoint summarizing the live set at the current latest
     * version, so readers replay checkpoint + tail instead of the whole
     * log. Idempotent (checkpoints are derived state, safe to overwrite);
@@ -3214,6 +3276,19 @@ object TxLog {
     // checkpoint
     val snap = scala.util.Try(resolve(spark, root, None)).toOption
       .getOrElse(return None)
+    if (spark.conf.get("spark.graft.checkpoint.format", "parquet") == "json")
+      checkpointV1(spark, root, snap)
+    else
+      checkpointV2(spark, root, snap)
+    Some(snap.version)
+  }
+
+  /** The original single-JSON-document checkpoint (kept writable for
+    * compatibility testing via `spark.graft.checkpoint.format=json`;
+    * kept READABLE unconditionally).
+    */
+  private def checkpointV1(spark: SparkSession, root: String,
+                           snap: Snapshot): Unit = {
     val n = mapper.createObjectNode()
     n.put("version", snap.version)
     n.put("schemaDdl", snap.schemaDdl)
@@ -3252,7 +3327,106 @@ object TxLog {
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
     try out.write(n.toString.getBytes(UTF_8)) finally out.close()
-    Some(snap.version)
+  }
+
+  /** Parquet checkpoint writer (v2 — see [[CkptDirV2]]). The directory
+    * appears ATOMICALLY via a tmp-dir rename: readers either see the
+    * complete checkpoint or the previous state, never a half-written
+    * one (the v1 in-place overwrite had a torn-read window on
+    * re-checkpoint of the same version).
+    */
+  private def checkpointV2(spark: SparkSession, root: String,
+                           snap: Snapshot): Unit = {
+    val fs = fileSystem(spark, root)
+    val liveSet = snap.live.toSet
+    // live files' dv refs and stats only — same conservative rule as v1
+    val liveDvs = snap.dvs.view.filterKeys(liveSet).toMap
+    val rows = snap.live.zipWithIndex.map { case (f, i) =>
+      val st = snap.stats.getOrElse(f, Map.empty[String, (Double, Double)])
+      CkptRow(i.toLong, f,
+        st.view.mapValues(_._1).toMap, st.view.mapValues(_._2).toMap,
+        liveDvs.get(f).map(_._1), liveDvs.get(f).map(_._2))
+    }
+    val meta = {
+      val n = mapper.createObjectNode()
+      n.put("format", 2)
+      n.put("version", snap.version)
+      n.put("schemaDdl", snap.schemaDdl)
+      if (snap.txns.nonEmpty) {
+        val tn = n.putObject("txns")
+        snap.txns.foreach { case (app, v) => tn.put(app, v) }
+      }
+      if (snap.constraints.nonEmpty) {
+        val cn = n.putObject("constraints")
+        snap.constraints.foreach { case (name, sql) => cn.put(name, sql) }
+      }
+      if (snap.droppedCols.nonEmpty) {
+        val dc = n.putArray("droppedCols")
+        snap.droppedCols.toSeq.sorted.foreach(dc.add)
+      }
+      n.toString
+    }
+    val tmp = new Path(s"$root/$LogDirName/.ckpt_tmp_${
+      UUID.randomUUID().toString.replace("-", "").take(12)}")
+    try {
+      import spark.implicits._
+      // ~64k metadata-sized rows per part bounds both task count and
+      // part size; a 10^6-file table writes ~16 parallel parts
+      spark.createDataset(rows)
+        .repartition(math.max(1, rows.size / 65536))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val out = fs.create(new Path(tmp, CkptMetaName), true)
+      try out.write(meta.getBytes(UTF_8)) finally out.close()
+      val dst = ckptPathV2(root, snap.version)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new IOException(
+          s"checkpoint rename $tmp -> $dst failed at $root")
+    } catch {
+      case t: Throwable =>
+        try { fs.delete(tmp, true); () } catch { case _: IOException => () }
+        throw t
+    }
+  }
+
+  /** Read a v2 checkpoint directory back into a [[Snapshot]]: header
+    * from `_meta.json`, per-file rows from the parquet (pruned to the
+    * checkpoint columns; sorted by `idx` to reproduce live-set order
+    * exactly — commit replay order is part of the format).
+    */
+  private def readCkptV2(spark: SparkSession, root: String,
+                         version: Long): Snapshot = {
+    val fs = fileSystem(spark, root)
+    val dir = ckptPathV2(root, version)
+    val in = fs.open(new Path(dir, CkptMetaName))
+    val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+            finally in.close()
+    val txnsB = Map.newBuilder[String, Long]
+    Option(n.get("txns")).foreach(_.properties().forEach(e =>
+      txnsB += e.getKey -> e.getValue.asLong))
+    val consB = Map.newBuilder[String, String]
+    Option(n.get("constraints")).foreach(_.properties().forEach(e =>
+      consB += e.getKey -> e.getValue.asText()))
+    val droppedB = Set.newBuilder[String]
+    Option(n.get("droppedCols")).foreach(_.elements()
+      .forEachRemaining(e => droppedB += e.asText))
+    val rows = spark.read.parquet(dir.toString)
+      .select("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
+      .collect().sortBy(_.getLong(0))
+    val live = rows.map(_.getString(1)).toSeq
+    val statsB = Map.newBuilder[String, Map[String, (Double, Double)]]
+    val dvB = Map.newBuilder[String, DvRef]
+    rows.foreach { r =>
+      val mns = r.getMap[String, Double](2)
+      val mxs = r.getMap[String, Double](3)
+      if (mns.nonEmpty)
+        statsB += r.getString(1) -> mns.keysIterator
+          .map(c => c -> (mns(c), mxs(c))).toMap
+      if (!r.isNullAt(4))
+        dvB += r.getString(1) -> ((r.getString(4), r.getLong(5)): DvRef)
+    }
+    Snapshot(live, n.get("schemaDdl").asText, version, statsB.result(),
+      txnsB.result(), consB.result(), dvB.result(), droppedB.result())
   }
 
   // -------------------------------------------------------------------
@@ -3464,14 +3638,19 @@ object TxLog {
     val ckptLive: Set[String] =
       if (!fs.exists(logDir)) Set.empty
       else fs.listStatus(logDir).toSeq
-        .collect { case st if CkptFile.matches(st.getPath.getName) =>
-          val in = fs.open(st.getPath)
-          val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
-                  finally in.close()
-          val it = n.get("live").elements()
-          val b = Set.newBuilder[String]
-          while (it.hasNext) b += it.next().asText()
-          b.result()
+        .collect {
+          case st if CkptFile.matches(st.getPath.getName) =>
+            val in = fs.open(st.getPath)
+            val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+                    finally in.close()
+            val it = n.get("live").elements()
+            val b = Set.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          case st if CkptDirV2.matches(st.getPath.getName) =>
+            // v2 live set: one pruned column off the parquet rows
+            spark.read.parquet(st.getPath.toString)
+              .select("file").collect().map(_.getString(0)).toSet
         }.foldLeft(Set.empty[String])(_ ++ _)
     val referenced = history(spark, root).flatMap(_.add).toSet ++ ckptLive
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -3494,6 +3673,15 @@ object TxLog {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_stage_")
         && st.getModificationTime < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    // v2 checkpoint tmp dirs a crashed checkpoint() left behind (the
+    // rename never ran): invisible to readers, same age-guarded reap
+    val deadCkptTmps = (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq
+                        else Seq.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".ckpt_tmp_")
+        && st.getModificationTime < cutoff)
+      .map { st =>
+        fs.delete(st.getPath, true); s"$LogDirName/${st.getPath.getName}"
+      }
     // deletion-vector sidecars a crashed deleteVectored left behind
     // (written, never committed): referenced by no commit's dv map and
     // no checkpoint, so the same age-guarded reclamation applies.
@@ -3515,7 +3703,7 @@ object TxLog {
         .map { st =>
           fs.delete(st.getPath, true); s"$LogDirName/dv/${st.getPath.getName}"
         }
-    victims ++ deadStages ++ deadSidecars
+    victims ++ deadStages ++ deadCkptTmps ++ deadSidecars
   }
 
   /** Physically delete data files only referenced by versions older than
@@ -3633,7 +3821,13 @@ object TxLog {
     val dir = new Path(s"$root/$LogDirName")
     require(fs.exists(dir), s"not a txlog table: $root")
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
-    val ckpts = names.collect { case CkptFile(v) => v.toLong }.sorted
+    // both checkpoint formats anchor truncation; a version carrying both
+    // forms is ONE checkpoint (two names to delete when it ages out)
+    val ckptNamesByV: Map[Long, Seq[String]] = names.collect {
+      case n @ CkptFile(v)  => v.toLong -> n
+      case n @ CkptDirV2(v) => v.toLong -> n
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ckpts = ckptNamesByV.keys.toSeq.sorted
     if (ckpts.isEmpty) return Seq.empty // nothing to anchor a truncation
     val horizon = ckpts.takeRight(keepCheckpoints).head
     // strictly BELOW the horizon: the horizon version's own entry stays,
@@ -3643,7 +3837,7 @@ object TxLog {
     val logVictims = names
       .collect { case n @ LogFile(v) if v.toLong < horizon => n }.sorted
     val ckptVictims = ckpts.dropRight(keepCheckpoints)
-      .map(v => f"$v%020d.checkpoint.json")
+      .flatMap(ckptNamesByV(_))
     if (logVictims.isEmpty && ckptVictims.isEmpty) return Seq.empty
     if (!force) {
       val commits = history(spark, root)
@@ -3661,7 +3855,8 @@ object TxLog {
     }
     val victims = (logVictims ++ ckptVictims).map(n => s"$LogDirName/$n")
     if (!dryRun)
-      victims.foreach(v => fs.delete(new Path(s"$root/$v"), false))
+      // recursive: v2 checkpoints are directories (no-op for plain files)
+      victims.foreach(v => fs.delete(new Path(s"$root/$v"), true))
     victims
   }
 

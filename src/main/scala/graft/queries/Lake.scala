@@ -1371,13 +1371,18 @@ object Lake {
           lit(widenedFlag).as("widened"))
     },
 
-    // Commit-log truncation lifecycle (TxLog.vacuumLog): 12 commits (the
-    // auto-checkpoint cadence writes a checkpoint at v9), truncate the
-    // log to its checkpoint, and the oracle pins BOTH invariants — the
-    // table's content is unchanged (readers resolve checkpoint + tail),
-    // and versions below the horizon refuse loudly instead of resolving
-    // to a wrong partial state (the flag row flips to 0 if they ever
-    // resolve).
+    // Commit-log truncation lifecycle (TxLog.vacuumLog) across BOTH
+    // checkpoint formats: 12 commits with an explicit legacy v1 JSON
+    // checkpoint at v5 (an "old writer"'s leftover) and the
+    // auto-cadence's v2 PARQUET checkpoint at v9 — the upgrade-in-place
+    // shape every pre-v2 table goes through. Mid-log reads resolve
+    // through the v1 form, the truncation anchors on the v2 horizon and
+    // deletes the v1 file below it, and the oracle pins THREE
+    // invariants: table content is unchanged (readers resolve
+    // checkpoint + tail), versions below the horizon refuse loudly
+    // instead of resolving to a wrong partial state, and the mixed log
+    // really carried both forms before truncation (each flag row flips
+    // to 0 on violation).
     QDef(
       "q112_log_truncation",
       """WITH o AS (SELECT o_orderstatus AS status FROM orders)
@@ -1385,6 +1390,8 @@ object Lake {
         |FROM o GROUP BY status
         |UNION ALL
         |SELECT 'pre_horizon_unreadable', '', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'mixed_formats_anchored', '', CAST(1 AS BIGINT)
         |ORDER BY phase, status""".stripMargin) { (s, dir) =>
       val root = Tables.scratch(dir, "logtrunc")
       val fs = new Path(root)
@@ -1396,7 +1403,25 @@ object Lake {
       (0 until 12).foreach { i =>
         TxLog.append(s,
           o.filter(pmod(col("k"), lit(12)) === i).repartition(1), root)
+        if (i == 5) {
+          // legacy-writer checkpoint: v1 single-JSON at v5 (restore the
+          // prior format value — the conf is session-global)
+          val prev = s.conf.getOption("spark.graft.checkpoint.format")
+          s.conf.set("spark.graft.checkpoint.format", "json")
+          try TxLog.checkpoint(s, root)
+          finally prev match {
+            case Some(v) => s.conf.set("spark.graft.checkpoint.format", v)
+            case None    => s.conf.unset("spark.graft.checkpoint.format")
+          }
+        }
       }
+      def ckptForms(): Set[String] = fs
+        .listStatus(new Path(s"$root/${TxLog.LogDirName}")).toSeq
+        .map(_.getPath.getName).filter(_.contains(".checkpoint."))
+        .map(n => n.substring(n.indexOf(".checkpoint."))).toSet
+      val mixed =
+        if (ckptForms() == Set(".checkpoint.json", ".checkpoint.parquet"))
+          1L else 0L
       val gone = TxLog.vacuumLog(s, root, keepCheckpoints = 1)
       require(gone.nonEmpty, s"q112 expected a truncatable log at $root")
       val unreadable =
@@ -1408,7 +1433,11 @@ object Lake {
       val guard = s.range(1).select(
         lit("pre_horizon_unreadable").as("phase"), lit("").as("status"),
         lit(unreadable).as("n"))
-      counts.unionByName(guard).orderBy("phase", "status")
+      val mixedRow = s.range(1).select(
+        lit("mixed_formats_anchored").as("phase"), lit("").as("status"),
+        lit(mixed).as("n"))
+      counts.unionByName(guard).unionByName(mixedRow)
+        .orderBy("phase", "status")
     },
 
     // Read-side schema evolution (SURVEY §1.3 catalog row): two parquet

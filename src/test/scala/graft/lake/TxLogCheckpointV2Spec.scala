@@ -1,0 +1,197 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Parquet checkpoint format (v2): distributed per-live-file rows plus an
+  * `_meta.json` header, replacing the driver-built single-JSON-document
+  * v1 as the default. These specs pin the three format contracts:
+  * content invariance across a v2 checkpoint (including after log
+  * truncation), full v1 back- and cross-compatibility on MIXED logs, and
+  * every piece of version state (stats, DVs, txn watermarks,
+  * constraints, drop tombstones) riding v2 exactly as it rode v1.
+  */
+class TxLogCheckpointV2Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-ckptv2").toString
+
+  private def logNames(root: String): Seq[String] =
+    new java.io.File(s"$root/${TxLog.LogDirName}")
+      .listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith(".")).sorted // drop local-FS .crc sidecars
+
+  private def withJsonCheckpoints[A](body: => A): A = {
+    spark.conf.set("spark.graft.checkpoint.format", "json")
+    try body finally spark.conf.unset("spark.graft.checkpoint.format")
+  }
+
+  test("v2 checkpoint: content-invariant resolution from checkpoint + tail") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root, statsCols = Seq("id"))
+    }
+    // the auto-cadence wrote a v2 parquet checkpoint DIRECTORY at v9
+    val ckpts = logNames(root).filter(_.contains(".checkpoint."))
+    ckpts shouldBe Seq("00000000000000000009.checkpoint.parquet")
+    new java.io.File(
+      s"$root/${TxLog.LogDirName}/${ckpts.head}").isDirectory shouldBe true
+    // header + rows round-trip: same content before and after deleting
+    // the pre-checkpoint raw entries (readers resolve checkpoint + tail)
+    val before = TxLog.readLatest(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (0 until 10).foreach { v =>
+      new java.io.File(f"$root/${TxLog.LogDirName}/$v%020d.json").delete()
+    }
+    val after = TxLog.readLatest(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    after shouldBe before
+    // per-file row-count stats rode the checkpoint: COUNT stays
+    // metadata-only-exact on the truncated log
+    TxLog.countRows(spark, root) shouldBe 12L
+  }
+
+  test("mixed log: v1 checkpoints from an old writer, v2 from the new one") {
+    val root = tmpRoot()
+    // "old" writer: first cadence checkpoint (v9) lands as v1 JSON
+    withJsonCheckpoints {
+      (0 until 12).foreach { i =>
+        TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1), root)
+      }
+    }
+    // "new" writer continues the same table: v19 checkpoint is parquet
+    (12 until 22).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    val ckpts = logNames(root).filter(_.contains(".checkpoint."))
+    ckpts shouldBe Seq("00000000000000000009.checkpoint.json",
+      "00000000000000000019.checkpoint.parquet")
+    TxLog.readLatest(spark, root).count() shouldBe 22L
+    // vacuumLog anchors on BOTH formats: keep 1 => horizon at the v2
+    // checkpoint, the v1 file below it is deleted along with old entries
+    val gone = TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    gone should contain(
+      s"${TxLog.LogDirName}/00000000000000000009.checkpoint.json")
+    logNames(root).count(_.contains(".checkpoint.")) shouldBe 1
+    // content + history behavior unchanged across the truncation
+    TxLog.readLatest(spark, root).count() shouldBe 22L
+    TxLog.readAt(spark, root, 19L).count() shouldBe 20L
+    intercept[IllegalArgumentException] {
+      TxLog.readAt(spark, root, 9L).count()
+    }
+  }
+
+  test("a v1-only log (pre-upgrade table) resolves unchanged") {
+    val root = tmpRoot()
+    withJsonCheckpoints {
+      (0 until 12).foreach { i =>
+        TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1), root)
+      }
+      TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    }
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    // and the NEXT explicit checkpoint upgrades the log to v2 in place
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    logNames(root).filter(_.contains(".checkpoint.")).sorted shouldBe Seq(
+      "00000000000000000009.checkpoint.json",
+      "00000000000000000011.checkpoint.parquet")
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+  }
+
+  test("both formats at one version: v2 is preferred (v1 never opened)") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    } // v2 parquet checkpoint at v9
+    // drop a CORRUPT v1 file at the same version: if resolution ever
+    // chose the v1 form on a tie, every read below would explode
+    val v1 = new java.io.File(
+      s"$root/${TxLog.LogDirName}/00000000000000000009.checkpoint.json")
+    java.nio.file.Files.write(v1.toPath, "not json".getBytes)
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    (0 until 10).foreach { v =>
+      new java.io.File(f"$root/${TxLog.LogDirName}/$v%020d.json").delete()
+    }
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+  }
+
+  test("v2 carries DVs, constraints, txn watermarks, and drop tombstones through truncation") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 40L).map(k => (k, s"r$k", s"x$k")).toDF("id", "s", "extra")
+        .repartition(1), root, statsCols = Seq("id"))
+    TxLog.addConstraint(spark, root, "id_pos", "id > 0")
+    TxLog.deleteVectored(spark, root, col("id") <= 5L) // DV, no rewrite
+    TxLog.dropColumns(spark, root, Seq("extra"))       // tombstone
+    TxLog.appendIdempotent(spark,
+      (41L to 45L).map(k => (k, s"r$k")).toDF("id", "s").repartition(1),
+      root, appId = "loader", txnVersion = 7L, statsCols = Seq("id"))
+    // force cadence commits so a v2 checkpoint lands at v9, then truncate
+    (0 until 6).foreach { i =>
+      TxLog.append(spark,
+        Seq((100L + i, s"c$i")).toDF("id", "s").repartition(1), root,
+        statsCols = Seq("id"))
+    }
+    logNames(root) should contain("00000000000000000009.checkpoint.parquet")
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1) should not be empty
+    // DV state: the vector-deleted rows stay deleted, and the count is
+    // still answered from metadata (file rows minus vector rows)
+    TxLog.readLatest(spark, root).filter(col("id") <= 5L).count() shouldBe 0L
+    TxLog.countRows(spark, root) shouldBe (35L + 5L + 6L)
+    // constraint state: still enforced post-truncation
+    intercept[IllegalStateException] {
+      TxLog.append(spark, Seq((-1L, "bad")).toDF("id", "s"), root)
+    }.getMessage should include("id_pos")
+    // txn watermark: the replayed idempotent batch is skipped
+    TxLog.appendIdempotent(spark, Seq((999L, "dup")).toDF("id", "s"),
+      root, appId = "loader", txnVersion = 7L) shouldBe None
+    // drop tombstone: re-evolving the dropped name is still refused
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark,
+        Seq((200L, "y", "stale")).toDF("id", "s", "extra"), root)
+    }.getMessage should include("dropped column")
+  }
+
+  test("rollback and clone work from a v2-checkpointed, truncated log") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    // clone resolves through the v2 checkpoint
+    val dst = tmpRoot() + "/clone"
+    TxLog.cloneTable(spark, root, dst)
+    TxLog.readLatest(spark, dst).count() shouldBe 12L
+    // rollback to a post-horizon version on the source
+    TxLog.rollback(spark, root, 10L)
+    TxLog.readLatest(spark, root).count() shouldBe 11L
+  }
+
+  test("cleanOrphans counts v2 checkpoint live sets as references and reaps stale ckpt tmp dirs") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    // truncate the raw entries below the checkpoint: the checkpoint's
+    // live set is now the ONLY reference to the v0..v8 data files
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    TxLog.cleanOrphans(spark, root, olderThanMs = 0L) shouldBe empty
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    // a crashed checkpoint's tmp dir is reaped once it ages out
+    val tmp = new java.io.File(s"$root/${TxLog.LogDirName}/.ckpt_tmp_dead")
+    tmp.mkdirs() shouldBe true
+    TxLog.cleanOrphans(spark, root, olderThanMs = 0L) should contain(
+      s"${TxLog.LogDirName}/.ckpt_tmp_dead")
+    tmp.exists() shouldBe false
+  }
+}

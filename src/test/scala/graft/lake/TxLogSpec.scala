@@ -597,8 +597,9 @@ class TxLogSpec extends SparkSpec {
     }
     // the auto-checkpoint cadence fired at version 9
     val ckpt = new java.io.File(s"$root/${TxLog.LogDirName}")
-      .listFiles().map(_.getName).filter(_.endsWith(".checkpoint.json"))
-    ckpt.toSeq shouldBe Seq("00000000000000000009.checkpoint.json")
+      .listFiles().map(_.getName).filter(_.contains(".checkpoint."))
+    // default format is the v2 parquet checkpoint directory
+    ckpt.toSeq shouldBe Seq("00000000000000000009.checkpoint.parquet")
     TxLog.readLatest(spark, root).count() shouldBe 12L
     // prove resolution does NOT replay pre-checkpoint commits: remove them
     (0 until 10).foreach { v =>
@@ -1519,7 +1520,7 @@ class TxLogSpec extends SparkSpec {
     val names = new java.io.File(s"$root/_txlog").listFiles().map(_.getName)
     names.filter(_.matches("\\d{20}\\.json"))
       .map(_.take(20).toLong).sorted.toSeq shouldBe (19L to 24L)
-    names.count(_.endsWith(".checkpoint.json")) shouldBe 1
+    names.count(_.contains(".checkpoint.")) shouldBe 1
     // the table is fully usable on the bounded log
     TxLog.readLatest(spark, root).count() shouldBe 25
     TxLog.readAt(spark, root, 19L).count() shouldBe 20
