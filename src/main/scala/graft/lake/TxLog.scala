@@ -72,6 +72,14 @@ object TxLog {
     */
   type DvRef = (String, Long)
 
+  /** `renames`: the FULL logical-name -> physical-name column mapping as
+    * of this commit (lower-cased logical keys), declared — `Some`, even
+    * when empty — only by the full-state-ish ops that change or restate
+    * it (rename_column, drop_column of a mapped column, rollback,
+    * clone). `None` = inherit the previous commit's mapping; an
+    * `overwrite` clears it (every live file is rewritten under the
+    * logical names). See [[renameColumn]] for the design.
+    */
   final case class Commit(version: Long, operation: String, timestampMs: Long,
                           add: Seq[String], remove: Seq[String],
                           schemaDdl: String, partitionCols: Seq[String],
@@ -82,7 +90,8 @@ object TxLog {
                           dv: Map[String, DvRef] = Map.empty,
                           dvDrop: Seq[String] = Seq.empty,
                           metrics: Map[String, Long] = Map.empty,
-                          schemaDrop: Seq[String] = Seq.empty)
+                          schemaDrop: Seq[String] = Seq.empty,
+                          renames: Option[Map[String, String]] = None)
 
   // -------------------------------------------------------------------
   // Commit (de)serialization — Jackson tree API (on every Spark classpath)
@@ -151,6 +160,12 @@ object TxLog {
     if (c.schemaDrop.nonEmpty) {
       val sd = n.putArray("schemaDrop"); c.schemaDrop.foreach(sd.add)
     }
+    // presence (even of an empty object) is meaningful: Some(Map.empty)
+    // declares "no mapping from here on", None inherits
+    c.renames.foreach { m =>
+      val rn = n.putObject("renames")
+      m.foreach { case (logical, physical) => rn.put(logical, physical) }
+    }
     n.toString
   }
 
@@ -186,11 +201,19 @@ object TxLog {
     }
     val schemaDrop =
       if (n.has("schemaDrop")) arr("schemaDrop") else Seq.empty[String]
+    val renames =
+      if (!n.has("renames")) None
+      else {
+        val b = Map.newBuilder[String, String]
+        n.get("renames").properties().forEach(e =>
+          b += e.getKey -> e.getValue.asText())
+        Some(b.result())
+      }
     Commit(n.get("version").asLong, n.get("operation").asText,
       n.get("timestampMs").asLong, arr("add"), arr("remove"),
       n.get("schemaDdl").asText, arr("partitionCols"), statsFromNode(n),
       Option(n.get("txnAppId")).map(a => (a.asText, n.get("txnVersion").asLong)),
-      consAdd, consDrop, dv, dvDrop, metrics, schemaDrop)
+      consAdd, consDrop, dv, dvDrop, metrics, schemaDrop, renames)
   }
 
   // -------------------------------------------------------------------
@@ -302,11 +325,21 @@ object TxLog {
   private def computeStats(spark: SparkSession, root: String,
                            rels: Seq[String],
                            statsCols: Seq[String],
-                           readSchema: Option[StructType] = None): FileStats = {
+                           readSchema: Option[StructType] = None,
+                           colMap: Option[Map[String, String]] = None)
+      : FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
     require(!statsCols.contains(RowCountKey),
       s"'$RowCountKey' is the reserved row-count pseudo-column")
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    // the files carry PHYSICAL names (stage writes them; live files
+    // froze them at rename time): aggregate under the physical name,
+    // key the recorded bounds by the LOGICAL one — readRange/merge
+    // pruning and ANALYZE's coverage check all look stats up logically
+    val mapping = colMap.getOrElse(
+      scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.colMap).getOrElse(Map.empty))
+    val physCols = statsCols.map(physName(mapping, _))
     // cast BEFORE the agg: min/max of a string column are LEXICOGRAPHIC
     // ("10" < "2"), and casting that afterwards yields numerically wrong
     // bounds that readRange/merge pruning would trust — silently dropping
@@ -322,7 +355,7 @@ object TxLog {
     // would UNDER-COVER the file — the merge probe would then prune a
     // file that still holds the non-castable key, silently losing its
     // delete/upsert. No stats = conservatively kept = always safe.
-    val aggs = statsCols.flatMap(c => Seq(
+    val aggs = physCols.flatMap(c => Seq(
       min(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
         .as(s"__mn_$c"),
       max(org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS DOUBLE)"))
@@ -341,7 +374,7 @@ object TxLog {
     // analysis when Spark's single-file inference samples one of them.
     // Write-path callers omit it — freshly staged files are homogeneous.
     val reader = spark.read.option("basePath", root)
-    val rows = readSchema.fold(reader)(reader.schema)
+    val rows = readSchema.map(physSchema(_, mapping)).fold(reader)(reader.schema)
       .parquet(rels.map(r => s"$root/$r"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -397,16 +430,29 @@ object TxLog {
     * queries) would pay it for nothing.
     */
   private def stage(df: DataFrame, root: String,
-                    partitionCols: Seq[String]): (Seq[String], String) = {
+                    partitionCols: Seq[String],
+                    colMap: Option[Map[String, String]] = None)
+      : (Seq[String], String) = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val stageId = UUID.randomUUID().toString.replace("-", "").take(12)
     val stageDir = s"$root/_stage_$stageId"
-    val toWrite =
+    // physical names are FROZEN at rename time (see [[renameColumn]]):
+    // every staged file of a mapped table writes the column under its
+    // physical name, keeping the live set physically homogeneous. The
+    // mapping defaults to the table's current one (None = resolve here);
+    // callers holding a snapshot pass theirs, and [[overwrite]] passes
+    // Some(empty) — a full rewrite lands under the logical names and the
+    // overwrite commit clears the mapping.
+    val mapping = colMap.getOrElse(
+      scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.colMap).getOrElse(Map.empty))
+    val toWrite0 =
       if (partitionCols.nonEmpty &&
           spark.conf.getOption("spark.graft.optimizeWrite").contains("true"))
         df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df
+    val toWrite = toPhysicalCols(toWrite0, mapping)
     val w = toWrite.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -474,7 +520,8 @@ object TxLog {
                          dv: Map[String, DvRef] = Map.empty,
                          dvDrop: Seq[String] = Seq.empty,
                          metrics: Map[String, Long] = Map.empty,
-                         schemaDrop: Seq[String] = Seq.empty): Long = {
+                         schemaDrop: Seq[String] = Seq.empty,
+                         renames: Option[Map[String, String]] = None): Long = {
     val fs = fileSystem(spark, root)
     // parse the auto-truncation config BEFORE any claim: a malformed
     // value must fail the write while nothing is durable — thrown after
@@ -532,7 +579,7 @@ object TxLog {
           delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
-          consAdd, consDrop, dv, dvDrop, metrics, schemaDrop)
+          consAdd, consDrop, dv, dvDrop, metrics, schemaDrop, renames)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
         if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
@@ -811,7 +858,8 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Option[Long] = {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
-    val (adds, ddl) = stage(df, root, partitionCols)
+    val (adds, ddl) = stage(df, root, partitionCols,
+      colMap = Some(pre.map(_.colMap).getOrElse(Map.empty)))
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
@@ -853,7 +901,9 @@ object TxLog {
   def overwrite(spark: SparkSession, df: DataFrame, root: String,
                 partitionCols: Seq[String] = Seq.empty,
                 statsCols: Seq[String] = Seq.empty): Long = {
-    val (adds, ddl) = stage(df, root, partitionCols)
+    // full rewrite: files land under the LOGICAL names and the commit's
+    // op clears the column mapping (+ tombstones, per foldDropped)
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(Map.empty))
     val enfAt = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
@@ -920,7 +970,7 @@ object TxLog {
       partitionFilter.forall { case (k, v) =>
         segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
-    val (adds, ddl) = stage(df, root, parts)
+    val (adds, ddl) = stage(df, root, parts, colMap = Some(current.colMap))
     val escaped = adds.filterNot(f => inScope(relDir(f)))
     if (escaped.nonEmpty) {
       deleteStaged(spark, root, adds)
@@ -937,7 +987,7 @@ object TxLog {
         (adds, live.filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
-      computeStats(spark, root, adds, statsCols))
+      computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
@@ -982,7 +1032,8 @@ object TxLog {
       case Some(s) => s.unionByName(df, allowMissingColumns = true)
       case None    => df
     }
-    val (adds, ddl) = stage(staged, root, parts)
+    val (adds, ddl) = stage(staged, root, parts,
+      colMap = Some(current.colMap))
     enforceConstraints(spark, root, adds, ddl, "replace_where")
     commitLoop(spark, root, "replace_where", parts, { (commits, _) =>
       if (tailVersion(spark, root, commits) != Some(current.version))
@@ -994,7 +1045,7 @@ object TxLog {
       // narrower batch must NOT narrow the committed table schema
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, "replace_where", root))
-    }, computeStats(spark, root, adds, statsCols))
+    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)))
   }
 
   // -------------------------------------------------------------------
@@ -1129,7 +1180,7 @@ object TxLog {
     if (toScan.isEmpty) return current.version // fully covered: no-op
     // the table schema makes pre-evolution files readable (null-filled)
     val fresh = computeStats(spark, root, toScan, canon,
-      readSchema = Some(schema))
+      readSchema = Some(schema), colMap = Some(current.colMap))
     // per-file replace semantics in replay (acc ++ c.stats): merge each
     // scanned file's new bounds with its existing ones; unscanned files
     // simply keep their bounds from earlier commits
@@ -1284,10 +1335,102 @@ object TxLog {
             s"${commits.lastOption.map(_.version).orNull} committed " +
             s"since at $root — re-run")
       (Seq.empty, Seq.empty, remaining.toDDL)
-    }, schemaDrop = canonical)
+      // the tombstone names the PHYSICAL column — that is where the
+      // stale bytes live (for a renamed column the logical name has no
+      // bytes anywhere, so reusing it later is safe); the mapping drops
+      // its entry for the dropped logical name
+    }, schemaDrop = canonical.map(c => physName(current.colMap, c)),
+      renames = Some(current.colMap -- dropSet))
     canonical.foreach(c =>
       try dropBloomIndex(spark, root, c)
       catch { case _: IOException => () })
+    v
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` as a METADATA-ONLY
+    * commit, via Delta-style column MAPPING: the on-file (physical)
+    * name is FROZEN at the first rename — existing files keep their
+    * bytes untouched, later writes stage the column under the same
+    * physical name ([[stage]]), and every read scans physical names
+    * and aliases back to the logical schema ([[physSchema]]/
+    * [[toLogicalCols]]). Zero bytes rewritten at any table size.
+    *
+    *  - Time travel is era-exact: the mapping is version state (folded
+    *    like tombstones through checkpoints, restated by rollback and
+    *    clone), so a pre-rename [[readAt]] shows the old name.
+    *  - The OLD logical name is tombstoned ([[foldDropped]]): re-adding
+    *    it would resurrect the frozen physical bytes on every existing
+    *    file — the same guard as DROP COLUMN. Renaming a column BACK to
+    *    its own physical name is the one allowed reuse (the bytes are
+    *    the column's own current data); the rename commit's schema
+    *    carries the name, which clears the tombstone in the fold.
+    *  - Refused for partition columns (their names live in directory
+    *    paths), for targets already in the schema, for targets
+    *    tombstoned by an unrelated drop/rename, and while a CHECK
+    *    constraint references the column (its SQL names the old
+    *    spelling — drop the constraint first, like DROP COLUMN).
+    *  - The column's BLOOM INDEX sidecar is keyed by logical name and
+    *    dropped best-effort (values unchanged but probes use the new
+    *    name; rebuild under it). File-skipping stats recorded under the
+    *    old logical name stop pruning for pre-rename files — safe
+    *    (no stats = conservatively scanned) — until an ANALYZE or
+    *    OPTIMIZE records bounds under the new name.
+    *  - An OVERWRITE clears the mapping (all live files rewritten under
+    *    logical names), restoring a mapping-free table.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(to.trim.nonEmpty && !to.contains('`'),
+      s"invalid rename target '$to'")
+    val current = resolve(spark, root, None)
+    val cur = StructType.fromDDL(current.schemaDdl)
+    val field = cur.find(_.name.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column $from on $root"))
+    val parts = partitionColsOf(spark, root, current)
+    require(!parts.exists(_.equalsIgnoreCase(field.name)),
+      s"${field.name} is a partition column of $root — its name lives " +
+        "in every partition directory path; rewrite the table with the " +
+        "new layout instead of renaming it")
+    require(lcol(to) == lcol(field.name) ||
+        !cur.exists(_.name.equalsIgnoreCase(to)),
+      s"column $to already exists on $root")
+    val phys = physName(current.colMap, field.name)
+    // a tombstoned target would make the new logical name an alias for
+    // bytes some OTHER dropped/renamed column left behind — refuse,
+    // EXCEPT the un-rename (back to this column's own physical name)
+    require(lcol(to) == lcol(phys) || !current.droppedCols(lcol(to)),
+      s"column name $to was dropped or renamed away on $root and " +
+        "pre-existing files still hold bytes under it — use a different " +
+        "name, or OVERWRITE the table to rewrite every file first")
+    current.constraints.foreach { case (name, sql) =>
+      require(!constraintRefs(spark, sql)
+          .exists(_.equalsIgnoreCase(field.name)),
+        s"constraint $name (CHECK ($sql)) references ${field.name} — " +
+          "drop the constraint first")
+    }
+    val newMap =
+      if (lcol(to) == lcol(phys)) current.colMap - lcol(field.name)
+      else current.colMap - lcol(field.name) + (lcol(to) -> phys)
+    val renamed = StructType(cur.map(f =>
+      if (f.name.equalsIgnoreCase(field.name)) f.copy(name = to) else f))
+    val v = commitLoop(spark, root, "rename_column", parts, { (commits, _) =>
+      // metadata-only DDL computed against `current`: same stale-base
+      // rule as addColumns/dropColumns — fail the DDL, not the data
+      if (tailVersion(spark, root, commits) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"renameColumn computed from version ${current.version} but " +
+            s"${commits.lastOption.map(_.version).orNull} committed " +
+            s"since at $root — re-run")
+      (Seq.empty, Seq.empty, renamed.toDDL)
+    }, schemaDrop =
+        (if (lcol(to) == lcol(field.name)) Seq.empty
+         else Seq(field.name)),
+      renames = Some(newMap))
+    // derived state: probes key the sidecar by logical name, which just
+    // changed — drop (best-effort, like dropColumns) and rebuild later
+    try { dropBloomIndex(spark, root, field.name); () }
+    catch { case _: IOException => () }
     v
   }
 
@@ -1348,8 +1491,18 @@ object TxLog {
       }
     }
     import org.apache.spark.sql.functions.{count, when}
-    val staged = spark.read.option("basePath", root).schema(schema)
-      .parquet(adds.map(f => s"$root/$f"): _*)
+    // staged files carry PHYSICAL names on a mapped table (stage wrote
+    // them; overwrite stages under logical names and replaces the
+    // mapping, hence the empty map); constraint expressions reference
+    // logical names, so alias back before evaluating
+    val stagedMap =
+      if (replaceSchema) Map.empty[String, String]
+      else snap.map(_.colMap).getOrElse(Map.empty)
+    val staged = toLogicalCols(
+      spark.read.option("basePath", root)
+        .schema(physSchema(schema, stagedMap))
+        .parquet(adds.map(f => s"$root/$f"): _*),
+      schema, stagedMap)
     val names = cons.keys.toSeq.sorted
     val aggs = names.map(n =>
       count(when(violatesCheck(cons(n)), 1)).as(n))
@@ -1580,7 +1733,8 @@ object TxLog {
       case Some(s) => s.unionByName(updates, allowMissingColumns = true)
       case None    => updates
     }
-    val (adds, ddl) = stage(staged, root, partitionCols)
+    val (adds, ddl) = stage(staged, root, partitionCols,
+      colMap = Some(current.colMap))
     enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
       // merge is a read-modify-write: its rewrite was computed against
@@ -1599,7 +1753,7 @@ object TxLog {
       // live file stages only the update rows, and committing their raw
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols),
+    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)),
       metrics = extraMetrics ++
         Map("numMatchedFiles" -> matchedFiles.size.toLong,
           "numAddedFiles" -> adds.size.toLong))
@@ -1634,7 +1788,8 @@ object TxLog {
         s"deletion-vector file id not in the live set: ${unknown.head}")
       val (adds, ddl) =
         if (noUpserts) (Seq.empty[String], current.schemaDdl)
-        else stage(updates, root, partitionCols)
+        else stage(updates, root, partitionCols,
+          colMap = Some(current.colMap))
       enforceConstraints(spark, root, adds, ddl, operation)
       val (sidecarRel, dvMap) =
         if (newCounts.isEmpty) (None, Map.empty[String, DvRef])
@@ -1650,7 +1805,7 @@ object TxLog {
           // same schema policy as the rewrite path: an unmatched merge's
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
-        }, computeStats(spark, root, adds, statsCols), dv = dvMap,
+        }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)), dv = dvMap,
         metrics = extraMetrics ++
           Map("numMatchedRows" -> newCounts.values.sum,
             "numAddedFiles" -> adds.size.toLong))
@@ -1872,7 +2027,8 @@ object TxLog {
         }
       }: _*)
       val parts = partitionColsOf(spark, root, current)
-      val (adds, ddl) = stage(updated, root, parts)
+      val (adds, ddl) = stage(updated, root, parts,
+        colMap = Some(current.colMap))
       enforceConstraints(spark, root, adds, ddl, "update_dv")
       val (sidecarRel, dvMap) =
         writeDvSidecar(spark, root, positions, newCounts, current)
@@ -1887,7 +2043,7 @@ object TxLog {
           // that BEFORE the commit, exactly like the rewrite path
           (adds, Seq.empty,
             committedDdl(spark, commits, ddl, "update_dv", root))
-        }, computeStats(spark, root, adds, statsCols), dv = dvMap,
+        }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)), dv = dvMap,
         metrics = Map("numUpdatedRows" -> newCounts.values.sum,
           "numAddedFiles" -> adds.size.toLong,
           "numVectoredFiles" -> newCounts.size.toLong))
@@ -2026,7 +2182,8 @@ object TxLog {
           if (operation == "delete") src0
           else src0.observe(obs, sum(when(coalesce(condition, lit(false)),
             1L).otherwise(0L)).as("n_match"))
-        stage(rewrite(src, condition), root, parts)
+        stage(rewrite(src, condition), root, parts,
+          colMap = Some(current.colMap))
       }
     val matchedRows =
       if (operation == "delete") deleteRows
@@ -2045,7 +2202,7 @@ object TxLog {
       // here — kept for uniformity with the other non-replacing commits
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols),
+    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)),
       metrics = Map(rowKey -> matchedRows,
         "numRewrittenFiles" -> rewriteFiles.size.toLong,
         "numRemovedFiles" -> fullFiles.size.toLong,
@@ -2079,7 +2236,9 @@ object TxLog {
       // rollback chain (past the drop and back again) would leave the
       // stale-bytes files live with no guard against re-evolving the
       // dropped name
-      schemaDrop = target0.droppedCols.toSeq.sorted)
+      schemaDrop = target0.droppedCols.toSeq.sorted,
+      // the column mapping rolls back with the schema it names
+      renames = Some(target0.colMap))
   }
 
   /** CLONE: an independent table at `dstRoot` whose version 0 reproduces
@@ -2145,7 +2304,10 @@ object TxLog {
     }, snap.stats.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs,
       // drop-column tombstones ride along: the clone's files ARE the
       // source's pre-drop files, stale bytes included
-      schemaDrop = snap.droppedCols.toSeq.sorted)
+      schemaDrop = snap.droppedCols.toSeq.sorted,
+      // so does the column mapping — the copied files carry the
+      // source's frozen physical names
+      renames = Some(snap.colMap))
   }
 
   private def relDir(rel: String): String = rel.lastIndexOf('/') match {
@@ -2381,8 +2543,11 @@ object TxLog {
     val builtType = field.dataType
     if (snap.live.isEmpty) return 0L
     val numBits = bloomNumBits(expectedKeysPerFile, fpp)
+    // the scan sees PHYSICAL names on a mapped table; the sidecar dir
+    // stays keyed by the LOGICAL canonical name (what probes use)
     val agg = new BloomFilterAggregate(
-      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(canonical))),
+      org.apache.spark.sql.graftnative.toExpression(
+        xxhash64(col(physName(snap.colMap, canonical)))),
       Literal(expectedKeysPerFile), Literal(numBits))
     // the RAW tagged scan, deliberately NOT DV-filtered: a rollback can
     // resurrect vector-deleted rows while the file keeps its index row
@@ -2394,7 +2559,7 @@ object TxLog {
     // materialized directly on the scan relation.
     val rows = spark.read
       .option("basePath", root)
-      .schema(snapSchema)
+      .schema(physSchema(snapSchema, snap.colMap))
       .parquet(snap.live.map(f => s"$root/$f"): _*)
       .withColumn("__dv_file", relPathExpr(spark, root))
       .groupBy(col("__dv_file").as("__f"))
@@ -2497,13 +2662,14 @@ object TxLog {
     if (missing.isEmpty) return 0L
     val numBits = bloomNumBits(expectedKeysPerFile, fpp)
     val agg = new BloomFilterAggregate(
-      org.apache.spark.sql.graftnative.toExpression(xxhash64(col(canonical))),
+      org.apache.spark.sql.graftnative.toExpression(
+        xxhash64(col(physName(snap.colMap, canonical)))),
       Literal(expectedKeysPerFile), Literal(numBits))
     // same raw (NOT DV-filtered) scan rule as the full build — see the
     // false-negative note there — but over ONLY the missing files
     val rows = spark.read
       .option("basePath", root)
-      .schema(snapSchema)
+      .schema(physSchema(snapSchema, snap.colMap))
       .parquet(missing.map(f => s"$root/$f"): _*)
       .withColumn("__dv_file", relPathExpr(spark, root))
       .groupBy(col("__dv_file").as("__f"))
@@ -2700,9 +2866,10 @@ object TxLog {
     require(commits.nonEmpty, s"no commits after version $fromVersion in $root")
     val schema = StructType.fromDDL(commits.last.schemaDdl)
     val fs = fileSystem(spark, root)
-    def readRel(files: Seq[String]) =
-      spark.read.option("basePath", root).schema(schema)
-        .parquet(files.map(f => s"$root/$f"): _*)
+    def readRel(files: Seq[String], cm: Map[String, String]) =
+      toLogicalCols(
+        spark.read.option("basePath", root).schema(physSchema(schema, cm))
+          .parquet(files.map(f => s"$root/$f"): _*), schema, cm)
     // deletion-vector state folds FORWARD through the range so each
     // commit's delta is computed against the state it actually changed:
     // a removed file's rows emit as deletes MINUS what its vector had
@@ -2713,8 +2880,9 @@ object TxLog {
     // checkpoint-truncation horizon) silently treated as "no vectors"
     // would re-emit already-consumed deletes — fail loudly instead,
     // unless the table provably never had a vector.
-    var dvState = scala.util.Try(resolve(spark, root, Some(fromVersion)))
-      .toOption.map(_.dvs).getOrElse {
+    val fromSnap = scala.util.Try(resolve(spark, root, Some(fromVersion)))
+      .toOption
+    var dvState = fromSnap.map(_.dvs).getOrElse {
         val anyDvEver = commits.exists(c => c.dv.nonEmpty || c.dvDrop.nonEmpty) ||
           scala.util.Try(resolve(spark, root, None)).toOption
             .exists(_.dvs.nonEmpty)
@@ -2725,6 +2893,16 @@ object TxLog {
               s"$root — start the feed at a resolvable version")
         Map.empty[String, DvRef]
       }
+    // Every read translates the range-end schema through the RANGE-END
+    // column mapping: physical names are frozen per column LINEAGE
+    // ([[renameColumn]]), so the end mapping maps each end-logical name
+    // to the same physical name every in-range file of that lineage
+    // carries — including files written before the rename. (Only an
+    // in-range OVERWRITE breaks a lineage; its retired files then read
+    // by plain name under the newest schema, the same by-name
+    // degradation any cross-overwrite feed already has for dropped or
+    // re-typed columns.)
+    val endColMap = resolve(spark, root, Some(commits.last.version)).colMap
     // vacuum guard BEFORE any scan: in-range files + in-range sidecars +
     // the pre-range sidecars the remove/shrink paths below will read
     val preRangeSidecars = {
@@ -2746,12 +2924,12 @@ object TxLog {
           // a re-added file can carry a vector in the SAME commit
           // (rollback past a compaction): only its VISIBLE rows were
           // inserted at this version
-          applyDv(spark, root, readRel(c.add),
+          applyDv(spark, root, readRel(c.add, endColMap),
             c.dv.view.filterKeys(c.add.toSet).toMap)
           .withColumn("_change_type", lit("insert")))
       val removePart =
         if (c.remove.isEmpty) Seq.empty
-        else Seq(applyDv(spark, root, readRel(c.remove),
+        else Seq(applyDv(spark, root, readRel(c.remove, endColMap),
             dvState.view.filterKeys(c.remove.toSet).toMap)
           .withColumn("_change_type", lit("delete")))
       // vector GROWTH on already-live files -> deletes (rows in the new
@@ -2770,7 +2948,7 @@ object TxLog {
             else newRows.join(dvRowsFor(spark, root, oldDvs),
               Seq("file", "pos"), "left_anti")
           Seq(rowsAtPositions(spark, root, grow.keys.toSeq.sorted,
-              delta, schema)
+              delta, schema, endColMap)
             .withColumn("_change_type", lit("delete")))
         }
       // vector SHRINK on still-live files (only a rollback produces one,
@@ -2790,7 +2968,7 @@ object TxLog {
             else oldRows.join(dvRowsFor(spark, root, newDvs),
               Seq("file", "pos"), "left_anti")
           Seq(rowsAtPositions(spark, root, shrinkFiles.toSeq.sorted,
-              back, schema)
+              back, schema, endColMap)
             .withColumn("_change_type", lit("insert")))
         }
       dvState = dvState -- c.remove -- c.dvDrop ++ c.dv
@@ -2856,7 +3034,54 @@ object TxLog {
                                     txns: Map[String, Long] = Map.empty,
                                     constraints: Map[String, String] = Map.empty,
                                     dvs: Map[String, DvRef] = Map.empty,
-                                    droppedCols: Set[String] = Set.empty)
+                                    droppedCols: Set[String] = Set.empty,
+                                    colMap: Map[String, String] = Map.empty)
+
+  // -------------------------------------------------------------------
+  // Column mapping (RENAME COLUMN support — see [[renameColumn]])
+  // -------------------------------------------------------------------
+
+  private def lcol(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** The ON-FILE (physical) column name of logical name `logical` under
+    * `colMap` — identity for never-renamed columns.
+    */
+  private def physName(colMap: Map[String, String], logical: String): String =
+    colMap.getOrElse(lcol(logical), logical)
+
+  /** The snapshot's LOGICAL schema with every renamed field's name
+    * replaced by its physical (on-file) name — the scan schema every
+    * parquet read of table data must use (by-name resolution finds the
+    * frozen physical names, never the logical ones).
+    */
+  private def physSchema(schema: StructType,
+                         colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.map(f => f.copy(name = physName(colMap, f.name))))
+
+  /** Rename a physical scan's columns back to their logical names.
+    * `withColumnRenamed` (not a select) so extra columns the caller
+    * tagged on (`__dv_file`/`__dv_pos`) survive.
+    */
+  private def toLogicalCols(df: DataFrame, schema: StructType,
+                            colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else schema.foldLeft(df) { (acc, f) =>
+      val p = physName(colMap, f.name)
+      if (p == f.name) acc else acc.withColumnRenamed(p, f.name)
+    }
+
+  /** Rename a LOGICAL batch's columns to their physical names for
+    * staging — the inverse of [[toLogicalCols]], applied at the one
+    * write boundary ([[stage]]).
+    */
+  private def toPhysicalCols(df: DataFrame,
+                             colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.columns.foldLeft(df) { (acc, c) =>
+      val p = physName(colMap, c)
+      if (p == c) acc else acc.withColumnRenamed(c, p)
+    }
 
   /** Read a v1 (single-JSON-document) checkpoint into a [[Snapshot]] —
     * the legacy format, readable forever so pre-v2 logs keep resolving.
@@ -2883,8 +3108,12 @@ object TxLog {
     val droppedB = Set.newBuilder[String]
     Option(n.get("droppedCols")).foreach(_.elements()
       .forEachRemaining(e => droppedB += e.asText))
+    val cmB = Map.newBuilder[String, String]
+    Option(n.get("colMap")).foreach(_.properties().forEach(e =>
+      cmB += e.getKey -> e.getValue.asText()))
     Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
-      txnsB.result(), consB.result(), dvB.result(), droppedB.result())
+      txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
+      cmB.result())
   }
 
   /** Fold [[Commit.schemaDrop]] tombstones (lower-cased names) across
@@ -2910,10 +3139,14 @@ object TxLog {
       // Only full-state ops can legitimately carry a tombstoned name
       // back into the schema — every evolution path refuses it, and
       // rollback/clone re-declare their target's tombstones explicitly
-      // (schemaDrop above). Parsing only their DDL keeps this fold
-      // allocation-free across ordinary commits on a long log.
+      // (schemaDrop above). rename_column is in the set for exactly one
+      // carried name: the UN-rename (b back to its physical name a) —
+      // its schema carries a again while a's bytes ARE the column's own
+      // current data, so the tombstone must clear. Parsing only these
+      // ops' DDL keeps the fold allocation-free across ordinary commits.
       if (withNew.isEmpty || c.schemaDdl.isEmpty ||
-          (c.operation != "rollback" && c.operation != "clone")) withNew
+          (c.operation != "rollback" && c.operation != "clone" &&
+            c.operation != "rename_column")) withNew
       else withNew -- StructType.fromDDL(c.schemaDdl)
         .map(_.name.toLowerCase(java.util.Locale.ROOT))
     }
@@ -2983,10 +3216,18 @@ object TxLog {
     // losing one would let a later evolution resurrect stale values
     val dropped = foldDropped(
       base.map(_.droppedCols).getOrElse(Set.empty), tail)
+    // column mapping folds as declare-or-inherit: a commit that carries
+    // `renames` (rename/drop/rollback/clone) restates the FULL mapping,
+    // an overwrite clears it (all files rewritten under logical names),
+    // everything else inherits
+    val colMap = tail.foldLeft(
+      base.map(_.colMap).getOrElse(Map.empty[String, String])) { (acc, c) =>
+      c.renames.getOrElse(if (c.operation == "overwrite") Map.empty else acc)
+    }
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
       tail.lastOption.map(_.version).getOrElse(base.get.version),
-      stats, txns, constraints, dvs, dropped)
+      stats, txns, constraints, dvs, dropped, colMap)
   }
 
   // -------------------------------------------------------------------
@@ -3094,11 +3335,15 @@ object TxLog {
   private def readLiveFiles(spark: SparkSession, root: String,
                             schemaDdl: String, files: Seq[String],
                             snap: Snapshot): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
     val base = spark.read
       .option("basePath", root)
-      .schema(StructType.fromDDL(schemaDdl))
+      .schema(physSchema(schema, snap.colMap))
       .parquet(files.map(f => s"$root/$f"): _*)
-    applyDv(spark, root, base, snap.dvs.view.filterKeys(files.toSet).toMap)
+    toLogicalCols(
+      applyDv(spark, root, base,
+        snap.dvs.view.filterKeys(files.toSet).toMap),
+      schema, snap.colMap)
   }
 
   /** Write the cumulative sidecar for `newCounts`' files: the new
@@ -3142,16 +3387,19 @@ object TxLog {
     */
   private def rowsAtPositions(spark: SparkSession, root: String,
                               files: Seq[String], positions: DataFrame,
-                              schema: StructType): DataFrame = {
+                              schema: StructType,
+                              colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
-    val tagged = spark.read.option("basePath", root).schema(schema)
+    val tagged = spark.read.option("basePath", root)
+      .schema(physSchema(schema, colMap))
       .parquet(files.map(f => s"$root/$f"): _*)
       .withColumn("__dv_file", relPathExpr(spark, root))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    tagged.join(positions,
+    toLogicalCols(tagged.join(positions,
         tagged("__dv_file") === positions("file") &&
           tagged("__dv_pos") === positions("pos"), "left_semi")
-      .drop("__dv_file", "__dv_pos")
+      .drop("__dv_file", "__dv_pos"), schema, colMap)
   }
 
   /** The snapshot's VISIBLE rows with their `__dv_file` (encoded
@@ -3166,14 +3414,19 @@ object TxLog {
                             snap: Snapshot,
                             onlyFiles: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val schema = StructType.fromDDL(snap.schemaDdl)
     val base = spark.read
       .option("basePath", root)
-      .schema(StructType.fromDDL(snap.schemaDdl))
+      .schema(physSchema(schema, snap.colMap))
       .parquet(onlyFiles.getOrElse(snap.live).map(f => s"$root/$f"): _*)
     guardDvProbeCols(base)
-    val tagged = base
+    // logical aliasing AFTER the _metadata tags (they resolve only on
+    // the scan relation) and BEFORE the caller's predicates (which
+    // reference logical names)
+    val tagged = toLogicalCols(base
       .withColumn("__dv_file", relPathExpr(spark, root))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .withColumn("__dv_pos", col("_metadata.row_index")),
+      schema, snap.colMap)
     val scanned = onlyFiles.getOrElse(snap.live).toSet
     // set lookups on BOTH membership tests: snap.live is a Seq, and a
     // linear contains per vectored file would be O(D*L) driver work on
@@ -3197,17 +3450,21 @@ object TxLog {
                        snap: Snapshot): DataFrame = {
     // the snapshot's schema is the newest commit's — older files simply
     // read null for columns they predate (by-name parquet resolution), so
-    // schema evolution is append-only and old snapshots reproduce exactly
+    // schema evolution is append-only and old snapshots reproduce exactly.
+    // The SCAN uses the physical (on-file) names; the result is aliased
+    // back to the logical schema (renamed columns, [[renameColumn]]).
     val schema = StructType.fromDDL(snap.schemaDdl)
     if (snap.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      applyDv(spark, root,
-        spark.read
-          .option("basePath", root)
-          .schema(schema)
-          .parquet(snap.live.map(f => s"$root/$f"): _*),
-        snap.dvs.view.filterKeys(snap.live.toSet).toMap)
+      toLogicalCols(
+        applyDv(spark, root,
+          spark.read
+            .option("basePath", root)
+            .schema(physSchema(schema, snap.colMap))
+            .parquet(snap.live.map(f => s"$root/$f"): _*),
+          snap.dvs.view.filterKeys(snap.live.toSet).toMap),
+        schema, snap.colMap)
   }
 
   // -------------------------------------------------------------------
@@ -3324,6 +3581,12 @@ object TxLog {
       val dc = n.putArray("droppedCols")
       snap.droppedCols.toSeq.sorted.foreach(dc.add)
     }
+    // the column mapping is version state like tombstones: losing it on
+    // a truncated log would make every renamed column read as null
+    if (snap.colMap.nonEmpty) {
+      val cm = n.putObject("colMap")
+      snap.colMap.foreach { case (l, p) => cm.put(l, p) }
+    }
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
     try out.write(n.toString.getBytes(UTF_8)) finally out.close()
@@ -3363,6 +3626,10 @@ object TxLog {
       if (snap.droppedCols.nonEmpty) {
         val dc = n.putArray("droppedCols")
         snap.droppedCols.toSeq.sorted.foreach(dc.add)
+      }
+      if (snap.colMap.nonEmpty) {
+        val cm = n.putObject("colMap")
+        snap.colMap.foreach { case (l, p) => cm.put(l, p) }
       }
       n.toString
     }
@@ -3410,6 +3677,9 @@ object TxLog {
     val droppedB = Set.newBuilder[String]
     Option(n.get("droppedCols")).foreach(_.elements()
       .forEachRemaining(e => droppedB += e.asText))
+    val cmB = Map.newBuilder[String, String]
+    Option(n.get("colMap")).foreach(_.properties().forEach(e =>
+      cmB += e.getKey -> e.getValue.asText()))
     val rows = spark.read.parquet(dir.toString)
       .select("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
       .collect().sortBy(_.getLong(0))
@@ -3426,7 +3696,8 @@ object TxLog {
         dvB += r.getString(1) -> ((r.getString(4), r.getLong(5)): DvRef)
     }
     Snapshot(live, n.get("schemaDdl").asText, version, statsB.result(),
-      txnsB.result(), consB.result(), dvB.result(), droppedB.result())
+      txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
+      cmB.result())
   }
 
   // -------------------------------------------------------------------
@@ -3590,12 +3861,22 @@ object TxLog {
 
     val removed = groups.values.flatten.map(_._1).toSeq
     // RowCountKey is a pseudo-column (rides every stats map), not a data
-    // column the recompute job could reference
+    // column the recompute job could reference. Stats recorded before a
+    // RENAME are keyed by the then-logical (= physical) name — translate
+    // through the reverse mapping and canonicalize to the current
+    // schema, so compaction RESTORES pruning under the new name instead
+    // of failing on a column the schema no longer spells that way.
+    val schemaS = StructType.fromDDL(current.schemaDdl)
+    val reverse = current.colMap.map { case (l, p) => lcol(p) -> l }
     val statCols = removed
       .flatMap(f => current.stats.get(f).map(_.keys).getOrElse(Nil))
       .distinct.filterNot(_ == RowCountKey)
+      .map(k => reverse.getOrElse(lcol(k), k))
+      .flatMap(k => schemaS.find(_.name.equalsIgnoreCase(k)).map(_.name))
+      .distinct
     val parts = partitionColsOf(spark, root, current)
-    val (adds, ddl) = stage(packed, root, parts)
+    val (adds, ddl) = stage(packed, root, parts,
+      colMap = Some(current.colMap))
     commitLoop(spark, root, "compact", parts, { (commits, live) =>
       val gone = removed.filterNot(live.toSet)
       if (gone.nonEmpty)
@@ -3614,7 +3895,7 @@ object TxLog {
           s"compact source ${dvChanged.head} gained/changed a deletion " +
             s"vector concurrently at $root — re-run the compact")
       (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
-    }, computeStats(spark, root, adds, statCols),
+    }, computeStats(spark, root, adds, statCols, colMap = Some(current.colMap)),
       metrics = Map("numPackedFiles" -> removed.size.toLong,
         "numOutputFiles" -> adds.size.toLong))
   }

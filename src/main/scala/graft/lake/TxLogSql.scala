@@ -316,6 +316,9 @@ object TxLogSql {
   private val DropColumnsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+DROP\s+COLUMNS?\s+""" +
       """\(?\s*([^();]+?)\s*\)?\s*;?\s*""").r
+  private val RenameColumnRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+RENAME\s+COLUMN\s+""" +
+      """(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+""" +
       """STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+\(?([^();]+?)\)?)\s*;?\s*""").r
@@ -589,6 +592,17 @@ object TxLogSql {
         val v = TxLog.dropColumns(spark, reg.root, cols)
         refresh(spark, name, reg) // the view must stop exposing them
         Seq((v, "drop_column")).toDF("version", "operation")
+
+      // Metadata-only column rename via column mapping (physical names
+      // frozen, zero bytes rewritten — TxLog.renameColumn). Guarded:
+      // Spark's own grammar accepts this shape for catalog tables.
+      case RenameColumnRe(ident, fromQ, toQ)
+          if lookupOpt(spark, ident).isDefined =>
+        val (name, reg) = lookupOpt(spark, ident).get
+        val v = TxLog.renameColumn(spark, reg.root,
+          stripQuotes(fromQ), stripQuotes(toQ))
+        refresh(spark, name, reg) // the view must expose the new name
+        Seq((v, "rename_column")).toDF("version", "operation")
 
       // ANALYZE TABLE / SHOW PARTITIONS are VALID Spark SQL for catalog
       // tables, so these two are claimed only for REGISTERED tables

@@ -1371,6 +1371,60 @@ object Lake {
           lit(widenedFlag).as("widened"))
     },
 
+    // RENAME COLUMN lifecycle (TxLog.renameColumn via the SQL surface):
+    // column-mapping rename — physical names frozen, zero bytes
+    // rewritten. The oracle pins the three contracts: post-rename reads
+    // surface every era's data under the NEW name (pre-rename files read
+    // through the mapping), time travel to the pre-rename version keeps
+    // the OLD name, and a write re-using the retired name is refused
+    // (the physical-name resurrection guard; flag flips to 0 if it ever
+    // lands).
+    QDef(
+      "q114_rename_column",
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status
+        |           FROM orders)
+        |SELECT 'post_rename' AS phase, status, COUNT(*) AS n
+        |FROM o GROUP BY status
+        |UNION ALL
+        |SELECT 'pre_rename_time_travel', status, COUNT(*)
+        |FROM o WHERE k % 2 = 0 GROUP BY status
+        |UNION ALL
+        |SELECT 'retired_name_blocked', '', CAST(1 AS BIGINT)
+        |ORDER BY phase, status""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "renamecol")
+      val fs = new Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new Path(root); if (fs.exists(p)) fs.delete(p, true)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+      TxLog.append(s, o.filter(pmod(col("k"), lit(2)) === 0)
+        .repartition(1), root)                                      // v0
+      graft.lake.TxLogSql.register(s, "q114_t", root)
+      graft.lake.TxLogSql.run(s,
+        "ALTER TABLE q114_t RENAME COLUMN status TO order_status")  // v1
+      TxLog.append(s, o.filter(pmod(col("k"), lit(2)) === 1)
+        .withColumnRenamed("status", "order_status")
+        .repartition(1), root)                                      // v2
+      val blocked =
+        try {
+          TxLog.append(s, o.limit(1), root); 0L
+        } catch { case e: IllegalArgumentException
+            if e.getMessage.contains("status") => 1L }
+      val post = TxLog.readLatest(s, root)
+        .groupBy("order_status").agg(count(lit(1)).as("n"))
+        .select(lit("post_rename").as("phase"),
+          col("order_status").as("status"), col("n"))
+      val pre = TxLog.readAt(s, root, 0L)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .select(lit("pre_rename_time_travel").as("phase"),
+          col("status"), col("n"))
+      val guard = s.range(1).select(
+        lit("retired_name_blocked").as("phase"), lit("").as("status"),
+        lit(blocked).as("n"))
+      post.unionByName(pre).unionByName(guard).orderBy("phase", "status")
+    },
+
     // Commit-log truncation lifecycle (TxLog.vacuumLog) across BOTH
     // checkpoint formats: 12 commits with an explicit legacy v1 JSON
     // checkpoint at v5 (an "old writer"'s leftover) and the
