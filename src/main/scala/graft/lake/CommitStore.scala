@@ -178,3 +178,79 @@ final class CasOverlayCommitStore extends CommitStore {
 
   def claimCount: Int = claimed.size()
 }
+
+/** DURABLE cross-process CAS commit store: claims are serialized by an
+  * exclusive OS file lock on a per-table lease file under `lockDir`, and
+  * check-if-absent + write-through run inside the critical section — a
+  * deployable reference implementation of the [[CommitStore]] seam (the
+  * in-memory [[CasOverlayCommitStore]] proves the seam; this one
+  * survives process death and arbitrates writers that share nothing but
+  * the lock directory).
+  *
+  * Correctness requirements on `lockDir`: it must live on a filesystem
+  * whose `FileChannel.lock` provides real inter-process mutual
+  * exclusion — local disks and NFSv4 do; do NOT point it at an object
+  * store mount. The DATA may still live anywhere (that is the point:
+  * the table root can be an object store while the tiny lease files sit
+  * on a coordinator volume every writer mounts). Within one JVM, claims
+  * on the same lease additionally serialize on a monitor —
+  * `FileChannel.lock` throws `OverlappingFileLockException` for
+  * same-process contention rather than blocking.
+  *
+  * Liveness: the OS releases a crashed holder's lock automatically
+  * (kernel-owned state, not a lease file that can go stale), so there is
+  * no lock-timeout machinery to get wrong. A writer that dies between
+  * claim and durability leaves the standard in-flight tail, which
+  * TxLog's tail handling already covers.
+  *
+  * Install: `CommitStore.install(tableRootPrefix,
+  * new LockFileCommitStore(coordDir))`.
+  */
+final class LockFileCommitStore(lockDir: String) extends CommitStore {
+
+  private val monitors = new ConcurrentHashMap[String, Object]()
+
+  /** One lease file per LOG DIRECTORY: claims on one table serialize,
+    * tables stay independent. Name = sanitized parent path + a hash
+    * suffix (collisions after sanitizing would only over-serialize,
+    * but the hash makes even that vanishingly unlikely).
+    */
+  private def leaseFor(p: Path): java.nio.file.Path = {
+    val parent = p.getParent.toUri.toString
+    val safe = parent.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    java.nio.file.Paths.get(lockDir,
+      f"$safe-${parent.hashCode}%08x.lock")
+  }
+
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lockDir))
+    val lease = leaseFor(p)
+    val mon = monitors.computeIfAbsent(lease.toString, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lease,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks until the cross-process lock is ours
+        try {
+          if (fs.exists(p)) false
+          else {
+            // single writer inside the lock: the plain create cannot
+            // race. Content lands before release, so a LOSER never sees
+            // a missing file for a version it lost to — only ordinary
+            // readers can glimpse the in-flight tail (handled by TxLog).
+            val out = fs.create(p, false)
+            try out.write(bytes) finally out.close()
+            true
+          }
+        } finally lk.release()
+      } finally ch.close()
+    }
+  }
+
+  override def read(fs: FileSystem, p: Path): Array[Byte] =
+    FsCommitStore.read(fs, p)
+
+  override def list(fs: FileSystem, dir: Path): Seq[Path] =
+    FsCommitStore.list(fs, dir)
+}

@@ -1434,6 +1434,59 @@ object TxLog {
     v
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` as a METADATA-ONLY commit:
+    * the explicit, single-statement form of the widen path that
+    * `spark.graft.schema.mode=widen` applies implicitly on append-time
+    * conflicts ([[committedDdl]]) — an operator up-casting a column does
+    * not need to flip a session-global mode and push a wider batch.
+    * Only strict UP-casts are accepted ([[widenedType]]: the integral
+    * ascent, float->double, byte/short/int->double — never long->double,
+    * whose 53-bit mantissa corrupts large longs): Spark's parquet reader
+    * reads the narrower physical files under the wider scan schema
+    * (SPARK-40876), so no data converts and every existing file stays
+    * readable. Same bloom rules as the implicit path: the column's
+    * index hashed the OLD type, so it is STRICTLY dropped pre-claim
+    * (a failed drop fails the statement) and commitLoop's post-claim
+    * fence re-drops any index a racing build re-created.
+    */
+  def alterColumnType(spark: SparkSession, root: String,
+                      column: String, typeDdl: String): Long = {
+    val current = resolve(spark, root, None)
+    val cur = StructType.fromDDL(current.schemaDdl)
+    val field = cur.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column $column on $root"))
+    val target = try StructType.fromDDL(s"`__t` $typeDdl").head.dataType
+      catch { case e: Throwable => throw new IllegalArgumentException(
+        s"cannot parse target type '$typeDdl'", e) }
+    if (target == field.dataType) return current.version // no-op
+    val parts = partitionColsOf(spark, root, current)
+    require(!parts.exists(_.equalsIgnoreCase(field.name)),
+      s"${field.name} is a partition column of $root — its values live " +
+        "in directory names; rewrite the table instead of re-typing it")
+    require(widenedType(field.dataType, target).contains(target),
+      s"ALTER COLUMN TYPE on $root only up-casts: " +
+        s"${field.dataType.simpleString} -> ${target.simpleString} is " +
+        "not a widening Spark's parquet reader can absorb (committing " +
+        "it would convert no data and break every read of existing " +
+        "files at query time); OVERWRITE with an explicit cast instead")
+    // STRICT pre-claim drop, same fail-closed rule as the widen mode:
+    // a stale narrow-hashed index surviving the type change answers
+    // definitive wrong "no"s to point lookups
+    mustDropBloomIndexes(spark, root, field.name)
+    val evolved = StructType(cur.map(f =>
+      if (f.name.equalsIgnoreCase(field.name)) f.copy(dataType = target)
+      else f))
+    commitLoop(spark, root, "alter_column_type", parts, { (commits, _) =>
+      if (tailVersion(spark, root, commits) != Some(current.version))
+        throw new java.util.ConcurrentModificationException(
+          s"alterColumnType computed from version ${current.version} " +
+            s"but ${commits.lastOption.map(_.version).orNull} committed " +
+            s"since at $root — re-run")
+      (Seq.empty, Seq.empty, evolved.toDDL)
+    })
+  }
+
   /** Enforce the table's constraints on freshly STAGED files, between
     * stage and commit — the one seam every data-adding path funnels
     * through. Reading the staged parquet back (columnar, pruned to the

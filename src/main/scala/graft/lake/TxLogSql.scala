@@ -319,6 +319,11 @@ object TxLogSql {
   private val RenameColumnRe =
     ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+RENAME\s+COLUMN\s+""" +
       """(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  // both Spark spellings: ALTER COLUMN c TYPE t / c SET DATA TYPE t
+  private val AlterColumnTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ALTER\s+COLUMN\s+""" +
+      """(`[^`]+`|\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+""" +
+      """(\w+(?:\s*\([^)]*\))?)\s*;?\s*""").r
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+(`[^`]+`|[\w.]+)\s+COMPUTE\s+""" +
       """STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+\(?([^();]+?)\)?)\s*;?\s*""").r
@@ -603,6 +608,18 @@ object TxLogSql {
           stripQuotes(fromQ), stripQuotes(toQ))
         refresh(spark, name, reg) // the view must expose the new name
         Seq((v, "rename_column")).toDF("version", "operation")
+
+      // Explicit up-cast (TxLog.alterColumnType): the statement form of
+      // the schema.mode=widen append path — metadata-only, up-casts
+      // only, strict bloom-index drop. Guarded: Spark's own grammar
+      // accepts this shape for v2 catalog tables.
+      case AlterColumnTypeRe(ident, colQ, typeDdl)
+          if lookupOpt(spark, ident).isDefined =>
+        val (name, reg) = lookupOpt(spark, ident).get
+        val v = TxLog.alterColumnType(spark, reg.root,
+          stripQuotes(colQ), typeDdl.trim)
+        refresh(spark, name, reg) // the view must expose the new type
+        Seq((v, "alter_column_type")).toDF("version", "operation")
 
       // ANALYZE TABLE / SHOW PARTITIONS are VALID Spark SQL for catalog
       // tables, so these two are claimed only for REGISTERED tables

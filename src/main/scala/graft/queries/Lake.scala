@@ -1134,6 +1134,165 @@ object Lake {
         .orderBy("w_start", "event_type")
     },
 
+    // Stream-stream INTERVAL JOIN (StreamJoin.intervalJoin), previously
+    // spec-only: purchases joined to the same user's clicks in the 6
+    // trailing hours, through two txlog change sources, the watermarked
+    // two-sided time-range join, and the exactly-once sink. Each side is
+    // ONE commit, so the single micro-batch emits every matching pair
+    // and the oracle can replay the join declaratively (q107 already
+    // pins cross-batch watermark eviction; this row pins the join
+    // SEMANTICS — key equality plus the closed time interval). Scale
+    // shape: state per side is bounded by watermark + window per key,
+    // independent of stream length — the property that makes the join
+    // runnable forever.
+    QDef(
+      "q115_stream_join",
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id AS u, p.event_id AS pid, c.value AS v
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR)
+        |SELECT u AS user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT pid) AS n_purchases,
+        |  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS total_click_value
+        |FROM j GROUP BY u ORDER BY u""".stripMargin) { (s, dir) =>
+      val leftRoot = Tables.scratch(dir, "sjoin_left")
+      val rightRoot = Tables.scratch(dir, "sjoin_right")
+      val sinkRoot = Tables.scratch(dir, "sjoin_sink")
+      val ckpt = Tables.scratch(dir, "sjoin_ckpt")
+      val fs = new Path(leftRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(leftRoot, rightRoot, sinkRoot, ckpt).foreach { r =>
+        val p = new Path(r); if (fs.exists(p)) fs.delete(p, true)
+      }
+      val ev = t(s, dir, "events")
+      TxLog.append(s, ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id")), leftRoot)
+      TxLog.append(s, ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value")), rightRoot)
+      def src(root: String, tsCol: String) = s.readStream
+        .format("graft.streaming.TxLogChangeSourceProvider")
+        .option("root", root)
+        .load()
+        .filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+        .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        src(leftRoot, "p_ts"), src(rightRoot, "c_ts"),
+        leftKey = "p_user", rightKey = "c_user",
+        leftTime = "p_ts", rightTime = "c_ts",
+        watermark = "1 hour", windowSpec = "6 HOURS")
+        .select(col("p_user"), col("p_id"), col("c_value"))
+      val q = joined.writeStream
+        .format("graft.streaming.TxLogSinkProvider")
+        .option("root", sinkRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        s"q115 stream join did not finish: $sinkRoot")
+      TxLog.readLatest(s, sinkRoot)
+        .groupBy("p_user")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          graft.Tables.dsum(col("c_value")).as("total_click_value"))
+        .select(col("p_user").as("user_id"), col("n_pairs"),
+          col("n_purchases"), col("total_click_value"))
+        .orderBy("user_id")
+    },
+
+    // Streaming exact dedup with BOUNDED state
+    // (StreamingDedup.dedup = dropDuplicatesWithinWatermark), previously
+    // spec-only. Two commits drive the full state lifecycle: v0 carries
+    // the early events plus +10-minute clones of every 7th event_id —
+    // duplicates WITHIN the watermark delay, dropped (first-wins); v1
+    // carries the late events plus re-arrivals of old keys (every 11th
+    // id from the first era, re-timestamped 25 days later) whose state
+    // the ratcheted watermark already EXPIRED — emitted again as new.
+    // That windowed contract is exactly what bounds state to O(keys per
+    // watermark window) on an unbounded feed; the oracle replays it
+    // declaratively (each event once, plus the expired re-arrivals
+    // again). Aggregates avoid ts: which PHYSICAL row of an
+    // intra-batch duplicate pair survives is not deterministic, but
+    // key, type, and value are identical by construction.
+    QDef(
+      "q116_stream_dedup",
+      """WITH b AS (SELECT make_timestamp((epoch_us(min(ts))
+        |                + epoch_us(max(ts))) // 2) AS mid FROM events),
+        |once AS (SELECT event_id, event_type, value FROM events),
+        |again AS (SELECT event_id, event_type, value FROM events, b
+        |          WHERE event_id % 11 = 0 AND ts < b.mid - INTERVAL 5 DAY),
+        |u AS (SELECT * FROM once UNION ALL SELECT * FROM again)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_ids,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val srcRoot = Tables.scratch(dir, "sdd_src")
+      val sinkRoot = Tables.scratch(dir, "sdd_sink")
+      val ckpt = Tables.scratch(dir, "sdd_ckpt")
+      val fs = new Path(srcRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcRoot, sinkRoot, ckpt).foreach { r =>
+        val p = new Path(r); if (fs.exists(p)) fs.delete(p, true)
+      }
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      val (mn, mx) = eventBounds.computeIfAbsent(dir, { _ =>
+        val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+        (b.getAs[java.time.LocalDateTime](0),
+          b.getAs[java.time.LocalDateTime](1))
+      })
+      val mid = mn.plus(java.time.Duration.between(mn, mx).dividedBy(2))
+      val early = ev.filter(col("ts") < lit(mid))
+      // v0: early events + within-watermark duplicates (same key, +10m)
+      TxLog.append(s, early.unionByName(
+        early.filter(pmod(col("event_id"), lit(7)) === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))),
+        srcRoot)
+      // v1: the late events — processing them EVICTS the early keys'
+      // state (eviction runs with the watermark current DURING a batch,
+      // i.e. the one batch v0 ratcheted; a same-batch re-arrival would
+      // still see the old state)
+      TxLog.append(s, ev.filter(col("ts") >= lit(mid)), srcRoot)
+      // v2: re-arrivals of long-expired keys, re-timestamped ABOVE the
+      // final watermark (max ts - 1h) so they are new data, not
+      // late-drops: state gone -> emitted again
+      TxLog.append(s,
+        ev.filter(pmod(col("event_id"), lit(11)) === 0 &&
+            col("ts") < lit(mid.minusDays(5)))
+          .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS")),
+        srcRoot)
+      val q = graft.streaming.StreamingDedup.dedup(
+        s.readStream
+          .format("graft.streaming.TxLogChangeSourceProvider")
+          .option("root", srcRoot)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .filter(col("_change_type") === "insert")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value")),
+        eventTimeCol = "ts", delay = "1 hour", keys = Seq("event_id"))
+        .writeStream
+        .format("graft.streaming.TxLogSinkProvider")
+        .option("root", sinkRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        s"q116 stream dedup did not finish: $sinkRoot")
+      TxLog.readLatest(s, sinkRoot)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

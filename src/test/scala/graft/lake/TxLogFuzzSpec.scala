@@ -142,10 +142,13 @@ class TxLogFuzzSpec extends SparkSpec {
     }
   }
 
-  test("cross-process writers: no lost updates, contiguous version chain") {
-    // three SEPARATE JVMs hammer one table — the claim contract is
-    // cross-process (shared-nothing writers arbitrated only by the
-    // store's atomic create), which no in-JVM thread race can prove
+  /** Three SEPARATE JVMs hammer one table — the claim contract is
+    * cross-process (shared-nothing writers arbitrated only by the
+    * store's CAS), which no in-JVM thread race can prove. `storeArg`
+    * selects the claim store the children install (None = the default
+    * filesystem store).
+    */
+  private def crossProcessAudit(storeArg: Option[String]): Unit = {
     val root = Files.createTempDirectory("graft-xproc").toString
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -163,7 +166,8 @@ class TxLogFuzzSpec extends SparkSpec {
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).map(p => s"--add-opens=$p=ALL-UNNAMED")
       val cmd = Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
-        Seq("graft.lake.TxLogHammer", root, w, perWriter.toString)
+        Seq("graft.lake.TxLogHammer", root, w, perWriter.toString) ++
+        storeArg.toSeq
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(
@@ -188,5 +192,40 @@ class TxLogFuzzSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     rows shouldBe writers.flatMap(w =>
       (0 until perWriter).map(s => (w, s.toLong))).toSet
+  }
+
+  test("cross-process writers: no lost updates, contiguous version chain") {
+    crossProcessAudit(None)
+  }
+
+  test("cross-process writers through the durable lock-file store") {
+    // same audit, arbitrated by LockFileCommitStore's OS file lock
+    // instead of the local-FS hard-link claim — the deployable CAS
+    // reference implementation must carry the identical guarantee
+    val coord = Files.createTempDirectory("graft-coord").toString
+    crossProcessAudit(Some(s"lockfile:$coord"))
+  }
+
+  test("lock-file store: same-JVM racing claims yield exactly one winner") {
+    // FileChannel.lock throws OverlappingFileLockException for
+    // same-process contention — the store's per-lease monitor must turn
+    // that into ordinary serialization, not an error
+    val coord = Files.createTempDirectory("graft-coord-jvm").toString
+    val store = new LockFileCommitStore(coord)
+    val dir = Files.createTempDirectory("graft-lockclaim").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        if (store.claim(fs, p, s"writer-$i".getBytes)) wins.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    wins.get() shouldBe 1
+    // the winner's bytes are complete and losers did not clobber them
+    new String(store.read(fs, p)) should startWith("writer-")
   }
 }

@@ -14,7 +14,19 @@ import org.apache.spark.sql.SparkSession
   */
 object TxLogHammer {
   def main(args: Array[String]): Unit = {
-    val Array(root, writerId, nStr) = args
+    val (root, writerId, nStr) = args match {
+      case Array(r, w, n)        => (r, w, n)
+      case Array(r, w, n, store) =>
+        // optional 4th arg selects the claim store, e.g.
+        // "lockfile:/path/to/coord-dir" — installed for the table root
+        // so the cross-process fuzz can prove a DURABLE store's CAS
+        store.split(":", 2) match {
+          case Array("lockfile", dir) =>
+            CommitStore.install(r, new LockFileCommitStore(dir))
+          case other => sys.error(s"unknown store spec: ${other.mkString(":")}")
+        }
+        (r, w, n)
+    }
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")

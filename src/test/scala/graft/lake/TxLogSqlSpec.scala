@@ -793,4 +793,58 @@ class TxLogSqlSpec extends SparkSpec {
     }
     err.getMessage should include("not partitioned")
   }
+
+  test("ALTER COLUMN TYPE up-casts metadata-only; non-up-casts are refused") {
+    val root = Files.createTempDirectory("graft-altype").toString
+    TxLog.append(spark,
+      (1 to 5).map(k => (k.toLong, k)).toDF("id", "n")
+        .select(col("id"), col("n").cast("int").as("n"))
+        .repartition(1), root)
+    TxLogSql.register(spark, "altype_t", root)
+    // a narrow-hashed bloom index must be strictly dropped by the widen
+    TxLogSql.run(spark,
+      "CREATE BLOOMFILTER INDEX ON TABLE altype_t FOR COLUMNS (n)")
+    val out = TxLogSql.run(spark,
+      "ALTER TABLE altype_t ALTER COLUMN n TYPE BIGINT")
+    out.select("operation").head().getString(0) shouldBe "alter_column_type"
+    TxLog.bloomIndexColumns(spark, root) shouldBe empty
+    // the refreshed view reads the NARROW physical files under the wide
+    // schema (SPARK-40876) and accepts a wide batch
+    spark.table("altype_t").schema("n").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    spark.sql("SELECT sum(n) FROM altype_t").head().getLong(0) shouldBe 15L
+    TxLog.append(spark,
+      Seq((6L, 3000000000L)).toDF("id", "n").repartition(1), root)
+    TxLog.readLatest(spark, root).agg(max("n")).head()
+      .getLong(0) shouldBe 3000000000L
+    // narrowing and cross-family changes are refused; SET DATA TYPE
+    // spelling and the no-op both work
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ALTER TABLE altype_t ALTER COLUMN n TYPE INT")
+    }.getMessage should include("up-cast")
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark,
+        "ALTER TABLE altype_t ALTER COLUMN n SET DATA TYPE STRING")
+    }.getMessage should include("up-cast")
+    // long -> double is deliberately NOT a widening (mantissa loss)
+    intercept[IllegalArgumentException] {
+      TxLogSql.run(spark, "ALTER TABLE altype_t ALTER COLUMN n TYPE DOUBLE")
+    }
+    val vNoop = TxLog.alterColumnType(spark, root, "n", "BIGINT")
+    vNoop shouldBe TxLog.latestVersion(spark, root).get
+  }
+
+  test("ALTER COLUMN TYPE on a renamed column widens through the mapping") {
+    val root = Files.createTempDirectory("graft-altype2").toString
+    TxLog.append(spark,
+      (1 to 4).map(k => (k.toLong, k.toFloat)).toDF("id", "amt")
+        .select(col("id"), col("amt").cast("float").as("amt"))
+        .repartition(1), root)
+    TxLog.renameColumn(spark, root, "amt", "amount")
+    TxLog.alterColumnType(spark, root, "amount", "DOUBLE")
+    val t = TxLog.readLatest(spark, root)
+    t.schema("amount").dataType shouldBe
+      org.apache.spark.sql.types.DoubleType
+    t.agg(sum("amount")).head().getDouble(0) shouldBe 10.0
+  }
 }
