@@ -822,7 +822,12 @@ object TxLog {
   def append(spark: SparkSession, df: DataFrame, root: String,
              partitionCols: Seq[String] = Seq.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
-    val (adds, ddl) = stage(df, root, partitionCols)
+    // ONE metadata resolution feeds the stage mapping and the stats
+    // job's key translation (stage/computeStats would otherwise each
+    // re-resolve just to learn the column mapping)
+    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
+      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
@@ -830,7 +835,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols))
+      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
   }
 
   /** Test seam for the enforce->commit race window (no-op in
@@ -858,15 +863,15 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Option[Long] = {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
-    val (adds, ddl) = stage(df, root, partitionCols,
-      colMap = Some(pre.map(_.colMap).getOrElse(Map.empty)))
+    val preMap = pre.map(_.colMap).getOrElse(Map.empty[String, String])
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols),
+      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)),
       txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
   }
@@ -883,7 +888,10 @@ object TxLog {
                     partitionCols: Seq[String] = Seq.empty,
                     statsCols: Seq[String] = Seq.empty): Long = {
     val (observed, obs) = Expect.observed(df, expectations)
-    val (adds, ddl) = stage(observed, root, partitionCols)
+    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
+      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val (adds, ddl) = stage(observed, root, partitionCols,
+      colMap = Some(preMap))
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
@@ -892,7 +900,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols))
+      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
   }
 
   /** Replace the whole table content with `df` (logically — prior files
@@ -911,7 +919,8 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, live, ddl)
       },
-      computeStats(spark, root, adds, statsCols))
+      // overwrite staged under LOGICAL names and clears the mapping
+      computeStats(spark, root, adds, statsCols, colMap = Some(Map.empty)))
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -927,7 +936,9 @@ object TxLog {
                        partitionCols: Seq[String],
                        statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
-    val (adds, ddl) = stage(df, root, partitionCols)
+    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
+      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
     val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
@@ -936,7 +947,7 @@ object TxLog {
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
-      computeStats(spark, root, adds, statsCols))
+      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
   }
 
   /** Statically-scoped partition overwrite (Hive/Spark's

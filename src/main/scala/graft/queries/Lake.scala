@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the prior value. Stateful STREAMING queries size
+    * their state-store partition count from this conf at first start —
+    * per-partition store instances (x4 for a stream-stream join) carry
+    * fixed per-batch cost, so a fixture-scale stream under the bench
+    * session's 32 partitions pays 4-8x the state overhead its key
+    * cardinality warrants. Right-sizing state partitions to the keyspace
+    * is exactly what a 100 TB deployment does in the opposite direction.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)
+      (body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** q107's fixture-split bounds (min/max event ts per sf dir), memoized:
     * the one-row collect is pure SETUP — the same value every rep — and
     * memoizing it keeps the timed lifecycle frame to the operations the
@@ -1101,33 +1117,35 @@ object Lake {
           .withColumn("event_id", col("event_id") + 10000000L),
         srcRoot)                                                  // v2
 
-      val q = s.readStream
-        .format("graft.streaming.TxLogChangeSourceProvider")
-        .option("root", srcRoot)
-        .option("maxVersionsPerTrigger", "1")
-        .load()
-        .filter(col("_change_type") === "insert")
-        // watermarks require TIMESTAMP (not NTZ); the session tz is
-        // pinned UTC, so the cast is a pure wall-clock reinterpretation
-        .select(col("ts").cast("timestamp").as("ts"),
-          col("event_type"), col("value"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          graft.Tables.dsum(col("value")).as("total_value"))
-        .select(
-          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("w_start"),
-          col("event_type"), col("n"), col("total_value"))
-        .writeStream
-        .format("graft.streaming.TxLogSinkProvider")
-        .option("root", sinkRoot)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        s"q107 stream window drain did not finish: $srcRoot -> $sinkRoot")
+      withShufflePartitions(s, 8) {
+        val q = s.readStream
+          .format("graft.streaming.TxLogChangeSourceProvider")
+          .option("root", srcRoot)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .filter(col("_change_type") === "insert")
+          // watermarks require TIMESTAMP (not NTZ); the session tz is
+          // pinned UTC, so the cast is a pure wall-clock reinterpretation
+          .select(col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.Tables.dsum(col("value")).as("total_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("w_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .writeStream
+          .format("graft.streaming.TxLogSinkProvider")
+          .option("root", sinkRoot)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          s"q107 stream window drain did not finish: $srcRoot -> $sinkRoot")
+      }
 
       TxLog.readLatest(s, sinkRoot)
         .select("w_start", "event_type", "n", "total_value")
@@ -1187,14 +1205,16 @@ object Lake {
         leftTime = "p_ts", rightTime = "c_ts",
         watermark = "1 hour", windowSpec = "6 HOURS")
         .select(col("p_user"), col("p_id"), col("c_value"))
-      val q = joined.writeStream
-        .format("graft.streaming.TxLogSinkProvider")
-        .option("root", sinkRoot)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        s"q115 stream join did not finish: $sinkRoot")
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream
+          .format("graft.streaming.TxLogSinkProvider")
+          .option("root", sinkRoot)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          s"q115 stream join did not finish: $sinkRoot")
+      }
       TxLog.readLatest(s, sinkRoot)
         .groupBy("p_user")
         .agg(count(lit(1)).as("n_pairs"),
@@ -1267,24 +1287,26 @@ object Lake {
             col("ts") < lit(mid.minusDays(5)))
           .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS")),
         srcRoot)
-      val q = graft.streaming.StreamingDedup.dedup(
-        s.readStream
-          .format("graft.streaming.TxLogChangeSourceProvider")
-          .option("root", srcRoot)
-          .option("maxVersionsPerTrigger", "1")
-          .load()
-          .filter(col("_change_type") === "insert")
-          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-            col("event_type"), col("value")),
-        eventTimeCol = "ts", delay = "1 hour", keys = Seq("event_id"))
-        .writeStream
-        .format("graft.streaming.TxLogSinkProvider")
-        .option("root", sinkRoot)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        s"q116 stream dedup did not finish: $sinkRoot")
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamingDedup.dedup(
+          s.readStream
+            .format("graft.streaming.TxLogChangeSourceProvider")
+            .option("root", srcRoot)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .filter(col("_change_type") === "insert")
+            .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_type"), col("value")),
+          eventTimeCol = "ts", delay = "1 hour", keys = Seq("event_id"))
+          .writeStream
+          .format("graft.streaming.TxLogSinkProvider")
+          .option("root", sinkRoot)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          s"q116 stream dedup did not finish: $sinkRoot")
+      }
       TxLog.readLatest(s, sinkRoot)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

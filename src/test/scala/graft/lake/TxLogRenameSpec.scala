@@ -213,6 +213,29 @@ class TxLogRenameSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((2L, "b"))
   }
 
+  test("stats jobs on a mapped table key by logical name on both write paths") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 20L).map(k => (k, s"s$k")).toDF("id", "payload")
+        .repartition(1), root, statsCols = Seq("id"))
+    TxLog.renameColumn(spark, root, "id", "key")
+    // append-side: staged file carries the frozen physical name; the
+    // stats job must aggregate it and record bounds under 'key'
+    TxLog.append(spark,
+      (21L to 30L).map(k => (k, s"s$k")).toDF("key", "payload")
+        .repartition(1), root, statsCols = Seq("key"))
+    TxLog.countRows(spark, root) shouldBe 30L // metadata-only row counts
+    TxLog.readRange(spark, root, "key", 25.0, 27.0)
+      .count() shouldBe 3L
+    // overwrite-side: staged under LOGICAL names with the mapping
+    // cleared — the stats job must read the logical name, not the old
+    // physical one
+    TxLog.overwrite(spark, TxLog.readLatest(spark, root), root,
+      statsCols = Seq("key"))
+    TxLog.countRows(spark, root) shouldBe 30L
+    TxLog.readRange(spark, root, "key", 1.0, 5.0).count() shouldBe 5L
+  }
+
   test("SQL lifecycle: ALTER TABLE ... RENAME COLUMN through TxLogSql") {
     val root = tmpRoot()
     TxLog.append(spark,
