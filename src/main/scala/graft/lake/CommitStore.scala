@@ -208,7 +208,13 @@ final class CasOverlayCommitStore extends CommitStore {
   */
 final class LockFileCommitStore(lockDir: String) extends CommitStore {
 
-  private val monitors = new ConcurrentHashMap[String, Object]()
+  // JVM-GLOBAL (companion), keyed by lease path: OS file locks are
+  // per-process, so same-JVM contention must serialize on a shared
+  // monitor even when it arrives through DIFFERENT store instances
+  // pointed at the same coordinator directory — per-instance maps would
+  // let two instances race straight into OverlappingFileLockException
+  // out of claim(), aborting a write that should simply lose the race
+  private def monitors = LockFileCommitStore.monitors
 
   /** One lease file per LOG DIRECTORY: claims on one table serialize,
     * tables stay independent. Name = sanitized parent path + a hash
@@ -253,4 +259,8 @@ final class LockFileCommitStore(lockDir: String) extends CommitStore {
 
   override def list(fs: FileSystem, dir: Path): Seq[Path] =
     FsCommitStore.list(fs, dir)
+}
+
+object LockFileCommitStore {
+  private val monitors = new ConcurrentHashMap[String, Object]()
 }

@@ -326,7 +326,7 @@ object TxLog {
                            rels: Seq[String],
                            statsCols: Seq[String],
                            readSchema: Option[StructType] = None,
-                           colMap: Option[Map[String, String]] = None)
+                           colMap: Map[String, String])
       : FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
     require(!statsCols.contains(RowCountKey),
@@ -335,10 +335,10 @@ object TxLog {
     // the files carry PHYSICAL names (stage writes them; live files
     // froze them at rename time): aggregate under the physical name,
     // key the recorded bounds by the LOGICAL one — readRange/merge
-    // pruning and ANALYZE's coverage check all look stats up logically
-    val mapping = colMap.getOrElse(
-      scala.util.Try(resolve(spark, root, None)).toOption
-        .map(_.colMap).getOrElse(Map.empty))
+    // pruning and ANALYZE's coverage check all look stats up logically.
+    // The mapping comes from the CALLER's snapshot (same-snapshot rule
+    // as stage)
+    val mapping = colMap
     val physCols = statsCols.map(physName(mapping, _))
     // cast BEFORE the agg: min/max of a string column are LEXICOGRAPHIC
     // ("10" < "2"), and casting that afterwards yields numerically wrong
@@ -431,7 +431,7 @@ object TxLog {
     */
   private def stage(df: DataFrame, root: String,
                     partitionCols: Seq[String],
-                    colMap: Option[Map[String, String]] = None)
+                    colMap: Map[String, String])
       : (Seq[String], String) = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
@@ -440,13 +440,27 @@ object TxLog {
     // physical names are FROZEN at rename time (see [[renameColumn]]):
     // every staged file of a mapped table writes the column under its
     // physical name, keeping the live set physically homogeneous. The
-    // mapping defaults to the table's current one (None = resolve here);
-    // callers holding a snapshot pass theirs, and [[overwrite]] passes
-    // Some(empty) — a full rewrite lands under the logical names and the
-    // overwrite commit clears the mapping.
-    val mapping = colMap.getOrElse(
-      scala.util.Try(resolve(spark, root, None)).toOption
-        .map(_.colMap).getOrElse(Map.empty))
+    // mapping is REQUIRED (no resolve fallback) so it always comes from
+    // the same snapshot the caller computed its batch against — a
+    // re-resolve here could observe a rename that raced in after that
+    // snapshot. [[overwrite]] passes empty: a full rewrite lands under
+    // the logical names and the overwrite commit clears the mapping.
+    val mapping = colMap
+    // a batch column sharing ANOTHER column's frozen physical name
+    // would stage two same-named columns — fail with the resurrection
+    // guard's actionable message here instead of a raw duplicate-column
+    // AnalysisException from the parquet write (which would also leave
+    // the stage dir behind)
+    if (mapping.nonEmpty) {
+      val clashes = df.columns.groupBy(c => lcol(physName(mapping, c)))
+        .filter(_._2.length > 1)
+      if (clashes.nonEmpty)
+        throw new IllegalArgumentException(
+          s"batch column(s) ${clashes.values.flatten.mkString(", ")} " +
+            s"collide on a renamed column's frozen physical name at " +
+            s"$root — pre-rename files still hold bytes under it; " +
+            "rename the batch column, or OVERWRITE the table first")
+    }
     val toWrite0 =
       if (partitionCols.nonEmpty &&
           spark.conf.getOption("spark.graft.optimizeWrite").contains("true"))
@@ -827,7 +841,7 @@ object TxLog {
     // re-resolve just to learn the column mapping)
     val preMap = scala.util.Try(resolve(spark, root, None)).toOption
       .map(_.colMap).getOrElse(Map.empty[String, String])
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
@@ -835,7 +849,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
+      computeStats(spark, root, adds, statsCols, colMap = preMap))
   }
 
   /** Test seam for the enforce->commit race window (no-op in
@@ -864,14 +878,14 @@ object TxLog {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val preMap = pre.map(_.colMap).getOrElse(Map.empty[String, String])
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)),
+      computeStats(spark, root, adds, statsCols, colMap = preMap),
       txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
   }
@@ -891,7 +905,7 @@ object TxLog {
     val preMap = scala.util.Try(resolve(spark, root, None)).toOption
       .map(_.colMap).getOrElse(Map.empty[String, String])
     val (adds, ddl) = stage(observed, root, partitionCols,
-      colMap = Some(preMap))
+      colMap = preMap)
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
@@ -900,7 +914,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
+      computeStats(spark, root, adds, statsCols, colMap = preMap))
   }
 
   /** Replace the whole table content with `df` (logically — prior files
@@ -911,7 +925,7 @@ object TxLog {
                 statsCols: Seq[String] = Seq.empty): Long = {
     // full rewrite: files land under the LOGICAL names and the commit's
     // op clears the column mapping (+ tombstones, per foldDropped)
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(Map.empty))
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = Map.empty)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
@@ -920,7 +934,7 @@ object TxLog {
         (adds, live, ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
-      computeStats(spark, root, adds, statsCols, colMap = Some(Map.empty)))
+      computeStats(spark, root, adds, statsCols, colMap = Map.empty))
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -938,7 +952,7 @@ object TxLog {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val preMap = scala.util.Try(resolve(spark, root, None)).toOption
       .map(_.colMap).getOrElse(Map.empty[String, String])
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = Some(preMap))
+    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
@@ -947,7 +961,7 @@ object TxLog {
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = Some(preMap)))
+      computeStats(spark, root, adds, statsCols, colMap = preMap))
   }
 
   /** Statically-scoped partition overwrite (Hive/Spark's
@@ -981,7 +995,7 @@ object TxLog {
       partitionFilter.forall { case (k, v) =>
         segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
-    val (adds, ddl) = stage(df, root, parts, colMap = Some(current.colMap))
+    val (adds, ddl) = stage(df, root, parts, colMap = current.colMap)
     val escaped = adds.filterNot(f => inScope(relDir(f)))
     if (escaped.nonEmpty) {
       deleteStaged(spark, root, adds)
@@ -998,7 +1012,7 @@ object TxLog {
         (adds, live.filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)))
+      computeStats(spark, root, adds, statsCols, colMap = current.colMap))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
@@ -1044,7 +1058,7 @@ object TxLog {
       case None    => df
     }
     val (adds, ddl) = stage(staged, root, parts,
-      colMap = Some(current.colMap))
+      colMap = current.colMap)
     enforceConstraints(spark, root, adds, ddl, "replace_where")
     commitLoop(spark, root, "replace_where", parts, { (commits, _) =>
       if (tailVersion(spark, root, commits) != Some(current.version))
@@ -1056,7 +1070,7 @@ object TxLog {
       // narrower batch must NOT narrow the committed table schema
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, "replace_where", root))
-    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)))
+    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap))
   }
 
   // -------------------------------------------------------------------
@@ -1191,7 +1205,7 @@ object TxLog {
     if (toScan.isEmpty) return current.version // fully covered: no-op
     // the table schema makes pre-evolution files readable (null-filled)
     val fresh = computeStats(spark, root, toScan, canon,
-      readSchema = Some(schema), colMap = Some(current.colMap))
+      readSchema = Some(schema), colMap = current.colMap)
     // per-file replace semantics in replay (acc ++ c.stats): merge each
     // scanned file's new bounds with its existing ones; unscanned files
     // simply keep their bounds from earlier commits
@@ -1425,6 +1439,16 @@ object TxLog {
       else current.colMap - lcol(field.name) + (lcol(to) -> phys)
     val renamed = StructType(cur.map(f =>
       if (f.name.equalsIgnoreCase(field.name)) f.copy(name = to) else f))
+    // STRICT pre-claim drop of sidecars under BOTH the old and the new
+    // logical name (the widen path's fail-closed policy, not a
+    // best-effort delete): probes key the sidecar by logical name, so a
+    // sidecar surviving under the RETIRED name would lie dormant and be
+    // re-exposed — with its old-era hashes — by a later un-rename back
+    // to that name, answering definitive wrong "no"s to point lookups.
+    // (A build racing this commit self-cleans: its post-write
+    // fenceBloomType no longer finds the old name in the schema.)
+    mustDropBloomIndexes(spark, root, field.name)
+    mustDropBloomIndexes(spark, root, to)
     val v = commitLoop(spark, root, "rename_column", parts, { (commits, _) =>
       // metadata-only DDL computed against `current`: same stale-base
       // rule as addColumns/dropColumns — fail the DDL, not the data
@@ -1438,10 +1462,6 @@ object TxLog {
         (if (lcol(to) == lcol(field.name)) Seq.empty
          else Seq(field.name)),
       renames = Some(newMap))
-    // derived state: probes key the sidecar by logical name, which just
-    // changed — drop (best-effort, like dropColumns) and rebuild later
-    try { dropBloomIndex(spark, root, field.name); () }
-    catch { case _: IOException => () }
     v
   }
 
@@ -1798,7 +1818,7 @@ object TxLog {
       case None    => updates
     }
     val (adds, ddl) = stage(staged, root, partitionCols,
-      colMap = Some(current.colMap))
+      colMap = current.colMap)
     enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
       // merge is a read-modify-write: its rewrite was computed against
@@ -1817,7 +1837,7 @@ object TxLog {
       // live file stages only the update rows, and committing their raw
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)),
+    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap),
       metrics = extraMetrics ++
         Map("numMatchedFiles" -> matchedFiles.size.toLong,
           "numAddedFiles" -> adds.size.toLong))
@@ -1853,7 +1873,7 @@ object TxLog {
       val (adds, ddl) =
         if (noUpserts) (Seq.empty[String], current.schemaDdl)
         else stage(updates, root, partitionCols,
-          colMap = Some(current.colMap))
+          colMap = current.colMap)
       enforceConstraints(spark, root, adds, ddl, operation)
       val (sidecarRel, dvMap) =
         if (newCounts.isEmpty) (None, Map.empty[String, DvRef])
@@ -1869,7 +1889,7 @@ object TxLog {
           // same schema policy as the rewrite path: an unmatched merge's
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
-        }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)), dv = dvMap,
+        }, computeStats(spark, root, adds, statsCols, colMap = current.colMap), dv = dvMap,
         metrics = extraMetrics ++
           Map("numMatchedRows" -> newCounts.values.sum,
             "numAddedFiles" -> adds.size.toLong))
@@ -2092,7 +2112,7 @@ object TxLog {
       }: _*)
       val parts = partitionColsOf(spark, root, current)
       val (adds, ddl) = stage(updated, root, parts,
-        colMap = Some(current.colMap))
+        colMap = current.colMap)
       enforceConstraints(spark, root, adds, ddl, "update_dv")
       val (sidecarRel, dvMap) =
         writeDvSidecar(spark, root, positions, newCounts, current)
@@ -2107,7 +2127,7 @@ object TxLog {
           // that BEFORE the commit, exactly like the rewrite path
           (adds, Seq.empty,
             committedDdl(spark, commits, ddl, "update_dv", root))
-        }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)), dv = dvMap,
+        }, computeStats(spark, root, adds, statsCols, colMap = current.colMap), dv = dvMap,
         metrics = Map("numUpdatedRows" -> newCounts.values.sum,
           "numAddedFiles" -> adds.size.toLong,
           "numVectoredFiles" -> newCounts.size.toLong))
@@ -2247,7 +2267,7 @@ object TxLog {
           else src0.observe(obs, sum(when(coalesce(condition, lit(false)),
             1L).otherwise(0L)).as("n_match"))
         stage(rewrite(src, condition), root, parts,
-          colMap = Some(current.colMap))
+          colMap = current.colMap)
       }
     val matchedRows =
       if (operation == "delete") deleteRows
@@ -2266,7 +2286,7 @@ object TxLog {
       // here — kept for uniformity with the other non-replacing commits
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols, colMap = Some(current.colMap)),
+    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap),
       metrics = Map(rowKey -> matchedRows,
         "numRewrittenFiles" -> rewriteFiles.size.toLong,
         "numRemovedFiles" -> fullFiles.size.toLong,
@@ -3147,6 +3167,26 @@ object TxLog {
       if (p == c) acc else acc.withColumnRenamed(c, p)
     }
 
+  /** Small LRU over checkpoint base snapshots (see the resolve() note).
+    * Bounded: entries are driver-sized Snapshots for the handful of hot
+    * tables a JVM serves; 32 covers every harness and leaves re-reads a
+    * stat-check away for the rest.
+    */
+  private val ckptCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), Snapshot])
+        : Boolean = size() > 32
+    })
+
+  private def cachedCkpt(key: (String, Long, Long, Long),
+                         load: => Snapshot): Snapshot = {
+    val hit = ckptCache.get(key)
+    if (hit != null) hit
+    else { val s = load; ckptCache.put(key, s); s }
+  }
+
   /** Read a v1 (single-JSON-document) checkpoint into a [[Snapshot]] —
     * the legacy format, readable forever so pre-v2 logs keep resolving.
     */
@@ -3234,9 +3274,24 @@ object TxLog {
         .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
     val ckptVersion = ckptForms.keysIterator
       .filter(v => upTo.forall(v <= _)).maxOption
+    // checkpoint BASE snapshots are cached per (root, version, header
+    // stat): content is immutable for a (root, version) — and the stat
+    // in the key protects the one way that assumption breaks, a table
+    // deleted and recreated at the same path. Without this, every
+    // resolve on a v2-checkpointed table re-runs a Spark collect of the
+    // whole live-file row set — several times per commit on the write
+    // paths (v1 paid a driver JSON re-parse for the same reason).
     val base = ckptVersion.map { v =>
-      if (ckptForms(v)) readCkptV2(spark, root, v)
-      else readCkptV1(spark, root, v)
+      if (ckptForms(v)) {
+        val st = fs.getFileStatus(
+          new Path(ckptPathV2(root, v), CkptMetaName))
+        cachedCkpt((s"$root#v2", v, st.getModificationTime, st.getLen),
+          readCkptV2(spark, root, v))
+      } else {
+        val st = fs.getFileStatus(ckptPath(root, v))
+        cachedCkpt((s"$root#v1", v, st.getModificationTime, st.getLen),
+          readCkptV1(spark, root, v))
+      }
     }
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
@@ -3940,7 +3995,7 @@ object TxLog {
       .distinct
     val parts = partitionColsOf(spark, root, current)
     val (adds, ddl) = stage(packed, root, parts,
-      colMap = Some(current.colMap))
+      colMap = current.colMap)
     commitLoop(spark, root, "compact", parts, { (commits, live) =>
       val gone = removed.filterNot(live.toSet)
       if (gone.nonEmpty)
@@ -3959,7 +4014,7 @@ object TxLog {
           s"compact source ${dvChanged.head} gained/changed a deletion " +
             s"vector concurrently at $root — re-run the compact")
       (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
-    }, computeStats(spark, root, adds, statCols, colMap = Some(current.colMap)),
+    }, computeStats(spark, root, adds, statCols, colMap = current.colMap),
       metrics = Map("numPackedFiles" -> removed.size.toLong,
         "numOutputFiles" -> adds.size.toLong))
   }

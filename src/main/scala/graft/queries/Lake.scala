@@ -1281,11 +1281,18 @@ object Lake {
       TxLog.append(s, ev.filter(col("ts") >= lit(mid)), srcRoot)
       // v2: re-arrivals of long-expired keys, re-timestamped ABOVE the
       // final watermark (max ts - 1h) so they are new data, not
-      // late-drops: state gone -> emitted again
+      // late-drops: state gone -> emitted again. The shift derives from
+      // the fixture's own span (min shifted ts = mn + span + 2d > mx),
+      // so a wider-span fixture can never silently late-drop a
+      // re-arrival; the span itself must exceed the 5-day filter margin
+      val spanDays = java.time.Duration.between(mn, mx).toDays
+      require(spanDays >= 11,
+        s"q116 needs an events fixture spanning > 11 days, got $spanDays")
       TxLog.append(s,
         ev.filter(pmod(col("event_id"), lit(11)) === 0 &&
             col("ts") < lit(mid.minusDays(5)))
-          .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS")),
+          .withColumn("ts",
+            col("ts") + expr(s"INTERVAL ${spanDays + 2} DAYS")),
         srcRoot)
       withShufflePartitions(s, 8) {
         val q = graft.streaming.StreamingDedup.dedup(

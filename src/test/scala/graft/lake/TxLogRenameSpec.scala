@@ -213,6 +213,28 @@ class TxLogRenameSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((2L, "b"))
   }
 
+  test("rename strictly drops bloom sidecars under both names; batch collisions fail loudly") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 50L).map(k => (k, s"s$k")).toDF("id", "payload")
+        .repartition(2), root)
+    TxLog.buildBloomIndex(spark, root, "payload") should be > 0L
+    TxLog.renameColumn(spark, root, "payload", "body")
+    // the sidecar under the RETIRED name is gone — it could otherwise
+    // lie dormant and be re-exposed narrow-hashed by a later un-rename
+    TxLog.bloomIndexColumns(spark, root) shouldBe empty
+    // a batch carrying BOTH the new name and the frozen physical name
+    // fails with the resurrection message at stage time, not a raw
+    // duplicate-column error from the parquet writer
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark,
+        Seq((99L, "b", "stale")).toDF("id", "body", "payload"), root)
+    }
+    e.getMessage should include("physical name")
+    // and nothing of that batch leaked into the table
+    TxLog.readLatest(spark, root).count() shouldBe 50L
+  }
+
   test("stats jobs on a mapped table key by logical name on both write paths") {
     val root = tmpRoot()
     TxLog.append(spark,
