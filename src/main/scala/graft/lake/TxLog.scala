@@ -1098,6 +1098,15 @@ object TxLog {
   def constraintsOf(spark: SparkSession, root: String): Map[String, String] =
     resolve(spark, root, None).constraints
 
+  /** The current logical -> physical (on-file) column mapping: entries
+    * exist only for renamed columns ([[renameColumn]]); empty for a
+    * never-renamed table or after an OVERWRITE cleared it. DESCRIBE
+    * DETAIL's `column_mapping` field and the introspection hook for
+    * tooling that reads data files directly.
+    */
+  def columnMapping(spark: SparkSession, root: String): Map[String, String] =
+    resolve(spark, root, None).colMap
+
   /** Violation filter implementing SQL CHECK semantics: a row violates
     * only when the expression is FALSE — NULL satisfies (the standard,
     * and Delta's). Non-boolean expressions fail analysis loudly.

@@ -473,16 +473,21 @@ object TxLogSql {
           TxLog.detail(spark, reg.root)
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
         val (nLog, nCkpt) = TxLog.logCounts(spark, reg.root)
+        // renamed columns read through a logical->physical mapping —
+        // surfaced so an operator reading data files directly knows the
+        // on-file names differ from the schema's
+        val colMap = TxLog.columnMapping(spark, reg.root).toSeq.sorted
+          .map { case (l, p) => s"$l->$p" }.mkString(",")
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
           small.toLong, nDv, dvRows, nWithStats,
           reg.partitionCols.mkString(","),
           TxLog.bloomIndexColumns(spark, reg.root).mkString(","),
-          nLog, nCkpt))
+          nLog, nCkpt, colMap))
           .toDF("location", "version", "num_files", "size_bytes",
             "num_small_files", "num_deletion_vectors",
             "deleted_row_count", "num_files_with_stats",
             "partition_columns", "bloom_index_columns",
-            "num_log_entries", "num_checkpoints")
+            "num_log_entries", "num_checkpoints", "column_mapping")
 
       // VACUUM t LOG [RETAIN n CHECKPOINTS] [FORCE] [DRY RUN]: truncate
       // commit-log METADATA to its checkpoints (bounded log growth on a

@@ -272,8 +272,11 @@ class TxLogRenameSpec extends SparkSpec {
     TxLogSql.run(spark,
       "INSERT INTO rename_sql_t VALUES (7, 'v7')")
     spark.sql("SELECT count(*) FROM rename_sql_t").head().getLong(0) shouldBe 7L
-    // DESCRIBE HISTORY surfaces the rename operation
+    // DESCRIBE HISTORY surfaces the rename operation; DESCRIBE DETAIL
+    // surfaces the live logical->physical mapping
     TxLogSql.run(spark, "DESCRIBE HISTORY rename_sql_t")
       .select("operation").collect().map(_.getString(0)) should contain("rename_column")
+    TxLogSql.run(spark, "DESCRIBE DETAIL rename_sql_t")
+      .select("column_mapping").head().getString(0) shouldBe "body->payload"
   }
 }
