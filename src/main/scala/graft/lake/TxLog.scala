@@ -4355,8 +4355,39 @@ object TxLog {
     // DRY RUN: report what the real run would delete, touch nothing —
     // the operator preview every destructive maintenance command needs
     if (!dryRun) {
-      victims.foreach(f => fs.delete(new Path(s"$root/$f"), false))
-      dvVictims.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+      // DISTRIBUTED deletes past a small threshold (the twin of the
+      // batched existence probe above): a big vacuum on an object store
+      // is otherwise a sequential per-file RPC loop on the driver —
+      // minutes of blocked time at ~1M victims. One task per slice,
+      // Hadoop conf shipped as pairs (cloneTable's pattern); below the
+      // threshold the driver loop avoids a job's fixed cost.
+      val toDelete = victims.map(v => (v, false)) ++
+        dvVictims.map(d => (d, true))
+      if (toDelete.size <= 256) {
+        toDelete.foreach { case (f, rec) =>
+          fs.delete(new Path(s"$root/$f"), rec); () }
+      } else {
+        val confPairs: Seq[(String, String)] = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
+        }
+        val rootStr = root
+        val slots = math.max(1, math.min(toDelete.size / 64,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(toDelete, slots)
+          .foreachPartition { it =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confPairs.foreach { case (k, v) => conf.set(k, v) }
+            var pfs: FileSystem = null
+            it.foreach { case (f, rec) =>
+              val p = new Path(s"$rootStr/$f")
+              if (pfs == null) pfs = p.getFileSystem(conf)
+              pfs.delete(p, rec); ()
+            }
+          }
+      }
     }
     victims ++ dvVictims
   }

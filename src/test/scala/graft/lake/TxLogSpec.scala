@@ -390,6 +390,25 @@ class TxLogSpec extends SparkSpec {
       .toSeq shouldBe Seq((2L, "new"))
   }
 
+  test("large vacuums delete distributed: 300 victims reclaimed, live files untouched") {
+    // past the 256-victim threshold the deletes run as a Spark job (one
+    // task per slice) instead of a sequential driver RPC loop — same
+    // result, so this pins the distributed branch end-to-end
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 1200L).map(k => (k, s"r$k")).toDF("id", "s")
+        .repartition(300), root)                                      // v0
+    TxLog.overwrite(spark,
+      Seq((0L, "compacted")).toDF("id", "s").repartition(1), root)    // v1
+    val v0Files = TxLog.history(spark, root).head.add
+    v0Files.size should be >= 257
+    val deleted = TxLog.vacuum(spark, root, keepLast = 1)
+    deleted.toSet shouldBe v0Files.toSet
+    deleted.foreach(f => new java.io.File(s"$root/$f").exists() shouldBe false)
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((0L, "compacted"))
+  }
+
   test("ACID promote: each staged batch commits one version; time travel isolates batches across schema evolution") {
     val zones = Zones(Files.createTempDirectory("graft-acid-promote").toString)
     Seq("""{"po":"P-1","qty":"3"}""").toDF("value")
