@@ -847,10 +847,33 @@ object TxLog {
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
+        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       computeStats(spark, root, adds, statsCols, colMap = preMap))
   }
+
+  /** Commit-time fence for the stage-vs-OVERWRITE mapping race on the
+    * append family (merge/DML/compact already fence on version): a batch
+    * staged under a column mapping carries the FROZEN physical names,
+    * and a concurrent overwrite/rollback that cleared or changed the
+    * mapping would let it commit files whose renamed columns then read
+    * as all-NULL. Called only when the batch WAS staged under a mapping
+    * — the unmapped common case pays nothing (the reverse direction, a
+    * rename racing an unmapped stage, is already refused by the retired
+    * name's tombstone in [[committedDdl]]).
+    */
+  private def failOnMappingChange(spark: SparkSession, root: String,
+                                  stagedMap: Map[String, String]): Unit =
+    if (stagedMap.nonEmpty) {
+      val now = scala.util.Try(resolve(spark, root, None)).toOption
+        .map(_.colMap).getOrElse(Map.empty[String, String])
+      if (now != stagedMap)
+        throw new java.util.ConcurrentModificationException(
+          s"column mapping of $root changed while this batch was staged " +
+            "(concurrent OVERWRITE/ROLLBACK/RENAME): its files carry the " +
+            "old physical names — re-run the write")
+    }
 
   /** Test seam for the enforce->commit race window (no-op in
     * production): lets a spec commit a constraint change exactly between
@@ -883,6 +906,7 @@ object TxLog {
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
+        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       computeStats(spark, root, adds, statsCols, colMap = preMap),
@@ -912,6 +936,7 @@ object TxLog {
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
+        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       computeStats(spark, root, adds, statsCols, colMap = preMap))
@@ -958,6 +983,7 @@ object TxLog {
     commitLoop(spark, root, "upsert", partitionCols,
       { (commits, live) =>
         failOnConstraintChange(commits, enfAt, root)
+        failOnMappingChange(spark, root, preMap)
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
@@ -1471,6 +1497,21 @@ object TxLog {
         (if (lcol(to) == lcol(field.name)) Seq.empty
          else Seq(field.name)),
       renames = Some(newMap))
+    // POST-claim re-drop closes the other ordering of the build race: a
+    // build whose sidecar write landed after the pre-claim drop but
+    // whose fence resolved BEFORE this commit (old name still in the
+    // schema) passes its own fence and leaves a ghost sidecar under the
+    // retired name. A failure here is wrapped DISTINCTLY — the rename
+    // is already DURABLE, so it must not read as a retryable failure.
+    try {
+      mustDropBloomIndexes(spark, root, field.name)
+      mustDropBloomIndexes(spark, root, to)
+    } catch { case e: IOException =>
+      throw new IllegalStateException(
+        s"rename of ${field.name} at $root is DURABLE, but dropping a " +
+          "bloom sidecar a racing index build re-created failed — do " +
+          "NOT retry the rename; drop the index instead", e)
+    }
     v
   }
 
@@ -3292,9 +3333,14 @@ object TxLog {
     // paths (v1 paid a driver JSON re-parse for the same reason).
     val base = ckptVersion.map { v =>
       if (ckptForms(v)) {
-        val st = fs.getFileStatus(
-          new Path(ckptPathV2(root, v), CkptMetaName))
-        cachedCkpt((s"$root#v2", v, st.getModificationTime, st.getLen),
+        // v2 identity = the checkpoint dir's FILE NAMES (one listing):
+        // parquet part names carry the write's job UUID, so a table
+        // deleted and recreated at the same path can never collide —
+        // unlike an mtime+length stat on coarse-mtime object stores
+        val names = fs.listStatus(ckptPathV2(root, v))
+          .map(_.getPath.getName).sorted.mkString("\n")
+        cachedCkpt((s"$root#v2", v, names.hashCode.toLong,
+            names.length.toLong),
           readCkptV2(spark, root, v))
       } else {
         val st = fs.getFileStatus(ckptPath(root, v))
@@ -4160,8 +4206,8 @@ object TxLog {
     * listing pass: (version, live file sizes, files with a deletion
     * vector, vector-deleted rows).
     */
-  def detail(spark: SparkSession,
-             root: String): (Long, Seq[(String, Long)], Long, Long, Long) = {
+  def detail(spark: SparkSession, root: String)
+      : (Long, Seq[(String, Long)], Long, Long, Long, Map[String, String]) = {
     val snap = resolve(spark, root, None)
     val sizes = liveSizesIn(fileSystem(spark, root), root, snap.live, _ => true)
     val dvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
@@ -4172,7 +4218,7 @@ object TxLog {
     val withStats = snap.live.count(f =>
       snap.stats.get(f).exists(_.contains(RowCountKey)))
     (snap.version, sizes, dvs.size.toLong,
-      dvs.valuesIterator.map(_._2).sum, withStats.toLong)
+      dvs.valuesIterator.map(_._2).sum, withStats.toLong, snap.colMap)
   }
 
   /** `VACUUM ... RETAIN n HOURS` (the Delta wall-clock form): keep every

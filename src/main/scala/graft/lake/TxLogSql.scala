@@ -468,15 +468,15 @@ object TxLogSql {
 
       case DescribeDetailRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
-        // one log resolution + one listing for every field
-        val (version, sizes, nDv, dvRows, nWithStats) =
+        // one log resolution + one listing for every field — including
+        // the column mapping (surfaced so an operator reading data
+        // files directly knows the on-file names differ from the
+        // schema's; a separate resolve could disagree on version)
+        val (version, sizes, nDv, dvRows, nWithStats, mapping) =
           TxLog.detail(spark, reg.root)
         val small = sizes.count(_._2 < 64L * 1024 * 1024)
         val (nLog, nCkpt) = TxLog.logCounts(spark, reg.root)
-        // renamed columns read through a logical->physical mapping —
-        // surfaced so an operator reading data files directly knows the
-        // on-file names differ from the schema's
-        val colMap = TxLog.columnMapping(spark, reg.root).toSeq.sorted
+        val colMap = mapping.toSeq.sorted
           .map { case (l, p) => s"$l->$p" }.mkString(",")
         Seq((reg.root, version, sizes.size.toLong, sizes.map(_._2).sum,
           small.toLong, nDv, dvRows, nWithStats,

@@ -235,6 +235,31 @@ class TxLogRenameSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 50L
   }
 
+  test("an OVERWRITE racing a mapped append fails the append, not the readers") {
+    // the staged batch carries FROZEN physical names; if a concurrent
+    // overwrite clears the mapping between stage and claim, committing
+    // those files would make the renamed column read all-NULL — the
+    // commit-time mapping fence must refuse instead. postEnforceHook
+    // fires exactly in that window.
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "payload"), root)
+    TxLog.renameColumn(spark, root, "payload", "body")
+    TxLog.postEnforceHook = () => {
+      TxLog.postEnforceHook = () => ()
+      TxLog.overwrite(spark, Seq((0L, "ow")).toDF("id", "body"), root)
+      ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.append(spark, Seq((9L, "late")).toDF("id", "body"), root)
+      }.getMessage should include("column mapping")
+    } finally TxLog.postEnforceHook = () => ()
+    // the winner's state stands; the loser's physically-stale batch
+    // never became visible
+    TxLog.readLatest(spark, root).as[(Long, String)].collect()
+      .toSeq shouldBe Seq((0L, "ow"))
+  }
+
   test("stats jobs on a mapped table key by logical name on both write paths") {
     val root = tmpRoot()
     TxLog.append(spark,
