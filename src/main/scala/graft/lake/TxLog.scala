@@ -1418,12 +1418,16 @@ object TxLog {
     *  - Time travel is era-exact: the mapping is version state (folded
     *    like tombstones through checkpoints, restated by rollback and
     *    clone), so a pre-rename [[readAt]] shows the old name.
-    *  - The OLD logical name is tombstoned ([[foldDropped]]): re-adding
-    *    it would resurrect the frozen physical bytes on every existing
-    *    file — the same guard as DROP COLUMN. Renaming a column BACK to
-    *    its own physical name is the one allowed reuse (the bytes are
-    *    the column's own current data); the rename commit's schema
-    *    carries the name, which clears the tombstone in the fold.
+    *  - A retired name is tombstoned ([[foldDropped]]) ONLY when it is
+    *    the frozen PHYSICAL name (the lineage's first rename): re-adding
+    *    it would resurrect the frozen bytes on every existing file — the
+    *    same guard as DROP COLUMN. Chain- or un-rename-retired ALIASES
+    *    hold no bytes anywhere and stay reusable (a stale writer still
+    *    carrying one merges it in as an ordinary new column). Renaming a
+    *    column BACK to its own physical name is the one allowed reuse of
+    *    a tombstoned name (the bytes are the column's own current data);
+    *    the rename commit's schema carries the name, which clears the
+    *    tombstone in the fold.
     *  - Refused for partition columns (their names live in directory
     *    paths), for targets already in the schema, for targets
     *    tombstoned by an unrelated drop/rename, and while a CHECK
@@ -1494,7 +1498,19 @@ object TxLog {
             s"since at $root — re-run")
       (Seq.empty, Seq.empty, renamed.toDDL)
     }, schemaDrop =
-        (if (lcol(to) == lcol(field.name)) Seq.empty
+        // the tombstone guards BYTE resurrection, so it names only a
+        // retired name that IS the frozen physical name (the first
+        // rename of a lineage — every file holds its bytes). A
+        // chain-retired or un-rename-retired alias has no bytes under
+        // it anywhere: tombstoning it would permanently burn the name
+        // (a rename BACK to it, or a later unrelated rename onto it,
+        // must stay legal — the fuzz's rename round trips hit exactly
+        // this). A stale writer still carrying such an alias merges it
+        // in as an ordinary new column — the standard schema-merge
+        // outcome, with its data landing correctly under the current
+        // name via the frozen physical bytes.
+        (if (lcol(to) == lcol(field.name) ||
+             lcol(field.name) != lcol(phys)) Seq.empty
          else Seq(field.name)),
       renames = Some(newMap))
     // POST-claim re-drop closes the other ordering of the build race: a

@@ -36,7 +36,7 @@ class TxLogFuzzSpec extends SparkSpec {
 
     for (step <- 1 to 35) {
       val keys = (1L to 30L).toVector
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // append fresh keys (avoid dup rows in the model)
           val fresh = keys.filter(!model.contains(_))
           if (fresh.nonEmpty) {
@@ -104,6 +104,13 @@ class TxLogFuzzSpec extends SparkSpec {
           try record(TxLog.merge(spark, df(batch), root,
             keyCols = Seq("id"), partitionCols = Seq.empty))
           finally spark.conf.unset("spark.graft.merge.mode")
+        case 10 => // RENAME round trip: x -> x_r (mapping on), back to x
+          // two metadata-only commits interleaved with everything else;
+          // model values are position-read so state must be unchanged.
+          // Only the un-renamed version is recorded — a later rollback
+          // must never land INSIDE the pair (the other ops address 'x')
+          TxLog.renameColumn(spark, root, "x", "x_r")
+          record(TxLog.renameColumn(spark, root, "x_r", "x"))
       }
       withClue(s"after step $step: ") { state() shouldBe model }
     }

@@ -94,17 +94,30 @@ class TxLogRenameSpec extends SparkSpec {
     val snap = TxLog.readLatest(spark, root)
     snap.columns.toSeq shouldBe Seq("id", "c")
     snap.select("c").head().getDouble(0) shouldBe 5.0
-    // intermediate logical name b is tombstoned too (a stale b-writer
-    // raced a second rename once — the guard closes it)
-    intercept[IllegalArgumentException] {
-      TxLog.append(spark, Seq((2L, 1.0)).toDF("id", "b"), root)
-    }
-    // un-rename: back to the column's OWN physical name is the one
-    // allowed reuse; the mapping entry disappears
+    // the chain-retired alias b holds NO bytes anywhere (physical is
+    // a throughout), so it is NOT tombstoned: a stale b-writer's batch
+    // merges b in as an ordinary new column — its values land under b,
+    // never aliasing c's physical bytes
+    TxLog.append(spark, Seq((2L, 1.0)).toDF("id", "b"), root)
+    val merged = TxLog.readLatest(spark, root)
+    merged.columns.toSeq shouldBe Seq("id", "c", "b")
+    merged.filter(col("id") === 1L).select("c", "b").head()
+      .toSeq shouldBe Seq(5.0, null)
+    merged.filter(col("id") === 2L).select("c", "b").head()
+      .toSeq shouldBe Seq(null, 1.0)
+    // un-rename: back to the column's OWN physical name is allowed (its
+    // tombstone clears — the bytes are the column's own current data);
+    // b rides along untouched
     TxLog.renameColumn(spark, root, "c", "a")
-    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "a")
-    TxLog.append(spark, Seq((2L, 7.0)).toDF("id", "a"), root)
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "a", "b")
+    TxLog.append(spark, Seq((3L, 7.0)).toDF("id", "a"), root)
     TxLog.readLatest(spark, root).agg(sum("a")).head().getDouble(0) shouldBe 12.0
+    // and a SECOND rename onto the previously retired alias b is legal
+    // (no bytes ever existed under it) — the fuzz's round-trip case
+    TxLog.renameColumn(spark, root, "b", "b2")
+    TxLog.renameColumn(spark, root, "a", "a2")
+    TxLog.renameColumn(spark, root, "a2", "a")
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id", "a", "b2")
   }
 
   test("renames are refused for partition columns, existing targets, and constrained columns") {
