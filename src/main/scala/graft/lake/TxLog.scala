@@ -333,11 +333,17 @@ object TxLog {
       s"'$RowCountKey' is the reserved row-count pseudo-column")
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     // the files carry PHYSICAL names (stage writes them; live files
-    // froze them at rename time): aggregate under the physical name,
-    // key the recorded bounds by the LOGICAL one — readRange/merge
-    // pruning and ANALYZE's coverage check all look stats up logically.
-    // The mapping comes from the CALLER's snapshot (same-snapshot rule
-    // as stage)
+    // froze them at rename time): aggregate under the physical name and
+    // KEY the recorded bounds by it too. Physical names are
+    // lineage-stable — a logical key would describe whatever lineage
+    // happened to hold the name at write time, and a later rename
+    // moving a name onto a different lineage would silently serve the
+    // wrong bounds to pruning. Every consumer (readRange/readRanges/
+    // minMaxFast/merge probe/ANALYZE coverage) translates its logical
+    // column through the snapshot's mapping before the lookup, which
+    // also means pre-rename files KEEP pruning after a rename. The
+    // mapping comes from the CALLER's snapshot (same-snapshot rule as
+    // stage)
     val mapping = colMap
     val physCols = statsCols.map(physName(mapping, _))
     // cast BEFORE the agg: min/max of a string column are LEXICOGRAPHIC
@@ -385,7 +391,7 @@ object TxLog {
       relFromInputFile(r.getAs[String]("__f"), rootDec)
         .filter(relSet.contains)
         .map { rel =>
-          val colStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val colStats = physCols.zipWithIndex.flatMap { case (c, i) =>
             val (mnI, mxI, badI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
             if (r.isNullAt(mnI) || r.getLong(badI) > 0) None
             else Some(c -> (r.getDouble(mnI), r.getDouble(mxI)))
@@ -535,7 +541,8 @@ object TxLog {
                          dvDrop: Seq[String] = Seq.empty,
                          metrics: Map[String, Long] = Map.empty,
                          schemaDrop: Seq[String] = Seq.empty,
-                         renames: Option[Map[String, String]] = None): Long = {
+                         renames: Option[Map[String, String]] = None,
+                         mappingFence: Option[(Map[String, String], Seq[String])] = None): Long = {
     val fs = fileSystem(spark, root)
     // parse the auto-truncation config BEFORE any claim: a malformed
     // value must fail the write while nothing is durable — thrown after
@@ -586,6 +593,26 @@ object TxLog {
         txn.foreach { case (app, v) =>
           snapNow.flatMap(_.txns.get(app)).filter(_ >= v)
             .foreach(w => throw new AlreadyCommitted(w))
+        }
+        // Stage-vs-rename/overwrite/rollback fence for paths WITHOUT a
+        // stale-base version check (the append family): the staged files
+        // carry the physical names of `stagedMap`; if any batch column's
+        // physical name DIFFERS under the winning state's mapping, the
+        // files would read wrong (renamed columns all-NULL) — refuse,
+        // column-restricted so an unrelated column's concurrent first
+        // rename never fails an untouched batch. Runs against snapNow,
+        // which this loop already resolved.
+        mappingFence.foreach { case (stagedMap, batchCols) =>
+          val now = snapNow.map(_.colMap)
+            .getOrElse(Map.empty[String, String])
+          val moved = batchCols.filter(c =>
+            !physName(stagedMap, c).equalsIgnoreCase(physName(now, c)))
+          if (moved.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"column mapping of $root changed for staged column(s) " +
+                s"${moved.mkString(", ")} (concurrent RENAME/OVERWRITE/" +
+                "ROLLBACK): the staged files carry the old physical " +
+                "names — re-run the write")
         }
         val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
           .maxOption.map(_ + 1).getOrElse(0L)
@@ -829,6 +856,19 @@ object TxLog {
     }
   }
 
+  /** The table's current column mapping for a PRE-stage read: empty for
+    * a fresh table (resolve's require fails — nothing to map), but an IO
+    * failure PROPAGATES. Swallowing it would stage a mapped table's
+    * batch under LOGICAL names — fail-open on exactly the state the
+    * commit-time mapping fence guards (the fence would still refuse the
+    * commit, but only after the batch staged and with a misleading
+    * concurrent-change message).
+    */
+  private def colMapForStage(spark: SparkSession,
+                             root: String): Map[String, String] =
+    try resolve(spark, root, None).colMap
+    catch { case _: IllegalArgumentException => Map.empty }
+
   /** Append `df` as a new commit. Returns the committed version.
     * `statsCols` opts the batch into per-file min/max stats for
     * [[readRange]] data skipping. Schema policy: [[committedDdl]].
@@ -839,41 +879,19 @@ object TxLog {
     // ONE metadata resolution feeds the stage mapping and the stats
     // job's key translation (stage/computeStats would otherwise each
     // re-resolve just to learn the column mapping)
-    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
-      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val preMap = colMapForStage(spark, root)
     val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
-        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap))
+      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      mappingFence = Some((preMap,
+        StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
-
-  /** Commit-time fence for the stage-vs-OVERWRITE mapping race on the
-    * append family (merge/DML/compact already fence on version): a batch
-    * staged under a column mapping carries the FROZEN physical names,
-    * and a concurrent overwrite/rollback that cleared or changed the
-    * mapping would let it commit files whose renamed columns then read
-    * as all-NULL. Called only when the batch WAS staged under a mapping
-    * — the unmapped common case pays nothing (the reverse direction, a
-    * rename racing an unmapped stage, is already refused by the retired
-    * name's tombstone in [[committedDdl]]).
-    */
-  private def failOnMappingChange(spark: SparkSession, root: String,
-                                  stagedMap: Map[String, String]): Unit =
-    if (stagedMap.nonEmpty) {
-      val now = scala.util.Try(resolve(spark, root, None)).toOption
-        .map(_.colMap).getOrElse(Map.empty[String, String])
-      if (now != stagedMap)
-        throw new java.util.ConcurrentModificationException(
-          s"column mapping of $root changed while this batch was staged " +
-            "(concurrent OVERWRITE/ROLLBACK/RENAME): its files carry the " +
-            "old physical names — re-run the write")
-    }
 
   /** Test seam for the enforce->commit race window (no-op in
     * production): lets a spec commit a constraint change exactly between
@@ -900,17 +918,19 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Option[Long] = {
     val pre = scala.util.Try(resolve(spark, root, None)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
-    val preMap = pre.map(_.colMap).getOrElse(Map.empty[String, String])
+    val preMap = pre.map(_.colMap)
+      .getOrElse(colMapForStage(spark, root))
     val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
-        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       computeStats(spark, root, adds, statsCols, colMap = preMap),
-      txn = Some((appId, txnVersion))))
+      txn = Some((appId, txnVersion)),
+      mappingFence = Some((preMap,
+        StructType.fromDDL(ddl).fieldNames.toSeq))))
     catch { case _: AlreadyCommitted => None }
   }
 
@@ -926,8 +946,7 @@ object TxLog {
                     partitionCols: Seq[String] = Seq.empty,
                     statsCols: Seq[String] = Seq.empty): Long = {
     val (observed, obs) = Expect.observed(df, expectations)
-    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
-      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val preMap = colMapForStage(spark, root)
     val (adds, ddl) = stage(observed, root, partitionCols,
       colMap = preMap)
     val bad = Expect.violations(obs)
@@ -936,10 +955,11 @@ object TxLog {
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
-        failOnMappingChange(spark, root, preMap)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap))
+      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      mappingFence = Some((preMap,
+        StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
 
   /** Replace the whole table content with `df` (logically — prior files
@@ -975,19 +995,19 @@ object TxLog {
                        partitionCols: Seq[String],
                        statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
-    val preMap = scala.util.Try(resolve(spark, root, None)).toOption
-      .map(_.colMap).getOrElse(Map.empty[String, String])
+    val preMap = colMapForStage(spark, root)
     val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
       { (commits, live) =>
         failOnConstraintChange(commits, enfAt, root)
-        failOnMappingChange(spark, root, preMap)
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap))
+      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      mappingFence = Some((preMap,
+        StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
 
   /** Statically-scoped partition overwrite (Hive/Spark's
@@ -1038,7 +1058,11 @@ object TxLog {
         (adds, live.filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = current.colMap))
+      computeStats(spark, root, adds, statsCols, colMap = current.colMap),
+      // overwrite-wins needs no version fence, but the staged files DO
+      // carry current.colMap's physical names — same race as appends
+      mappingFence = Some((current.colMap,
+        StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
@@ -1236,7 +1260,8 @@ object TxLog {
     // non-castable values) stay in the rescan set — a bounded
     // conservative cost, never a wrong skip.
     val toScan = current.live.filterNot(f =>
-      canon.forall(c => current.stats.get(f).exists(_.contains(c))))
+      canon.forall(c => current.stats.get(f)
+        .exists(_.contains(physName(current.colMap, c)))))
     if (toScan.isEmpty) return current.version // fully covered: no-op
     // the table schema makes pre-evolution files readable (null-filled)
     val fresh = computeStats(spark, root, toScan, canon,
@@ -1434,11 +1459,11 @@ object TxLog {
     *    constraint references the column (its SQL names the old
     *    spelling — drop the constraint first, like DROP COLUMN).
     *  - The column's BLOOM INDEX sidecar is keyed by logical name and
-    *    dropped best-effort (values unchanged but probes use the new
-    *    name; rebuild under it). File-skipping stats recorded under the
-    *    old logical name stop pruning for pre-rename files — safe
-    *    (no stats = conservatively scanned) — until an ANALYZE or
-    *    OPTIMIZE records bounds under the new name.
+    *    STRICTLY dropped (pre-claim, both names; post-claim the old
+    *    name) — probes use the new name, rebuild under it. File-skipping
+    *    STATS key by the frozen PHYSICAL name, so pruning and
+    *    metadata-only MIN/MAX survive the rename unchanged (consumers
+    *    translate the logical column through the mapping).
     *  - An OVERWRITE clears the mapping (all live files rewritten under
     *    logical names), restoring a mapping-free table.
     */
@@ -1513,15 +1538,18 @@ object TxLog {
              lcol(field.name) != lcol(phys)) Seq.empty
          else Seq(field.name)),
       renames = Some(newMap))
-    // POST-claim re-drop closes the other ordering of the build race: a
-    // build whose sidecar write landed after the pre-claim drop but
-    // whose fence resolved BEFORE this commit (old name still in the
-    // schema) passes its own fence and leaves a ghost sidecar under the
-    // retired name. A failure here is wrapped DISTINCTLY — the rename
-    // is already DURABLE, so it must not read as a retryable failure.
+    // POST-claim re-drop (OLD name only) closes the other ordering of
+    // the build race: a build whose sidecar write landed after the
+    // pre-claim drop but whose fence resolved BEFORE this commit (old
+    // name still in the schema) passes its own fence and leaves a ghost
+    // sidecar under the retired name. The NEW name is deliberately NOT
+    // re-dropped: a sidecar under it post-claim can only be a LEGITIMATE
+    // build against the renamed schema (pre-rename builds on that name
+    // were impossible — the column did not exist). A failure here is
+    // wrapped DISTINCTLY — the rename is already DURABLE, so it must
+    // not read as a retryable failure.
     try {
       mustDropBloomIndexes(spark, root, field.name)
-      mustDropBloomIndexes(spark, root, to)
     } catch { case e: IOException =>
       throw new IllegalStateException(
         s"rename of ${field.name} at $root is DURABLE, but dropping a " +
@@ -1798,8 +1826,9 @@ object TxLog {
           kstat.getLong(4) > 0) current.live
       else {
         val (klo, khi) = (kstat.getDouble(1), kstat.getDouble(2))
+        val physKey = physName(current.colMap, keyHead) // physical stats key
         current.live.filter { f =>
-          current.stats.get(f).flatMap(_.get(keyHead)) match {
+          current.stats.get(f).flatMap(_.get(physKey)) match {
             case Some((mn, mx)) => mx >= klo && mn <= khi
             case None           => true
           }
@@ -2572,8 +2601,9 @@ object TxLog {
                 lo: Double, hi: Double,
                 version: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, root, version)
+    val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
     val keep = snap.live.filter { f =>
-      snap.stats.get(f).flatMap(_.get(column)) match {
+      snap.stats.get(f).flatMap(_.get(pc)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
@@ -2595,8 +2625,10 @@ object TxLog {
                  version: Option[Long] = None): DataFrame = {
     require(bounds.nonEmpty, "readRanges needs at least one bound")
     val snap = resolve(spark, root, version)
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (physName(snap.colMap, c), lo, hi) } // stats key by PHYSICAL name
     val keep = snap.live.filter { f =>
-      bounds.forall { case (c, lo, hi) =>
+      physBounds.forall { case (c, lo, hi) =>
         snap.stats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
@@ -2624,7 +2656,8 @@ object TxLog {
     // — fine for PRUNING (superset), wrong as an ANSWER. Fall back to the
     // scan until OPTIMIZE materializes the vectors away.
     if (snap.live.exists(snap.dvs.contains)) return None
-    val perFile = snap.live.map(f => snap.stats.get(f).flatMap(_.get(column)))
+    val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
+    val perFile = snap.live.map(f => snap.stats.get(f).flatMap(_.get(pc)))
     if (perFile.exists(_.isEmpty)) None
     else {
       val bs = perFile.flatten
@@ -3355,8 +3388,9 @@ object TxLog {
         // unlike an mtime+length stat on coarse-mtime object stores
         val names = fs.listStatus(ckptPathV2(root, v))
           .map(_.getPath.getName).sorted.mkString("\n")
-        cachedCkpt((s"$root#v2", v, names.hashCode.toLong,
-            names.length.toLong),
+        // the EXACT listing is the key's string slot — part names embed
+        // job UUIDs, so this is a content identity, not a 32-bit hash
+        cachedCkpt((s"$root#v2\n$names", v, names.length.toLong, 0L),
           readCkptV2(spark, root, v))
       } else {
         val st = fs.getFileStatus(ckptPath(root, v))
@@ -4051,11 +4085,10 @@ object TxLog {
 
     val removed = groups.values.flatten.map(_._1).toSeq
     // RowCountKey is a pseudo-column (rides every stats map), not a data
-    // column the recompute job could reference. Stats recorded before a
-    // RENAME are keyed by the then-logical (= physical) name — translate
-    // through the reverse mapping and canonicalize to the current
-    // schema, so compaction RESTORES pruning under the new name instead
-    // of failing on a column the schema no longer spells that way.
+    // column the recompute job could reference. Stats keys are PHYSICAL
+    // names — translate through the reverse mapping and canonicalize to
+    // the current schema to get computeStats' LOGICAL input (it re-keys
+    // the output physically itself).
     val schemaS = StructType.fromDDL(current.schemaDdl)
     val reverse = current.colMap.map { case (l, p) => lcol(p) -> l }
     val statCols = removed

@@ -248,6 +248,36 @@ class TxLogRenameSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 50L
   }
 
+  test("stats are lineage-correct: pruning survives renames and a reused alias serves the right bounds") {
+    val root = tmpRoot()
+    // one file per key range, bounds recorded for both columns
+    TxLog.append(spark,
+      (1L to 10L).map(k => (k, 1000L + k)).toDF("a", "d")
+        .repartition(1), root, statsCols = Seq("a", "d"))
+    TxLog.append(spark,
+      (11L to 20L).map(k => (k, 1000L + k)).toDF("a", "d")
+        .repartition(1), root, statsCols = Seq("a", "d"))
+    // retire 'a' to 'c' via a chain, then REUSE the retired alias 'b'
+    // for the OTHER lineage — the scenario where logical stats keys
+    // would serve lineage-a bounds to logical-b (= physical d) reads
+    TxLog.renameColumn(spark, root, "a", "b")
+    TxLog.renameColumn(spark, root, "b", "c")
+    TxLog.renameColumn(spark, root, "d", "b")
+    TxLog.minMaxFast(spark, root, "b") shouldBe Some((1001.0, 1020.0))
+    TxLog.minMaxFast(spark, root, "c") shouldBe Some((1.0, 20.0))
+    TxLog.readRange(spark, root, "b", 1001.0, 1005.0).count() shouldBe 5L
+    TxLog.readRange(spark, root, "c", 3.0, 4.0).count() shouldBe 2L
+    // pruning proof: corrupt the SECOND file's bytes — a range read
+    // confined to the first file's bounds must never open it, under
+    // the POST-rename names (stats keyed by frozen physical names)
+    val f2 = TxLog.history(spark, root).filter(_.operation == "append")
+      .last.add.head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/$f2"), "garbage".getBytes)
+    TxLog.readRange(spark, root, "c", 1.0, 5.0).count() shouldBe 5L
+    TxLog.readRange(spark, root, "b", 1001.0, 1005.0).count() shouldBe 5L
+  }
+
   test("an OVERWRITE racing a mapped append fails the append, not the readers") {
     // the staged batch carries FROZEN physical names; if a concurrent
     // overwrite clears the mapping between stage and claim, committing
