@@ -220,6 +220,19 @@ object TxLog {
   // Log access
   // -------------------------------------------------------------------
 
+  /** Thrown by [[resolve]] when `root` holds no txlog table at all (no
+    * log directory, or an entry-less one): the ONE refusal that
+    * legitimately means "fresh table" to write paths. A distinct type so
+    * callers can treat exactly this case as empty state while every
+    * other refusal — above all the truncated-log "origin entries
+    * missing" guard — stays loud: catching bare IllegalArgumentException
+    * there would fail OPEN (stage under an empty column mapping, commit
+    * a delta against a partial live set) on precisely the corrupted
+    * state those guards exist to detect.
+    */
+  final class NotATxLogTableException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -586,7 +599,14 @@ object TxLog {
         // old entries were truncated (which readers support) — and the
         // next version must also respect a checkpoint that outlived its
         // commits
-        val snapNow = scala.util.Try(resolve(spark, root, None)).toOption
+        // None ONLY for a fresh table (first commit): any other resolve
+        // failure — IO, or the truncated-log "origin missing" refusal —
+        // must fail the WRITE. Computing the delta against a partial
+        // live set or fencing against an empty column mapping would
+        // commit wrong state on exactly the corruption being detected.
+        val snapNow =
+          try Some(resolve(spark, root, None))
+          catch { case _: NotATxLogTableException => None }
         // idempotence check INSIDE the loop: a raced duplicate writer that
         // lost the version claim re-reads state here and must observe the
         // winner's watermark, not its own stale pre-stage read
@@ -857,17 +877,20 @@ object TxLog {
   }
 
   /** The table's current column mapping for a PRE-stage read: empty for
-    * a fresh table (resolve's require fails — nothing to map), but an IO
-    * failure PROPAGATES. Swallowing it would stage a mapped table's
-    * batch under LOGICAL names — fail-open on exactly the state the
-    * commit-time mapping fence guards (the fence would still refuse the
-    * commit, but only after the batch staged and with a misleading
-    * concurrent-change message).
+    * a FRESH table only (resolve's dedicated refusal — nothing to map).
+    * Every other failure PROPAGATES — an IO error, and equally resolve's
+    * truncated-log "origin entries missing" refusal, which is also an
+    * IllegalArgumentException: swallowing either would stage a mapped
+    * table's batch under LOGICAL names — fail-open on exactly the state
+    * the commit-time mapping fence guards (the fence would still refuse
+    * the commit, but only after the batch staged and with a misleading
+    * concurrent-change message — and commitLoop's own resolve would now
+    * propagate the same refusal anyway).
     */
   private def colMapForStage(spark: SparkSession,
                              root: String): Map[String, String] =
     try resolve(spark, root, None).colMap
-    catch { case _: IllegalArgumentException => Map.empty }
+    catch { case _: NotATxLogTableException => Map.empty }
 
   /** Append `df` as a new commit. Returns the committed version.
     * `statsCols` opts the batch into per-file min/max stats for
@@ -3360,10 +3383,24 @@ object TxLog {
     * the full replay. The in-flight-tail rule of [[history]] applies.
     */
   private def resolve(spark: SparkSession, root: String,
-                      upTo: Option[Long]): Snapshot = {
+                      upTo: Option[Long]): Snapshot =
+    try resolveOnce(spark, root, upTo)
+    catch {
+      // A checkpoint listed from the log dir can vanish between the
+      // listing and its read (a concurrent torn-checkpoint repair, or a
+      // maintenance delete). That is a TRANSIENT race, not table state:
+      // one re-resolution re-lists and lands on whatever checkpoint now
+      // exists. A second FileNotFoundException is real and propagates.
+      case _: java.io.FileNotFoundException =>
+        resolveOnce(spark, root, upTo)
+    }
+
+  private def resolveOnce(spark: SparkSession, root: String,
+                          upTo: Option[Long]): Snapshot = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
-    require(fs.exists(dir), s"not a txlog table: $root")
+    if (!fs.exists(dir))
+      throw new NotATxLogTableException(s"not a txlog table: $root")
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
     // both checkpoint formats are candidates; when one version carries
     // both forms they summarize identical state and v2 (parquet) wins
@@ -3371,37 +3408,60 @@ object TxLog {
       (names.collect { case CkptFile(v) => v.toLong -> false } ++
         names.collect { case CkptDirV2(v) => v.toLong -> true })
         .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
-    val ckptVersion = ckptForms.keysIterator
-      .filter(v => upTo.forall(v <= _)).maxOption
-    // checkpoint BASE snapshots are cached per (root, version, header
+    // Newest-first checkpoint candidates. A candidate whose files are
+    // GONE by read time — listed a moment ago, then hit by a concurrent
+    // torn-checkpoint repair or left headerless by a crashed delete —
+    // is SKIPPED in favor of the next-older one: checkpoints are
+    // derived state, so an older base plus a longer tail resolves
+    // identical content, and the origin guard below still refuses when
+    // no complete chain remains. Only FileNotFoundException qualifies;
+    // any other read failure (real corruption) stays loud.
+    //
+    // Checkpoint BASE snapshots are cached per (root, version, header
     // stat): content is immutable for a (root, version) — and the stat
     // in the key protects the one way that assumption breaks, a table
     // deleted and recreated at the same path. Without this, every
     // resolve on a v2-checkpointed table re-runs a Spark collect of the
     // whole live-file row set — several times per commit on the write
     // paths (v1 paid a driver JSON re-parse for the same reason).
-    val base = ckptVersion.map { v =>
-      if (ckptForms(v)) {
-        // v2 identity = the checkpoint dir's FILE NAMES (one listing):
-        // parquet part names carry the write's job UUID, so a table
-        // deleted and recreated at the same path can never collide —
-        // unlike an mtime+length stat on coarse-mtime object stores
-        val names = fs.listStatus(ckptPathV2(root, v))
-          .map(_.getPath.getName).sorted.mkString("\n")
-        // the EXACT listing is the key's string slot — part names embed
-        // job UUIDs, so this is a content identity, not a 32-bit hash
-        cachedCkpt((s"$root#v2\n$names", v, names.length.toLong, 0L),
-          readCkptV2(spark, root, v))
-      } else {
-        val st = fs.getFileStatus(ckptPath(root, v))
-        cachedCkpt((s"$root#v1", v, st.getModificationTime, st.getLen),
-          readCkptV1(spark, root, v))
-      }
+    var base: Option[Snapshot] = None
+    val candIt = ckptForms.keysIterator
+      .filter(v => upTo.forall(v <= _)).toSeq.sortBy(-_).iterator
+    while (base.isEmpty && candIt.hasNext) {
+      val v = candIt.next()
+      try {
+        base = Some(if (ckptForms(v)) {
+          // v2 identity = the checkpoint dir's FILE NAMES (one listing):
+          // parquet part names carry the write's job UUID, so a table
+          // deleted and recreated at the same path can never collide —
+          // unlike an mtime+length stat on coarse-mtime object stores
+          val names = fs.listStatus(ckptPathV2(root, v))
+            .map(_.getPath.getName).sorted.mkString("\n")
+          // the EXACT listing is the key's string slot — part names
+          // embed job UUIDs, so this is a content identity, not a
+          // 32-bit hash
+          cachedCkpt((s"$root#v2\n$names", v, names.length.toLong, 0L),
+            readCkptV2(spark, root, v))
+        } else {
+          val st = fs.getFileStatus(ckptPath(root, v))
+          cachedCkpt((s"$root#v1", v, st.getModificationTime, st.getLen),
+            readCkptV1(spark, root, v))
+        })
+      } catch { case _: java.io.FileNotFoundException => () }
     }
+    val ckptVersion = base.map(_.version)
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
       .filter(c => upTo.forall(c.version <= _))
-    require(base.nonEmpty || tail.nonEmpty,
-      s"no commit at or before version ${upTo.getOrElse("latest")} in $root")
+    if (base.isEmpty && tail.isEmpty) {
+      // distinguish "fresh" (a log dir with no commit entries — e.g. a
+      // writer crashed between mkdirs and its first claim) from a real
+      // refusal like upTo predating the first surviving commit
+      if (upTo.isEmpty && !names.exists(LogFile.matches))
+        throw new NotATxLogTableException(
+          s"not a txlog table (no commits yet): $root")
+      throw new IllegalArgumentException(
+        s"no commit at or before version ${upTo.getOrElse("latest")} in $root")
+    }
     // With no eligible checkpoint the replay starts from EMPTY state, so
     // the tail must begin at the log's origin: a tail starting mid-log
     // (an interrupted vacuumLog, or entries deleted by hand) would
@@ -3825,6 +3885,17 @@ object TxLog {
   private def checkpointV2(spark: SparkSession, root: String,
                            snap: Snapshot): Unit = {
     val fs = fileSystem(spark, root)
+    // Same-version checkpoints are derived, content-equivalent state, so
+    // an existing COMPLETE directory never needs replacing — and never
+    // replacing it means a valid checkpoint exists at EVERY instant (a
+    // delete-then-rename swap has a crash window that destroys the only
+    // checkpoint of a vacuumLog-truncated log, leaving the table
+    // unresolvable). "Complete" = the meta header is present: it is
+    // written last before the atomic rename publication, so a
+    // half-deleted leftover is detectable by its absence and replaced
+    // below.
+    val dst = ckptPathV2(root, snap.version)
+    if (fs.exists(dst) && fs.exists(new Path(dst, CkptMetaName))) return
     val liveSet = snap.live.toSet
     // live files' dv refs and stats only — same conservative rule as v1
     val liveDvs = snap.dvs.view.filterKeys(liveSet).toMap
@@ -3868,11 +3939,21 @@ object TxLog {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val out = fs.create(new Path(tmp, CkptMetaName), true)
       try out.write(meta.getBytes(UTF_8)) finally out.close()
-      val dst = ckptPathV2(root, snap.version)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
+      // A dst that appeared since the entry check is a concurrent writer
+      // publishing the equivalent content — our tmp is redundant, never
+      // grounds to delete theirs. Only a HEADERLESS leftover (torn by a
+      // crashed delete) is cleared, and it was unreadable anyway, so no
+      // valid checkpoint is ever destroyed.
+      def complete() = fs.exists(new Path(dst, CkptMetaName))
+      if (fs.exists(dst)) {
+        if (complete()) { fs.delete(tmp, true); return }
+        fs.delete(dst, true)
+      }
+      if (!fs.rename(tmp, dst)) {
+        if (complete()) { fs.delete(tmp, true); return } // lost a benign race
         throw new IOException(
           s"checkpoint rename $tmp -> $dst failed at $root")
+      }
     } catch {
       case t: Throwable =>
         try { fs.delete(tmp, true); () } catch { case _: IOException => () }

@@ -176,6 +176,65 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 11L
   }
 
+  test("re-checkpoint of an existing version is an idempotent skip — no swap window") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    val dir = new java.io.File(
+      s"$root/${TxLog.LogDirName}/00000000000000000011.checkpoint.parquet")
+    val firstListing = dir.listFiles().map(_.getName).sorted.toSeq
+    // second checkpoint of the SAME version: content-equivalent by
+    // construction, so the writer must skip the swap entirely — a
+    // delete-then-rename here would have an instant with no checkpoint,
+    // and a crash in that instant destroys the only checkpoint of a
+    // truncated log. Part names carry the write's job UUID, so an
+    // unchanged listing proves no rewrite happened.
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    dir.listFiles().map(_.getName).sorted.toSeq shouldBe firstListing
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+  }
+
+  test("a headerless torn checkpoint: readers fall back, checkpoint() repairs it") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    } // cadence checkpoint at v9; explicit one at v11
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    val dir = new java.io.File(
+      s"$root/${TxLog.LogDirName}/00000000000000000011.checkpoint.parquet")
+    // simulate a crash mid-delete of the old swap path: the header
+    // (written last before publication) is gone, parquet parts remain
+    new java.io.File(dir, "_meta.json").delete() shouldBe true
+    // readers skip the torn candidate and resolve from the next-older
+    // checkpoint (v9) + tail — the table never becomes unreadable
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+    // checkpoint() of the same version detects the headerless dir and
+    // replaces it (it was unreadable, so no valid checkpoint is lost)
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    new java.io.File(dir, "_meta.json").exists() shouldBe true
+    TxLog.readLatest(spark, root).count() shouldBe 12L
+  }
+
+  test("torn ONLY checkpoint: resolve falls back to full raw replay") {
+    val root = tmpRoot()
+    (0 until 8).foreach { i => // v0..v7 — below the auto-cadence
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root)
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(7L)
+    val dir = new java.io.File(
+      s"$root/${TxLog.LogDirName}/00000000000000000007.checkpoint.parquet")
+    new java.io.File(dir, "_meta.json").delete() shouldBe true
+    // no older checkpoint exists, but every raw entry does: the reader
+    // degrades to the origin replay instead of propagating the torn
+    // candidate's FileNotFoundException
+    TxLog.readLatest(spark, root).count() shouldBe 8L
+  }
+
   test("cleanOrphans counts v2 checkpoint live sets as references and reaps stale ckpt tmp dirs") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>

@@ -347,4 +347,24 @@ class TxLogRenameSpec extends SparkSpec {
     TxLogSql.run(spark, "DESCRIBE DETAIL rename_sql_t")
       .select("column_mapping").head().getString(0) shouldBe "body->payload"
   }
+
+  test("a mapped table whose log lost its origin FAILS writes — never stages under an empty mapping") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 5L).map(k => (k, s"s$k")).toDF("id", "payload")
+        .repartition(1), root)
+    TxLog.renameColumn(spark, root, "payload", "body")
+    TxLog.append(spark, Seq((6L, "s6")).toDF("id", "body"), root)
+    // interrupted hand-truncation: origin entry gone, no checkpoint.
+    // resolve refuses — and the WRITE paths must propagate that refusal
+    // instead of treating it as "fresh table, empty mapping": staging a
+    // batch under logical names against a mapped table's files would be
+    // fail-open on exactly the corruption the guard detects.
+    new java.io.File(s"$root/${TxLog.LogDirName}/00000000000000000000.json")
+      .delete() shouldBe true
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((7L, "s7")).toDF("id", "body"), root)
+    }
+    e.getMessage should include("origin entries are missing")
+  }
 }
