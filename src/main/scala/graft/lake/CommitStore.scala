@@ -241,12 +241,27 @@ final class LockFileCommitStore(lockDir: String) extends CommitStore {
         try {
           if (fs.exists(p)) false
           else {
-            // single writer inside the lock: the plain create cannot
-            // race. Content lands before release, so a LOSER never sees
-            // a missing file for a version it lost to — only ordinary
-            // readers can glimpse the in-flight tail (handled by TxLog).
-            val out = fs.create(p, false)
-            try out.write(bytes) finally out.close()
+            // single writer inside the lock, and the entry is PUBLISHED
+            // BY ATOMIC RENAME of a fully-written temp: a writer that
+            // crashes mid-write leaves only an invisible temp (reaped as
+            // an ordinary orphan), never a torn tail entry readers and
+            // REPAIR LOG would have to adjudicate. A loser never sees a
+            // missing file for a version it lost to — content is in
+            // place before the lock releases.
+            val tmp = new Path(p.getParent, s".${p.getName}.${
+              UUID.randomUUID().toString.take(8)}.claimtmp")
+            val out = fs.create(tmp, true)
+            try { try out.write(bytes) finally out.close() }
+            catch { case t: Throwable =>
+              try { fs.delete(tmp, false); () }
+              catch { case _: IOException => () }
+              throw t
+            }
+            if (!fs.rename(tmp, p)) {
+              try { fs.delete(tmp, false); () }
+              catch { case _: IOException => () }
+              throw new IOException(s"claim publish rename $tmp -> $p failed")
+            }
             true
           }
         } finally lk.release()

@@ -3,7 +3,7 @@ package graft.lake
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import java.io.IOException
 import java.nio.charset.StandardCharsets.UTF_8
@@ -124,11 +124,71 @@ object TxLog {
     files.result()
   }
 
+  /** Reader-feature ladder (the Delta protocol-version idea, scoped to
+    * this log format). A commit that first USES a feature an older
+    * reader would silently mis-read stamps `minReader` with the rung
+    * that understands it; readers refuse — loudly — anything above
+    * [[SupportedReaderVersion]] instead of dropping the unknown fields
+    * and resolving wrong state (a reader that ignores `dv` resurrects
+    * deleted rows; one that ignores `renames` reads renamed columns as
+    * all-NULL):
+    *
+    *  1. base protocol — add/remove/stats/txn/constraints/metrics
+    *  2. deletion vectors (`dv`/`dvDrop`) and drop-column tombstones
+    *     (`schemaDrop`)
+    *  3. column mapping (`renames`)
+    *
+    * Commits using nothing above rung 1 carry NO field, so pre-feature
+    * logs round-trip byte-unchanged and stay readable by every reader.
+    * Checkpoints derive their stamp from the STATE they summarize (see
+    * the writers), so the requirement survives log truncation.
+    */
+  val SupportedReaderVersion = 3
+
+  /** A log entry or checkpoint demands a newer reader. Deliberately NOT
+    * a parse failure: [[historyRaw]] treats unparseable tails as
+    * in-flight commits, and this must never be mistaken for one — an
+    * old writer waiting out a "crashed" tail it actually cannot read
+    * would then commit against state it doesn't understand.
+    */
+  final class UnsupportedLogFeatureException(msg: String)
+    extends IOException(msg)
+
+  private def checkReaderVersion(n: com.fasterxml.jackson.databind.JsonNode,
+                                 what: => String): Unit = {
+    val need = Option(n.get("minReader")).map(_.asInt).getOrElse(1)
+    if (need > SupportedReaderVersion)
+      throw new UnsupportedLogFeatureException(
+        s"$what requires log reader version $need; this build supports " +
+          s"<= $SupportedReaderVersion — upgrade the library to read " +
+          "(and above all to WRITE) this table")
+  }
+
+  /** The ladder rung `c`'s features demand: 0 omits the field. */
+  private def minReaderOf(c: Commit): Int =
+    if (c.renames.exists(_.nonEmpty)) 3
+    else if (c.dv.nonEmpty || c.dvDrop.nonEmpty || c.schemaDrop.nonEmpty) 2
+    else 0
+
+  /** The rung a snapshot's SURVIVING state demands — the checkpoint
+    * stamp, so the requirement outlives log truncation exactly as long
+    * as the state that created it does (an overwrite that clears the
+    * mapping and vectors drops the requirement with them).
+    */
+  private def minReaderOfState(colMap: Map[String, String],
+                               liveDvs: Map[String, DvRef],
+                               dropped: Set[String]): Int =
+    if (colMap.nonEmpty) 3
+    else if (liveDvs.nonEmpty || dropped.nonEmpty) 2
+    else 1
+
   private def toJson(c: Commit): String = {
     val n = mapper.createObjectNode()
     n.put("version", c.version)
     n.put("operation", c.operation)
     n.put("timestampMs", c.timestampMs)
+    val mr = minReaderOf(c)
+    if (mr > 1) n.put("minReader", mr)
     n.put("schemaDdl", c.schemaDdl)
     val a = n.putArray("add"); c.add.foreach(a.add)
     val r = n.putArray("remove"); c.remove.foreach(r.add)
@@ -171,6 +231,7 @@ object TxLog {
 
   private def fromJson(s: String): Commit = {
     val n = mapper.readTree(s)
+    checkReaderVersion(n, s"log entry v${n.get("version").asLong}")
     def arr(f: String): Seq[String] = {
       val it = n.get(f).elements()
       val b = Seq.newBuilder[String]
@@ -266,9 +327,16 @@ object TxLog {
       }
       .sortBy(_.getName)
       .map { p =>
-        val parsed = scala.util.Try {
-          fromJson(new String(store.read(fs, p), UTF_8))
-        }.toOption
+        // torn/absent bytes read as None (the in-flight-tail state); a
+        // reader-version refusal PROPAGATES — an old writer waiting out
+        // a "crashed" tail it actually cannot parse would eventually
+        // commit against state it doesn't understand
+        val parsed =
+          try Some(fromJson(new String(store.read(fs, p), UTF_8)))
+          catch {
+            case e: UnsupportedLogFeatureException => throw e
+            case scala.util.control.NonFatal(_) => None
+          }
         p.getName -> parsed
       }
   }
@@ -427,9 +495,9 @@ object TxLog {
     // deletion vectors carry their cumulative row count in the commit,
     // so the metadata-only path stays metadata-only: file rows minus
     // vector rows, per file
+    val rc = snap.stats.col(RowCountKey) // pruned: one stat column read
     val counted = snap.live.flatMap(f =>
-      snap.stats.get(f).flatMap(_.get(RowCountKey))
-        .map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
+      rc.get(f).map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
     if (counted.size == snap.live.size) counted.sum
     else snapshot(spark, root, snap).count()
   }
@@ -590,8 +658,8 @@ object TxLog {
         if (tailWaitMs >= maxTailWaitMs)
           throw new IOException(
             s"txlog tail ${raw.last._1} never became readable in $root " +
-              "(writer crashed between claim and write? delete the orphan " +
-              "log entry to repair)")
+              "(writer crashed between claim and write? run " +
+              "`REPAIR LOG <table>` to quarantine the dead claim)")
       } else {
         val commits = raw.map(_._2.get)
         // current state through CHECKPOINT-AWARE resolution: raw commit
@@ -922,6 +990,25 @@ object TxLog {
     * [[failOnConstraintChange]] closes the window.
     */
   private[lake] var postEnforceHook: () => Unit = () => ()
+
+  /** Bench/test seam: commit `adds` as one append-shaped commit with the
+    * given per-file stats — METADATA ONLY, no staging, no constraint
+    * scan, no existence check on the files. The metadata-scale harness
+    * ([[graft.LogBench]]) uses it to synthesize a 100k-file commit log
+    * in seconds; everything downstream (resolve, checkpoints, pruning,
+    * vacuum) then runs the REAL code paths against it.
+    */
+  private[graft] def commitMetadataOnly(spark: SparkSession, root: String,
+                                        adds: Seq[String], stats: FileStats,
+                                        schemaDdl: String): Long =
+    commitLoop(spark, root, "append", Seq.empty, { (commits, _) =>
+      (adds, Seq.empty, committedDdl(spark, commits, schemaDdl, "append", root))
+    }, stats)
+
+  /** Bench/test seam: drop cached checkpoint base snapshots so the next
+    * resolve pays the cold checkpoint read.
+    */
+  private[graft] def clearCheckpointCache(): Unit = ckptCache.clear()
 
   /** Exactly-once [[append]] for retrying writers (the Delta
     * txn-watermark pattern): the commit is tagged (`appId`, `txnVersion`)
@@ -1282,8 +1369,9 @@ object TxLog {
     // whose column never yields bounds (all-null pre-evolution reads,
     // non-castable values) stay in the rescan set — a bounded
     // conservative cost, never a wrong skip.
+    val curStats = current.stats.full // ANALYZE genuinely needs all keys
     val toScan = current.live.filterNot(f =>
-      canon.forall(c => current.stats.get(f)
+      canon.forall(c => curStats.get(f)
         .exists(_.contains(physName(current.colMap, c)))))
     if (toScan.isEmpty) return current.version // fully covered: no-op
     // the table schema makes pre-evolution files readable (null-filled)
@@ -1293,7 +1381,7 @@ object TxLog {
     // scanned file's new bounds with its existing ones; unscanned files
     // simply keep their bounds from earlier commits
     val merged = fresh.map { case (f, m) =>
-      f -> (current.stats.getOrElse(f, Map.empty[String, (Double, Double)]) ++ m)
+      f -> (curStats.getOrElse(f, Map.empty[String, (Double, Double)]) ++ m)
     }
     commitLoop(spark, root, "analyze",
       partitionColsOf(spark, root, current), { (commits, _) =>
@@ -1850,8 +1938,9 @@ object TxLog {
       else {
         val (klo, khi) = (kstat.getDouble(1), kstat.getDouble(2))
         val physKey = physName(current.colMap, keyHead) // physical stats key
+        val ks = current.stats.col(physKey) // pruned: one stat column read
         current.live.filter { f =>
-          current.stats.get(f).flatMap(_.get(physKey)) match {
+          ks.get(f) match {
             case Some((mn, mx)) => mx >= klo && mn <= khi
             case None           => true
           }
@@ -2503,7 +2592,7 @@ object TxLog {
           s"clone target $dstRoot gained a commit mid-clone")
       // add = DATA files only; sidecars are referenced via dv, not add
       (snap.live, Seq.empty, snap.schemaDdl)
-    }, snap.stats.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs,
+    }, snap.stats.full.view.filterKeys(snap.live.toSet).toMap, dv = liveDvs,
       // drop-column tombstones ride along: the clone's files ARE the
       // source's pre-drop files, stale bytes included
       schemaDrop = snap.droppedCols.toSeq.sorted,
@@ -2625,8 +2714,9 @@ object TxLog {
                 version: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, root, version)
     val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
+    val cs = snap.stats.col(pc) // pruned: one stat column read
     val keep = snap.live.filter { f =>
-      snap.stats.get(f).flatMap(_.get(pc)) match {
+      cs.get(f) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
@@ -2649,10 +2739,11 @@ object TxLog {
     require(bounds.nonEmpty, "readRanges needs at least one bound")
     val snap = resolve(spark, root, version)
     val physBounds = bounds.map { case (c, lo, hi) =>
-      (physName(snap.colMap, c), lo, hi) } // stats key by PHYSICAL name
+      (snap.stats.col(physName(snap.colMap, c)), lo, hi)
+    } // stats key by PHYSICAL name; pruned per-column reads
     val keep = snap.live.filter { f =>
-      physBounds.forall { case (c, lo, hi) =>
-        snap.stats.get(f).flatMap(_.get(c)) match {
+      physBounds.forall { case (cs, lo, hi) =>
+        cs.get(f) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
         }
@@ -2680,7 +2771,8 @@ object TxLog {
     // scan until OPTIMIZE materializes the vectors away.
     if (snap.live.exists(snap.dvs.contains)) return None
     val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
-    val perFile = snap.live.map(f => snap.stats.get(f).flatMap(_.get(pc)))
+    val cs = snap.stats.col(pc) // pruned: one stat column read
+    val perFile = snap.live.map(cs.get)
     if (perFile.exists(_.isEmpty)) None
     else {
       val bs = perFile.flatten
@@ -3235,8 +3327,67 @@ object TxLog {
     * per-application transaction watermarks (appId -> highest committed
     * txnVersion) that make [[appendIdempotent]] exactly-once.
     */
+  /** Per-file stats access that DEFERS and PRUNES the checkpoint read.
+    *
+    * A resolved snapshot of a 100k-file table carries ~100k × statCols
+    * min/max pairs; most consumers never touch them (the write paths
+    * resolve for live set + mapping + schema only), and the ones that do
+    * — [[readRange]], [[countRows]], [[minMaxFast]], the merge probe —
+    * need exactly ONE stat column across the live files. Materializing
+    * the full map on every checkpoint read makes resolve O(all stats) in
+    * driver heap and wall-time; this view makes it O(selected):
+    *
+    *  - `col(c)` loads just that column's (lo, hi) per file — on a v3
+    *    checkpoint a 3-column pruned parquet read (the stat columns are
+    *    flat, so parquet column pruning applies), memoized per column
+    *  - `full` materializes everything — paid only by the checkpoint
+    *    writers, clone, and ANALYZE, which genuinely need it
+    *  - `overlay` carries the commit tail's stats with the fold's
+    *    per-FILE replace semantics: a file present in the overlay takes
+    *    its stats (or their absence) wholly from the overlay
+    *
+    * Memoization lives in the instance, and checkpoint-base instances
+    * are cached in [[ckptCache]] — tail wrappers created per resolve
+    * delegate to the cached base's memo, so each pruned column is read
+    * at most once per checkpoint identity.
+    */
+  private[lake] final class StatsView(
+      baseFullF: () => FileStats,
+      baseColF: String => Map[String, (Double, Double)],
+      val overlay: FileStats) {
+    private lazy val baseFull: FileStats = baseFullF()
+    private val colCache =
+      new java.util.concurrent.ConcurrentHashMap[
+        String, Map[String, (Double, Double)]]()
+
+    /** Per-file (lo, hi) of stat key `c` across every file that records
+      * it — overlay-aware, base read pruned to the one column.
+      */
+    def col(c: String): Map[String, (Double, Double)] = {
+      val b = colCache.computeIfAbsent(c, k => baseColF(k))
+      if (overlay.isEmpty) b
+      else b -- overlay.keys ++
+        overlay.collect { case (f, m) if m.contains(c) => f -> m(c) }
+    }
+
+    /** Full per-file stat maps (base ++ overlay, per-file replace). */
+    lazy val full: FileStats = baseFull ++ overlay
+
+    /** The fold step: tail commit stats layered over this view. */
+    def withOverlay(extra: FileStats): StatsView =
+      if (extra.isEmpty) this
+      else new StatsView(() => full, col, extra)
+  }
+
+  private[lake] object StatsView {
+    val empty: StatsView = eager(Map.empty)
+    /** Fully-materialized stats (raw replay, v1/v2 checkpoints, tests). */
+    def eager(m: FileStats): StatsView =
+      new StatsView(() => Map.empty, _ => Map.empty, m)
+  }
+
   private final case class Snapshot(live: Seq[String], schemaDdl: String,
-                                    version: Long, stats: FileStats,
+                                    version: Long, stats: StatsView,
                                     txns: Map[String, Long] = Map.empty,
                                     constraints: Map[String, String] = Map.empty,
                                     dvs: Map[String, DvRef] = Map.empty,
@@ -3318,6 +3469,7 @@ object TxLog {
     val in = fs.open(ckptPath(root, v))
     val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
             finally in.close()
+    checkReaderVersion(n, s"checkpoint v$v")
     val it = n.get("live").elements()
     val b = Seq.newBuilder[String]
     while (it.hasNext) b += it.next().asText()
@@ -3337,7 +3489,8 @@ object TxLog {
     val cmB = Map.newBuilder[String, String]
     Option(n.get("colMap")).foreach(_.properties().forEach(e =>
       cmB += e.getKey -> e.getValue.asText()))
-    Snapshot(b.result(), n.get("schemaDdl").asText, v, statsFromNode(n),
+    Snapshot(b.result(), n.get("schemaDdl").asText, v,
+      StatsView.eager(statsFromNode(n)),
       txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
       cmB.result())
   }
@@ -3476,9 +3629,11 @@ object TxLog {
     tail.foreach { c => live --= c.remove; live ++= c.add }
     // stats accumulate per FILE across the whole tail (never dropped on
     // logical remove): a later rollback can resurrect a removed file, and
-    // its stats must resurrect with it
-    val stats = tail.foldLeft(base.map(_.stats).getOrElse(Map.empty: FileStats))(
-      (acc, c) => acc ++ c.stats)
+    // its stats must resurrect with it. The fold stays LAZY on the base:
+    // only the tail's (small) stat maps materialize here — the
+    // checkpoint's stay behind the view's pruned readers
+    val stats = base.map(_.stats).getOrElse(StatsView.empty).withOverlay(
+      tail.foldLeft(Map.empty: FileStats)((acc, c) => acc ++ c.stats))
     // txn watermarks only ever move forward (max), so replay order is safe
     val txns = tail.foldLeft(base.map(_.txns).getOrElse(Map.empty[String, Long])) {
       case (acc, c) => c.txn match {
@@ -3795,16 +3950,14 @@ object TxLog {
 
   private val CkptMetaName = "_meta.json"
 
-  /** One live file's checkpoint row (v2). Stats ride as two maps keyed
-    * by column (min, max) — the same double-space values as the commit
-    * log; `dvPath`/`dvRows` carry the file's deletion-vector ref when
-    * one is live.
-    */
-  private[lake] final case class CkptRow(idx: Long, file: String,
-                                         statsMin: Map[String, Double],
-                                         statsMax: Map[String, Double],
-                                         dvPath: Option[String],
-                                         dvRows: Option[Long])
+  // Parquet checkpoint row layouts (the dir name is the same for both;
+  // `_meta.json`'s "format" field disambiguates):
+  //  - format 2 (legacy, read-only): idx, file, statsMin/statsMax as
+  //    per-column maps, dvPath, dvRows — stats decodable only wholesale
+  //  - format 3 (written): idx, file, dvPath, dvRows, then one nullable
+  //    (min<i>, max<i>) double pair per stat column, positions fixed by
+  //    the "statCols" legend in `_meta.json` — parquet column pruning
+  //    makes single-stat reads O(files × 1), the [[StatsView]] contract
 
   /** Write a checkpoint summarizing the live set at the current latest
     * version, so readers replay checkpoint + tail instead of the whole
@@ -3838,7 +3991,7 @@ object TxLog {
     // live files' stats only — a post-checkpoint rollback to a
     // pre-checkpoint version loses skipping for resurrected files
     // (conservative: they just stop pruning), never correctness
-    statsToNode(n, snap.stats.view.filterKeys(snap.live.toSet).toMap)
+    statsToNode(n, snap.stats.full.view.filterKeys(snap.live.toSet).toMap)
     // txn watermarks survive log truncation or idempotent replay breaks
     if (snap.txns.nonEmpty) {
       val tn = n.putObject("txns")
@@ -3871,6 +4024,8 @@ object TxLog {
       val cm = n.putObject("colMap")
       snap.colMap.foreach { case (l, p) => cm.put(l, p) }
     }
+    val mr = minReaderOfState(snap.colMap, liveDvs, snap.droppedCols)
+    if (mr > 1) n.put("minReader", mr)
     val fs = fileSystem(spark, root)
     val out = fs.create(ckptPath(root, snap.version), true)
     try out.write(n.toString.getBytes(UTF_8)) finally out.close()
@@ -3899,15 +4054,42 @@ object TxLog {
     val liveSet = snap.live.toSet
     // live files' dv refs and stats only — same conservative rule as v1
     val liveDvs = snap.dvs.view.filterKeys(liveSet).toMap
-    val rows = snap.live.zipWithIndex.map { case (f, i) =>
-      val st = snap.stats.getOrElse(f, Map.empty[String, (Double, Double)])
-      CkptRow(i.toLong, f,
-        st.view.mapValues(_._1).toMap, st.view.mapValues(_._2).toMap,
-        liveDvs.get(f).map(_._1), liveDvs.get(f).map(_._2))
+    // FLAT stat columns (format 3): one nullable double pair per stat
+    // key, positions fixed by the `statCols` legend in `_meta.json`.
+    // Flatness is what makes the PRUNED readers real: parquet prunes
+    // top-level columns, never map keys, so the old map layout (format
+    // 2, still readable) forced every consumer to decode ALL stats to
+    // use one column's.
+    val fullStats = snap.stats.full
+    val statKeys: IndexedSeq[String] = snap.live.iterator
+      .flatMap(f => fullStats.get(f).iterator.flatMap(_.keysIterator))
+      .toSet.toIndexedSeq.sorted
+    val keyIdx = statKeys.zipWithIndex.toMap
+    val rowSchema = StructType(
+      Seq(StructField("idx", LongType, nullable = false),
+          StructField("file", StringType, nullable = false),
+          StructField("dvPath", StringType, nullable = true),
+          StructField("dvRows", LongType, nullable = true)) ++
+        statKeys.indices.flatMap(i => Seq(
+          StructField(s"min$i", DoubleType, nullable = true),
+          StructField(s"max$i", DoubleType, nullable = true))))
+    val rows: Seq[Row] = snap.live.zipWithIndex.map { case (f, i) =>
+      val st = fullStats.getOrElse(f, Map.empty[String, (Double, Double)])
+      val cells = new Array[Any](2 * statKeys.size)
+      st.foreach { case (k, (mn, mx)) =>
+        val j = keyIdx(k); cells(2 * j) = mn; cells(2 * j + 1) = mx
+      }
+      Row.fromSeq(Seq[Any](i.toLong, f,
+        liveDvs.get(f).map(_._1).orNull,
+        liveDvs.get(f).map(_._2).map(Long.box).orNull) ++ cells)
     }
     val meta = {
       val n = mapper.createObjectNode()
-      n.put("format", 2)
+      n.put("format", 3)
+      if (statKeys.nonEmpty) {
+        val sc = n.putArray("statCols")
+        statKeys.foreach(sc.add)
+      }
       n.put("version", snap.version)
       n.put("schemaDdl", snap.schemaDdl)
       if (snap.txns.nonEmpty) {
@@ -3926,16 +4108,19 @@ object TxLog {
         val cm = n.putObject("colMap")
         snap.colMap.foreach { case (l, p) => cm.put(l, p) }
       }
+      val mr = minReaderOfState(snap.colMap, liveDvs, snap.droppedCols)
+      if (mr > 1) n.put("minReader", mr)
       n.toString
     }
     val tmp = new Path(s"$root/$LogDirName/.ckpt_tmp_${
       UUID.randomUUID().toString.replace("-", "").take(12)}")
     try {
-      import spark.implicits._
       // ~64k metadata-sized rows per part bounds both task count and
       // part size; a 10^6-file table writes ~16 parallel parts
-      spark.createDataset(rows)
-        .repartition(math.max(1, rows.size / 65536))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows, math.max(1, rows.size / 65536)),
+          rowSchema)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val out = fs.create(new Path(tmp, CkptMetaName), true)
       try out.write(meta.getBytes(UTF_8)) finally out.close()
@@ -3985,24 +4170,116 @@ object TxLog {
     val cmB = Map.newBuilder[String, String]
     Option(n.get("colMap")).foreach(_.properties().forEach(e =>
       cmB += e.getKey -> e.getValue.asText()))
-    val rows = spark.read.parquet(dir.toString)
-      .select("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
-      .collect().sortBy(_.getLong(0))
-    val live = rows.map(_.getString(1)).toSeq
-    val statsB = Map.newBuilder[String, Map[String, (Double, Double)]]
-    val dvB = Map.newBuilder[String, DvRef]
-    rows.foreach { r =>
-      val mns = r.getMap[String, Double](2)
-      val mxs = r.getMap[String, Double](3)
-      if (mns.nonEmpty)
-        statsB += r.getString(1) -> mns.keysIterator
-          .map(c => c -> (mns(c), mxs(c))).toMap
-      if (!r.isNullAt(4))
-        dvB += r.getString(1) -> ((r.getString(4), r.getLong(5)): DvRef)
+    checkReaderVersion(n, s"checkpoint v$version")
+    val fmt = Option(n.get("format")).map(_.asInt).getOrElse(2)
+    if (fmt > 3)
+      throw new UnsupportedLogFeatureException(
+        s"checkpoint v$version of $root uses layout format $fmt; this " +
+          "build reads <= 3 — upgrade the library to read this table")
+    if (fmt == 3) {
+      // format 3: live set + dv refs load eagerly (the live FILE LIST is
+      // what a snapshot IS — every consumer needs it), stats stay behind
+      // the view's pruned loaders. This is what bounds a 100k-file
+      // resolve to O(files) driver rows instead of O(files × statCols)
+      // decoded map cells.
+      val legend: IndexedSeq[String] =
+        Option(n.get("statCols")).map { a =>
+          val b = IndexedSeq.newBuilder[String]
+          a.elements().forEachRemaining(e => b += e.asText)
+          b.result()
+        }.getOrElse(IndexedSeq.empty)
+      val rows = spark.read.parquet(dir.toString)
+        .select("idx", "file", "dvPath", "dvRows")
+        .collect().sortBy(_.getLong(0))
+      val live = rows.map(_.getString(1)).toSeq
+      val dvB = Map.newBuilder[String, DvRef]
+      rows.foreach { r =>
+        if (!r.isNullAt(2))
+          dvB += r.getString(1) -> ((r.getString(2), r.getLong(3)): DvRef)
+      }
+      val dirStr = dir.toString
+      val stats = new StatsView(
+        () => readCkptStatsFull(dirStr, legend),
+        c => readCkptStatsCol(dirStr, legend, c),
+        Map.empty)
+      Snapshot(live, n.get("schemaDdl").asText, version, stats,
+        txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
+        cmB.result())
+    } else {
+      // format 2 (map-layout rows): readable forever; eager like v1
+      val rows = spark.read.parquet(dir.toString)
+        .select("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
+        .collect().sortBy(_.getLong(0))
+      val live = rows.map(_.getString(1)).toSeq
+      val statsB = Map.newBuilder[String, Map[String, (Double, Double)]]
+      val dvB = Map.newBuilder[String, DvRef]
+      rows.foreach { r =>
+        val mns = r.getMap[String, Double](2)
+        val mxs = r.getMap[String, Double](3)
+        if (mns.nonEmpty)
+          statsB += r.getString(1) -> mns.keysIterator
+            .map(c => c -> (mns(c), mxs(c))).toMap
+        if (!r.isNullAt(4))
+          dvB += r.getString(1) -> ((r.getString(4), r.getLong(5)): DvRef)
+      }
+      Snapshot(live, n.get("schemaDdl").asText, version,
+        StatsView.eager(statsB.result()),
+        txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
+        cmB.result())
     }
-    Snapshot(live, n.get("schemaDdl").asText, version, statsB.result(),
-      txnsB.result(), consB.result(), dvB.result(), droppedB.result(),
-      cmB.result())
+  }
+
+  /** Pruned read of ONE stat column from a format-3 checkpoint: a
+    * 3-column parquet scan (`file`, `min<i>`, `max<i>`), so the cost is
+    * O(files) rows × O(1) columns no matter how many stat columns the
+    * table records — and files without the stat are dropped by the
+    * not-null predicate at the scan. Runs on whatever session is active
+    * when the stat is first demanded (the view memoizes per column).
+    */
+  private def readCkptStatsCol(dir: String, legend: IndexedSeq[String],
+                               c: String): Map[String, (Double, Double)] =
+    ckptStatsColDf(dir, legend, c) match {
+      case None => Map.empty
+      case Some(df) =>
+        df.collect()
+          .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+    }
+
+  /** The pruned single-stat-column scan as a DataFrame (None when the
+    * column is not in the legend) — separated so the plan-shape spec can
+    * assert the parquet read really is 3 columns wide.
+    */
+  private[lake] def ckptStatsColDf(dir: String, legend: IndexedSeq[String],
+                                   c: String): Option[DataFrame] =
+    legend.indexOf(c) match {
+      case -1 => None
+      case i =>
+        import org.apache.spark.sql.functions.col
+        Some(SparkSession.active.read.parquet(dir)
+          .select(col("file"), col(s"min$i"), col(s"max$i"))
+          .where(col(s"min$i").isNotNull))
+    }
+
+  /** Full stat materialization from a format-3 checkpoint — the writers'
+    * path (re-checkpoint, clone, ANALYZE); readers use the pruned
+    * [[readCkptStatsCol]].
+    */
+  private def readCkptStatsFull(dir: String,
+                                legend: IndexedSeq[String]): FileStats = {
+    if (legend.isEmpty) return Map.empty
+    val cols = Seq("file") ++
+      legend.indices.flatMap(i => Seq(s"min$i", s"max$i"))
+    val rows = SparkSession.active.read.parquet(dir)
+      .select(cols.head, cols.tail: _*).collect()
+    rows.iterator.map { r =>
+      val m = legend.indices.iterator.flatMap { i =>
+        if (r.isNullAt(1 + 2 * i)) Iterator.empty
+        else Iterator(legend(i) ->
+          (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+      }.toMap
+      r.getString(0) -> m
+    }.filter(_._2.nonEmpty).toMap
   }
 
   // -------------------------------------------------------------------
@@ -4172,8 +4449,9 @@ object TxLog {
     // the output physically itself).
     val schemaS = StructType.fromDDL(current.schemaDdl)
     val reverse = current.colMap.map { case (l, p) => lcol(p) -> l }
+    val curStats = current.stats.full // compact re-keys ALL stat columns
     val statCols = removed
-      .flatMap(f => current.stats.get(f).map(_.keys).getOrElse(Nil))
+      .flatMap(f => curStats.get(f).map(_.keys).getOrElse(Nil))
       .distinct.filterNot(_ == RowCountKey)
       .map(k => reverse.getOrElse(lcol(k), k))
       .flatMap(k => schemaS.find(_.name.equalsIgnoreCase(k)).map(_.name))
@@ -4345,8 +4623,8 @@ object TxLog {
     // (i.e. written with statsCols or ANALYZEd): the "do I need an
     // ANALYZE before range queries prune / counts go metadata-only"
     // signal, free from the same resolution
-    val withStats = snap.live.count(f =>
-      snap.stats.get(f).exists(_.contains(RowCountKey)))
+    val rc = snap.stats.col(RowCountKey) // pruned: one stat column read
+    val withStats = snap.live.count(rc.contains)
     (snap.version, sizes, dvs.size.toLong,
       dvs.valuesIterator.map(_._2).sum, withStats.toLong, snap.colMap)
   }
@@ -4381,6 +4659,74 @@ object TxLog {
     val commits = history(spark, root)
     if (commits.isEmpty) return Seq.empty
     vacuumCore(spark, root, commits, keepLast, dryRun)
+  }
+
+  /** Quarantine a DEAD TAIL CLAIM: when the newest log entry is
+    * unreadable (a writer crashed between its claim and its bytes
+    * landing) and older than the safety age, rename it aside to
+    * `<entry>.orphan` — the version number frees up and the table
+    * unwedges, replacing the old "delete the orphan entry by hand"
+    * instruction. Strictly tail-only: writers never claim v+1 until v
+    * parses, so at most ONE dead claim can exist, and an unreadable
+    * entry anywhere else is real corruption, which is REFUSED (with the
+    * entry name) rather than silently dropped from history. The age gate
+    * (default 60 s, double the writers' own tail-wait budget) keeps a
+    * healthy in-flight commit from being shot by an impatient repair;
+    * the `.orphan` file is kept for forensics. SQL surface:
+    * `REPAIR LOG t [OLDER THAN n SECONDS] [DRY RUN]`.
+    */
+  def repairLog(spark: SparkSession, root: String,
+                olderThanMs: Long = 60000L,
+                dryRun: Boolean = false): Seq[String] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    if (!fs.exists(dir)) return Seq.empty
+    val store = CommitStore.forPath(dir)
+    val entries = store.list(fs, dir)
+      .filter(p => LogFile.matches(p.getName)).sortBy(_.getName)
+    if (entries.isEmpty) return Seq.empty
+    val tail = entries.last
+    val parses =
+      try { fromJson(new String(store.read(fs, tail), UTF_8)); true }
+      catch {
+        case e: UnsupportedLogFeatureException => throw e // not a torn claim
+        case scala.util.control.NonFatal(_) => false
+      }
+    if (parses) {
+      // the tail is healthy; anything unreadable EARLIER is real
+      // corruption (writers never claim v+1 until v parses), which
+      // quarantining would turn into silent history loss — refuse with
+      // the position, like history() does
+      entries.init.foreach { p =>
+        try { fromJson(new String(store.read(fs, p), UTF_8)); () }
+        catch {
+          case e: UnsupportedLogFeatureException => throw e
+          case scala.util.control.NonFatal(_) =>
+            throw new IOException(
+              s"log entry ${p.getName} of $root is unreadable but NOT " +
+                "the tail — that is corruption, not a crashed claim; " +
+                "REPAIR LOG refuses to quarantine committed history " +
+                "(restore the entry from a backup or a checkpoint-aware " +
+                "clone)")
+        }
+      }
+      return Seq.empty
+    }
+    val ageMs = System.currentTimeMillis() -
+      fs.getFileStatus(tail).getModificationTime
+    if (ageMs < olderThanMs)
+      throw new IOException(
+        s"tail claim ${tail.getName} of $root is unreadable but only " +
+          s"${ageMs / 1000}s old (< ${olderThanMs / 1000}s): it may be a " +
+          "healthy in-flight commit whose bytes are still landing — " +
+          "retry REPAIR LOG after the safety age, or pass a smaller " +
+          "OLDER THAN only when the writer is known dead")
+    val quarantined = new Path(tail.getParent, tail.getName + ".orphan")
+    if (!dryRun && !fs.rename(tail, quarantined))
+      throw new IOException(
+        s"quarantine rename ${tail.getName} -> ${quarantined.getName} " +
+          s"failed in $root")
+    Seq(tail.getName)
   }
 
   /** Truncate the COMMIT LOG to its checkpoints: delete raw log entries

@@ -288,6 +288,11 @@ object TxLogSql {
     ("""(?is)\s*VACUUM\s+(`[^`]+`|[\w.]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*""").r
+  // dead-claim quarantine (TxLog.repairLog)
+  private val RepairLogRe =
+    ("""(?is)\s*REPAIR\s+LOG\s+(`[^`]+`|[\w.]+)""" +
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+SECONDS?)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -500,6 +505,19 @@ object TxLogSql {
           keepCheckpoints = Option(keep).map(_.toInt).getOrElse(2),
           dryRun = dry != null, force = force != null)
         victims.toDF(if (dry != null) "would_delete_file" else "deleted_file")
+
+      // REPAIR LOG t [OLDER THAN n SECONDS] [DRY RUN]: quarantine a
+      // dead tail claim (writer crashed between claim and write) by
+      // renaming it to `.orphan` — unwedges the version number; refuses
+      // fresh tails (may be healthy in-flight) and mid-log corruption
+      case RepairLogRe(ident, olderThan, dry) =>
+        val (_, reg) = lookup(spark, ident, sqlText)
+        val victims = TxLog.repairLog(spark, reg.root,
+          olderThanMs = Option(olderThan).map(_.toLong * 1000L)
+            .getOrElse(60000L),
+          dryRun = dry != null)
+        victims.toDF(
+          if (dry != null) "would_quarantine_entry" else "quarantined_entry")
 
       case VacuumRe(ident, retain, unit, dry) =>
         val (_, reg) = lookup(spark, ident, sqlText)

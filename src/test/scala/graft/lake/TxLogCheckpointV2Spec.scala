@@ -235,6 +235,82 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 8L
   }
 
+  test("format-3 checkpoint: flat stat columns, legend in meta, and a 3-column pruned read") {
+    val root = tmpRoot()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(1), root, statsCols = Seq("id"))
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(11L)
+    val dir = s"$root/${TxLog.LogDirName}/00000000000000000011.checkpoint.parquet"
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_meta.json")), "UTF-8")
+    meta should include("\"format\":3")
+    meta should include("\"statCols\":[\"__rows\",\"id\"]")
+    // the parquet rows carry the stats FLAT — not as maps — so a
+    // single-stat consumer's scan is 3 columns wide no matter how many
+    // stat columns the table records
+    val df = TxLog.ckptStatsColDf(dir, IndexedSeq("__rows", "id"), "id").get
+    df.columns.toSeq shouldBe Seq("file", "min1", "max1")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).get.split("ReadSchema:").last
+    readSchema should include("file")
+    readSchema should include("min1")
+    readSchema should not include "min0" // __rows not read
+    readSchema should not include "dvPath"
+    // values round-trip: every live file's committed id bounds
+    val bounds = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    bounds should have size 12
+    bounds.values.map(_._1).toSeq.sorted shouldBe (0 until 12).map(_.toDouble)
+    // a column missing from the legend reads as absent, not an error
+    TxLog.ckptStatsColDf(dir, IndexedSeq("__rows", "id"), "nope") shouldBe None
+  }
+
+  test("format-2 (map-layout) checkpoints from an older writer remain readable") {
+    val root = tmpRoot()
+    (0 until 3).foreach { i =>
+      TxLog.append(spark,
+        Seq((2 * i.toLong, s"a$i"), (2 * i.toLong + 1, s"b$i"))
+          .toDF("id", "s").repartition(1), root, statsCols = Seq("id"))
+    }
+    // handcraft the OLD format-2 checkpoint at v2: map-typed stat
+    // columns, meta without a statCols legend — byte-shape of what the
+    // round-8 writer produced
+    val dataFiles = new java.io.File(root).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).sorted
+    dataFiles should have size 3
+    val rows = dataFiles.zipWithIndex.map { case (f, i) =>
+      // real id bounds per file (part names are UUIDs — listing order
+      // says nothing about which id range a file holds)
+      val ids = spark.read.parquet(s"$root/$f")
+        .select("id").collect().map(_.getLong(0))
+      (i.toLong, f,
+        Map(TxLog.RowCountKey -> 2.0, "id" -> ids.min.toDouble),
+        Map(TxLog.RowCountKey -> 2.0, "id" -> ids.max.toDouble),
+        Option.empty[String], Option.empty[Long])
+    }.toSeq
+    val ckptDir =
+      s"$root/${TxLog.LogDirName}/00000000000000000002.checkpoint.parquet"
+    rows.toDF("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
+      .repartition(1).write.mode("overwrite").parquet(ckptDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckptDir, "_meta.json"),
+      """{"format":2,"version":2,"schemaDdl":"id BIGINT,s STRING"}"""
+        .getBytes("UTF-8"))
+    // truncate the raw log: the format-2 checkpoint is now the ONLY
+    // source of the live set and its stats
+    new java.io.File(s"$root/${TxLog.LogDirName}").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).foreach(_.delete())
+    TxLog.clearCheckpointCache()
+    TxLog.readLatest(spark, root).count() shouldBe 6L
+    // map-carried stats still serve the metadata count and range pruning
+    TxLog.countRows(spark, root) shouldBe 6L
+    TxLog.readRange(spark, root, "id", 0.0, 1.0).count() shouldBe 2L
+  }
+
   test("cleanOrphans counts v2 checkpoint live sets as references and reaps stale ckpt tmp dirs") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>

@@ -847,4 +847,55 @@ class TxLogSqlSpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType
     t.agg(sum("amount")).head().getDouble(0) shouldBe 10.0
   }
+
+  test("REPAIR LOG quarantines a dead tail claim and unwedges the table") {
+    val root = freshTable("repair_t")
+    TxLogSql.execute(spark, "INSERT INTO repair_t SELECT CAST(5 AS BIGINT), 'e', 2.5, 'p1'")
+    // a writer died between its claim and its bytes landing: the tail
+    // entry exists but is torn mid-JSON
+    val logDir = new java.io.File(s"$root/${TxLog.LogDirName}")
+    val last = logDir.listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).map(_.getName).max
+    val dead = new java.io.File(logDir, f"${last.take(20).toLong + 1}%020d.json")
+    Files.write(dead.toPath, """{"version":2,"operation":"app""".getBytes)
+    // fresh tail: may be a healthy in-flight commit — refused by the
+    // safety age...
+    intercept[java.io.IOException] {
+      TxLogSql.run(spark, "REPAIR LOG repair_t")
+    }.getMessage should include("only")
+    // ...but reads keep working meanwhile (in-flight tails are invisible)
+    spark.sql("SELECT count(*) FROM repair_t").head().getLong(0) shouldBe 5L
+    // dry run previews, quarantine frees the version, the orphan stays
+    TxLogSql.run(spark, "REPAIR LOG repair_t OLDER THAN 0 SECONDS DRY RUN")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq(dead.getName)
+    dead.exists() shouldBe true
+    TxLogSql.run(spark, "REPAIR LOG repair_t OLDER THAN 0 SECONDS")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq(dead.getName)
+    dead.exists() shouldBe false
+    new java.io.File(logDir, dead.getName + ".orphan").exists() shouldBe true
+    // the table unwedges: a fresh commit claims the freed version
+    TxLogSql.execute(spark, "INSERT INTO repair_t SELECT CAST(6 AS BIGINT), 'f', 3.5, 'p2'")
+    TxLog.history(spark, root).last.version shouldBe
+      last.take(20).toLong + 1
+    spark.sql("SELECT count(*) FROM repair_t").head().getLong(0) shouldBe 6L
+    // nothing to repair on a healthy log
+    TxLogSql.run(spark, "REPAIR LOG repair_t OLDER THAN 0 SECONDS")
+      .count() shouldBe 0L
+  }
+
+  test("REPAIR LOG refuses mid-log corruption — quarantine never drops committed history") {
+    val root = freshTable("repair_mid")
+    TxLogSql.execute(spark, "INSERT INTO repair_mid SELECT CAST(5 AS BIGINT), 'e', 1.0, 'p1'")
+    TxLogSql.execute(spark, "INSERT INTO repair_mid SELECT CAST(6 AS BIGINT), 'f', 1.0, 'p1'")
+    val logDir = new java.io.File(s"$root/${TxLog.LogDirName}")
+    val mid = new java.io.File(logDir, "00000000000000000001.json")
+    // corrupt a NON-tail entry (and drop the local-FS checksum sidecar
+    // so the read reaches the parser)
+    new java.io.File(logDir, ".00000000000000000001.json.crc").delete()
+    Files.write(mid.toPath, "garbage".getBytes)
+    intercept[java.io.IOException] {
+      TxLogSql.run(spark, "REPAIR LOG repair_mid OLDER THAN 0 SECONDS")
+    }.getMessage should include("NOT the tail")
+    mid.exists() shouldBe true // untouched
+  }
 }
