@@ -279,3 +279,109 @@ final class LockFileCommitStore(lockDir: String) extends CommitStore {
 object LockFileCommitStore {
   private val monitors = new ConcurrentHashMap[String, Object]()
 }
+
+/** CAS commit store backed by a DATABASE ROW: claim = `INSERT` into a
+  * table with a `(log_dir, entry)` primary key — the database's
+  * uniqueness enforcement IS the compare-and-swap — then write-through
+  * to the filesystem as the single winner, rolling the row back if the
+  * write-through fails (same recovery contract as
+  * [[CasOverlayCommitStore]]: a wedged version number must never outlive
+  * the claim that wedged it).
+  *
+  * This is the deployment shape for object-store-only lakes with no
+  * shared POSIX volume for [[LockFileCommitStore]]: point `url` at any
+  * shared RDBMS (the SQL is one CREATE TABLE, one INSERT, one DELETE —
+  * standard everywhere; unique-violation detection uses SQLState 23505)
+  * and every shared-nothing writer arbitrates through the same row
+  * space. Connections are per-claim (claims are rare — one per commit —
+  * and pooling would add a dependency for nothing).
+  *
+  * Tests run it on embedded Derby (the JDBC engine available offline),
+  * which is single-process by design — so the cross-PROCESS race is
+  * exercised structurally (the CAS is the database's PK, identical from
+  * one process or many) and the multi-writer race is fuzzed across
+  * threads; [[LockFileCommitStore]] remains the store proven by the
+  * 3-JVM fuzz in this environment.
+  */
+final class JdbcCommitStore(url: String, table: String = "graft_commits")
+    extends CommitStore {
+
+  @volatile private var ready = false
+
+  private def withConn[A](body: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try body(c) finally c.close()
+  }
+
+  private def ensureTable(): Unit = {
+    if (ready) return
+    synchronized {
+      if (ready) return
+      withConn { c =>
+        try {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"CREATE TABLE $table (log_dir VARCHAR(900) NOT NULL, " +
+              "entry VARCHAR(100) NOT NULL, claimed_at_ms BIGINT, " +
+              s"PRIMARY KEY (log_dir, entry))")
+          finally st.close()
+        } catch {
+          case e: java.sql.SQLException
+            // Derby X0Y32 / standard 42S01-42P07: table already there
+            if Set("X0Y32", "42S01", "42P07").contains(e.getSQLState) ||
+              Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+            ()
+        }
+      }
+      ready = true
+    }
+  }
+
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    ensureTable()
+    val dir = p.getParent.toUri.toString.takeRight(900)
+    val won = withConn { c =>
+      val ps = c.prepareStatement(
+        s"INSERT INTO $table (log_dir, entry, claimed_at_ms) VALUES (?, ?, ?)")
+      try {
+        ps.setString(1, dir)
+        ps.setString(2, p.getName)
+        ps.setLong(3, System.currentTimeMillis())
+        try { ps.executeUpdate(); true }
+        catch {
+          case e: java.sql.SQLException
+            if e.getSQLState == "23505" ||
+              e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] =>
+            false // lost the CAS
+        }
+      } finally ps.close()
+    }
+    if (!won) false
+    else {
+      // single winner: the plain create cannot race. A failed
+      // write-through rolls the row back or the version is permanently
+      // wedged (no entry exists, yet every later claimer loses the CAS).
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case t: Throwable =>
+          try withConn { c =>
+            val del = c.prepareStatement(
+              s"DELETE FROM $table WHERE log_dir = ? AND entry = ?")
+            try { del.setString(1, dir); del.setString(2, p.getName)
+              del.executeUpdate(); () }
+            finally del.close()
+          } catch { case rb: Throwable => t.addSuppressed(rb) }
+          throw t
+      }
+    }
+  }
+
+  override def read(fs: FileSystem, p: Path): Array[Byte] =
+    FsCommitStore.read(fs, p)
+
+  override def list(fs: FileSystem, dir: Path): Seq[Path] =
+    FsCommitStore.list(fs, dir)
+}

@@ -1,0 +1,233 @@
+package graft.lake
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("graft").load(root)` — the DataSource V2 entry to
+  * ACID tables, so external tooling and `CREATE TABLE ... USING graft`
+  * DDL reach snapshots without [[TxLog.createView]] staging. Options:
+  * `path` (or `root`); `versionAsOf` / `timestampAsOf` for time travel.
+  *
+  * Read path: a DSv2 [[TableProvider]] whose scan falls back to a V1
+  * relation ([[V1Scan]], the Delta pattern) — the relation builds the
+  * SAME Catalyst plan `TxLog.readLatest`/`readAt` produce (parquet
+  * vectorization, whole-stage codegen, pushdown all intact, since the
+  * inner plan executes as-is via `toRdd` with `needConversion = false`)
+  * and layers the connector contract on top:
+  *
+  *  - column pruning: the scan projects exactly the required schema, so
+  *    the inner parquet read prunes to it (ReadSchema)
+  *  - filter pushdown: translatable filters are accepted, re-applied
+  *    EXACTLY on the inner plan (reaching the parquet scan as
+  *    PushedFilters), and — the tier parquet can't see — numeric bounds
+  *    prune the snapshot's FILE LIST through the committed stats
+  *    ([[TxLog.readStatsPruned]]) before any IO, same as [[TxLog.readRange]]
+  *
+  * Writes stay on the explicit API ([[TxLog.append]]/SQL DML) — the
+  * commit protocol (stats, constraints, idempotence) has parameters a
+  * bare `df.write.format(...)` cannot carry faithfully.
+  */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    TxLog.schemaOf(spark, GraftDataSource.rootOf(options),
+      GraftDataSource.versionOf(spark, options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[lake] final class GraftTable(schema0: StructType,
+                                     options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft:${GraftDataSource.rootOf(options)}"
+
+  override def schema(): StructType = schema0
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-registered tables (CREATE TABLE ... USING graft) deliver
+    // the stored OPTIONS here rather than in getTable's properties;
+    // direct reads deliver them in getTable. Merge, runtime keys winning.
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
+    new GraftScanBuilder(schema0, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[lake] final class GraftScanBuilder(schema: StructType,
+                                           options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept only filters the relation can re-apply EXACTLY; the rest go
+    // back to Spark as residuals (correctness first: a filter accepted
+    // here and applied loosely would silently drop or keep rows)
+    val (ok, residual) =
+      filters.partition(f => GraftDataSource.toColumn(f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(required, pushed, options)
+}
+
+private[lake] final class GraftScan(required: StructType,
+                                    filters: Array[Filter],
+                                    options: CaseInsensitiveStringMap)
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context, required, filters, options).asInstanceOf[T]
+}
+
+private[lake] final class GraftRelation(ctx: SQLContext,
+                                        required: StructType,
+                                        filters: Array[Filter],
+                                        options: CaseInsensitiveStringMap)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = required
+
+  // the inner plan's toRdd rows ARE InternalRows in this exact schema;
+  // declaring it skips the Row re-conversion RowDataSourceScanExec would
+  // otherwise insert
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val root = GraftDataSource.rootOf(options)
+    val version = GraftDataSource.versionOf(spark, options)
+    // stats-tier FILE skipping from the pushed filters' numeric bounds
+    // (conservative: strict comparisons widen to inclusive bounds; rows
+    // are then filtered exactly below)
+    val bounds = GraftDataSource.boundsOf(filters)
+    val base =
+      if (bounds.nonEmpty) TxLog.readStatsPruned(spark, root, bounds, version)
+      else version match {
+        case Some(v) => TxLog.readAt(spark, root, v)
+        case None    => TxLog.readLatest(spark, root)
+      }
+    val filtered = filters.foldLeft(base) { (df, f) =>
+      df.filter(GraftDataSource.toColumn(f).getOrElse(
+        // unreachable: pushFilters only accepted translatable filters
+        throw new IllegalStateException(s"untranslatable pushed filter $f")))
+    }
+    val pruned =
+      if (required.isEmpty) filtered.select()
+      else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+private[lake] object GraftDataSource {
+
+  def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).orElse(Option(options.get("root")))
+      .orElse(Option(options.get("location"))) // CREATE TABLE ... LOCATION
+      .getOrElse(throw new IllegalArgumentException(
+        "format(\"graft\") needs a table root: .load(<root>) or " +
+          ".option(\"root\", <root>)"))
+
+  def versionOf(spark: SparkSession,
+                options: CaseInsensitiveStringMap): Option[Long] =
+    (Option(options.get("versionAsOf")),
+      Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "format(\"graft\") takes versionAsOf OR timestampAsOf, not both")
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(ts)) =>
+        val ms = TxLog.parseTimestampMs(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse timestampAsOf '$ts' (epoch ms, " +
+              "'yyyy-MM-dd HH:mm:ss', or ISO-8601 instant)"))
+        Some(TxLog.versionAtTimestamp(spark, rootOf(options), ms))
+      case (None, None) => None
+    }
+
+  /** Exact Column translation of a connector [[Filter]]; None marks the
+    * filter residual (Spark re-applies it post-scan).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _         => None
+  }
+
+  /** Per-column [lo, hi] windows from the TOP-LEVEL conjuncts' numeric
+    * comparisons — the stats-skipping tier. Only top-level AND members
+    * qualify (an OR branch can't narrow the file set), strict
+    * comparisons widen to inclusive (skipping is necessary-condition
+    * only), and non-numeric values don't participate (stats live in
+    * double space).
+    */
+  def boundsOf(filters: Array[Filter]): Seq[(String, Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _                   => None
+    }
+    val windows = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def narrow(a: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = windows.getOrElse(a, (Double.MinValue, Double.MaxValue))
+      windows(a) = (math.max(clo, lo), math.min(chi, hi))
+    }
+    filters.foreach {
+      case EqualTo(a, v)            => num(v).foreach(d => narrow(a, d, d))
+      case GreaterThan(a, v)        => num(v).foreach(d => narrow(a, d, Double.MaxValue))
+      case GreaterThanOrEqual(a, v) => num(v).foreach(d => narrow(a, d, Double.MaxValue))
+      case LessThan(a, v)           => num(v).foreach(d => narrow(a, Double.MinValue, d))
+      case LessThanOrEqual(a, v)    => num(v).foreach(d => narrow(a, Double.MinValue, d))
+      case _                        => ()
+    }
+    windows.toSeq.map { case (a, (lo, hi)) => (a, lo, hi) }
+      .filter { case (_, lo, hi) =>
+        lo != Double.MinValue || hi != Double.MaxValue }
+      .sortBy(_._1)
+  }
+}

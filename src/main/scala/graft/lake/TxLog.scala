@@ -2628,6 +2628,50 @@ object TxLog {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     snapshot(spark, root, resolve(spark, root, None))
 
+  /** The snapshot's LOGICAL schema without building a scan (no file
+    * listing) — what `format("graft")` infers from, metadata-only.
+    * Nullable like the scan it stands for: files predating an evolved
+    * column read null for it regardless of the batch schema's flags.
+    */
+  def schemaOf(spark: SparkSession, root: String,
+               version: Option[Long] = None): StructType =
+    StructType(StructType.fromDDL(resolve(spark, root, version).schemaDdl)
+      .map(_.copy(nullable = true)))
+
+  /** File-skipping read WITHOUT a residual predicate: prune the live set
+    * by committed stats bounds (missing stats keep the file — skipping
+    * is necessary-condition only) and return the surviving files' scan,
+    * applying NO row filter. [[readRange]]/[[readRanges]] bake the range
+    * predicate in; the `format("graft")` scan uses THIS and re-applies
+    * its exact pushed filters itself (strict vs non-strict bounds,
+    * one-sided comparisons — baking `<= Double.MaxValue` in would even
+    * drop +Infinity values).
+    */
+  def readStatsPruned(spark: SparkSession, root: String,
+                      bounds: Seq[(String, Double, Double)],
+                      version: Option[Long] = None): DataFrame = {
+    val snap = resolve(spark, root, version)
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (snap.stats.col(physName(snap.colMap, c)), lo, hi)
+    }
+    val keep = snap.live.filter { f =>
+      physBounds.forall { case (cs, lo, hi) =>
+        cs.get(f) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+    lastStatsPrune = Some((keep.size, snap.live.size))
+    snapshot(spark, root, snap.copy(live = keep))
+  }
+
+  /** Test seam: (kept, total) of the most recent [[readStatsPruned]] —
+    * file skipping happens before the DataFrame exists, so a plan
+    * assertion can't observe it from the outside.
+    */
+  @volatile private[graft] var lastStatsPrune: Option[(Int, Int)] = None
+
   /** The version a point-in-time read resolves to: the HIGHEST version
     * whose commit timestamp is <= `tsMs` (the Delta `TIMESTAMP AS OF`
     * contract). The commit sequence is authoritative where wall clocks

@@ -1322,6 +1322,40 @@ object Lake {
         .orderBy("event_type")
     },
 
+    // DataSource V2 read (spark.read.format("graft")): the same ACID
+    // snapshot reached through Spark's connector surface — schema
+    // inference without a scan, pushed filters re-applied exactly, and
+    // stats-tier FILE skipping driven by the pushed numeric bounds
+    // (GraftDataSource.boundsOf -> TxLog.readStatsPruned). Four disjoint
+    // key-slice commits make the skipping real (the filter's window
+    // intersects a strict subset of files); the oracle pins that the
+    // connector path loses and invents nothing vs the native reader.
+    QDef(
+      "q117_dsv2_read",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 700 AND o_orderkey <= 1200
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dsv2demo")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val slice = maxKey / 4 + 1
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      s.read.format("graft").load(root)
+        .filter(col("o_orderkey") >= 700L && col("o_orderkey") <= 1200L)
+        .orderBy("o_orderkey")
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

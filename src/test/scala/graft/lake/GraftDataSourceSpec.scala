@@ -1,0 +1,95 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `format("graft")` (DSv2 TableProvider + V1Scan fallback): snapshot
+  * fidelity vs the native readers, time travel options, column pruning,
+  * exact filter re-application, and the stats tier's FILE skipping
+  * reached from pushed filters.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-dsv2").toString
+
+  /** Four single-file commits with disjoint id ranges and id stats. */
+  private def clusteredTable(): String = {
+    val root = tmpRoot()
+    (0 until 4).foreach { c =>
+      TxLog.append(spark,
+        (0 until 10).map(i => (c * 10L + i, s"s$c-$i")).toDF("id", "s")
+          .repartition(1), root, statsCols = Seq("id"))
+    }
+    root
+  }
+
+  test("load(root) returns the same snapshot as readLatest; versionAsOf time-travels") {
+    val root = clusteredTable()
+    val viaFormat = spark.read.format("graft").load(root)
+    viaFormat.schema shouldBe TxLog.readLatest(spark, root).schema
+    viaFormat.orderBy("id").collect() shouldBe
+      TxLog.readLatest(spark, root).orderBy("id").collect()
+    spark.read.format("graft").option("versionAsOf", "1").load(root)
+      .count() shouldBe 20L
+    // count(*): empty required projection through the V1 fallback
+    viaFormat.count() shouldBe 40L
+  }
+
+  test("pushed numeric bounds prune FILES through committed stats, rows stay exact") {
+    val root = clusteredTable()
+    TxLog.lastStatsPrune = None
+    val out = spark.read.format("graft").load(root)
+      .filter(col("id") >= 21L && col("id") < 25L)
+      .select("id").as[Long].collect().sorted
+    out shouldBe (21L to 24L)
+    // one of four files survived the stats tier (file list pruned BEFORE
+    // the scan existed — observed through the seam)
+    TxLog.lastStatsPrune shouldBe Some((1, 4))
+    // strictness is preserved: the widened skipping bound did not leak
+    // id = 25 in, and the exact filters reach the inner scan
+    val plan = spark.read.format("graft").load(root)
+      .filter(col("id") >= 21L && col("id") < 25L)
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("GreaterThanOrEqual(id,21)")
+  }
+
+  test("filters the source cannot apply exactly stay residual and still filter") {
+    val root = clusteredTable()
+    // EqualTo on a computed value Spark won't push; plus a translatable one
+    val out = spark.read.format("graft").load(root)
+      .filter(col("s").endsWith("-3") && col("id") < 20L)
+      .select("id").as[Long].collect().sorted
+    out shouldBe Seq(3L, 13L)
+  }
+
+  test("a renamed-column (mapped) table reads logical names through format(\"graft\")") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 5L).map(k => (k, s"p$k")).toDF("id", "payload")
+        .repartition(1), root, statsCols = Seq("id"))
+    TxLog.renameColumn(spark, root, "payload", "body")
+    val df = spark.read.format("graft").load(root)
+    df.columns.toSeq shouldBe Seq("id", "body")
+    df.orderBy("id").select("body").as[String].collect()
+      .head shouldBe "p1"
+    // the mapping survives the filter/pruning path too
+    df.filter(col("id") === 2L).select("body").as[String].collect()
+      .toSeq shouldBe Seq("p2")
+  }
+
+  test("CREATE TABLE ... USING graft reaches the snapshot through the session catalog") {
+    val root = clusteredTable()
+    spark.sql("DROP TABLE IF EXISTS g_ddl")
+    spark.sql(s"CREATE TABLE g_ddl USING graft OPTIONS (path '$root')")
+    try {
+      spark.table("g_ddl").count() shouldBe 40L
+      spark.sql("SELECT count(*) FROM g_ddl WHERE id < 10")
+        .head().getLong(0) shouldBe 10L
+    } finally spark.sql("DROP TABLE g_ddl")
+  }
+}

@@ -235,4 +235,67 @@ class TxLogFuzzSpec extends SparkSpec {
     // the winner's bytes are complete and losers did not clobber them
     new String(store.read(fs, p)) should startWith("writer-")
   }
+
+  private def derbyUrl(tag: String): String =
+    s"jdbc:derby:${Files.createTempDirectory(s"graft-$tag")}/cas;create=true"
+
+  test("jdbc store: racing same-path claims decide by the PK, exactly one winner") {
+    val store = new JdbcCommitStore(derbyUrl("jdbcclaim"))
+    val dir = Files.createTempDirectory("graft-jdbcp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        if (store.claim(fs, p, s"writer-$i".getBytes)) wins.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    wins.get() shouldBe 1
+    new String(store.read(fs, p)) should startWith("writer-")
+    // a later claim of the same path loses to the surviving row
+    store.claim(fs, p, "late".getBytes) shouldBe false
+  }
+
+  test("jdbc store: a failed write-through rolls the claim row back") {
+    val store = new JdbcCommitStore(derbyUrl("jdbcrb"))
+    val dir = Files.createTempDirectory("graft-jdbcrb").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    // wedge the write-through: the target already exists on the fs
+    val out = fs.create(p, false); out.write("junk".getBytes); out.close()
+    intercept[java.io.IOException] { store.claim(fs, p, "mine".getBytes) }
+    // the row must be GONE, or this version is permanently wedged: after
+    // the obstruction clears, a fresh claim wins
+    fs.delete(p, false) shouldBe true
+    store.claim(fs, p, "mine".getBytes) shouldBe true
+    new String(store.read(fs, p)) shouldBe "mine"
+  }
+
+  test("jdbc store: concurrent writers through the commit loop, no lost updates") {
+    val root = Files.createTempDirectory("graft-jdbcfuzz").toString
+    CommitStore.install(root, new JdbcCommitStore(derbyUrl("jdbcfuzz")))
+    try {
+      val perWriter = 4
+      val writers = Seq("w0", "w1", "w2")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = writers.map { w =>
+        new Thread(() => {
+          try (0 until perWriter).foreach { seq =>
+            TxLog.append(spark,
+              Seq((w, seq.toLong)).toDF("writer", "seq"), root)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      errs shouldBe empty
+      val total = writers.size * perWriter
+      TxLog.history(spark, root).map(_.version) shouldBe (0L until total.toLong)
+      TxLog.readLatest(spark, root).as[(String, Long)].collect().toSet shouldBe
+        writers.flatMap(w => (0 until perWriter).map(s => (w, s.toLong))).toSet
+    } finally CommitStore.uninstall(root)
+  }
 }
