@@ -1648,7 +1648,8 @@ object TxLog {
         (if (lcol(to) == lcol(field.name) ||
              lcol(field.name) != lcol(phys)) Seq.empty
          else Seq(field.name)),
-      renames = Some(newMap))
+      renames = Some(newMap),
+      metrics = Map("num_renamed_columns" -> 1L))
     // POST-claim re-drop (OLD name only) closes the other ordering of
     // the build race: a build whose sidecar write landed after the
     // pre-claim drop but whose fence resolved BEFORE this commit (old
@@ -1720,7 +1721,7 @@ object TxLog {
             s"but ${commits.lastOption.map(_.version).orNull} committed " +
             s"since at $root — re-run")
       (Seq.empty, Seq.empty, evolved.toDDL)
-    })
+    }, metrics = Map("num_altered_columns" -> 1L))
   }
 
   /** Enforce the table's constraints on freshly STAGED files, between
