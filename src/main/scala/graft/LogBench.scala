@@ -57,6 +57,11 @@ object LogBench {
     val ddl = "id BIGINT,ts DOUBLE,v DOUBLE"
     val perCommit = math.max(1, nFiles / nCommits)
     val rowsPerFile = 1000L
+    // every copy is byte-identical to the seed, so the __bytes
+    // pseudo-stat (what real stage() records) is the seed's length —
+    // with it, full-scan planning is served from the log
+    // (GraftFileIndex), the same as a production table's
+    val seedLen = java.nio.file.Files.size(seed).toDouble
 
     // ---- build: nCommits appends of perCommit files each, stats on
     // (__rows, id, ts, v); id ranges are disjoint per file (a clustered
@@ -72,6 +77,7 @@ object LogBench {
           val base = fileNo * rowsPerFile
           a -> Map(
             TxLog.RowCountKey -> (rowsPerFile.toDouble, rowsPerFile.toDouble),
+            TxLog.FileSizeKey -> (seedLen, seedLen),
             "id" -> (base.toDouble, (base + rowsPerFile - 1).toDouble),
             "ts" -> (fileNo.toDouble, fileNo + 1.0),
             "v" -> (0.0, 1.0))
@@ -87,6 +93,7 @@ object LogBench {
       Seq("part-extra-000000.parquet"),
       Map("part-extra-000000.parquet" -> Map(
         TxLog.RowCountKey -> (rowsPerFile.toDouble, rowsPerFile.toDouble),
+        TxLog.FileSizeKey -> (seedLen, seedLen),
         "id" -> (-1.0, -1.0), "ts" -> (-1.0, -1.0), "v" -> (0.0, 1.0))),
       ddl)
     Files.copy(seed, Paths.get(root, "part-extra-000000.parquet"),

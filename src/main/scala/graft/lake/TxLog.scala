@@ -403,6 +403,25 @@ object TxLog {
     */
   val RowCountKey = "__rows"
 
+  /** Pseudo-column under which per-file BYTE SIZES ride the stats map
+    * (stored as (bytes, bytes), exact to 2^53). Recorded at stage time
+    * for free — the stage move already holds every file's FileStatus —
+    * and carried by every data-adding commit, so [[snapshot]] can build
+    * a scan's file index from COMMIT METADATA alone: no per-file
+    * listing, the cost that dominates full-scan planning at 100k files
+    * (18 s local at the LogBench scale; one round trip PER FILE on an
+    * object store).
+    */
+  val FileSizeKey = "__bytes"
+
+  /** Merge stage-time byte sizes into a commit's stats map. */
+  private def withSizes(stats: FileStats,
+                        sizes: Map[String, Long]): FileStats =
+    sizes.foldLeft(stats) { case (acc, (f, b)) =>
+      acc.updated(f, acc.getOrElse(f, Map.empty[String, (Double, Double)])
+        .updated(FileSizeKey, (b.toDouble, b.toDouble)))
+    }
+
   private def computeStats(spark: SparkSession, root: String,
                            rels: Seq[String],
                            statsCols: Seq[String],
@@ -410,8 +429,9 @@ object TxLog {
                            colMap: Map[String, String])
       : FileStats = {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
-    require(!statsCols.contains(RowCountKey),
-      s"'$RowCountKey' is the reserved row-count pseudo-column")
+    require(!statsCols.contains(RowCountKey) &&
+      !statsCols.contains(FileSizeKey),
+      s"'$RowCountKey'/'$FileSizeKey' are reserved pseudo-columns")
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     // the files carry PHYSICAL names (stage writes them; live files
     // froze them at rename time): aggregate under the physical name and
@@ -519,7 +539,7 @@ object TxLog {
   private def stage(df: DataFrame, root: String,
                     partitionCols: Seq[String],
                     colMap: Map[String, String])
-      : (Seq[String], String) = {
+      : (Seq[String], String, Map[String, Long]) = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val stageId = UUID.randomUUID().toString.replace("-", "").take(12)
@@ -563,14 +583,17 @@ object TxLog {
     // characters, no %XX) — the one canonical representation that
     // relFromInputFile also normalizes to
     val stageDec = fs.makeQualified(new Path(stageDir)).toUri.getPath
-    def dataFiles(p: Path): Seq[Path] =
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (name.startsWith("_") || name.startsWith(".")) Seq.empty
         else if (st.isDirectory) dataFiles(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st.getPath) else Seq.empty
+        else if (name.endsWith(".parquet")) Seq(st) else Seq.empty
       }
-    val rels = dataFiles(new Path(stageDir)).map { f =>
+    // byte sizes come from the same listing the move walks — free here,
+    // a per-file round trip anywhere later (see [[FileSizeKey]])
+    val relsWithSizes = dataFiles(new Path(stageDir)).map { st =>
+      val f = st.getPath
       val rel = fs.makeQualified(f).toUri.getPath.stripPrefix(stageDec + "/")
       val dir = relDir(rel)
       // stageId prefix: file names stay unique across commits even if two
@@ -579,10 +602,10 @@ object TxLog {
       fs.mkdirs(target.getParent)
       if (!fs.rename(f, target))
         throw new IOException(s"stage move failed: $f -> $target")
-      s"$dir${stageId}_${f.getName}"
+      s"$dir${stageId}_${f.getName}" -> st.getLen
     }
     fs.delete(new Path(stageDir), true)
-    (rels, df.schema.toDDL)
+    (relsWithSizes.map(_._1), df.schema.toDDL, relsWithSizes.toMap)
   }
 
   /** Optimistic commit loop: compute the delta against the CURRENT log
@@ -971,7 +994,7 @@ object TxLog {
     // job's key translation (stage/computeStats would otherwise each
     // re-resolve just to learn the column mapping)
     val preMap = colMapForStage(spark, root)
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
+    val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
@@ -979,7 +1002,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
         StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
@@ -1030,14 +1053,14 @@ object TxLog {
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val preMap = pre.map(_.colMap)
       .getOrElse(colMapForStage(spark, root))
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
+    val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       txn = Some((appId, txnVersion)),
       mappingFence = Some((preMap,
         StructType.fromDDL(ddl).fieldNames.toSeq))))
@@ -1057,7 +1080,7 @@ object TxLog {
                     statsCols: Seq[String] = Seq.empty): Long = {
     val (observed, obs) = Expect.observed(df, expectations)
     val preMap = colMapForStage(spark, root)
-    val (adds, ddl) = stage(observed, root, partitionCols,
+    val (adds, ddl, sizes) = stage(observed, root, partitionCols,
       colMap = preMap)
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
@@ -1067,7 +1090,7 @@ object TxLog {
         failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
         StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
@@ -1080,7 +1103,7 @@ object TxLog {
                 statsCols: Seq[String] = Seq.empty): Long = {
     // full rewrite: files land under the LOGICAL names and the commit's
     // op clears the column mapping (+ tombstones, per foldDropped)
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = Map.empty)
+    val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = Map.empty)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
@@ -1089,7 +1112,7 @@ object TxLog {
         (adds, live, ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
-      computeStats(spark, root, adds, statsCols, colMap = Map.empty))
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes))
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -1106,7 +1129,7 @@ object TxLog {
                        statsCols: Seq[String] = Seq.empty): Long = {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val preMap = colMapForStage(spark, root)
-    val (adds, ddl) = stage(df, root, partitionCols, colMap = preMap)
+    val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
     val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
@@ -1115,7 +1138,7 @@ object TxLog {
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = preMap),
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
         StructType.fromDDL(ddl).fieldNames.toSeq)))
   }
@@ -1151,7 +1174,7 @@ object TxLog {
       partitionFilter.forall { case (k, v) =>
         segs.contains(s"$k=${escapePartitionValue(v)}") }
     }
-    val (adds, ddl) = stage(df, root, parts, colMap = current.colMap)
+    val (adds, ddl, sizes) = stage(df, root, parts, colMap = current.colMap)
     val escaped = adds.filterNot(f => inScope(relDir(f)))
     if (escaped.nonEmpty) {
       deleteStaged(spark, root, adds)
@@ -1168,7 +1191,7 @@ object TxLog {
         (adds, live.filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
-      computeStats(spark, root, adds, statsCols, colMap = current.colMap),
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes),
       // overwrite-wins needs no version fence, but the staged files DO
       // carry current.colMap's physical names — same race as appends
       mappingFence = Some((current.colMap,
@@ -1217,7 +1240,7 @@ object TxLog {
       case Some(s) => s.unionByName(df, allowMissingColumns = true)
       case None    => df
     }
-    val (adds, ddl) = stage(staged, root, parts,
+    val (adds, ddl, sizes) = stage(staged, root, parts,
       colMap = current.colMap)
     enforceConstraints(spark, root, adds, ddl, "replace_where")
     commitLoop(spark, root, "replace_where", parts, { (commits, _) =>
@@ -1230,7 +1253,7 @@ object TxLog {
       // narrower batch must NOT narrow the committed table schema
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, "replace_where", root))
-    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap))
+    }, withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes))
   }
 
   // -------------------------------------------------------------------
@@ -2025,7 +2048,7 @@ object TxLog {
       case Some(s) => s.unionByName(updates, allowMissingColumns = true)
       case None    => updates
     }
-    val (adds, ddl) = stage(staged, root, partitionCols,
+    val (adds, ddl, sizes) = stage(staged, root, partitionCols,
       colMap = current.colMap)
     enforceConstraints(spark, root, adds, ddl, operation)
     commitLoop(spark, root, operation, partitionCols, { (commits, _) =>
@@ -2045,7 +2068,7 @@ object TxLog {
       // live file stages only the update rows, and committing their raw
       // schema would narrow the table (or change a type) silently
       (adds, matchedFiles, committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap),
+    }, withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes),
       metrics = extraMetrics ++
         Map("numMatchedFiles" -> matchedFiles.size.toLong,
           "numAddedFiles" -> adds.size.toLong))
@@ -2078,8 +2101,9 @@ object TxLog {
       val unknown = newCounts.keysIterator.filterNot(liveSet.contains).toSeq
       require(unknown.isEmpty,
         s"deletion-vector file id not in the live set: ${unknown.head}")
-      val (adds, ddl) =
-        if (noUpserts) (Seq.empty[String], current.schemaDdl)
+      val (adds, ddl, sizes) =
+        if (noUpserts) (Seq.empty[String], current.schemaDdl,
+          Map.empty[String, Long])
         else stage(updates, root, partitionCols,
           colMap = current.colMap)
       enforceConstraints(spark, root, adds, ddl, operation)
@@ -2097,7 +2121,7 @@ object TxLog {
           // same schema policy as the rewrite path: an unmatched merge's
           // raw update schema must not narrow the committed table
           (adds, Seq.empty, committedDdl(spark, commits, ddl, operation, root))
-        }, computeStats(spark, root, adds, statsCols, colMap = current.colMap), dv = dvMap,
+        }, withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes), dv = dvMap,
         metrics = extraMetrics ++
           Map("numMatchedRows" -> newCounts.values.sum,
             "numAddedFiles" -> adds.size.toLong))
@@ -2319,7 +2343,7 @@ object TxLog {
         }
       }: _*)
       val parts = partitionColsOf(spark, root, current)
-      val (adds, ddl) = stage(updated, root, parts,
+      val (adds, ddl, sizes) = stage(updated, root, parts,
         colMap = current.colMap)
       enforceConstraints(spark, root, adds, ddl, "update_dv")
       val (sidecarRel, dvMap) =
@@ -2335,7 +2359,7 @@ object TxLog {
           // that BEFORE the commit, exactly like the rewrite path
           (adds, Seq.empty,
             committedDdl(spark, commits, ddl, "update_dv", root))
-        }, computeStats(spark, root, adds, statsCols, colMap = current.colMap), dv = dvMap,
+        }, withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes), dv = dvMap,
         metrics = Map("numUpdatedRows" -> newCounts.values.sum,
           "numAddedFiles" -> adds.size.toLong,
           "numVectoredFiles" -> newCounts.size.toLong))
@@ -2465,8 +2489,9 @@ object TxLog {
     // has its count from phase 1, so it skips the Observation and its
     // per-row predicate re-evaluation entirely.
     val obs = org.apache.spark.sql.Observation()
-    val (adds, ddl) =
-      if (rewriteFiles.isEmpty) (Seq.empty[String], current.schemaDdl)
+    val (adds, ddl, sizes) =
+      if (rewriteFiles.isEmpty) (Seq.empty[String], current.schemaDdl,
+        Map.empty[String, Long])
       else {
         val src0 = readLiveFiles(spark, root, current.schemaDdl,
           rewriteFiles, current)
@@ -2494,7 +2519,7 @@ object TxLog {
       // here — kept for uniformity with the other non-replacing commits
       (adds, matchedFiles,
         committedDdl(spark, commits, ddl, operation, root))
-    }, computeStats(spark, root, adds, statsCols, colMap = current.colMap),
+    }, withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes),
       metrics = Map(rowKey -> matchedRows,
         "numRewrittenFiles" -> rewriteFiles.size.toLong,
         "numRemovedFiles" -> fullFiles.size.toLong,
@@ -3940,15 +3965,40 @@ object TxLog {
     val schema = StructType.fromDDL(snap.schemaDdl)
     if (snap.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      toLogicalCols(
-        applyDv(spark, root,
+    else {
+      // METADATA-ONLY planning when the commit log can serve the file
+      // index itself: unpartitioned layout (no partition-filter
+      // evaluation to re-implement) and a stage-recorded byte size for
+      // every live file. Falls back to the generic listed scan
+      // otherwise — correct, just O(files) filesystem calls slower.
+      val sizes = snap.stats.col(FileSizeKey) // pruned: one stat column
+      val canPlan =
+        spark.conf.get("spark.graft.scan.metadataPlanning", "true") != "false" &&
+          snap.live.forall(f => !f.contains("/") && sizes.contains(f))
+      val scan =
+        if (canPlan) {
+          val fs = fileSystem(spark, root)
+          val rootQ = fs.makeQualified(new Path(root))
+          val statuses = snap.live.map { f =>
+            new org.apache.hadoop.fs.FileStatus(sizes(f)._1.toLong, false,
+              1, 128L * 1024 * 1024, 0L, new Path(rootQ, f))
+          }
+          // nullable like a user-supplied read schema: files predating
+          // an evolved (or un-renamed) column must null-fill it, and the
+          // parquet reader refuses to null-fill a non-nullable field
+          GraftFileIndex.relation(spark, rootQ, statuses,
+            StructType(physSchema(schema, snap.colMap)
+              .map(_.copy(nullable = true))))
+        } else
           spark.read
             .option("basePath", root)
             .schema(physSchema(schema, snap.colMap))
-            .parquet(snap.live.map(f => s"$root/$f"): _*),
+            .parquet(snap.live.map(f => s"$root/$f"): _*)
+      toLogicalCols(
+        applyDv(spark, root, scan,
           snap.dvs.view.filterKeys(snap.live.toSet).toMap),
         schema, snap.colMap)
+    }
   }
 
   // -------------------------------------------------------------------
@@ -4502,7 +4552,7 @@ object TxLog {
       .flatMap(k => schemaS.find(_.name.equalsIgnoreCase(k)).map(_.name))
       .distinct
     val parts = partitionColsOf(spark, root, current)
-    val (adds, ddl) = stage(packed, root, parts,
+    val (adds, ddl, sizes) = stage(packed, root, parts,
       colMap = current.colMap)
     commitLoop(spark, root, "compact", parts, { (commits, live) =>
       val gone = removed.filterNot(live.toSet)
@@ -4522,7 +4572,7 @@ object TxLog {
           s"compact source ${dvChanged.head} gained/changed a deletion " +
             s"vector concurrently at $root — re-run the compact")
       (adds, removed, commits.lastOption.map(_.schemaDdl).getOrElse(ddl))
-    }, computeStats(spark, root, adds, statCols, colMap = current.colMap),
+    }, withSizes(computeStats(spark, root, adds, statCols, colMap = current.colMap), sizes),
       metrics = Map("numPackedFiles" -> removed.size.toLong,
         "numOutputFiles" -> adds.size.toLong))
   }

@@ -246,19 +246,21 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     val meta = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_meta.json")), "UTF-8")
     meta should include("\"format\":3")
-    meta should include("\"statCols\":[\"__rows\",\"id\"]")
+    meta should include("\"statCols\":[\"__bytes\",\"__rows\",\"id\"]")
     // the parquet rows carry the stats FLAT — not as maps — so a
     // single-stat consumer's scan is 3 columns wide no matter how many
     // stat columns the table records
-    val df = TxLog.ckptStatsColDf(dir, IndexedSeq("__rows", "id"), "id").get
-    df.columns.toSeq shouldBe Seq("file", "min1", "max1")
+    val df = TxLog.ckptStatsColDf(
+      dir, IndexedSeq("__bytes", "__rows", "id"), "id").get
+    df.columns.toSeq shouldBe Seq("file", "min2", "max2")
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val readSchema = plan.linesIterator
       .find(_.contains("ReadSchema")).get.split("ReadSchema:").last
     readSchema should include("file")
-    readSchema should include("min1")
-    readSchema should not include "min0" // __rows not read
+    readSchema should include("min2")
+    readSchema should not include "min0" // __bytes not read
+    readSchema should not include "min1" // __rows not read
     readSchema should not include "dvPath"
     // values round-trip: every live file's committed id bounds
     val bounds = df.collect()
@@ -266,7 +268,8 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     bounds should have size 12
     bounds.values.map(_._1).toSeq.sorted shouldBe (0 until 12).map(_.toDouble)
     // a column missing from the legend reads as absent, not an error
-    TxLog.ckptStatsColDf(dir, IndexedSeq("__rows", "id"), "nope") shouldBe None
+    TxLog.ckptStatsColDf(
+      dir, IndexedSeq("__bytes", "__rows", "id"), "nope") shouldBe None
   }
 
   test("format-2 (map-layout) checkpoints from an older writer remain readable") {

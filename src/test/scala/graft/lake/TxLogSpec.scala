@@ -671,9 +671,14 @@ class TxLogSpec extends SparkSpec {
     // scan-level file count (post-filter input_file_name would only show
     // files whose rows survive the residual predicate)
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      raw"InMemoryFileIndex\((\d+) paths\)".r
-        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
-        .map(_.group(1).toInt).get
+      // file count via the scan's index (works for both the listed
+      // InMemoryFileIndex and the metadata-served GraftFileIndex — the
+      // old "(N paths)" regex counted root paths, which the log-served
+      // index always reports as 1)
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.get
     val pruned = TxLog.readRange(spark, root, "id", 150, 160)
     pruned.count() shouldBe 11L
     // only the middle file enters the scan
@@ -696,9 +701,14 @@ class TxLogSpec extends SparkSpec {
   test("clustering turns useless stats into selective ones") {
     val root = tmpRoot()
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      raw"InMemoryFileIndex\((\d+) paths\)".r
-        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
-        .map(_.group(1).toInt).get
+      // file count via the scan's index (works for both the listed
+      // InMemoryFileIndex and the metadata-served GraftFileIndex — the
+      // old "(N paths)" regex counted root paths, which the log-served
+      // index always reports as 1)
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.get
     // scattered ingest: every commit's file spans the whole key range, so
     // stats exist but nothing can skip
     (0 until 4).foreach { i =>
@@ -792,9 +802,14 @@ class TxLogSpec extends SparkSpec {
   test("z-order clustering makes BOTH columns' stats selective at once") {
     val root = tmpRoot()
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      raw"InMemoryFileIndex\((\d+) paths\)".r
-        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
-        .map(_.group(1).toInt).get
+      // file count via the scan's index (works for both the listed
+      // InMemoryFileIndex and the metadata-served GraftFileIndex — the
+      // old "(N paths)" regex counted root paths, which the log-served
+      // index always reports as 1)
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.get
     // 32x32 grid scattered over 4 commits: every file spans both full
     // ranges, so stats exist but skip nothing
     (0 until 4).foreach { i =>
@@ -1100,7 +1115,10 @@ class TxLogSpec extends SparkSpec {
     // fresh min/max and is dropped before any IO
     val out = TxLog.readRange(spark, root, "id", 1000, 2000)
     out.count() shouldBe 0L
-    out.queryExecution.executedPlan.toString should not include "InMemoryFileIndex"
+    out.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.getOrElse(0) shouldBe 0
   }
 
   test("change feed into a vacuumed range fails naming the missing file") {
@@ -1255,7 +1273,7 @@ class TxLogSpec extends SparkSpec {
     val cloneCommit = TxLog.history(spark, dst).head
     cloneCommit.operation shouldBe "clone"
     cloneCommit.stats.values.flatMap(_.keys).toSet shouldBe
-      Set("id", TxLog.RowCountKey)
+      Set("id", TxLog.RowCountKey, TxLog.FileSizeKey)
     TxLog.readRange(spark, dst, "id", 3, 9).count() shouldBe 1L
 
     // divergence is local in both directions
@@ -1297,7 +1315,8 @@ class TxLogSpec extends SparkSpec {
       .repartition(1), root, statsCols = Seq("k"))
     // the file must have NO recorded bounds for k (conservatively kept)
     val stats = TxLog.history(spark, root).head.stats
-    stats.values.flatMap(_.keys).toSet shouldBe Set(TxLog.RowCountKey)
+    stats.values.flatMap(_.keys).toSet shouldBe
+      Set(TxLog.RowCountKey, TxLog.FileSizeKey)
     // a merge touching the non-castable key rewrites it (no duplicate)
     TxLog.merge(spark, Seq(("abc", "ALPHA!")).toDF("k", "s"), root,
       keyCols = Seq("k"), partitionCols = Seq.empty)
