@@ -3967,38 +3967,99 @@ object TxLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       // METADATA-ONLY planning when the commit log can serve the file
-      // index itself: unpartitioned layout (no partition-filter
-      // evaluation to re-implement) and a stage-recorded byte size for
-      // every live file. Falls back to the generic listed scan
+      // index itself: a stage-recorded byte size for every live file,
+      // and (for partitioned layouts) partition values parseable from
+      // every live path. Falls back to the generic listed scan
       // otherwise — correct, just O(files) filesystem calls slower.
       val sizes = snap.stats.col(FileSizeKey) // pruned: one stat column
-      val canPlan =
-        spark.conf.get("spark.graft.scan.metadataPlanning", "true") != "false" &&
-          snap.live.forall(f => !f.contains("/") && sizes.contains(f))
-      val scan =
-        if (canPlan) {
-          val fs = fileSystem(spark, root)
-          val rootQ = fs.makeQualified(new Path(root))
-          val statuses = snap.live.map { f =>
-            new org.apache.hadoop.fs.FileStatus(sizes(f)._1.toLong, false,
-              1, 128L * 1024 * 1024, 0L, new Path(rootQ, f))
-          }
-          // nullable like a user-supplied read schema: files predating
-          // an evolved (or un-renamed) column must null-fill it, and the
-          // parquet reader refuses to null-fill a non-nullable field
-          GraftFileIndex.relation(spark, rootQ, statuses,
-            StructType(physSchema(schema, snap.colMap)
-              .map(_.copy(nullable = true))))
-        } else
-          spark.read
-            .option("basePath", root)
-            .schema(physSchema(schema, snap.colMap))
-            .parquet(snap.live.map(f => s"$root/$f"): _*)
+      val metaScan =
+        if (spark.conf.get("spark.graft.scan.metadataPlanning",
+              "true") == "false" ||
+            !snap.live.forall(sizes.contains)) None
+        else metadataScan(spark, root, snap, schema, sizes)
+      val scan = metaScan.getOrElse(
+        spark.read
+          .option("basePath", root)
+          .schema(physSchema(schema, snap.colMap))
+          .parquet(snap.live.map(f => s"$root/$f"): _*))
       toLogicalCols(
         applyDv(spark, root, scan,
           snap.dvs.view.filterKeys(snap.live.toSet).toMap),
         schema, snap.colMap)
     }
+  }
+
+  /** The metadata-served scan ([[GraftFileIndex]]) for `snap`, or None
+    * when the layout defeats it (mixed partition depths, a dir segment
+    * that isn't `col=value`, a partition column absent from the
+    * schema) — the caller then falls back to the listed scan. Partition
+    * values are parsed once per partition DIRECTORY and cast to the
+    * schema type in LEGACY mode (a malformed value reads null, exactly
+    * like Spark's own partition inference on a typed user schema; by
+    * construction the values were written by partitionBy of typed
+    * columns, so this is belt-and-braces). Column nullability and
+    * order: every served field is nullable like a user-supplied read
+    * schema (files predating an evolved column must null-fill it), and
+    * a final projection restores the table's column order —
+    * HadoopFsRelation appends partition columns last.
+    */
+  private def metadataScan(spark: SparkSession, root: String,
+                           snap: Snapshot, schema: StructType,
+                           sizes: Map[String, (Double, Double)])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, GenericInternalRow, Literal}
+    val phys = physSchema(schema, snap.colMap)
+    val partCols: Seq[String] = snap.live.head.split('/').dropRight(1)
+      .toSeq.map(_.takeWhile(_ != '=')).filter(_.nonEmpty)
+    val partFields = partCols.map(c =>
+      phys.find(_.name.equalsIgnoreCase(c)).getOrElse(return None))
+    val partSchemaS = StructType(partFields.map(_.copy(nullable = true)))
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val fs = fileSystem(spark, root)
+    val rootQ = fs.makeQualified(new Path(root))
+    val byDir = scala.collection.mutable.LinkedHashMap.empty[
+      String, (org.apache.spark.sql.catalyst.InternalRow,
+               scala.collection.mutable.ArrayBuffer[
+                 org.apache.hadoop.fs.FileStatus])]
+    snap.live.foreach { f =>
+      val segs = f.split('/')
+      if (segs.length != partCols.length + 1) return None
+      val dir = segs.dropRight(1).mkString("/")
+      val slot = byDir.getOrElseUpdate(dir, {
+        val vals = new Array[Any](partCols.length)
+        var i = 0
+        while (i < partCols.length) {
+          val seg = segs(i)
+          val eq = seg.indexOf('=')
+          if (eq <= 0 ||
+              !seg.substring(0, eq).equalsIgnoreCase(partCols(i)))
+            return None
+          val raw =
+            ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
+          vals(i) =
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else Cast(Literal(raw), partFields(i).dataType, tz,
+              EvalMode.LEGACY).eval(null)
+          i += 1
+        }
+        (new GenericInternalRow(vals),
+          scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FileStatus])
+      })
+      slot._2 += new org.apache.hadoop.fs.FileStatus(
+        sizes(f)._1.toLong, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(rootQ, f))
+    }
+    val partLc = partCols.map(lcol).toSet
+    val dataSchema = StructType(phys
+      .filterNot(fld => partLc(lcol(fld.name)))
+      .map(_.copy(nullable = true)))
+    val df = GraftFileIndex.relation(spark, rootQ, partSchemaS,
+      byDir.values.map { case (r, fb) => (r, fb.toArray) }.toSeq,
+      dataSchema)
+    Some(df.select(phys.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*))
   }
 
   // -------------------------------------------------------------------

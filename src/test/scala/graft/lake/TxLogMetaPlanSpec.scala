@@ -8,8 +8,10 @@ import java.nio.file.Files
 /** Metadata-only scan planning: snapshots whose live files all carry
   * stage-recorded byte sizes ([[TxLog.FileSizeKey]]) build their file
   * index from the COMMIT LOG ([[GraftFileIndex]]) — zero filesystem
-  * calls at plan time — while partitioned layouts and pre-feature logs
-  * fall back to the listed scan. Content must be identical either way.
+  * calls at plan time — partitioned layouts included (values parsed
+  * from the live paths, static partition filters pruned EXACTLY in the
+  * index), while pre-feature logs fall back to the listed scan.
+  * Content must be identical either way.
   */
 class TxLogMetaPlanSpec extends SparkSpec {
 
@@ -46,15 +48,47 @@ class TxLogMetaPlanSpec extends SparkSpec {
     plan should include("EqualTo(id,7)") // pushed to the parquet scan
   }
 
-  test("partitioned snapshots fall back to the listed scan, correctly") {
+  test("partitioned snapshots plan from the log with EXACT partition pruning") {
     val root = tmpRoot()
     TxLog.append(spark,
-      (1L to 10L).map(k => (k, s"s$k", s"p${k % 2}")).toDF("id", "s", "part"),
-      root, partitionCols = Seq("part"))
+      (1L to 10L).map(k => (k, s"s$k", s"p${k % 2}")).toDF("id", "s", "part")
+        .repartition(2), root, partitionCols = Seq("part"))
     val df = TxLog.readLatest(spark, root)
-    indexOf(df).get should not be a[GraftFileIndex]
-    df.count() shouldBe 10L
-    df.filter(col("part") === "p1").count() shouldBe 5L
+    indexOf(df).get shouldBe a[GraftFileIndex]
+    df.columns.toSeq shouldBe Seq("id", "s", "part") // table order restored
+    val listed = withListing(TxLog.readLatest(spark, root))
+    df.orderBy("id").collect() shouldBe listed.orderBy("id").collect()
+    // partition pruning is enforced BY the index (partition filters are
+    // never re-applied above the scan, so pruning must be exact): the
+    // filtered scan reads only p1's files, and only p1's rows arrive
+    val p1 = df.filter(col("part") === "p1")
+    p1.select("id").as[Long].collect().sorted shouldBe
+      Seq(1L, 3L, 5L, 7L, 9L)
+    val scan = p1.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    scan.toString should include("PartitionFilters")
+    val allFiles = scan.relation.location.inputFiles.length
+    p1.count() shouldBe 5L
+    scan.metrics("numFiles").value should be < allFiles.toLong
+  }
+
+  test("partition values round-trip escaping and the null partition") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      Seq((1L, "north america"), (2L, "emea"), (3L, null))
+        .toDF("id", "region").repartition(1),
+      root, partitionCols = Seq("region"))
+    val df = TxLog.readLatest(spark, root)
+    indexOf(df).get shouldBe a[GraftFileIndex]
+    // escaped dir names ('region=north%20america') decode back
+    df.filter(col("region") === "north america").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(1L)
+    // __HIVE_DEFAULT_PARTITION__ reads as null, like any hive layout
+    df.filter(col("region").isNull).select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L)
+    df.orderBy("id").collect() shouldBe
+      withListing(TxLog.readLatest(spark, root)).orderBy("id").collect()
   }
 
   test("a log without recorded sizes falls back to the listed scan") {
