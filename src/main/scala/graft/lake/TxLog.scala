@@ -4573,7 +4573,7 @@ object TxLog {
     // candidates: small files (the packing case) plus ANY file carrying a
     // deletion vector (the purge case — OPTIMIZE is what materializes
     // vectors back into clean files, whatever the file's size)
-    val small = liveSizesIn(fs, root, current.live, dirMatches)
+    val small = liveSizesOf(spark, root, current, dirMatches)
       .filter { case (f, len) =>
         len < smallerThanBytes || current.dvs.contains(f) }
     val groups = small.groupBy { case (f, _) => relDir(f) }
@@ -4748,13 +4748,27 @@ object TxLog {
     }
   }
 
+  /** Live-file sizes for maintenance policy, served from the log's
+    * stage-recorded `__bytes` when every scoped file carries one (files
+    * are immutable, so the stage-time size IS the on-disk size — zero
+    * filesystem calls), falling back to the directory listing for
+    * pre-feature logs.
+    */
+  private def liveSizesOf(spark: SparkSession, root: String, snap: Snapshot,
+                          dirFilter: String => Boolean = _ => true)
+      : Seq[(String, Long)] = {
+    val scoped = snap.live.filter(f => dirFilter(relDir(f)))
+    val sizes = snap.stats.col(FileSizeKey)
+    if (scoped.forall(sizes.contains)) scoped.map(f => f -> sizes(f)._1.toLong)
+    else liveSizesIn(fileSystem(spark, root), root, scoped, dirFilter)
+  }
+
   /** Latest snapshot's live files with their on-disk sizes — the
     * metadata input for maintenance policy (OPTIMIZE's target file
     * count, small-file ratio monitoring) without opening any data file.
     */
   def liveSizes(spark: SparkSession, root: String): Seq[(String, Long)] =
-    liveSizesIn(fileSystem(spark, root), root,
-      resolve(spark, root, None).live, _ => true)
+    liveSizesOf(spark, root, resolve(spark, root, None))
 
   /** (files carrying a deletion vector, total vector-deleted rows) at the
     * latest snapshot — the DESCRIBE DETAIL health numbers that tell an
@@ -4773,7 +4787,7 @@ object TxLog {
   def detail(spark: SparkSession, root: String)
       : (Long, Seq[(String, Long)], Long, Long, Long, Map[String, String]) = {
     val snap = resolve(spark, root, None)
-    val sizes = liveSizesIn(fileSystem(spark, root), root, snap.live, _ => true)
+    val sizes = liveSizesOf(spark, root, snap)
     val dvs = snap.dvs.view.filterKeys(snap.live.toSet).toMap
     // stats coverage = live files carrying the row-count pseudo-stat
     // (i.e. written with statsCols or ANALYZEd): the "do I need an
