@@ -36,11 +36,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit protocol (stats, constraints, idempotence) has parameters a
   * bare `df.write.format(...)` cannot carry faithfully.
   */
-final class GraftTableProvider extends TableProvider with DataSourceRegister {
+final class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
   override def supportsExternalMetadata(): Boolean = true
+
+  // ---- streaming entry: `spark.readStream.format("graft").load(root)`
+  // is the table's CHANGE FEED, delegated to the existing provider (the
+  // same options: startingVersion/startingTimestamp/maxVersionsPerTrigger)
+  private val streamDelegate =
+    new graft.streaming.TxLogChangeSourceProvider
+
+  private def withRoot(parameters: Map[String, String]): Map[String, String] =
+    if (parameters.contains("root")) parameters
+    else parameters + ("root" ->
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "readStream.format(\"graft\") needs a table root: .load(<root>) " +
+          "or .option(\"root\", <root>)")))
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    streamDelegate.sourceSchema(sqlContext, schema, providerName,
+      withRoot(parameters))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    streamDelegate.createSource(sqlContext, metadataPath, schema,
+      providerName, withRoot(parameters))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active

@@ -660,6 +660,21 @@ object TxLog {
           s"spark.graft.log.retainCheckpoints must be an integer, got '$v'", e)
       })
     }
+    // cadence override, same pre-claim parse rule as above
+    val ckptInterval: Int = {
+      val v = spark.conf.get("spark.graft.checkpoint.interval", "")
+      if (v.isEmpty) CheckpointInterval
+      else {
+        val n = try v.toInt catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.checkpoint.interval must be a positive " +
+              s"integer, got '$v'", e)
+        }
+        if (n < 1) throw new IllegalArgumentException(
+          s"spark.graft.checkpoint.interval must be >= 1, got '$v'")
+        n
+      }
+    }
     var attempt = 0
     var tailWaitMs = 0L
     val maxTailWaitMs = 30000L
@@ -767,7 +782,7 @@ object TxLog {
             }
           // best-effort auto-checkpoint on the cadence: losing it only
           // costs replay length, never correctness
-          if ((version + 1) % CheckpointInterval == 0) {
+          if ((version + 1) % ckptInterval == 0) {
             // NonFatal, not just IOException: the v2 parquet writer can
             // surface Spark job failures, and ANY post-claim checkpoint
             // failure must stay best-effort — the commit is durable
@@ -4066,9 +4081,14 @@ object TxLog {
   // Checkpoints
   // -------------------------------------------------------------------
 
-  /** Auto-checkpoint cadence: one summary every N commits (written
-    * best-effort after the commit lands — a lost checkpoint costs nothing
-    * but replay length).
+  /** Auto-checkpoint cadence default: one summary every N commits
+    * (written best-effort after the commit lands — a lost checkpoint
+    * costs nothing but replay length). Overridable per session via
+    * `spark.graft.checkpoint.interval`: a checkpoint write is O(live
+    * files), so a 10^6-file table committing every few seconds raises
+    * the cadence to amortize it, while a small hot table can lower it
+    * to keep the replay tail tiny — the same knob Delta exposes as
+    * `checkpointInterval`.
     */
   val CheckpointInterval = 10
 

@@ -82,6 +82,21 @@ class GraftDataSourceSpec extends SparkSpec {
       .toSeq shouldBe Seq("p2")
   }
 
+  test("readStream.format(\"graft\") is the change feed (delegated source)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "s"), root)
+    val q = spark.readStream.format("graft").load(root)
+      .filter(col("_change_type") === "insert")
+      .select("id", "s")
+      .writeStream.format("memory").queryName("g_feed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+    spark.table("g_feed").orderBy("id").as[(Long, String)].collect()
+      .toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+  }
+
   test("CREATE TABLE ... USING graft reaches the snapshot through the session catalog") {
     val root = clusteredTable()
     spark.sql("DROP TABLE IF EXISTS g_ddl")

@@ -176,6 +176,33 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 11L
   }
 
+  test("spark.graft.checkpoint.interval overrides the cadence; malformed values fail pre-claim") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.checkpoint.interval", "3")
+    try {
+      (0 until 7).foreach { i =>
+        TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1), root)
+      }
+      logNames(root).filter(_.contains(".checkpoint.")) shouldBe Seq(
+        "00000000000000000002.checkpoint.parquet",
+        "00000000000000000005.checkpoint.parquet")
+      // malformed value: the write fails while NOTHING is durable
+      spark.conf.set("spark.graft.checkpoint.interval", "zero")
+      val before = logNames(root)
+      intercept[IllegalArgumentException] {
+        TxLog.append(spark, Seq((99L, "x")).toDF("id", "s"), root)
+      }.getMessage should include("checkpoint.interval")
+      logNames(root) shouldBe before
+      spark.conf.set("spark.graft.checkpoint.interval", "0")
+      intercept[IllegalArgumentException] {
+        TxLog.append(spark, Seq((99L, "x")).toDF("id", "s"), root)
+      }.getMessage should include(">= 1")
+      logNames(root) shouldBe before
+    } finally spark.conf.unset("spark.graft.checkpoint.interval")
+    TxLog.readLatest(spark, root).count() shouldBe 7L
+  }
+
   test("re-checkpoint of an existing version is an idempotent skip — no swap window") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>
