@@ -303,7 +303,8 @@ object LockFileCommitStore {
   * threads; [[LockFileCommitStore]] remains the store proven by the
   * 3-JVM fuzz in this environment.
   */
-final class JdbcCommitStore(url: String, table: String = "graft_commits")
+final class JdbcCommitStore(url: String, table: String = "graft_commits",
+                            staleClaimMs: Long = 60000L)
     extends CommitStore {
 
   @volatile private var ready = false
@@ -337,16 +338,34 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits")
     }
   }
 
-  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    doClaim(fs, p, bytes, allowSteal = true)
+
+  private def deleteRow(dir: String, entry: String,
+                        claimedAtMs: Long): Boolean =
+    withConn { c =>
+      val del = c.prepareStatement(
+        s"DELETE FROM $table WHERE log_dir = ? AND entry = ? " +
+          "AND claimed_at_ms = ?")
+      try {
+        del.setString(1, dir); del.setString(2, entry)
+        del.setLong(3, claimedAtMs)
+        del.executeUpdate() == 1
+      } finally del.close()
+    }
+
+  private def doClaim(fs: FileSystem, p: Path, bytes: Array[Byte],
+                      allowSteal: Boolean): Boolean = {
     ensureTable()
     val dir = p.getParent.toUri.toString.takeRight(900)
+    val myTs = System.currentTimeMillis()
     val won = withConn { c =>
       val ps = c.prepareStatement(
         s"INSERT INTO $table (log_dir, entry, claimed_at_ms) VALUES (?, ?, ?)")
       try {
         ps.setString(1, dir)
         ps.setString(2, p.getName)
-        ps.setLong(3, System.currentTimeMillis())
+        ps.setLong(3, myTs)
         try { ps.executeUpdate(); true }
         catch {
           case e: java.sql.SQLException
@@ -356,24 +375,46 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits")
         }
       } finally ps.close()
     }
-    if (!won) false
-    else {
+    if (!won) {
+      // Self-healing: a surviving row whose ENTRY FILE is absent marks a
+      // claim whose winner died between the INSERT and its write-through
+      // — or whose torn entry REPAIR LOG quarantined. Without this, that
+      // version number is wedged FOREVER (no file to repair, yet every
+      // claimer loses the CAS). Past the safety age the claim is
+      // provably dead: steal it by deleting the EXACT row observed
+      // (claimed_at_ms in the predicate, so two stealers — or the row's
+      // own late owner — can never delete a successor's claim) and
+      // retrying the insert once.
+      if (!allowSteal || fs.exists(p)) return false
+      val stale = withConn { c =>
+        val q = c.prepareStatement(
+          s"SELECT claimed_at_ms FROM $table WHERE log_dir = ? AND entry = ?")
+        try {
+          q.setString(1, dir); q.setString(2, p.getName)
+          val rs = q.executeQuery()
+          try { if (rs.next()) Some(rs.getLong(1)) else None }
+          finally rs.close()
+        } finally q.close()
+      }
+      stale match {
+        case Some(ts) if System.currentTimeMillis() - ts >= staleClaimMs &&
+            !fs.exists(p) && deleteRow(dir, p.getName, ts) =>
+          doClaim(fs, p, bytes, allowSteal = false)
+        case _ => false
+      }
+    } else {
       // single winner: the plain create cannot race. A failed
-      // write-through rolls the row back or the version is permanently
-      // wedged (no entry exists, yet every later claimer loses the CAS).
+      // write-through rolls OUR row back (claimed_at_ms-conditioned, so
+      // a stealer's later claim is never collateral) or the version is
+      // wedged until the steal path above reaps it.
       try {
         val out = fs.create(p, false)
         try out.write(bytes) finally out.close()
         true
       } catch {
         case t: Throwable =>
-          try withConn { c =>
-            val del = c.prepareStatement(
-              s"DELETE FROM $table WHERE log_dir = ? AND entry = ?")
-            try { del.setString(1, dir); del.setString(2, p.getName)
-              del.executeUpdate(); () }
-            finally del.close()
-          } catch { case rb: Throwable => t.addSuppressed(rb) }
+          try { deleteRow(dir, p.getName, myTs); () }
+          catch { case rb: Throwable => t.addSuppressed(rb) }
           throw t
       }
     }

@@ -78,8 +78,29 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    // PIN the snapshot version at analysis time (the Delta pattern):
+    // without it, a held DataFrame's scan would re-resolve LATEST at
+    // each execution — after a concurrent schema-changing overwrite the
+    // emitted InternalRows would no longer match the analyzed schema
+    // (silent mis-typed reads under needConversion=false). getTable runs
+    // per analysis, so catalog tables still follow new commits query to
+    // query; only one query's plan is frozen.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val pinned =
+      if (opts.containsKey("versionAsOf") || opts.containsKey("timestampAsOf"))
+        properties
+      else
+        TxLog.latestVersion(SparkSession.active,
+            GraftDataSource.rootOf(opts)) match {
+          case Some(v) =>
+            val m = new util.HashMap[String, String](properties)
+            m.put("versionAsOf", v.toString)
+            m
+          case None => properties // no commits yet: fail loudly at read
+        }
+    new GraftTable(schema, new CaseInsensitiveStringMap(pinned))
+  }
 }
 
 private[lake] final class GraftTable(schema0: StructType,

@@ -231,7 +231,8 @@ object TxLog {
 
   private def fromJson(s: String): Commit = {
     val n = mapper.readTree(s)
-    checkReaderVersion(n, s"log entry v${n.get("version").asLong}")
+    checkReaderVersion(n, s"log entry v${
+      Option(n.get("version")).map(_.asLong.toString).getOrElse("?")}")
     def arr(f: String): Seq[String] = {
       val it = n.get(f).elements()
       val b = Seq.newBuilder[String]
@@ -413,6 +414,22 @@ object TxLog {
     * object store).
     */
   val FileSizeKey = "__bytes"
+
+  /** The ONE stats-keep predicate every skipping tier uses: can a file
+    * with recorded bounds `b` intersect [lo, hi]? Missing bounds keep
+    * the file (skipping is necessary-condition only) — and so do NaN
+    * bounds: Spark's min/max propagate NaN as the largest double, so a
+    * single NaN row would otherwise make `mx >= lo` FALSE and silently
+    * skip a file that holds matching rows. Centralized because three
+    * read paths (readRange/readRanges/readStatsPruned) and the merge
+    * probe all prune with it — a divergent copy is a wrong-results bug
+    * waiting to happen.
+    */
+  private def boundsKeep(b: Option[(Double, Double)],
+                         lo: Double, hi: Double): Boolean = b match {
+    case Some((mn, mx)) if !mn.isNaN && !mx.isNaN => mx >= lo && mn <= hi
+    case _ => true
+  }
 
   /** Merge stage-time byte sizes into a commit's stats map. */
   private def withSizes(stats: FileStats,
@@ -1978,12 +1995,7 @@ object TxLog {
         val (klo, khi) = (kstat.getDouble(1), kstat.getDouble(2))
         val physKey = physName(current.colMap, keyHead) // physical stats key
         val ks = current.stats.col(physKey) // pruned: one stat column read
-        current.live.filter { f =>
-          ks.get(f) match {
-            case Some((mn, mx)) => mx >= klo && mn <= khi
-            case None           => true
-          }
-        }
+        current.live.filter(f => boundsKeep(ks.get(f), klo, khi))
       }
     // BLOOM-PRUNED probe, the tier below the range pruning above: on a
     // hash-distributed key the [min, max] test keeps everything, but a
@@ -2695,14 +2707,8 @@ object TxLog {
     val physBounds = bounds.map { case (c, lo, hi) =>
       (snap.stats.col(physName(snap.colMap, c)), lo, hi)
     }
-    val keep = snap.live.filter { f =>
-      physBounds.forall { case (cs, lo, hi) =>
-        cs.get(f) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
-        }
-      }
-    }
+    val keep = snap.live.filter(f =>
+      physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
     lastStatsPrune = Some((keep.size, snap.live.size))
     snapshot(spark, root, snap.copy(live = keep))
   }
@@ -2800,12 +2806,7 @@ object TxLog {
     val snap = resolve(spark, root, version)
     val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
     val cs = snap.stats.col(pc) // pruned: one stat column read
-    val keep = snap.live.filter { f =>
-      cs.get(f) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true
-      }
-    }
+    val keep = snap.live.filter(f => boundsKeep(cs.get(f), lo, hi))
     import org.apache.spark.sql.functions.col
     snapshot(spark, root, snap.copy(live = keep))
       .filter(col(column) >= lo && col(column) <= hi)
@@ -2826,14 +2827,8 @@ object TxLog {
     val physBounds = bounds.map { case (c, lo, hi) =>
       (snap.stats.col(physName(snap.colMap, c)), lo, hi)
     } // stats key by PHYSICAL name; pruned per-column reads
-    val keep = snap.live.filter { f =>
-      physBounds.forall { case (cs, lo, hi) =>
-        cs.get(f) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
-        }
-      }
-    }
+    val keep = snap.live.filter(f =>
+      physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
     import org.apache.spark.sql.functions.col
     bounds.foldLeft(snapshot(spark, root, snap.copy(live = keep))) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
@@ -3685,7 +3680,16 @@ object TxLog {
           cachedCkpt((s"$root#v1", v, st.getModificationTime, st.getLen),
             readCkptV1(spark, root, v))
         })
-      } catch { case _: java.io.FileNotFoundException => () }
+      } catch {
+        case _: java.io.FileNotFoundException => ()
+        // Spark's parquet path resolution reports a dir deleted between
+        // our listing and its read as AnalysisException, not FNF
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase(java.util.Locale.ROOT)
+                .contains("does not exist")) => ()
+      }
     }
     val ckptVersion = base.map(_.version)
     val tail = history(spark, root, afterVersion = ckptVersion.getOrElse(-1L))
@@ -3986,12 +3990,18 @@ object TxLog {
       // and (for partitioned layouts) partition values parseable from
       // every live path. Falls back to the generic listed scan
       // otherwise — correct, just O(files) filesystem calls slower.
-      val sizes = snap.stats.col(FileSizeKey) // pruned: one stat column
+      val planningOn = spark.conf
+        .get("spark.graft.scan.metadataPlanning", "true").trim
+        .equalsIgnoreCase("true")
+      // conf gate FIRST: with planning off, the pruned __bytes read
+      // would be paid only to be discarded
       val metaScan =
-        if (spark.conf.get("spark.graft.scan.metadataPlanning",
-              "true") == "false" ||
-            !snap.live.forall(sizes.contains)) None
-        else metadataScan(spark, root, snap, schema, sizes)
+        if (!planningOn) None
+        else {
+          val sizes = snap.stats.col(FileSizeKey) // pruned: one column
+          if (!snap.live.forall(sizes.contains)) None
+          else metadataScan(spark, root, snap, schema, sizes)
+        }
       val scan = metaScan.getOrElse(
         spark.read
           .option("basePath", root)
@@ -4417,9 +4427,15 @@ object TxLog {
     ckptStatsColDf(dir, legend, c) match {
       case None => Map.empty
       case Some(df) =>
-        df.collect()
+        // the checkpoint dir can be deleted (retention) between the
+        // resolve that captured this loader and the first stat demand;
+        // EVERY consumer treats absent stats conservatively (keep the
+        // file / fall back to the scan or listing), so degrading to
+        // empty is safe where propagating would fail the query
+        try df.collect()
           .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
           .toMap
+        catch { case e if isPathGone(e) => Map.empty }
     }
 
   /** The pruned single-stat-column scan as a DataFrame (None when the
@@ -4441,13 +4457,31 @@ object TxLog {
     * path (re-checkpoint, clone, ANALYZE); readers use the pruned
     * [[readCkptStatsCol]].
     */
+  /** A read failure that means the path vanished (deleted checkpoint),
+    * in any of the shapes Spark surfaces it.
+    */
+  private def isPathGone(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case ae: org.apache.spark.sql.AnalysisException =>
+      ae.getMessage != null &&
+        (ae.getMessage.contains("PATH_NOT_FOUND") ||
+          ae.getMessage.toLowerCase(java.util.Locale.ROOT)
+            .contains("does not exist"))
+    case se: org.apache.spark.SparkException =>
+      se.getCause != null && isPathGone(se.getCause)
+    case _ => false
+  }
+
   private def readCkptStatsFull(dir: String,
                                 legend: IndexedSeq[String]): FileStats = {
     if (legend.isEmpty) return Map.empty
     val cols = Seq("file") ++
       legend.indices.flatMap(i => Seq(s"min$i", s"max$i"))
-    val rows = SparkSession.active.read.parquet(dir)
-      .select(cols.head, cols.tail: _*).collect()
+    val rows =
+      try SparkSession.active.read.parquet(dir)
+        .select(cols.head, cols.tail: _*).collect()
+      catch { case e if isPathGone(e) =>
+        return Map.empty } // conservative: consumers fall back
     rows.iterator.map { r =>
       val m = legend.indices.iterator.flatMap { i =>
         if (r.isNullAt(1 + 2 * i)) Iterator.empty
@@ -4713,11 +4747,16 @@ object TxLog {
         && st.getModificationTime < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     // v2 checkpoint tmp dirs a crashed checkpoint() left behind (the
-    // rename never ran): invisible to readers, same age-guarded reap
+    // rename never ran), and claim temps a crashed writer left (the
+    // local-FS hard-link `.tmp`s and LockFileCommitStore's `.claimtmp`s
+    // — both fully invisible to readers): same age-guarded reap
     val deadCkptTmps = (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq
                         else Seq.empty)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".ckpt_tmp_")
-        && st.getModificationTime < cutoff)
+      .filter(st => st.getModificationTime < cutoff &&
+        ((st.isDirectory && st.getPath.getName.startsWith(".ckpt_tmp_")) ||
+          (st.isFile && st.getPath.getName.startsWith(".") &&
+            (st.getPath.getName.endsWith(".claimtmp") ||
+              st.getPath.getName.endsWith(".tmp")))))
       .map { st =>
         fs.delete(st.getPath, true); s"$LogDirName/${st.getPath.getName}"
       }

@@ -82,6 +82,25 @@ class GraftDataSourceSpec extends SparkSpec {
       .toSeq shouldBe Seq("p2")
   }
 
+  test("a held DataFrame is PINNED to its analysis-time snapshot") {
+    val root = tmpRoot()
+    TxLog.append(spark, (1L to 4L).map(k => (k, s"s$k")).toDF("id", "s"), root)
+    val held = spark.read.format("graft").load(root)
+    // concurrent full replacement, different schema shape entirely
+    TxLog.overwrite(spark,
+      Seq((9L, 1.5)).toDF("id", "weight"), root)
+    // the held plan still reads the version it was analyzed against —
+    // re-resolving LATEST here would emit rows mismatching the analyzed
+    // schema (silent mis-typed reads under needConversion=false)
+    held.count() shouldBe 4L
+    held.orderBy("id").select("s").as[String].collect()
+      .head shouldBe "s1"
+    // a fresh read follows the new table
+    val fresh = spark.read.format("graft").load(root)
+    fresh.columns.toSeq shouldBe Seq("id", "weight")
+    fresh.count() shouldBe 1L
+  }
+
   test("readStream.format(\"graft\") is the change feed (delegated source)") {
     val root = tmpRoot()
     TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)

@@ -355,8 +355,17 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     // a crashed checkpoint's tmp dir is reaped once it ages out
     val tmp = new java.io.File(s"$root/${TxLog.LogDirName}/.ckpt_tmp_dead")
     tmp.mkdirs() shouldBe true
-    TxLog.cleanOrphans(spark, root, olderThanMs = 0L) should contain(
-      s"${TxLog.LogDirName}/.ckpt_tmp_dead")
+    // a crashed writer's claim temp (atomic-rename publication never ran)
+    val claimTmp = new java.io.File(
+      s"$root/${TxLog.LogDirName}/.00000000000000000099.json.ab12cd34.claimtmp")
+    java.nio.file.Files.write(claimTmp.toPath, "torn".getBytes)
+    val reaped = TxLog.cleanOrphans(spark, root, olderThanMs = 0L)
+    reaped should contain(s"${TxLog.LogDirName}/.ckpt_tmp_dead")
+    reaped should contain(
+      s"${TxLog.LogDirName}/${claimTmp.getName}")
     tmp.exists() shouldBe false
+    claimTmp.exists() shouldBe false
+    // the local-FS checksum sidecars (.crc) were NOT touched
+    TxLog.readLatest(spark, root).count() shouldBe 12L
   }
 }

@@ -275,6 +275,29 @@ class TxLogFuzzSpec extends SparkSpec {
     new String(store.read(fs, p)) shouldBe "mine"
   }
 
+  test("jdbc store: a dead claim (row without entry file) is stolen past the safety age") {
+    val url = derbyUrl("jdbcsteal")
+    val store = new JdbcCommitStore(url)
+    val dir = Files.createTempDirectory("graft-jdbcsteal").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    store.claim(fs, p, "dead".getBytes) shouldBe true
+    // REPAIR LOG quarantined the torn entry (or the writer died between
+    // its row INSERT and the write-through): the row survives, the file
+    // is gone — without reconciliation this version is wedged FOREVER
+    fs.delete(p, false) shouldBe true
+    // a fresh claim within the safety age is refused (the row's owner
+    // may still be mid write-through)
+    store.claim(fs, p, "too-soon".getBytes) shouldBe false
+    // past the age the dead claim is stolen and the version unwedges
+    val impatient = new JdbcCommitStore(url, staleClaimMs = 0L)
+    impatient.claim(fs, p, "stolen".getBytes) shouldBe true
+    new String(store.read(fs, p)) shouldBe "stolen"
+    // and the new owner's row defends normally
+    impatient.claim(fs, p, "late".getBytes) shouldBe false
+  }
+
   test("jdbc store: concurrent writers through the commit loop, no lost updates") {
     val root = Files.createTempDirectory("graft-jdbcfuzz").toString
     CommitStore.install(root, new JdbcCommitStore(derbyUrl("jdbcfuzz")))

@@ -42,6 +42,12 @@ class TxLogMetaPlanSpec extends SparkSpec {
     val listed = withListing(TxLog.readLatest(spark, root))
     indexOf(listed).get should not be a[GraftFileIndex]
     df.orderBy("id").collect() shouldBe listed.orderBy("id").collect()
+    // boolean parsing is case-insensitive, and anything not literally
+    // true lands on the always-correct listed fallback
+    spark.conf.set("spark.graft.scan.metadataPlanning", "FALSE")
+    try indexOf(TxLog.readLatest(spark, root)).get should
+      not be a[GraftFileIndex]
+    finally spark.conf.unset("spark.graft.scan.metadataPlanning")
     // parquet pushdown is unchanged: the filter reaches the scan
     val plan = df.filter(col("id") === 7L).queryExecution
       .executedPlan.toString

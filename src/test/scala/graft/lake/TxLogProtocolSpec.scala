@@ -72,6 +72,21 @@ class TxLogProtocolSpec extends SparkSpec {
     }
   }
 
+  test("a future entry WITHOUT a version field still refuses cleanly (no NPE -> torn-tail misread)") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "s"), root)
+    val p = Paths.get(s"$root/${TxLog.LogDirName}/00000000000000000001.json")
+    // a future format that also restructured the envelope: minReader
+    // present, top-level "version" gone. The refusal must still be the
+    // typed one — an NPE would be swallowed as a torn in-flight tail
+    // and an old writer would wait it out and commit blind
+    Files.write(p, """{"minReader":99,"v":1}""".getBytes("UTF-8"))
+    intercept[TxLog.UnsupportedLogFeatureException] {
+      TxLog.readLatest(spark, root).count()
+    }.getMessage should include("requires log reader version 99")
+  }
+
   test("checkpoints stamp the rung of the state they summarize") {
     // plain table: no stamp
     val plain = tmpRoot()

@@ -698,6 +698,26 @@ class TxLogSpec extends SparkSpec {
     scannedFiles(tt) shouldBe 1
   }
 
+  test("NaN in a stats column never skips a file that holds matching rows") {
+    val root = tmpRoot()
+    // Spark's min/max propagate NaN as the LARGEST double, so this
+    // file's recorded bounds are (1.5, NaN) — a naive 'mx >= lo' is
+    // false for NaN and would silently drop the 1.5 row from every
+    // bounded read
+    TxLog.append(spark, Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "v")
+      .repartition(1), root, statsCols = Seq("v"))
+    TxLog.append(spark, Seq((3L, 100.0)).toDF("id", "v")
+      .repartition(1), root, statsCols = Seq("v"))
+    TxLog.readRange(spark, root, "v", 1.0, 2.0)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+    TxLog.readRanges(spark, root, Seq(("v", 1.0, 2.0)))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+    // the same guard on the connector path's automatic file skipping
+    spark.read.format("graft").load(root)
+      .filter(col("v") >= 1.0 && col("v") <= 2.0)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
   test("clustering turns useless stats into selective ones") {
     val root = tmpRoot()
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
