@@ -85,20 +85,35 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     // emitted InternalRows would no longer match the analyzed schema
     // (silent mis-typed reads under needConversion=false). getTable runs
     // per analysis, so catalog tables still follow new commits query to
-    // query; only one query's plan is frozen.
+    // query; only one query's plan is frozen. The pin comes from the
+    // CHECKPOINT-AWARE current version: raw-entry replay would return
+    // None on a log vacuumed to a tip checkpoint (where reads succeed),
+    // silently dropping the pin — and it re-reads every surviving entry
+    // per analysis where resolve pays O(checkpoint + tail).
+    // A timestampAsOf is resolved to its version HERE for the same
+    // reason: one resolution at analysis, not one per execution.
+    val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(properties)
-    val pinned =
-      if (opts.containsKey("versionAsOf") || opts.containsKey("timestampAsOf"))
-        properties
-      else
-        TxLog.latestVersion(SparkSession.active,
-            GraftDataSource.rootOf(opts)) match {
-          case Some(v) =>
-            val m = new util.HashMap[String, String](properties)
-            m.put("versionAsOf", v.toString)
-            m
-          case None => properties // no commits yet: fail loudly at read
-        }
+    val root = GraftDataSource.rootOf(opts)
+    val resolved: Option[Long] = GraftDataSource.versionOf(spark, opts)
+      .orElse(TxLog.currentVersion(spark, root))
+    val pinned = resolved match {
+      case Some(v) =>
+        val m = new util.HashMap[String, String](properties)
+        m.remove("timestampAsOf")
+        m.put("versionAsOf", v.toString)
+        m
+      case None => properties // no commits yet: fail loudly at read
+    }
+    // supportsExternalMetadata admits a user/catalog .schema(...); the
+    // scan returns ACTUAL column bytes under needConversion=false, so a
+    // mismatched declared type would silently reinterpret them — refuse
+    // anything that is not the actual type or a lossless upcast (the
+    // upcast itself is inserted in buildScan)
+    resolved.foreach { v =>
+      GraftDataSource.validateSchema(
+        TxLog.schemaOf(spark, root, Some(v)), schema)
+    }
     new GraftTable(schema, new CaseInsensitiveStringMap(pinned))
   }
 }
@@ -198,7 +213,15 @@ private[lake] final class GraftRelation(ctx: SQLContext,
     }
     val pruned =
       if (required.isEmpty) filtered.select()
-      else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+      else filtered.select(required.toIndexedSeq.map { f =>
+        // honor a declared-but-wider type (validated in getTable as a
+        // lossless upcast): without the cast the InternalRows would
+        // carry the ACTUAL type's bytes under the declared schema
+        val actual = filtered.schema
+          .find(_.name.equalsIgnoreCase(f.name)).map(_.dataType)
+        if (actual.contains(f.dataType)) col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      }: _*)
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
@@ -227,6 +250,34 @@ private[lake] object GraftDataSource {
         Some(TxLog.versionAtTimestamp(spark, rootOf(options), ms))
       case (None, None) => None
     }
+
+  /** Reject a declared (user `.schema(...)` / catalog-stored) schema the
+    * scan cannot honor. [[GraftRelation.buildScan]] selects snapshot
+    * columns BY NAME and emits InternalRows under needConversion=false,
+    * so a declared type that differs from the actual one reinterprets
+    * unsafe-row bytes as garbage: every declared field must exist in the
+    * table, with the actual type or one reachable by a LOSSLESS upcast
+    * (inserted in buildScan). Anything else fails here, at analysis.
+    */
+  def validateSchema(actual: StructType, declared: StructType): Unit = {
+    val byName = actual.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    declared.foreach { f =>
+      val a = byName.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"format(\"graft\"): declared column '${f.name}' does not " +
+            s"exist in the table (actual schema: ${actual.simpleString})"))
+      if (a.dataType != f.dataType &&
+          !org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(a.dataType, f.dataType))
+        throw new IllegalArgumentException(
+          s"format(\"graft\"): declared type ${f.dataType.simpleString} " +
+            s"for column '${f.name}' is not the table's " +
+            s"${a.dataType.simpleString} nor a lossless upcast of it — " +
+            "scanning under it would misread row bytes; drop " +
+            ".schema(...) or declare the actual type")
+    }
+  }
 
   /** Exact Column translation of a connector [[Filter]]; None marks the
     * filter residual (Spark re-applies it post-scan).
@@ -259,8 +310,14 @@ private[lake] object GraftDataSource {
     */
   def boundsOf(filters: Array[Filter]): Seq[(String, Double, Double)] = {
     def num(v: Any): Option[Double] = v match {
-      case n: java.lang.Number => Some(n.doubleValue())
-      case _                   => None
+      // NaN contributes NO bound: under Spark's NaN-largest total order
+      // `x <= NaN` still matches every non-NaN row, but hi=NaN makes
+      // boundsKeep's `mn <= hi` false for every stats-bearing file —
+      // silently skipping them all (mirror of the NaN-KEEP rule
+      // boundsKeep applies to file stats)
+      case n: java.lang.Number =>
+        val d = n.doubleValue(); if (d.isNaN) None else Some(d)
+      case _ => None
     }
     val windows = scala.collection.mutable.Map.empty[String, (Double, Double)]
     def narrow(a: String, lo: Double, hi: Double): Unit = {

@@ -363,6 +363,21 @@ object TxLog {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     history(spark, root).lastOption.map(_.version)
 
+  /** The table's current version through CHECKPOINT-AWARE resolution —
+    * unlike [[latestVersion]]'s raw-entry replay, it is O(checkpoint +
+    * tail) and stays correct on a log vacuumed down to a tip checkpoint
+    * (no surviving raw entries, yet reads succeed via the checkpoint).
+    * None only when the table has no committed state at all: fresh, or
+    * a sole in-flight first commit.
+    */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    try Some(resolve(spark, root, None).version)
+    catch {
+      case _: NotATxLogTableException => None
+      case _: IllegalArgumentException
+        if inFlightFirstCommitOnly(spark, root) => None
+    }
+
   /** Live file set after replaying `commits` in order. */
   private def replay(commits: Seq[Commit]): Seq[String] = {
     val live = new scala.collection.mutable.LinkedHashSet[String]
@@ -999,21 +1014,46 @@ object TxLog {
     }
   }
 
+  /** True when `root`'s log holds raw entries but NONE committed and the
+    * uncommitted tail starts at the ORIGIN — a healthy in-flight FIRST
+    * commit (a writer between its claim and durability), not a truncated
+    * log. A tail starting past version 0 with nothing committed is
+    * missing its origin entries and stays a refusal; a corrupt mid-log
+    * entry makes `history` itself throw, which propagates (fail-closed).
+    */
+  private def inFlightFirstCommitOnly(spark: SparkSession,
+                                      root: String): Boolean = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    if (!fs.exists(dir)) return false
+    val versions = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+      .collect { case LogFile(v) => v.toLong }
+    versions.nonEmpty && versions.min == 0L &&
+      history(spark, root).isEmpty
+  }
+
   /** The table's current column mapping for a PRE-stage read: empty for
-    * a FRESH table only (resolve's dedicated refusal — nothing to map).
-    * Every other failure PROPAGATES — an IO error, and equally resolve's
-    * truncated-log "origin entries missing" refusal, which is also an
-    * IllegalArgumentException: swallowing either would stage a mapped
-    * table's batch under LOGICAL names — fail-open on exactly the state
-    * the commit-time mapping fence guards (the fence would still refuse
-    * the commit, but only after the batch staged and with a misleading
-    * concurrent-change message — and commitLoop's own resolve would now
-    * propagate the same refusal anyway).
+    * a FRESH table (resolve's dedicated refusal — nothing to map) and
+    * for a log whose ONLY entry is a healthy in-flight FIRST commit
+    * (no mapping can predate the first commit; commitLoop's tail-wait
+    * arbitrates the race). Every other failure PROPAGATES — an IO
+    * error, and equally resolve's truncated-log "origin entries
+    * missing" refusal, which is also an IllegalArgumentException:
+    * swallowing either would stage a mapped table's batch under LOGICAL
+    * names — fail-open on exactly the state the commit-time mapping
+    * fence guards (the fence would still refuse the commit, but only
+    * after the batch staged and with a misleading concurrent-change
+    * message — and commitLoop's own resolve would now propagate the
+    * same refusal anyway).
     */
   private def colMapForStage(spark: SparkSession,
                              root: String): Map[String, String] =
     try resolve(spark, root, None).colMap
-    catch { case _: NotATxLogTableException => Map.empty }
+    catch {
+      case _: NotATxLogTableException => Map.empty
+      case _: IllegalArgumentException
+        if inFlightFirstCommitOnly(spark, root) => Map.empty
+    }
 
   /** Append `df` as a new commit. Returns the committed version.
     * `statsCols` opts the batch into per-file min/max stats for

@@ -116,6 +116,74 @@ class GraftDataSourceSpec extends SparkSpec {
       .toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
   }
 
+  test("a declared schema with a mismatched type is refused at analysis") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1L to 5L).map(k => (k, s"s$k")).toDF("id", "s"), root)
+    // INT for a BIGINT column: under needConversion=false this would
+    // reinterpret unsafe-row bytes — must refuse, not return garbage
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").schema("id INT, s STRING").load(root)
+        .collect()
+    }
+    e.getMessage should include("lossless upcast")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").schema("nope STRING").load(root).collect()
+    }
+    e2.getMessage should include("does not exist")
+  }
+
+  test("a declared LOSSLESS upcast is honored (INT table read as BIGINT)") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1 to 5).map(k => (k, s"s$k")).toDF("id", "s"), root) // id: INT
+    val df = spark.read.format("graft").schema("id BIGINT, s STRING")
+      .load(root)
+    df.schema("id").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    df.orderBy("id").select("id").as[Long].collect().toSeq shouldBe
+      (1L to 5L)
+  }
+
+  test("a NaN comparison value contributes NO skipping bound") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (1 to 8).map(k => (k.toLong, k.toDouble)).toDF("id", "d")
+        .repartition(1), root, statsCols = Seq("d"))
+    TxLog.lastStatsPrune = None
+    // NaN sorts LARGEST in Spark's total order, so every non-NaN row
+    // matches <= NaN — a NaN skipping bound would have pruned every
+    // stats-bearing file and silently returned empty
+    spark.read.format("graft").load(root)
+      .filter(col("d") <= Double.NaN).count() shouldBe 8L
+    TxLog.lastStatsPrune shouldBe None
+  }
+
+  test("the analysis-time pin survives a log truncated to its checkpoint") {
+    val root = tmpRoot()
+    (0 until 3).foreach { c =>
+      TxLog.append(spark,
+        (0 until 5).map(i => (c * 5L + i, s"s$i")).toDF("id", "s"), root)
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(2L)
+    // hand-truncate EVERY raw entry (stronger than vacuumLog, which
+    // keeps the horizon entry): reads must resolve via the checkpoint
+    // and the pin must come from checkpoint-aware resolution — raw
+    // replay sees nothing here and would silently drop the pin
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_txlog")).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val held = spark.read.format("graft").load(root)
+    TxLog.overwrite(spark, Seq((99L, 1.5)).toDF("id", "weight"), root)
+    // still the analyzed snapshot, not the overwrite's schema/rows
+    held.count() shouldBe 15L
+    held.orderBy("id").select("s").as[String].collect().head shouldBe "s0"
+    spark.read.format("graft").load(root).columns.toSeq shouldBe
+      Seq("id", "weight")
+  }
+
   test("CREATE TABLE ... USING graft reaches the snapshot through the session catalog") {
     val root = clusteredTable()
     spark.sql("DROP TABLE IF EXISTS g_ddl")

@@ -1865,4 +1865,60 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).columns.toSeq.sorted shouldBe
       Seq("id", "region")
   }
+
+  test("currentVersion is checkpoint-aware and fails closed on a truncated origin") {
+    val root = tmpRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // not a table at all
+    TxLog.currentVersion(spark, root) shouldBe None
+    // an in-flight FIRST commit (claim visible, bytes not durable):
+    // still no committed state — None, not a throw
+    val logDir = new org.apache.hadoop.fs.Path(s"$root/_txlog")
+    fs.mkdirs(logDir)
+    val torn = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000000.json")
+    val out = fs.create(torn, true)
+    try out.write("{torn".getBytes) finally out.close()
+    TxLog.currentVersion(spark, root) shouldBe None
+    // but an uncommitted tail starting PAST the origin is a truncated
+    // log, not a fresh table — the refusal propagates (fail-closed)
+    fs.delete(torn, false)
+    val mid = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000005.json")
+    val out2 = fs.create(mid, true)
+    try out2.write("{torn".getBytes) finally out2.close()
+    intercept[IllegalArgumentException] {
+      TxLog.currentVersion(spark, root)
+    }
+  }
+
+  test("an in-flight FIRST commit never fails a concurrent append outright") {
+    val root = tmpRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$root/_txlog")
+    fs.mkdirs(logDir)
+    // another writer's first commit: claimed (visible) but not durable
+    val torn = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000000.json")
+    val out = fs.create(torn, true)
+    try out.write("{not yet".getBytes) finally out.close()
+    // the append must STAGE (empty column mapping — nothing can be
+    // mapped before the first commit) and sit in commitLoop's tail-wait
+    // rather than failing at stage time with resolve's refusal
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fut = Future {
+      TxLog.append(spark,
+        (1L to 5L).map(k => (k, s"s$k")).toDF("id", "s"), root)
+    }
+    Thread.sleep(1500)
+    fut.isCompleted shouldBe false // waiting out the tail, not failed
+    // the dead writer's claim is repaired away -> the append lands as v0
+    fs.delete(torn, false)
+    Await.result(fut, 60.seconds) shouldBe 0L
+    TxLog.readLatest(spark, root).count() shouldBe 5L
+  }
 }
