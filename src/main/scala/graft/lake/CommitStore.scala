@@ -282,32 +282,69 @@ object LockFileCommitStore {
 
 /** CAS commit store backed by a DATABASE ROW: claim = `INSERT` into a
   * table with a `(log_dir, entry)` primary key — the database's
-  * uniqueness enforcement IS the compare-and-swap — then write-through
-  * to the filesystem as the single winner, rolling the row back if the
-  * write-through fails (same recovery contract as
-  * [[CasOverlayCommitStore]]: a wedged version number must never outlive
-  * the claim that wedged it).
+  * uniqueness enforcement IS the compare-and-swap. The COMMIT DECISION,
+  * however, is NOT the insert: the winner first stages the entry bytes
+  * at a UNIQUE hidden name (never contended), then PUBLISHES by
+  * conditionally updating its own row (`SET staged = <name> WHERE
+  * claimed_at_ms = mine AND staged IS NULL`) — one atomic row update,
+  * valid on any filesystem — and only then materializes the canonical
+  * entry path as the single publisher. That ordering closes the
+  * stolen-claim race: a winner that stalls (GC pause, network
+  * partition) past `staleClaimMs` can lose its still-UNPUBLISHED row to
+  * a stealer, and its own publish update then matches nothing — it
+  * reports a lost race, never a phantom commit. Two callers can never
+  * both believe they committed one version, and the contended path is
+  * never plain-created by two writers (previously both a stalled winner
+  * and its stealer ran `fs.create(p, false)`, which is check-then-create
+  * on `file:` and last-writer-wins on an object store — a silent lost
+  * update). With the race closed, a long GC pause costs the paused
+  * writer a clean retry, nothing more, so `staleClaimMs` stays a
+  * liveness knob rather than a correctness one.
+  *
+  * Self-healing ladder for dead claims, keyed off the observed row:
+  *  - UNPUBLISHED row + entry absent + stale: the owner died between
+  *    INSERT and publication — STEAL it, deleting exactly the observed
+  *    row (timestamp AND unpublished-ness in the predicate, so a row
+  *    the owner publishes or a successor re-claims in the meantime
+  *    matches nothing) and re-inserting once.
+  *  - PUBLISHED row + entry absent + staged bytes present: the owner
+  *    died between publication and materialize — the commit IS durable;
+  *    a later claimer HEALS the canonical path from the staged bytes
+  *    and reports its own claim lost. (The same applies after REPAIR
+  *    LOG quarantines a torn canonical entry: the staged backup
+  *    restores it.)
+  *  - PUBLISHED row + entry AND staged bytes both absent (quarantined
+  *    and reaped — operator-sanctioned amputation): past the safety age
+  *    the row is dead weight and becomes stealable again.
   *
   * This is the deployment shape for object-store-only lakes with no
   * shared POSIX volume for [[LockFileCommitStore]]: point `url` at any
-  * shared RDBMS (the SQL is one CREATE TABLE, one INSERT, one DELETE —
-  * standard everywhere; unique-violation detection uses SQLState 23505)
-  * and every shared-nothing writer arbitrates through the same row
-  * space. Connections are per-claim (claims are rare — one per commit —
-  * and pooling would add a dependency for nothing).
+  * shared RDBMS (the SQL is one CREATE TABLE and per-claim INSERT /
+  * UPDATE / DELETE — standard everywhere; unique-violation detection
+  * uses SQLState 23505) and every shared-nothing writer arbitrates
+  * through the same row space. Connections are per-claim (claims are
+  * rare — one per commit — and pooling would add a dependency for
+  * nothing).
   *
   * Tests run it on embedded Derby (the JDBC engine available offline),
   * which is single-process by design — so the cross-PROCESS race is
   * exercised structurally (the CAS is the database's PK, identical from
-  * one process or many) and the multi-writer race is fuzzed across
-  * threads; [[LockFileCommitStore]] remains the store proven by the
-  * 3-JVM fuzz in this environment.
+  * one process or many) and the multi-writer and steal races are fuzzed
+  * across threads; [[LockFileCommitStore]] remains the store proven by
+  * the 3-JVM fuzz in this environment.
   */
 final class JdbcCommitStore(url: String, table: String = "graft_commits",
                             staleClaimMs: Long = 60000L)
     extends CommitStore {
 
   @volatile private var ready = false
+
+  /** Test seam: called with "inserted" right after a won CAS insert and
+    * "staged" after the staged bytes land (both BEFORE publication) —
+    * lets a spec freeze a winner inside the exact windows the steal
+    * ladder exists for. No-op in production.
+    */
+  @volatile private[lake] var pauseHook: String => Unit = _ => ()
 
   private def withConn[A](body: java.sql.Connection => A): A = {
     val c = java.sql.DriverManager.getConnection(url)
@@ -324,6 +361,7 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits",
           try st.executeUpdate(
             s"CREATE TABLE $table (log_dir VARCHAR(900) NOT NULL, " +
               "entry VARCHAR(100) NOT NULL, claimed_at_ms BIGINT, " +
+              "staged VARCHAR(120), " +
               s"PRIMARY KEY (log_dir, entry))")
           finally st.close()
         } catch {
@@ -341,18 +379,93 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits",
   override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
     doClaim(fs, p, bytes, allowSteal = true)
 
-  private def deleteRow(dir: String, entry: String,
-                        claimedAtMs: Long): Boolean =
+  private def rowOf(dir: String,
+                    entry: String): Option[(Long, Option[String])] =
+    withConn { c =>
+      val q = c.prepareStatement(
+        s"SELECT claimed_at_ms, staged FROM $table " +
+          "WHERE log_dir = ? AND entry = ?")
+      try {
+        q.setString(1, dir); q.setString(2, entry)
+        val rs = q.executeQuery()
+        try {
+          if (rs.next()) Some((rs.getLong(1), Option(rs.getString(2))))
+          else None
+        } finally rs.close()
+      } finally q.close()
+    }
+
+  /** Delete exactly the observed row: timestamp AND publication state
+    * in the predicate, so neither a stealer nor the row's own late
+    * owner can ever delete a successor's (or a just-published) claim.
+    */
+  private def deleteRow(dir: String, entry: String, claimedAtMs: Long,
+                        staged: Option[String]): Boolean =
     withConn { c =>
       val del = c.prepareStatement(
         s"DELETE FROM $table WHERE log_dir = ? AND entry = ? " +
-          "AND claimed_at_ms = ?")
+          s"AND claimed_at_ms = ? AND staged ${staged.fold("IS NULL")(_ => "= ?")}")
       try {
         del.setString(1, dir); del.setString(2, entry)
         del.setLong(3, claimedAtMs)
+        staged.foreach(del.setString(4, _))
         del.executeUpdate() == 1
       } finally del.close()
     }
+
+  /** The atomic commit decision: flips OUR still-unpublished row to
+    * published. Zero rows updated = the row was stolen (or never ours
+    * anymore) — the claim is lost, not committed.
+    */
+  private def publishRow(dir: String, entry: String, claimedAtMs: Long,
+                         stagedName: String): Boolean =
+    withConn { c =>
+      val up = c.prepareStatement(
+        s"UPDATE $table SET staged = ? WHERE log_dir = ? AND entry = ? " +
+          "AND claimed_at_ms = ? AND staged IS NULL")
+      try {
+        up.setString(1, stagedName); up.setString(2, dir)
+        up.setString(3, entry); up.setLong(4, claimedAtMs)
+        up.executeUpdate() == 1
+      } finally up.close()
+    }
+
+  /** Materialize the canonical entry path from published bytes. Only
+    * the published owner and HEALERS (copying the same staged bytes)
+    * reach here, so a target that already exists WITH those bytes is a
+    * benign race; different bytes mean the path is occupied by
+    * something foreign — loud. `file:` hard-links the staged file in
+    * (atomic, never torn); other schemes use a plain create, safe
+    * post-publication (single logical writer, same-content healers).
+    */
+  private def materialize(fs: FileSystem, p: Path, staged: Path,
+                          bytes: Array[Byte]): Unit = {
+    val created =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(staged.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: IOException => false }
+      }
+    if (!created &&
+        !java.util.Arrays.equals(
+          try FsCommitStore.read(fs, p)
+          catch { case _: IOException => Array.emptyByteArray },
+          bytes))
+      throw new IOException(
+        s"commit entry path $p is occupied by bytes that are not this " +
+          "claim's published content — refusing to overwrite")
+  }
 
   private def doClaim(fs: FileSystem, p: Path, bytes: Array[Byte],
                       allowSteal: Boolean): Boolean = {
@@ -376,46 +489,75 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits",
       } finally ps.close()
     }
     if (!won) {
-      // Self-healing: a surviving row whose ENTRY FILE is absent marks a
-      // claim whose winner died between the INSERT and its write-through
-      // — or whose torn entry REPAIR LOG quarantined. Without this, that
-      // version number is wedged FOREVER (no file to repair, yet every
-      // claimer loses the CAS). Past the safety age the claim is
-      // provably dead: steal it by deleting the EXACT row observed
-      // (claimed_at_ms in the predicate, so two stealers — or the row's
-      // own late owner — can never delete a successor's claim) and
-      // retrying the insert once.
-      if (!allowSteal || fs.exists(p)) return false
-      val stale = withConn { c =>
-        val q = c.prepareStatement(
-          s"SELECT claimed_at_ms FROM $table WHERE log_dir = ? AND entry = ?")
-        try {
-          q.setString(1, dir); q.setString(2, p.getName)
-          val rs = q.executeQuery()
-          try { if (rs.next()) Some(rs.getLong(1)) else None }
-          finally rs.close()
-        } finally q.close()
-      }
-      stale match {
-        case Some(ts) if System.currentTimeMillis() - ts >= staleClaimMs &&
-            !fs.exists(p) && deleteRow(dir, p.getName, ts) =>
-          doClaim(fs, p, bytes, allowSteal = false)
-        case _ => false
+      rowOf(dir, p.getName) match {
+        case None =>
+          // the row vanished between our insert and this read (its
+          // owner rolled back, or steal churn): the caller's commit
+          // loop re-reads state and retries the version
+          false
+        case Some((ts, Some(stagedName))) =>
+          // PUBLISHED: the version is committed, our claim is lost.
+          // Heal a canonical path the dead owner never materialized
+          // (or REPAIR LOG quarantined) from the staged backup.
+          val sp = new Path(p.getParent, stagedName)
+          if (!fs.exists(p) && fs.exists(sp)) {
+            try materialize(fs, p, sp, FsCommitStore.read(fs, sp))
+            catch { case _: IOException => () } // healed concurrently, or junk — lost either way
+            false
+          } else if (allowSteal && !fs.exists(p) && !fs.exists(sp) &&
+              System.currentTimeMillis() - ts >= staleClaimMs &&
+              deleteRow(dir, p.getName, ts, Some(stagedName))) {
+            // entry AND backup amputated (REPAIR LOG + maintenance):
+            // past the safety age the published row is dead weight
+            doClaim(fs, p, bytes, allowSteal = false)
+          } else false
+        case Some((ts, None)) =>
+          // UNPUBLISHED: the owner may be mid-flight; past the safety
+          // age with no entry file it died before the commit decision —
+          // steal exactly the observed row and retry the insert once
+          if (allowSteal && !fs.exists(p) &&
+              System.currentTimeMillis() - ts >= staleClaimMs &&
+              deleteRow(dir, p.getName, ts, None))
+            doClaim(fs, p, bytes, allowSteal = false)
+          else false
       }
     } else {
-      // single winner: the plain create cannot race. A failed
-      // write-through rolls OUR row back (claimed_at_ms-conditioned, so
-      // a stealer's later claim is never collateral) or the version is
-      // wedged until the steal path above reaps it.
+      pauseHook("inserted")
+      // CAS won — but the claim COMMITS only at publishRow below. Stage
+      // the bytes at a unique, never-contended hidden name first; a
+      // failure rolls our unpublished row back (or the steal ladder
+      // reaps it later) so the version is never wedged.
+      val stagedName =
+        s".${p.getName}.${UUID.randomUUID().toString.take(8)}.jdbcstaged"
+      val sp = new Path(p.getParent, stagedName)
       try {
-        val out = fs.create(p, false)
+        val out = fs.create(sp, true)
         try out.write(bytes) finally out.close()
-        true
       } catch {
         case t: Throwable =>
-          try { deleteRow(dir, p.getName, myTs); () }
+          try { deleteRow(dir, p.getName, myTs, None); () }
           catch { case rb: Throwable => t.addSuppressed(rb) }
           throw t
+      }
+      pauseHook("staged")
+      if (!publishRow(dir, p.getName, myTs, stagedName)) {
+        // our row was stolen while we stalled: the OTHER claimant owns
+        // the version — clean our staging, report the lost race
+        try { fs.delete(sp, false); () } catch { case _: IOException => () }
+        false
+      } else {
+        try { materialize(fs, p, sp, bytes); true }
+        catch {
+          case t: Throwable =>
+            // canonical path obstructed by foreign bytes: undo the
+            // publication entirely (row + staging) so the version
+            // unwedges once the obstruction is cleared
+            try { deleteRow(dir, p.getName, myTs, Some(stagedName)); () }
+            catch { case rb: Throwable => t.addSuppressed(rb) }
+            try { fs.delete(sp, false); () }
+            catch { case rb: Throwable => t.addSuppressed(rb) }
+            throw t
+        }
       }
     }
   }

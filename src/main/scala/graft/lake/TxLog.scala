@@ -4821,7 +4821,26 @@ object TxLog {
         .map { st =>
           fs.delete(st.getPath, true); s"$LogDirName/dv/${st.getPath.getName}"
         }
-    victims ++ deadStages ++ deadCkptTmps ++ deadSidecars
+    // JdbcCommitStore staged backups (`.{entry}.{uuid}.jdbcstaged`) stay
+    // LOAD-BEARING while they are the only durable copy of a published
+    // commit (the store's heal path rebuilds a quarantined canonical
+    // entry from them) — reap one past the age ONLY when its canonical
+    // entry file exists, where it is belt-and-suspenders
+    val StagedBackup = raw"\.(.+)\.[0-9a-f]{8}\.jdbcstaged".r
+    val deadStaged = (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq
+                      else Seq.empty)
+      .filter { st =>
+        st.isFile && st.getModificationTime < cutoff &&
+          (st.getPath.getName match {
+            case StagedBackup(entry) =>
+              fs.exists(new Path(s"$root/$LogDirName/$entry"))
+            case _ => false
+          })
+      }
+      .map { st =>
+        fs.delete(st.getPath, false); s"$LogDirName/${st.getPath.getName}"
+      }
+    victims ++ deadStages ++ deadCkptTmps ++ deadSidecars ++ deadStaged
   }
 
   /** Physically delete data files only referenced by versions older than

@@ -275,7 +275,7 @@ class TxLogFuzzSpec extends SparkSpec {
     new String(store.read(fs, p)) shouldBe "mine"
   }
 
-  test("jdbc store: a dead claim (row without entry file) is stolen past the safety age") {
+  test("jdbc store: a quarantined entry HEALS from the staged backup; a fully amputated claim is stolen") {
     val url = derbyUrl("jdbcsteal")
     val store = new JdbcCommitStore(url)
     val dir = Files.createTempDirectory("graft-jdbcsteal").toString
@@ -283,19 +283,82 @@ class TxLogFuzzSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
     store.claim(fs, p, "dead".getBytes) shouldBe true
-    // REPAIR LOG quarantined the torn entry (or the writer died between
-    // its row INSERT and the write-through): the row survives, the file
-    // is gone — without reconciliation this version is wedged FOREVER
+    // REPAIR LOG quarantined the canonical entry (or the owner died
+    // between publication and materialize): the PUBLISHED row and the
+    // staged backup survive — the commit is durable, so a later claim
+    // must RESTORE it and lose, never steal acknowledged history
     fs.delete(p, false) shouldBe true
-    // a fresh claim within the safety age is refused (the row's owner
-    // may still be mid write-through)
-    store.claim(fs, p, "too-soon".getBytes) shouldBe false
-    // past the age the dead claim is stolen and the version unwedges
     val impatient = new JdbcCommitStore(url, staleClaimMs = 0L)
+    impatient.claim(fs, p, "usurper".getBytes) shouldBe false
+    new String(store.read(fs, p)) shouldBe "dead" // healed back
+    // operator amputation: entry AND staged backup both gone — only now
+    // is the published row dead weight. Within the safety age it is
+    // still refused; past it the version unwedges by steal.
+    fs.delete(p, false) shouldBe true
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.endsWith(".jdbcstaged"))
+      .foreach(st => fs.delete(st.getPath, false))
+    store.claim(fs, p, "too-soon".getBytes) shouldBe false
     impatient.claim(fs, p, "stolen".getBytes) shouldBe true
     new String(store.read(fs, p)) shouldBe "stolen"
-    // and the new owner's row defends normally
+    // and the new owner's row defends normally (published + entry
+    // present: nothing to heal, nothing to steal)
     impatient.claim(fs, p, "late".getBytes) shouldBe false
+  }
+
+  test("jdbc store: a winner paused between INSERT and staging loses cleanly to its stealer") {
+    val url = derbyUrl("jdbcpause1")
+    val dir = Files.createTempDirectory("graft-jdbcpause1").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    val stalled = new JdbcCommitStore(url, staleClaimMs = 0L)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    stalled.pauseHook = phase =>
+      if (phase == "inserted") { parked.countDown(); gate.await() }
+    val won = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val w = new Thread(() =>
+      won.set(stalled.claim(fs, p, "stalled-bytes".getBytes)))
+    w.start()
+    parked.await()
+    // the winner is frozen past the (zero) safety age between its CAS
+    // insert and any byte write: a stealer completes the version
+    val stealer = new JdbcCommitStore(url, staleClaimMs = 0L)
+    stealer.claim(fs, p, "stealer-bytes".getBytes) shouldBe true
+    gate.countDown(); w.join()
+    // EXACTLY one caller reports success, and the committed bytes are
+    // that caller's — the resumed original maps to a lost race (its
+    // publish update matched nothing), never a phantom commit
+    won.get() shouldBe false
+    new String(stealer.read(fs, p)) shouldBe "stealer-bytes"
+  }
+
+  test("jdbc store: a winner paused between staging and publication loses cleanly to its stealer") {
+    val url = derbyUrl("jdbcpause2")
+    val dir = Files.createTempDirectory("graft-jdbcpause2").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    val stalled = new JdbcCommitStore(url, staleClaimMs = 0L)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    stalled.pauseHook = phase =>
+      if (phase == "staged") { parked.countDown(); gate.await() }
+    val won = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val w = new Thread(() =>
+      won.set(stalled.claim(fs, p, "stalled-bytes".getBytes)))
+    w.start()
+    parked.await()
+    val stealer = new JdbcCommitStore(url, staleClaimMs = 0L)
+    stealer.claim(fs, p, "stealer-bytes".getBytes) shouldBe true
+    gate.countDown(); w.join()
+    won.get() shouldBe false
+    new String(stealer.read(fs, p)) shouldBe "stealer-bytes"
+    // the loser cleaned its orphan staging; the winner's backup remains
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(st => new String(FsCommitStore.read(fs, st.getPath)))
+      .filter(_ == "stalled-bytes") shouldBe empty
   }
 
   test("jdbc store: concurrent writers through the commit loop, no lost updates") {

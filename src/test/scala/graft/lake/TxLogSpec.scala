@@ -609,6 +609,29 @@ class TxLogSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 1L
   }
 
+  test("cleanOrphans reaps a jdbc staged backup only when its entry is materialized") {
+    val root = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "s"), root)
+    val logDir = s"$root/${TxLog.LogDirName}"
+    def put(name: String): Unit = {
+      val w = new java.io.FileWriter(s"$logDir/$name")
+      try w.write("{}") finally w.close()
+    }
+    // backup of the MATERIALIZED entry 0: belt-and-suspenders, reapable
+    put(".00000000000000000000.json.aaaaaaaa.jdbcstaged")
+    // backup whose canonical entry does NOT exist: the only durable copy
+    // of a published commit (heal source) — load-bearing, must survive
+    put(".00000000000000000007.json.bbbbbbbb.jdbcstaged")
+    val cleaned = TxLog.cleanOrphans(spark, root, olderThanMs = 0L)
+    cleaned should contain(
+      s"${TxLog.LogDirName}/.00000000000000000000.json.aaaaaaaa.jdbcstaged")
+    cleaned should not contain
+      s"${TxLog.LogDirName}/.00000000000000000007.json.bbbbbbbb.jdbcstaged"
+    new java.io.File(
+      s"$logDir/.00000000000000000007.json.bbbbbbbb.jdbcstaged")
+      .exists() shouldBe true
+  }
+
   test("checkpoints: readers resolve checkpoint + tail, not the whole log") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>
