@@ -14,7 +14,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * files IS a 100 TB table, and everything here except the data bytes is
   * exactly what a 1000-executor driver would do per query. Usage:
   *
-  *   sbt "runMain graft.LogBench [nFiles] [nCommits]"
+  *   sbt "runMain graft.LogBench [nFiles] [nCommits] [sparse]"
+  *
+  * `sparse` skips the physical file copies except the handful the range
+  * probe actually scans — every other measured phase (resolve,
+  * checkpoint, pruned stat reads, log-served planning, history, vacuum)
+  * is metadata-only by design and never touches a data file, so the
+  * numbers are identical while the build stops being bounded by local
+  * inode churn. That is what makes a 10M-file point runnable; the JSON
+  * records the mode so dense and sparse build times are never compared.
   *
   * Prints one JSON line (seconds per phase + driver heap MB); recorded
   * runs live in BASELINE.md §"Metadata scale".
@@ -36,6 +44,7 @@ object LogBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(100000)
     val nCommits = args.lift(1).map(_.toInt).getOrElse(100)
+    val sparse = args.lift(2).contains("sparse")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,10 +77,17 @@ object LogBench {
     // table), so range reads have something to prune. Includes the
     // auto-cadence checkpoints commitLoop writes every 10 versions.
     val (_, buildMs) = timedMs {
+      // sparse mode: only the files the range probe (below, centered on
+      // file nFiles/2) will actually open get physical bytes
+      val mid = (nFiles / 2).toLong
       (0 until nCommits).foreach { c =>
         val adds = (0 until perCommit).map(i => f"part-$c%05d-$i%06d.parquet")
-        adds.foreach(a => Files.copy(seed, Paths.get(root, a),
-          StandardCopyOption.REPLACE_EXISTING))
+        adds.zipWithIndex.foreach { case (a, i) =>
+          val fileNo = c.toLong * perCommit + i
+          if (!sparse || (fileNo >= mid - 1 && fileNo <= mid + 1))
+            Files.copy(seed, Paths.get(root, a),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
         val stats = adds.zipWithIndex.map { case (a, i) =>
           val fileNo = c.toLong * perCommit + i
           val base = fileNo * rowsPerFile
@@ -133,6 +149,7 @@ object LogBench {
 
     println(
       f"""{"metric":"logbench","files":${nFiles + 1},"commits":${hist},""" +
+      f""""sparse":$sparse,""" +
       f""""rows_counted":$cnt,"range_rows":$rangeRows,"vacuumable":$vac,""" +
       f""""build_sec":${buildMs / 1e3}%.2f,"checkpoint_sec":${ckptMs / 1e3}%.2f,""" +
       f""""count_cold_sec":${countColdMs / 1e3}%.2f,"count_warm_sec":${countWarmMs / 1e3}%.3f,""" +

@@ -28,16 +28,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the inner parquet read prunes to it (ReadSchema)
   *  - filter pushdown: translatable filters are accepted, re-applied
   *    EXACTLY on the inner plan (reaching the parquet scan as
-  *    PushedFilters), and — the tier parquet can't see — numeric bounds
-  *    prune the snapshot's FILE LIST through the committed stats
-  *    ([[TxLog.readStatsPruned]]) before any IO, same as [[TxLog.readRange]]
+  *    PushedFilters), and — the tiers parquet can't see — numeric bounds
+  *    prune the snapshot's FILE LIST through the committed stats and
+  *    equality/IN probes prune it through the bloom sidecars
+  *    ([[TxLog.readPrunedScan]]) before any IO
   *
-  * Writes stay on the explicit API ([[TxLog.append]]/SQL DML) — the
-  * commit protocol (stats, constraints, idempotence) has parameters a
-  * bare `df.write.format(...)` cannot carry faithfully.
+  * Write path, same short name (plain writes ARE faithfully
+  * expressible; only the richer protocol features keep explicit-API or
+  * SQL spellings — constraints, expectations, MERGE):
+  *
+  *  - batch: `df.write.format("graft").mode(...).save(root)` — V1
+  *    CreatableRelationProvider fallback (the table exposes no DSv2
+  *    write capability, so DataFrameWriter's own dispatch lands here).
+  *    Append/Overwrite map to [[TxLog.append]]/[[TxLog.overwrite]];
+  *    ErrorIfExists/Ignore consult the table's committed state.
+  *    `.partitionBy(...)` flows through (Spark's V1 option encoding),
+  *    `statsCols` opts into skipping stats, `txnAppId`+`txnVersion`
+  *    make the append exactly-once ([[TxLog.appendIdempotent]]).
+  *  - streaming: `writeStream.format("graft")` delegates to the
+  *    exactly-once sink ([[graft.streaming.TxLogSinkProvider]]), the
+  *    mirror of the read-side change-feed delegation below.
   */
 final class GraftTableProvider extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
 
@@ -70,6 +85,73 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Source =
     streamDelegate.createSource(sqlContext, metadataPath, schema,
       providerName, withRoot(parameters))
+
+  // ---- streaming sink: `df.writeStream.format("graft")` is the
+  // exactly-once commit-log sink (appId from checkpointLocation/txnAppId,
+  // one table version per micro-batch), delegated like the source
+  private val sinkDelegate = new graft.streaming.TxLogSinkProvider
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    sinkDelegate.createSink(sqlContext, withRoot(parameters),
+      partitionColumns, outputMode)
+
+  // ---- batch write: the V1 fallback DataFrameWriter picks because the
+  // DSv2 table deliberately exposes no write capability
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = ctx.sparkSession
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = GraftDataSource.rootOf(opts)
+    val partitionCols = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(
+        org.apache.spark.sql.graftnative.partitioningColumnsKey) =>
+        org.apache.spark.sql.graftnative.decodePartitioningColumns(v)
+    }.getOrElse(Seq.empty)
+    val statsCols = Option(opts.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def append(): Unit =
+      (Option(opts.get("txnAppId")), Option(opts.get("txnVersion"))) match {
+        case (Some(app), Some(v)) =>
+          TxLog.appendIdempotent(spark, data, root, app, v.toLong,
+            partitionCols, statsCols)
+        case (None, None) =>
+          TxLog.append(spark, data, root, partitionCols, statsCols)
+        case _ => throw new IllegalArgumentException(
+          "format(\"graft\") write: txnAppId and txnVersion make an " +
+            "append exactly-once TOGETHER — set both or neither")
+      }
+    mode match {
+      case SaveMode.Append    => append()
+      case SaveMode.Overwrite =>
+        TxLog.overwrite(spark, data, root, partitionCols, statsCols)
+      case SaveMode.ErrorIfExists =>
+        if (TxLog.currentVersion(spark, root).isDefined)
+          throw new IllegalArgumentException(
+            s"format(\"graft\"): table $root already has committed " +
+              "state (SaveMode.ErrorIfExists)")
+        append()
+      case SaveMode.Ignore =>
+        if (TxLog.currentVersion(spark, root).isEmpty) append()
+    }
+    // the relation Spark hands back from save(): the table just written,
+    // pinned to its now-current version (same pin rule as getTable)
+    val nowV = TxLog.currentVersion(spark, root)
+    val pinned = new util.HashMap[String, String]()
+    pinned.put("root", root)
+    nowV.foreach(v => pinned.put("versionAsOf", v.toString))
+    new GraftRelation(ctx, TxLog.schemaOf(spark, root, nowV), Array.empty,
+      new CaseInsensitiveStringMap(pinned))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
@@ -105,15 +187,11 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
         m
       case None => properties // no commits yet: fail loudly at read
     }
-    // supportsExternalMetadata admits a user/catalog .schema(...); the
-    // scan returns ACTUAL column bytes under needConversion=false, so a
-    // mismatched declared type would silently reinterpret them — refuse
-    // anything that is not the actual type or a lossless upcast (the
-    // upcast itself is inserted in buildScan)
-    resolved.foreach { v =>
-      GraftDataSource.validateSchema(
-        TxLog.schemaOf(spark, root, Some(v)), schema)
-    }
+    // declared-schema validation happens at SCAN BUILD (GraftTable), not
+    // here: on the WRITE path DataFrameWriter hands getTable the INPUT
+    // DF's schema (supportsExternalMetadata contract), and a legitimate
+    // evolution append — new column, widened type — must reach
+    // TxLog.append's own schema policy, not be refused by read rules
     new GraftTable(schema, new CaseInsensitiveStringMap(pinned))
   }
 }
@@ -133,9 +211,22 @@ private[lake] final class GraftTable(schema0: StructType,
     // catalog-registered tables (CREATE TABLE ... USING graft) deliver
     // the stored OPTIONS here rather than in getTable's properties;
     // direct reads deliver them in getTable. Merge, runtime keys winning.
-    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
-    merged.putAll(opts.asCaseSensitiveMap())
-    new GraftScanBuilder(schema0, new CaseInsensitiveStringMap(merged))
+    val merged0 = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged0.putAll(opts.asCaseSensitiveMap())
+    val merged = new CaseInsensitiveStringMap(merged0)
+    // supportsExternalMetadata admits a user/catalog .schema(...); the
+    // scan returns ACTUAL column bytes under needConversion=false, so a
+    // mismatched declared type would silently reinterpret them — refuse,
+    // AT SCAN BUILD (reads only — getTable also fronts the write path,
+    // where the declared schema is the input df's), anything that is not
+    // the actual type or a lossless upcast (the upcast itself is
+    // inserted in buildScan)
+    val spark = SparkSession.active
+    GraftDataSource.validateSchema(
+      TxLog.schemaOf(spark, GraftDataSource.rootOf(merged),
+        GraftDataSource.versionOf(spark, merged)),
+      schema0)
+    new GraftScanBuilder(schema0, merged)
   }
 }
 
@@ -196,12 +287,17 @@ private[lake] final class GraftRelation(ctx: SQLContext,
     val spark = ctx.sparkSession
     val root = GraftDataSource.rootOf(options)
     val version = GraftDataSource.versionOf(spark, options)
-    // stats-tier FILE skipping from the pushed filters' numeric bounds
-    // (conservative: strict comparisons widen to inclusive bounds; rows
-    // are then filtered exactly below)
+    // FILE skipping from the pushed filters, two tiers composed in one
+    // snapshot resolution: numeric bounds against committed stats
+    // (conservative: strict comparisons widen to inclusive bounds), and
+    // equality/IN probes against the column's bloom index where one
+    // exists — the point-lookup path readEquals serves natively. Rows
+    // are then filtered exactly below.
     val bounds = GraftDataSource.boundsOf(filters)
+    val probes = GraftDataSource.equalityProbes(filters)
     val base =
-      if (bounds.nonEmpty) TxLog.readStatsPruned(spark, root, bounds, version)
+      if (bounds.nonEmpty || probes.nonEmpty)
+        TxLog.readPrunedScan(spark, root, bounds, probes, version)
       else version match {
         case Some(v) => TxLog.readAt(spark, root, v)
         case None    => TxLog.readLatest(spark, root)
@@ -300,6 +396,26 @@ private[lake] object GraftDataSource {
     case Not(c)    => toColumn(c).map(!_)
     case _         => None
   }
+
+  /** Per-column probe-value sets from the TOP-LEVEL equality/IN
+    * conjuncts — the bloom-skipping tier's input. Only top-level AND
+    * members qualify (an OR branch can't narrow the file set), and null
+    * values contribute no probe: `x = NULL` matches nothing (Spark
+    * rewrites it to IsNull anyway) and a NULL inside an IN list can
+    * never be the value that makes the predicate TRUE, so probing the
+    * non-null values stays a necessary condition. A column may appear
+    * once per conjunct (`x = 5 AND x IN (5, 6)`): each application can
+    * only remove more files, so repeats compose.
+    */
+  def equalityProbes(filters: Array[Filter]): Seq[(String, Seq[Any])] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v) if v != null       => Some(a -> Seq(v))
+      case EqualNullSafe(a, v) if v != null => Some(a -> Seq(v))
+      case In(a, vs) =>
+        val nonNull = vs.toSeq.filter(_ != null)
+        if (nonNull.nonEmpty) Some(a -> nonNull) else None
+      case _ => None
+    }
 
   /** Per-column [lo, hi] windows from the TOP-LEVEL conjuncts' numeric
     * comparisons — the stats-skipping tier. Only top-level AND members

@@ -3258,6 +3258,61 @@ object TxLog {
       probeHashes(spark, column, dt, values), snap).size
   }
 
+  /** Connector scan entry ([[graft.lake.GraftTableProvider]]): ONE
+    * snapshot resolution feeding BOTH file-skipping tiers, composed as
+    * necessary conditions — committed min/max stats narrow the live set
+    * by the pushed numeric `bounds` (same keep rule as
+    * [[readStatsPruned]]), then each pushed equality/IN conjunct on a
+    * bloom-indexed column drops the files whose filter rejects every
+    * probe value (same no-false-negative rule as [[readEquals]]). NO row
+    * filter is applied — the connector re-applies its exact pushed
+    * filters, so widened bounds and bloom false positives only cost
+    * scanned files, never rows. Conjuncts on unindexed or complex-typed
+    * columns, and null probe values, contribute no pruning (conservative
+    * keep); each tier can only REMOVE files, so the tiers compose in any
+    * order and with any subset present.
+    */
+  def readPrunedScan(spark: SparkSession, root: String,
+                     bounds: Seq[(String, Double, Double)],
+                     equalities: Seq[(String, Seq[Any])],
+                     version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val snap = resolve(spark, root, version)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (snap.stats.col(physName(snap.colMap, c)), lo, hi)
+    }
+    val statsKept = snap.live.filter(f =>
+      physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
+    if (bounds.nonEmpty) lastStatsPrune = Some((statsKept.size, snap.live.size))
+    val fs = fileSystem(spark, root)
+    val kept = equalities.foldLeft(statsKept) { case (live, (c, values0)) =>
+      val values = values0.filter(_ != null)
+      schema.find(_.name.equalsIgnoreCase(c)) match {
+        // the sidecar dir is keyed by the schema's canonical spelling
+        // (buildBloomIndex); probe under it, not the filter's casing.
+        // Complex types never round-trip through probeHashes' string
+        // cast — and never arrive as pushed equality values anyway.
+        case Some(f) if values.nonEmpty &&
+            !f.dataType.isInstanceOf[StructType] &&
+            !f.dataType.isInstanceOf[ArrayType] &&
+            !f.dataType.isInstanceOf[MapType] &&
+            fs.exists(bloomDir(root, f.name)) =>
+          bloomKeepFiles(spark, root, f.name,
+            probeHashes(spark, f.name, f.dataType, values),
+            snap.copy(live = live))
+        case _ => live
+      }
+    }
+    if (equalities.nonEmpty) lastBloomPrune = Some((kept.size, statsKept.size))
+    snapshot(spark, root, snap.copy(live = kept))
+  }
+
+  /** Test seam, mirror of [[lastStatsPrune]]: (kept, statsSurvivors) of
+    * the most recent [[readPrunedScan]] bloom tier.
+    */
+  @volatile private[graft] var lastBloomPrune: Option[(Int, Int)] = None
+
   /** Change feed: every row ADDED or REMOVED by each commit in
     * (`fromVersion`, `toVersion`], tagged `_change_type`
     * ('insert' | 'delete') and `_commit_version`. A file rewrite (merge,

@@ -1356,6 +1356,56 @@ object Lake {
         .orderBy("o_orderkey")
     },
 
+    // DSv2 point lookup through the BLOOM tier: the connector's pushed
+    // EqualTo/In on an indexed STRING key (invisible to min/max stats)
+    // prunes the FILE list through the bloom sidecars before any IO —
+    // the same skipping readEquals serves natively, now reachable from
+    // spark.read.format("graft"). Six disjoint key-slice commits + a
+    // two-key probe make the skipping real (kept files are asserted a
+    // strict subset in-query); the oracle pins that bloom "no" is
+    // definitive — pruning loses and invents nothing vs plain SQL.
+    QDef(
+      "q118_dsv2_bloom",
+      """SELECT 'ok-' || CAST(o_orderkey AS VARCHAR) AS ok,
+        |       o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dsv2bloom")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        concat(lit("ok-"), col("o_orderkey").cast("string")).as("ok"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val (mn, mx) = {
+        val r = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val slice = (mx - mn) / 6 + 1
+      (0L until 6L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= mn + i * slice &&
+            col("o_orderkey") < mn + (i + 1) * slice).repartition(1),
+          root)
+      }
+      TxLog.buildBloomIndex(s, root, "ok", expectedKeysPerFile = 200000L)
+      TxLog.lastBloomPrune = None
+      val out = s.read.format("graft").load(root)
+        .filter(col("ok").isin(s"ok-$mn", s"ok-$mx"))
+        .orderBy("o_orderkey")
+      val n = out.count() // force one execution so the seam is populated
+      require(n >= 2, s"q118 expected both probe keys, got $n rows")
+      val (kept, total) = TxLog.lastBloomPrune.getOrElse(
+        throw new IllegalStateException(
+          "q118: the connector scan never consulted the bloom tier"))
+      require(kept < total,
+        s"q118: bloom tier kept $kept of $total files — no skipping")
+      out
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

@@ -11,6 +11,18 @@ package object graftnative {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The `private[sql]` option key + codec DataFrameWriter uses to
+    * deliver `.partitionBy(...)` to a V1 CreatableRelationProvider
+    * (saveToV1SourceCommand adds `PARTITIONING_COLUMNS_KEY ->
+    * encodePartitioningColumns(cols)` before planForWriting) — how
+    * `df.write.format("graft").partitionBy(...)` reaches TxLog.append.
+    */
+  def partitioningColumnsKey: String =
+    execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY
+
+  def decodePartitioningColumns(json: String): Seq[String] =
+    execution.datasources.DataSourceUtils.decodePartitioningColumns(json)
+
   /** `private[sql]` TypeCollection, for ExpectsInputTypes declarations
     * that accept one-of-several input types (e.g. pq_adc taking packed
     * `binary` codes or the SQL-surface `array<int>`).

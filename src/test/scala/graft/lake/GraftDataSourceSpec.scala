@@ -58,6 +58,40 @@ class GraftDataSourceSpec extends SparkSpec {
     plan should include("GreaterThanOrEqual(id,21)")
   }
 
+  test("pushed equality on a bloom-indexed key prunes FILES, parity with the native reader") {
+    val root = tmpRoot()
+    // eight single-file commits keyed by a STRING column — invisible to
+    // the stats tier (bounds live in double space), exactly the lookup
+    // shape the bloom index exists for
+    (0 until 8).foreach { c =>
+      TxLog.append(spark,
+        (0 until 20).map(i => (s"k-$c-$i", c * 20L + i)).toDF("k", "v")
+          .repartition(1), root)
+    }
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000L)
+    TxLog.lastBloomPrune = None
+    val out = spark.read.format("graft").load(root)
+      .filter(col("k") === "k-5-7")
+      .select("v").as[Long].collect().toSeq
+    out shouldBe Seq(107L)
+    // the bloom tier ran and scanned (far) fewer than the 8 live files;
+    // parity with what the native point-lookup path would scan
+    val Some((kept, total)) = TxLog.lastBloomPrune
+    total shouldBe 8
+    kept should be < 8
+    kept shouldBe TxLog.bloomScanFileCount(spark, root, "k", Seq("k-5-7"))
+    // IN probes prune to the union of matching buckets and lose nothing
+    TxLog.lastBloomPrune = None
+    spark.read.format("graft").load(root)
+      .filter(col("k").isin("k-1-3", "k-6-19"))
+      .select("v").as[Long].collect().sorted shouldBe Seq(23L, 139L)
+    TxLog.lastBloomPrune.get._1 should be < 8
+    // an unindexed column's equality still answers exactly (no pruning)
+    spark.read.format("graft").load(root)
+      .filter(col("v") === 107L).select("k").as[String].collect()
+      .toSeq shouldBe Seq("k-5-7")
+  }
+
   test("filters the source cannot apply exactly stay residual and still filter") {
     val root = clusteredTable()
     // EqualTo on a computed value Spark won't push; plus a translatable one
@@ -182,6 +216,100 @@ class GraftDataSourceSpec extends SparkSpec {
     held.orderBy("id").select("s").as[String].collect().head shouldBe "s0"
     spark.read.format("graft").load(root).columns.toSeq shouldBe
       Seq("id", "weight")
+  }
+
+  test("df.write.format(\"graft\"): all four SaveModes, partitionBy and statsCols flow through") {
+    val root = tmpRoot() + "/t"
+    val df1 = (0 until 12).map(i => (i.toLong, i % 2, s"s$i")).toDF("id", "p", "s")
+    // default mode (ErrorIfExists) on a fresh root creates the table
+    df1.write.format("graft").partitionBy("p").option("statsCols", "id")
+      .save(root)
+    TxLog.latestVersion(spark, root) shouldBe Some(0L)
+    // both read surfaces agree
+    spark.read.format("graft").load(root).orderBy("id").collect() shouldBe
+      TxLog.readLatest(spark, root).orderBy("id").collect()
+    // partitionBy reached the layout (hive-style partition dirs)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/p=1")) shouldBe true
+    // statsCols reached the commit: a pushed bound prunes files
+    df1.withColumn("id", col("id") + 12L).write.format("graft")
+      .mode("append").partitionBy("p").option("statsCols", "id").save(root)
+    TxLog.lastStatsPrune = None
+    spark.read.format("graft").load(root).filter(col("id") >= 15L)
+      .count() shouldBe 9L
+    val Some((kept, total)) = TxLog.lastStatsPrune
+    kept should be < total
+    // Ignore on existing state is a no-op
+    Seq((99L, 0, "x")).toDF("id", "p", "s").write.format("graft")
+      .mode("ignore").save(root)
+    TxLog.readLatest(spark, root).count() shouldBe 24L
+    // ErrorIfExists on existing state refuses
+    val e = intercept[Exception] {
+      df1.write.format("graft").mode("error").save(root)
+    }
+    e.getMessage should include("already has committed state")
+    // Overwrite replaces content AND schema, one commit
+    Seq((7L, 1.5)).toDF("id", "w").write.format("graft")
+      .mode("overwrite").save(root)
+    val after = spark.read.format("graft").load(root)
+    after.columns.toSeq shouldBe Seq("id", "w")
+    after.count() shouldBe 1L
+  }
+
+  test("batch append with txnAppId+txnVersion is exactly-once across replays") {
+    val root = tmpRoot() + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    def write(v: Long): Unit =
+      df.write.format("graft").mode("append")
+        .option("txnAppId", "job1").option("txnVersion", v.toString)
+        .save(root)
+    write(1L); write(1L) // the replay is skipped by the table watermark
+    TxLog.latestVersion(spark, root) shouldBe Some(0L)
+    TxLog.readLatest(spark, root).count() shouldBe 2L
+    write(2L) // a genuinely new txn version commits
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+    // half an identity is refused, not guessed
+    val e = intercept[Exception] {
+      df.write.format("graft").mode("append")
+        .option("txnAppId", "job1").save(root)
+    }
+    e.getMessage should include("set both or neither")
+  }
+
+  test("an evolution append through format(\"graft\") reaches TxLog's schema policy") {
+    val root = tmpRoot() + "/t"
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)
+    // new column: the connector must not pre-refuse with READ validation
+    // rules — TxLog.append's own evolution policy decides
+    Seq((2L, "b", 0.5)).toDF("id", "s", "w").write.format("graft")
+      .mode("append").save(root)
+    val out = spark.read.format("graft").load(root)
+    out.columns.toSeq shouldBe Seq("id", "s", "w")
+    out.orderBy("id").select("w").collect().map(_.isNullAt(0))
+      .toSeq shouldBe Seq(true, false)
+  }
+
+  test("writeStream.format(\"graft\") drains through the exactly-once sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpRoot() + "/t"
+    val ckpt = Files.createTempDirectory("graft-dsv2-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "s").writeStream
+      .format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(root)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // one table version per micro-batch, exactly-once identity from the
+    // checkpoint location — the txlog sink's contract, on the short name
+    TxLog.latestVersion(spark, root) shouldBe Some(1L)
+    spark.read.format("graft").load(root).orderBy("id")
+      .select("s").as[String].collect().toSeq shouldBe Seq("a", "b", "c")
   }
 
   test("CREATE TABLE ... USING graft reaches the snapshot through the session catalog") {

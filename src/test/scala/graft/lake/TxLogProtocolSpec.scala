@@ -136,4 +136,56 @@ class TxLogProtocolSpec extends SparkSpec {
       TxLog.readAt(spark, root, 2L).count()
     }.getMessage should include("requires log reader version 9")
   }
+
+  test("a v3-ONLY checkpoint after full log truncation still refuses future layouts loudly — reads AND writes") {
+    // The rung ladder can't reach builds that predate it (af9e0a2
+    // introduced checkReaderVersion and format 3 in the same commit), so
+    // the format-3-on-truncated-log story rests on two properties pinned
+    // here: (1) a PRE-LADDER reader crashes on column RESOLUTION against
+    // the flat layout — its select includes statsMin/statsMax, which
+    // format 3 does not have — so it can never silently misread state;
+    // (2) from the ladder on, a FUTURE layout refuses on the protocol
+    // path even when the checkpoint is the ONLY surviving log state (no
+    // raw entries to fall back to — the refusal must not degrade into
+    // "not a table", an empty replay, or a torn-tail wait).
+    val root = tmpRoot()
+    (0 until 4).foreach { i =>
+      TxLog.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "s"), root)
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(3L)
+    // amputate EVERY raw entry (stronger than vacuumLog, which keeps the
+    // horizon entry): the checkpoint becomes the whole surviving log
+    val logDir = Paths.get(s"$root/${TxLog.LogDirName}")
+    Files.list(logDir).forEach { p =>
+      if (p.getFileName.toString.matches("\\d{20}\\.json"))
+        Files.delete(p)
+    }
+    TxLog.clearCheckpointCache()
+    TxLog.readLatest(spark, root).count() shouldBe 4L // ckpt-only resolve
+    // (1) the pre-ladder reader's parse path: loud failure, never data
+    val ckptDir =
+      s"$root/${TxLog.LogDirName}/00000000000000000003.checkpoint.parquet"
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(ckptDir)
+        .select("idx", "file", "statsMin", "statsMax", "dvPath", "dvRows")
+        .collect()
+    }
+    // (2) the ladder path on a truncated log
+    val meta = Paths.get(ckptDir, "_meta.json")
+    val orig = new String(Files.readAllBytes(meta), "UTF-8")
+    Files.deleteIfExists(meta.resolveSibling("._meta.json.crc"))
+    Files.write(meta, orig
+      .replaceFirst("\"format\":3", "\"format\":4").getBytes("UTF-8"))
+    TxLog.clearCheckpointCache()
+    intercept[TxLog.UnsupportedLogFeatureException] {
+      TxLog.readLatest(spark, root).count()
+    }.getMessage should include("layout format 4")
+    // the WRITE path refuses the same way (stage-time mapping resolution
+    // must propagate the protocol refusal, not swallow it into an
+    // unmapped stage that commitLoop then waits on)
+    intercept[TxLog.UnsupportedLogFeatureException] {
+      TxLog.append(spark, Seq((9L, "x")).toDF("id", "s"), root)
+    }
+  }
 }

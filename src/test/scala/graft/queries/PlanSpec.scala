@@ -45,6 +45,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q36 stays the documented exact-SSJoin baseline: postings equi-join on the shingle prefix") {
+    // BASELINE.md's scale ladder documents q36 as the CORRECTNESS
+    // baseline whose postings join transitions broadcast->shuffle at
+    // ~10x sf0.1 (1077x bytes) — and q37 as the production path BECAUSE
+    // of that constant. This pins the shape so neither can silently
+    // change roles: the candidate join must stay a plain equi-join of
+    // the exploded prefix postings (hash or merge at this SF — never
+    // all-pairs, never pre-verified distinct), keyed on the shingle.
+    // If this test fails after editing Text.scala, re-run
+    // `graft.ScaleLadder` and update BASELINE.md's ladder table.
+    val p = plan("q36_dedup_jaccard")
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) shouldBe true
+    p should include("shingle")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("q42 exact near-dup is a block-pair equi-join, not a nested loop") {
     val p = plan("q42_dedup_embcos")
     p should not include "BroadcastNestedLoopJoin"
