@@ -312,17 +312,31 @@ object TxLog {
     * rather than silently truncate history.
     */
   private def historyRaw(spark: SparkSession, root: String,
-                         afterVersion: Long = -1L): Seq[(String, Option[Commit])] = {
+                         afterVersion: Long = -1L,
+                         boundAtCheckpoint: Boolean = false): Seq[(String, Option[Commit])] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     val store = CommitStore.forPath(dir)
-    store.list(fs, dir)
+    val listed = store.list(fs, dir)
+    // the write path ([[commitLoop]]) bounds its parse at the newest
+    // checkpoint: every entry a checkpoint summarizes is state the loop
+    // already reads through resolve(), so re-parsing them per commit
+    // makes every write O(log length) instead of O(tail) — on a
+    // long-lived table that is the commit path's dominant cost. The
+    // bound comes from the SAME listing, zero extra IO.
+    val after =
+      if (!boundAtCheckpoint) afterVersion
+      else math.max(afterVersion, listed.map(_.getName).collect {
+        case CkptFile(v)  => v.toLong
+        case CkptDirV2(v) => v.toLong
+      }.maxOption.getOrElse(-1L))
+    listed
       .filter { p =>
         p.getName match {
           // version bound applied at the LISTING, before any file is
           // opened — this is what makes checkpointed resolution O(tail)
           // reads instead of O(log length)
-          case LogFile(v) => v.toLong > afterVersion
+          case LogFile(v) => v.toLong > after
           case _          => false
         }
       }
@@ -678,7 +692,8 @@ object TxLog {
                          metrics: Map[String, Long] = Map.empty,
                          schemaDrop: Seq[String] = Seq.empty,
                          renames: Option[Map[String, String]] = None,
-                         mappingFence: Option[(Map[String, String], Seq[String])] = None): Long = {
+                         mappingFence: Option[(Map[String, String], Seq[String])] = None,
+                         consFence: Option[Map[String, String]] = None): Long = {
     val fs = fileSystem(spark, root)
     // parse the auto-truncation config BEFORE any claim: a malformed
     // value must fail the write while nothing is durable — thrown after
@@ -715,7 +730,16 @@ object TxLog {
       if (attempt >= maxAttempts) throw new IOException(msg, cause)
     }
     while (true) {
-      val raw = historyRaw(spark, root)
+      // CHECKPOINT-BOUNDED tail parse: entries the newest checkpoint
+      // summarizes are replayed through `resolve` below, never re-parsed
+      // here — commit cost is O(tail since checkpoint), not O(log
+      // length). The deltas' `commits` argument is therefore the
+      // committed tail ABOVE the newest checkpoint (possibly empty on a
+      // truncated log); every consumer is truncation-aware already
+      // (committedDdl resolves tombstones, tailVersion falls back to
+      // resolve, schema echoes fall back to the resolved snapshot).
+      val raw = historyRaw(spark, root, boundAtCheckpoint = true)
+      lastCommitTailLen = raw.size
       if (raw.nonEmpty && raw.last._2.isEmpty) {
         // another writer claimed the tail version but its bytes are not
         // durable yet — the delta below must see its effects, so wait for
@@ -771,6 +795,28 @@ object TxLog {
                 s"${moved.mkString(", ")} (concurrent RENAME/OVERWRITE/" +
                 "ROLLBACK): the staged files carry the old physical " +
                 "names — re-run the write")
+        }
+        // Constraint fence for the write paths whose delta does NOT
+        // already fail on any concurrent commit (the append family,
+        // overwrite, partition upserts/overwrites): the batch was
+        // validated against a constraint SET; if the winning state's set
+        // differs, the validation is stale — a batch staged before a
+        // concurrent addConstraint would commit violating rows right
+        // past the fresh rule. Compared by VALUE against the resolved
+        // snapshot, not scanned as events in `commits`: the raw tail is
+        // checkpoint-bounded, so a constraint change landing just below
+        // a cadence checkpoint would be invisible to an event scan —
+        // the snapshot's constraint set can never hide. (merge/UPDATE/
+        // replaceWhere need no fence — their stale-base detection
+        // already rejects EVERY concurrent commit.)
+        consFence.foreach { enforced =>
+          val now = snapNow.map(_.constraints)
+            .getOrElse(Map.empty[String, String])
+          if (now != enforced)
+            throw new java.util.ConcurrentModificationException(
+              s"constraints of $root changed after this batch was " +
+                "validated (concurrent ADD/DROP CONSTRAINT) — re-run " +
+                "the write")
         }
         val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
           .maxOption.map(_ + 1).getOrElse(0L)
@@ -1067,22 +1113,22 @@ object TxLog {
     // re-resolve just to learn the column mapping)
     val preMap = colMapForStage(spark, root)
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
-    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
+    val enfCons = enforceConstraints(spark, root, adds, ddl, "append")
     postEnforceHook()
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
-        StructType.fromDDL(ddl).fieldNames.toSeq)))
+        StructType.fromDDL(ddl).fieldNames.toSeq)),
+      consFence = Some(enfCons))
   }
 
   /** Test seam for the enforce->commit race window (no-op in
     * production): lets a spec commit a constraint change exactly between
-    * a batch's validation and its commit attempt, proving
-    * [[failOnConstraintChange]] closes the window.
+    * a batch's validation and its commit attempt, proving commitLoop's
+    * consFence closes the window.
     */
   private[lake] var postEnforceHook: () => Unit = () => ()
 
@@ -1126,16 +1172,16 @@ object TxLog {
     val preMap = pre.map(_.colMap)
       .getOrElse(colMapForStage(spark, root))
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
-    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
+    val enfCons = enforceConstraints(spark, root, adds, ddl, "append")
     try Some(commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       txn = Some((appId, txnVersion)),
       mappingFence = Some((preMap,
-        StructType.fromDDL(ddl).fieldNames.toSeq))))
+        StructType.fromDDL(ddl).fieldNames.toSeq)),
+      consFence = Some(enfCons)))
     catch { case _: AlreadyCommitted => None }
   }
 
@@ -1156,15 +1202,15 @@ object TxLog {
       colMap = preMap)
     val bad = Expect.violations(obs)
     if (bad.nonEmpty) throw new Expect.ExpectationViolation(bad)
-    val enfAt = enforceConstraints(spark, root, adds, ddl, "append")
+    val enfCons = enforceConstraints(spark, root, adds, ddl, "append")
     commitLoop(spark, root, "append", partitionCols,
       { (commits, _) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, Seq.empty, committedDdl(spark, commits, ddl, "append", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
-        StructType.fromDDL(ddl).fieldNames.toSeq)))
+        StructType.fromDDL(ddl).fieldNames.toSeq)),
+      consFence = Some(enfCons))
   }
 
   /** Replace the whole table content with `df` (logically — prior files
@@ -1176,15 +1222,15 @@ object TxLog {
     // full rewrite: files land under the LOGICAL names and the commit's
     // op clears the column mapping (+ tombstones, per foldDropped)
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = Map.empty)
-    val enfAt = enforceConstraints(spark, root, adds, ddl, "overwrite",
+    val enfCons = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
       { (commits, live) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, live, ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
-      withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes))
+      withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes),
+      consFence = Some(enfCons))
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -1202,17 +1248,17 @@ object TxLog {
     require(partitionCols.nonEmpty, "partition upsert needs partition columns")
     val preMap = colMapForStage(spark, root)
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = preMap)
-    val enfAt = enforceConstraints(spark, root, adds, ddl, "upsert")
+    val enfCons = enforceConstraints(spark, root, adds, ddl, "upsert")
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
       { (commits, live) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, live.filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
       mappingFence = Some((preMap,
-        StructType.fromDDL(ddl).fieldNames.toSeq)))
+        StructType.fromDDL(ddl).fieldNames.toSeq)),
+      consFence = Some(enfCons))
   }
 
   /** Statically-scoped partition overwrite (Hive/Spark's
@@ -1255,11 +1301,10 @@ object TxLog {
           s"(${partitionFilter.map { case (k, v) => s"$k=$v" }.mkString(", ")}): " +
           s"e.g. ${escaped.head} — filter the batch or widen the scope")
     }
-    val enfAt =
+    val enfCons =
       enforceConstraints(spark, root, adds, ddl, "overwrite_partitions")
     commitLoop(spark, root, "overwrite_partitions", parts,
       { (commits, live) =>
-        failOnConstraintChange(commits, enfAt, root)
         (adds, live.filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
@@ -1267,7 +1312,8 @@ object TxLog {
       // overwrite-wins needs no version fence, but the staged files DO
       // carry current.colMap's physical names — same race as appends
       mappingFence = Some((current.colMap,
-        StructType.fromDDL(ddl).fieldNames.toSeq)))
+        StructType.fromDDL(ddl).fieldNames.toSeq)),
+      consFence = Some(enfCons))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
@@ -1838,10 +1884,13 @@ object TxLog {
   private def enforceConstraints(spark: SparkSession, root: String,
                                  adds: Seq[String], batchDdl: String,
                                  operation: String,
-                                 replaceSchema: Boolean = false): Option[Long] = {
+                                 replaceSchema: Boolean = false): Map[String, String] = {
     val snap = scala.util.Try(resolve(spark, root, None)).toOption
     val cons = snap.map(_.constraints).getOrElse(Map.empty[String, String])
-    if (cons.isEmpty || adds.isEmpty) return snap.map(_.version)
+    // the return value is the constraint SET this batch was validated
+    // against — commitLoop's consFence refuses the commit if the winning
+    // state's set differs (validated-under-stale-rules)
+    if (cons.isEmpty || adds.isEmpty) return cons
     val batchS = StructType.fromDDL(batchDdl)
     val schema =
       if (replaceSchema) batchS
@@ -1901,7 +1950,7 @@ object TxLog {
           bad.map { case (n, c) => s"$n (CHECK (${cons(n)})): $c row(s)" }
             .mkString("; "))
     }
-    snap.map(_.version)
+    cons
   }
 
   private def deleteStaged(spark: SparkSession, root: String,
@@ -1909,32 +1958,6 @@ object TxLog {
     val fs = fileSystem(spark, root)
     adds.foreach(f => try fs.delete(new Path(s"$root/$f"), false)
                       catch { case _: IOException => () })
-  }
-
-  /** Commit-time half of constraint enforcement, for the write paths
-    * whose delta does NOT already fail on any concurrent commit (the
-    * append family, overwrite, partition upserts/overwrites): a
-    * constraint added or dropped AFTER this batch was validated means
-    * the validation ran against a stale rule set — without this check, a
-    * batch staged before a concurrent `addConstraint` would commit
-    * violating rows right past the fresh constraint (whose own
-    * validation scan never saw them either: it only covers commits
-    * landing before its claim). Fail the commit; the caller re-runs and
-    * the re-validation sees the new rules. merge/UPDATE/replaceWhere
-    * need no call — their stale-base detection already rejects EVERY
-    * concurrent commit, constraint-bearing or not.
-    */
-  private def failOnConstraintChange(commits: Seq[Commit],
-                                     enforcedAt: Option[Long],
-                                     root: String): Unit = {
-    val v = enforcedAt.getOrElse(-1L)
-    commits.find(c => c.version > v &&
-        (c.consAdd.nonEmpty || c.consDrop.nonEmpty)).foreach { c =>
-      throw new java.util.ConcurrentModificationException(
-        s"constraints changed at $root (version ${c.version}, " +
-          s"${c.operation}) after this batch was validated — re-run " +
-          "the write")
-    }
   }
 
   /** Row-level MERGE (upsert by key): rows of `updates` replace
@@ -2680,7 +2703,11 @@ object TxLog {
       }
     }
     commitLoop(spark, dstRoot, "clone", parts, { (commits, _) =>
-      if (commits.nonEmpty)
+      // through tailVersion, not commits.nonEmpty: the tail is
+      // checkpoint-bounded, so a mid-clone commit whose entry sits at a
+      // freshly written checkpoint's version would hide from the raw
+      // list — the resolve fallback sees ANY committed state
+      if (tailVersion(spark, dstRoot, commits).isDefined)
         throw new java.util.ConcurrentModificationException(
           s"clone target $dstRoot gained a commit mid-clone")
       // add = DATA files only; sidecars are referenced via dv, not add
@@ -2758,6 +2785,12 @@ object TxLog {
     * assertion can't observe it from the outside.
     */
   @volatile private[graft] var lastStatsPrune: Option[(Int, Int)] = None
+
+  /** Test seam: number of raw tail entries the most recent [[commitLoop]]
+    * attempt parsed — pins the checkpoint-bounded write path (O(tail
+    * since checkpoint), never O(log length)).
+    */
+  @volatile private[graft] var lastCommitTailLen: Int = -1
 
   /** The version a point-in-time read resolves to: the HIGHEST version
     * whose commit timestamp is <= `tsMs` (the Delta `TIMESTAMP AS OF`

@@ -203,6 +203,34 @@ class TxLogCheckpointV2Spec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 7L
   }
 
+  test("the write path parses only the tail above the newest checkpoint") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.checkpoint.interval", "5")
+    try {
+      (0 until 17).foreach { i =>
+        TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1), root)
+      }
+      // cadence checkpoints landed at v4/v9/v14; the next commit must
+      // parse ONLY the two entries above v14 — commit cost is O(tail
+      // since checkpoint) no matter how long the table has lived
+      TxLog.lastCommitTailLen = -1
+      TxLog.append(spark, Seq((99L, "x")).toDF("id", "s"), root)
+      TxLog.lastCommitTailLen shouldBe 2
+      // a tip checkpoint empties the parsed tail entirely: the next
+      // version still derives correctly (from the resolved snapshot),
+      // the schema echo and tombstone guard fall back to resolution
+      TxLog.checkpoint(spark, root) shouldBe Some(17L)
+      TxLog.lastCommitTailLen = -1
+      TxLog.append(spark, Seq((100L, "y")).toDF("id", "s"), root)
+      TxLog.lastCommitTailLen shouldBe 0
+      TxLog.latestVersion(spark, root) shouldBe Some(18L)
+      TxLog.readLatest(spark, root).count() shouldBe 19L
+      TxLog.readLatest(spark, root).filter($"id" === 100L)
+        .count() shouldBe 1L
+    } finally spark.conf.unset("spark.graft.checkpoint.interval")
+  }
+
   test("re-checkpoint of an existing version is an idempotent skip — no swap window") {
     val root = tmpRoot()
     (0 until 12).foreach { i =>

@@ -166,6 +166,48 @@ class TxLogConstraintSpec extends SparkSpec {
     TxLog.readLatest(spark, root).count() shouldBe 2L
   }
 
+  test("the constraint fence holds when the change hides behind a cadence checkpoint") {
+    val root = seeded()
+    // interval=1: the injected addConstraint's commit immediately writes
+    // a checkpoint AT its own version, so the append's checkpoint-bounded
+    // raw tail contains NO consAdd entry — an event scan over `commits`
+    // would wave the stale batch through. The fence compares the resolved
+    // snapshot's constraint SET by value, which a checkpoint can never
+    // hide, and must still refuse.
+    spark.conf.set("spark.graft.checkpoint.interval", "1")
+    TxLog.postEnforceHook =
+      () => TxLog.addConstraint(spark, root, "bal_nonneg", "bal >= 0")
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.append(spark,
+          Seq((9L, -3.0, "p1")).toDF("id", "bal", "part"), root, Seq("part"))
+      }
+    } finally {
+      TxLog.postEnforceHook = () => ()
+      spark.conf.unset("spark.graft.checkpoint.interval")
+    }
+    TxLog.constraintsOf(spark, root).keySet shouldBe Set("bal_nonneg")
+    TxLog.readLatest(spark, root).count() shouldBe 2L
+  }
+
+  test("a constraint added and dropped back mid-flight leaves the write valid — value fence, not event scan") {
+    val root = seeded()
+    // net-zero rule change: the winning state's constraint set equals
+    // the one the batch was validated against, so the validation still
+    // holds verbatim and the write goes through (the old event scan
+    // refused here for no correctness reason)
+    TxLog.postEnforceHook = () => {
+      TxLog.addConstraint(spark, root, "id_pos", "id > 0")
+      TxLog.dropConstraint(spark, root, "id_pos")
+    }
+    try {
+      TxLog.append(spark,
+        Seq((9L, -3.0, "p1")).toDF("id", "bal", "part"), root, Seq("part"))
+    } finally TxLog.postEnforceHook = () => ()
+    TxLog.constraintsOf(spark, root) shouldBe empty
+    TxLog.readLatest(spark, root).count() shouldBe 3L
+  }
+
   test("SQL surface: ALTER TABLE ADD/DROP CONSTRAINT + SHOW CONSTRAINTS") {
     val root = seeded()
     TxLogSql.register(spark, "cons_sql", root, partitionCols = Seq("part"))
