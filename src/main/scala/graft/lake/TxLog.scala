@@ -385,7 +385,7 @@ object TxLog {
     * a sole in-flight first commit.
     */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    try Some(resolve(spark, root, None).version)
+    try Some(resolveMeta(spark, root, None).fold(_.version, _.version))
     catch {
       case _: NotATxLogTableException => None
       case _: IllegalArgumentException
@@ -556,17 +556,21 @@ object TxLog {
     * table this is O(log) driver work vs a full-table scan job.
     */
   def countRows(spark: SparkSession, root: String,
-                version: Option[Long] = None): Long = {
-    val snap = resolve(spark, root, version)
-    // deletion vectors carry their cumulative row count in the commit,
-    // so the metadata-only path stays metadata-only: file rows minus
-    // vector rows, per file
-    val rc = snap.stats.col(RowCountKey) // pruned: one stat column read
-    val counted = snap.live.flatMap(f =>
-      rc.get(f).map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
-    if (counted.size == snap.live.size) counted.sum
-    else snapshot(spark, root, snap).count()
-  }
+                version: Option[Long] = None): Long =
+    resolveMeta(spark, root, version) match {
+      // big tables (distributed tier): one aggregation over the
+      // checkpoint parquet, O(tail) driver memory
+      case Right(m) => countRowsMeta(spark, root, m, version)
+      case Left(snap) =>
+        // deletion vectors carry their cumulative row count in the
+        // commit, so the metadata-only path stays metadata-only: file
+        // rows minus vector rows, per file
+        val rc = snap.stats.col(RowCountKey) // pruned: one stat column read
+        val counted = snap.live.flatMap(f =>
+          rc.get(f).map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
+        if (counted.size == snap.live.size) counted.sum
+        else snapshot(spark, root, snap).count()
+    }
 
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'
@@ -2754,9 +2758,13 @@ object TxLog {
     * column read null for it regardless of the batch schema's flags.
     */
   def schemaOf(spark: SparkSession, root: String,
-               version: Option[Long] = None): StructType =
-    StructType(StructType.fromDDL(resolve(spark, root, version).schemaDdl)
-      .map(_.copy(nullable = true)))
+               version: Option[Long] = None): StructType = {
+    // scalar-only resolve: on a big table the connector's analysis-time
+    // schema/version questions must not materialize the live set
+    val ddl = resolveMeta(spark, root, version)
+      .fold(_.schemaDdl, _.schemaDdl)
+    StructType(StructType.fromDDL(ddl).map(_.copy(nullable = true)))
+  }
 
   /** File-skipping read WITHOUT a residual predicate: prune the live set
     * by committed stats bounds (missing stats keep the file — skipping
@@ -2769,16 +2777,19 @@ object TxLog {
     */
   def readStatsPruned(spark: SparkSession, root: String,
                       bounds: Seq[(String, Double, Double)],
-                      version: Option[Long] = None): DataFrame = {
-    val snap = resolve(spark, root, version)
-    val physBounds = bounds.map { case (c, lo, hi) =>
-      (snap.stats.col(physName(snap.colMap, c)), lo, hi)
+                      version: Option[Long] = None): DataFrame =
+    resolveMeta(spark, root, version) match {
+      case Right(m) =>
+        snapshot(spark, root, prunedSnapMeta(spark, root, m, bounds, Nil))
+      case Left(snap) =>
+        val physBounds = bounds.map { case (c, lo, hi) =>
+          (snap.stats.col(physName(snap.colMap, c)), lo, hi)
+        }
+        val keep = snap.live.filter(f =>
+          physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
+        lastStatsPrune = Some((keep.size, snap.live.size))
+        snapshot(spark, root, snap.copy(live = keep))
     }
-    val keep = snap.live.filter(f =>
-      physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
-    lastStatsPrune = Some((keep.size, snap.live.size))
-    snapshot(spark, root, snap.copy(live = keep))
-  }
 
   /** Test seam: (kept, total) of the most recent [[readStatsPruned]] —
     * file skipping happens before the DataFrame exists, so a plan
@@ -2876,12 +2887,8 @@ object TxLog {
   def readRange(spark: SparkSession, root: String, column: String,
                 lo: Double, hi: Double,
                 version: Option[Long] = None): DataFrame = {
-    val snap = resolve(spark, root, version)
-    val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
-    val cs = snap.stats.col(pc) // pruned: one stat column read
-    val keep = snap.live.filter(f => boundsKeep(cs.get(f), lo, hi))
     import org.apache.spark.sql.functions.col
-    snapshot(spark, root, snap.copy(live = keep))
+    readStatsPruned(spark, root, Seq((column, lo, hi)), version)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -2896,14 +2903,8 @@ object TxLog {
                  bounds: Seq[(String, Double, Double)],
                  version: Option[Long] = None): DataFrame = {
     require(bounds.nonEmpty, "readRanges needs at least one bound")
-    val snap = resolve(spark, root, version)
-    val physBounds = bounds.map { case (c, lo, hi) =>
-      (snap.stats.col(physName(snap.colMap, c)), lo, hi)
-    } // stats key by PHYSICAL name; pruned per-column reads
-    val keep = snap.live.filter(f =>
-      physBounds.forall { case (cs, lo, hi) => boundsKeep(cs.get(f), lo, hi) })
     import org.apache.spark.sql.functions.col
-    bounds.foldLeft(snapshot(spark, root, snap.copy(live = keep))) {
+    bounds.foldLeft(readStatsPruned(spark, root, bounds, version)) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
     }
   }
@@ -2916,7 +2917,10 @@ object TxLog {
     */
   def minMaxFast(spark: SparkSession, root: String, column: String,
                  version: Option[Long] = None): Option[(Double, Double)] = {
-    val snap = resolve(spark, root, version)
+    val snap = resolveMeta(spark, root, version) match {
+      case Right(m)   => return minMaxFastMeta(spark, m, column)
+      case Left(snap) => snap
+    }
     if (snap.live.isEmpty) return None
     // a deletion vector may have removed exactly the row holding a
     // file's min or max, making the committed stats an over-approximation
@@ -3268,15 +3272,23 @@ object TxLog {
                  version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "readEquals needs at least one probe value")
-    val snap = resolve(spark, root, version)
-    val dt = StructType.fromDDL(snap.schemaDdl)
-      .find(_.name == column)
-      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
-      .dataType
-    val kept =
-      bloomKeepFiles(spark, root, column, probeHashes(spark, column, dt, values), snap)
-    snapshot(spark, root, snap.copy(live = kept))
-      .filter(col(column).isin(values: _*))
+    resolveMeta(spark, root, version) match {
+      case Right(m) =>
+        StructType.fromDDL(m.schemaDdl).find(_.name == column)
+          .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+        snapshot(spark, root,
+            prunedSnapMeta(spark, root, m, Nil, Seq(column -> values)))
+          .filter(col(column).isin(values: _*))
+      case Left(snap) =>
+        val dt = StructType.fromDDL(snap.schemaDdl)
+          .find(_.name == column)
+          .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+          .dataType
+        val kept = bloomKeepFiles(spark, root, column,
+          probeHashes(spark, column, dt, values), snap)
+        snapshot(spark, root, snap.copy(live = kept))
+          .filter(col(column).isin(values: _*))
+    }
   }
 
   /** Count of files a [[readEquals]] for `values` would scan — exposed so
@@ -3310,7 +3322,12 @@ object TxLog {
                      equalities: Seq[(String, Seq[Any])],
                      version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    val snap = resolve(spark, root, version)
+    val snap = resolveMeta(spark, root, version) match {
+      case Right(m) =>
+        return snapshot(spark, root,
+          prunedSnapMeta(spark, root, m, bounds, equalities))
+      case Left(s) => s
+    }
     val schema = StructType.fromDDL(snap.schemaDdl)
     val physBounds = bounds.map { case (c, lo, hi) =>
       (snap.stats.col(physName(snap.colMap, c)), lo, hi)
@@ -3887,6 +3904,432 @@ object TxLog {
   }
 
   // -------------------------------------------------------------------
+  // Distributed metadata tier — bounded-driver resolve for big tables
+  // -------------------------------------------------------------------
+  //
+  // [[resolve]] materializes the live FILE LIST on the driver (a
+  // collect of the checkpoint's per-file rows), which the measured
+  // metadata ladder (BASELINE.md "Metadata scale") shows is comfortable
+  // to ~1M live files and degrades past it (5.2 GB heap, GC-bound
+  // resolve at 10M). The consumers below don't NEED the full list: an
+  // exact count is one aggregation over the checkpoint parquet, and a
+  // stats/bloom-pruned scan needs only the SURVIVORS of pruning on the
+  // driver. This tier keeps the live set DISTRIBUTED (the format-3
+  // checkpoint is already a parquet table of (file, dv, flat stat
+  // columns)) and collects O(tail + survivors), never O(files) — the
+  // same shape Delta uses for its snapshot state. Writers and full
+  // unpruned scans keep the materialized path: Spark's own scan
+  // planning holds every selected file on the driver anyway, so there
+  // is nothing to win there.
+  //
+  // The tier activates only when the newest eligible checkpoint is
+  // format 3 AND its recorded `liveCount` clears
+  // `spark.graft.meta.distributedThreshold` (default 100k files):
+  // below it, a warm cached driver resolve beats scheduling a Spark
+  // job, so small tables keep their latency.
+
+  /** Scalar table state plus a RECIPE for the live set — never the
+    * live set itself. `touchedLive`/`tailStats`/`tailDvs` are the
+    * commit tail folded per file (O(tail) driver entries); everything
+    * the tail did not touch stays behind the checkpoint parquet.
+    */
+  private final case class MetaSnapshot(
+      ckptDir: String, legend: IndexedSeq[String], ckptVersion: Long,
+      ckptLiveCount: Long, schemaDdl: String, version: Long,
+      txns: Map[String, Long], constraints: Map[String, String],
+      droppedCols: Set[String], colMap: Map[String, String],
+      touchedLive: Map[String, Boolean], tailStats: FileStats,
+      tailDvs: Map[String, Option[DvRef]]) {
+    /** Every file the tail mentions in ANY way — excluded from the
+      * distributed evaluation and handled on the driver instead.
+      */
+    def touchedAll: Set[String] =
+      touchedLive.keySet ++ tailStats.keySet ++ tailDvs.keySet
+  }
+
+  /** Test seam: whether the most recent [[resolveMeta]] took the
+    * distributed path (Right) — the parity spec forces the threshold to
+    * 0 and asserts the path actually under test.
+    */
+  @volatile private[graft] var lastResolveDistributed: Boolean = false
+
+  private def metaThreshold(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.meta.distributedThreshold", "100000")
+      .trim.toLong
+
+  /** Resolve to EITHER a fully-materialized [[Snapshot]] (small tables,
+    * v1/format-2 checkpoints, no checkpoint, version reads predating
+    * the newest checkpoint's v2 form) or a driver-bounded
+    * [[MetaSnapshot]]. The Right branch opens ONE small JSON (the
+    * checkpoint header) and parses the commit tail — O(tail) driver
+    * work; it never touches the per-file parquet rows.
+    */
+  private def resolveMeta(spark: SparkSession, root: String,
+                          upTo: Option[Long]): Either[Snapshot, MetaSnapshot] = {
+    def full = Left(resolve(spark, root, upTo))
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    if (!fs.exists(dir))
+      throw new NotATxLogTableException(s"not a txlog table: $root")
+    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    val v2s = names.collect { case CkptDirV2(v) => v.toLong }
+      .filter(v => upTo.forall(v <= _))
+    val v1s = names.collect { case CkptFile(v) => v.toLong }
+      .filter(v => upTo.forall(v <= _))
+    // the tier applies only when the NEWEST eligible checkpoint has a
+    // v2 form — an older v2 beneath a newer v1 must not shadow its state
+    val candidate = v2s.maxOption.filter(v => v1s.forall(_ <= v))
+    val out = candidate.flatMap { v =>
+      try {
+        val in = fs.open(new Path(ckptPathV2(root, v), CkptMetaName))
+        val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+                finally in.close()
+        checkReaderVersion(n, s"checkpoint v$v")
+        val fmt = Option(n.get("format")).map(_.asInt).getOrElse(2)
+        val liveCount = Option(n.get("liveCount")).map(_.asLong)
+        if (fmt != 3 || !liveCount.exists(_ >= metaThreshold(spark))) None
+        else {
+          val legend: IndexedSeq[String] =
+            Option(n.get("statCols")).map { a =>
+              val b = IndexedSeq.newBuilder[String]
+              a.elements().forEachRemaining(e => b += e.asText)
+              b.result()
+            }.getOrElse(IndexedSeq.empty)
+          val txnsB = Map.newBuilder[String, Long]
+          Option(n.get("txns")).foreach(_.properties().forEach(e =>
+            txnsB += e.getKey -> e.getValue.asLong))
+          val consB = Map.newBuilder[String, String]
+          Option(n.get("constraints")).foreach(_.properties().forEach(e =>
+            consB += e.getKey -> e.getValue.asText()))
+          val droppedB = Set.newBuilder[String]
+          Option(n.get("droppedCols")).foreach(_.elements()
+            .forEachRemaining(e => droppedB += e.asText))
+          val cmB = Map.newBuilder[String, String]
+          Option(n.get("colMap")).foreach(_.properties().forEach(e =>
+            cmB += e.getKey -> e.getValue.asText()))
+          val tail = history(spark, root, afterVersion = v)
+            .filter(c => upTo.forall(c.version <= _))
+          // the per-file tail folds, each the exact semantics of
+          // resolveOnce's whole-set folds restricted to touched files
+          var touched = Map.empty[String, Boolean]
+          tail.foreach { c =>
+            c.remove.foreach(f => touched = touched.updated(f, false))
+            c.add.foreach(f => touched = touched.updated(f, true))
+          }
+          val tailStats =
+            tail.foldLeft(Map.empty: FileStats)((acc, c) => acc ++ c.stats)
+          var tailDvs = Map.empty[String, Option[DvRef]]
+          tail.foreach { c =>
+            (c.remove ++ c.dvDrop).foreach(f =>
+              tailDvs = tailDvs.updated(f, None))
+            c.dv.foreach { case (f, r) =>
+              tailDvs = tailDvs.updated(f, Some(r)) }
+          }
+          val txns = tail.foldLeft(txnsB.result()) { case (acc, c) =>
+            c.txn match {
+              case Some((app, tv)) => acc.updated(app,
+                math.max(tv, acc.getOrElse(app, Long.MinValue)))
+              case None => acc
+            }
+          }
+          val constraints = tail.foldLeft(consB.result())(
+            (acc, c) => acc -- c.consDrop ++ c.consAdd)
+          val dropped = foldDropped(droppedB.result(), tail)
+          val colMap = tail.foldLeft(cmB.result()) { (acc, c) =>
+            c.renames.getOrElse(
+              if (c.operation == "overwrite") Map.empty else acc)
+          }
+          Some(MetaSnapshot(ckptPathV2(root, v).toString, legend, v,
+            liveCount.get,
+            tail.lastOption.map(_.schemaDdl).getOrElse(n.get("schemaDdl").asText),
+            tail.lastOption.map(_.version).getOrElse(v),
+            txns, constraints, dropped, colMap,
+            touched, tailStats, tailDvs))
+        }
+      } catch {
+        // header vanished between the listing and this read (torn-ckpt
+        // repair / maintenance): the full path re-lists and skips it
+        case _: java.io.FileNotFoundException => None
+      }
+    }
+    lastResolveDistributed = out.isDefined
+    out.map(Right(_)).getOrElse(full)
+  }
+
+  /** The checkpoint's live-file rows as a COLUMN-PRUNED distributed
+    * DataFrame: `file` (+ `dvPath`/`dvRows` when `withDv`) + one
+    * `mn:<key>`/`mx:<key>` pair per requested stat key present in the
+    * legend (absent keys contribute no columns — consumers treat them
+    * as stat-less, the conservative keep).
+    */
+  private def ckptLiveDF(spark: SparkSession, m: MetaSnapshot,
+                         statKeys: Seq[String], withDv: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = Seq(col("file")) ++
+      (if (withDv) Seq(col("dvPath"), col("dvRows")) else Nil) ++
+      statKeys.distinct.flatMap(k => m.legend.indexOf(k) match {
+        case -1 => Nil
+        case i  => Seq(col(s"min$i").as(s"mn:$k"), col(s"max$i").as(s"mx:$k"))
+      })
+    spark.read.parquet(m.ckptDir).select(cols: _*)
+  }
+
+  /** Drop the tail-touched files from the distributed evaluation (they
+    * are driver-handled). An `isin` for small sets — pushed to the
+    * parquet scan — and a broadcast anti-join past it: a tail holding
+    * an overwrite can touch the WHOLE former live set.
+    */
+  private def exceptTouched(df: DataFrame, touched: Set[String]): DataFrame =
+    if (touched.isEmpty) df
+    else if (touched.size <= 1000)
+      df.filter(!org.apache.spark.sql.functions.col("file")
+        .isin(touched.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(org.apache.spark.sql.functions.broadcast(
+          touched.toSeq.toDF("file")),
+        Seq("file"), "left_anti")
+    }
+
+  /** A tail-touched file's EFFECTIVE state: live after the fold, with
+    * stats/dv resolved per the overlay rules ([[StatsView.col]]'s
+    * per-file replacement; dv fold `-- remove -- dvDrop ++ dv`).
+    */
+  private final case class TouchedFile(file: String, dv: Option[DvRef],
+                                       stats: Map[String, (Double, Double)])
+
+  /** Driver evaluation of the touched files: one O(touched) probe of
+    * the checkpoint parquet establishes base membership + base stats +
+    * base dv, then the tail folds decide liveness and overlays. Returns
+    * (live touched files, how many touched files were in the base) —
+    * the second term is what reconciles [[MetaSnapshot.ckptLiveCount]]
+    * to the snapshot's true live total.
+    */
+  private def touchedState(spark: SparkSession, m: MetaSnapshot,
+                           statKeys: Seq[String]): (Seq[TouchedFile], Long) = {
+    val touched = m.touchedAll
+    if (touched.isEmpty) return (Seq.empty, 0L)
+    val df = ckptLiveDF(spark, m, statKeys, withDv = true)
+    val probe =
+      if (touched.size <= 1000)
+        df.filter(org.apache.spark.sql.functions.col("file")
+          .isin(touched.toSeq: _*))
+      else {
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.join(org.apache.spark.sql.functions.broadcast(
+            touched.toSeq.toDF("file")),
+          Seq("file"), "left_semi")
+      }
+    val keys = statKeys.distinct.filter(k => m.legend.contains(k))
+    val base: Map[String, (Option[DvRef], Map[String, (Double, Double)])] =
+      probe.collect().map { r =>
+        val f = r.getAs[String]("file")
+        val dv = Option(r.getAs[String]("dvPath"))
+          .map(p => (p, r.getAs[Long]("dvRows")): DvRef)
+        val st = keys.flatMap { k =>
+          val i = r.fieldIndex(s"mn:$k")
+          if (r.isNullAt(i)) None
+          else Some(k -> (r.getDouble(i), r.getDouble(r.fieldIndex(s"mx:$k"))))
+        }.toMap
+        f -> (dv, st)
+      }.toMap
+    val files = touched.toSeq.sorted.flatMap { f =>
+      val inBase = base.contains(f)
+      val live = m.touchedLive.getOrElse(f, inBase)
+      if (!live) None
+      else Some(TouchedFile(f,
+        m.tailDvs.getOrElse(f, base.get(f).flatMap(_._1)),
+        m.tailStats.getOrElse(f,
+          base.get(f).map(_._2).getOrElse(Map.empty))))
+    }
+    (files, base.size.toLong)
+  }
+
+  /** Distributed twin of the stats+bloom pruned read paths: evaluate
+    * the bounds-keep predicate (the SQL spelling of [[boundsKeep]],
+    * null/NaN keep included) and the bloom rejections ON the checkpoint
+    * rows, and collect only the SURVIVORS — plus the driver-evaluated
+    * touched files, conservatively kept through the bloom tier (their
+    * index rows may predate them). Returns a [[Snapshot]] whose live
+    * set is the kept files, carrying exactly the per-file state the
+    * downstream [[snapshot]] builder reads: the survivors' dv refs and
+    * their `__bytes` stat (the log-served file index's input).
+    */
+  private def prunedSnapMeta(spark: SparkSession, root: String,
+                             m: MetaSnapshot,
+                             bounds: Seq[(String, Double, Double)],
+                             equalities: Seq[(String, Seq[Any])]): Snapshot = {
+    import org.apache.spark.sql.functions.{col, isnan, lit}
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (physName(m.colMap, c), lo, hi) }
+    val statKeys = (physBounds.map(_._1) :+ FileSizeKey).distinct
+    val keep = physBounds.map { case (pc, lo, hi) =>
+      if (!m.legend.contains(pc)) lit(true)
+      else {
+        // backticked: a stat key is a COLUMN NAME, and a bare col()
+        // would parse any dot in it as struct nesting
+        val (mn, mx) = (col(s"`mn:$pc`"), col(s"`mx:$pc`"))
+        mn.isNull || isnan(mn) || isnan(mx) || (mx >= lo && mn <= hi)
+      }
+    }.foldLeft(lit(true))(_ && _)
+    val afterBounds =
+      exceptTouched(ckptLiveDF(spark, m, statKeys, withDv = true),
+        m.touchedAll).filter(keep)
+    val (touchedLive, touchedInBase) = touchedState(spark, m, statKeys)
+    val touchedKept = touchedLive.filter(t => physBounds.forall {
+      case (pc, lo, hi) => boundsKeep(t.stats.get(pc), lo, hi) })
+    val total = m.ckptLiveCount - touchedInBase + touchedLive.size
+    // the bloom tier runs DISTRIBUTED, before any collect: for a pure
+    // point lookup (no bounds) the stats tier keeps everything, and
+    // collecting it first would re-materialize the full live set
+    val statsKeptN: Option[Long] =
+      if (equalities.isEmpty) None else Some(afterBounds.count())
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val fs = fileSystem(spark, root)
+    val afterBloom = equalities.foldLeft(afterBounds) {
+      case (df, (c, values0)) =>
+        val values = values0.filter(_ != null)
+        schema.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) if values.nonEmpty &&
+              !f.dataType.isInstanceOf[StructType] &&
+              !f.dataType.isInstanceOf[ArrayType] &&
+              !f.dataType.isInstanceOf[MapType] &&
+              fs.exists(bloomDir(root, f.name)) =>
+            bloomFilterDF(spark, root, f.name,
+              probeHashes(spark, f.name, f.dataType, values).toArray, df)
+          case _ => df
+        }
+    }
+    val rows = afterBloom.collect()
+    if (bounds.nonEmpty)
+      lastStatsPrune = Some((
+        (statsKeptN.getOrElse(rows.length.toLong) + touchedKept.size).toInt,
+        total.toInt))
+    statsKeptN.foreach { sk =>
+      lastBloomPrune = Some((rows.length + touchedKept.size,
+        (sk + touchedKept.size).toInt))
+    }
+    val live = rows.map(_.getAs[String]("file")).toSeq ++
+      touchedKept.map(_.file)
+    val dvs = (rows.flatMap { r =>
+      Option(r.getAs[String]("dvPath")).map(p =>
+        r.getAs[String]("file") -> ((p, r.getAs[Long]("dvRows")): DvRef))
+    } ++ touchedKept.flatMap(t => t.dv.map(t.file -> _))).toMap
+    val hasBytes = m.legend.contains(FileSizeKey)
+    val sizes: FileStats = (rows.flatMap { r =>
+      if (!hasBytes || r.isNullAt(r.fieldIndex(s"mn:$FileSizeKey"))) None
+      else {
+        val b = r.getDouble(r.fieldIndex(s"mn:$FileSizeKey"))
+        Some(r.getAs[String]("file") ->
+          Map(FileSizeKey -> (b, b)))
+      }
+    } ++ touchedKept.flatMap(t => t.stats.get(FileSizeKey).map(b =>
+      t.file -> Map(FileSizeKey -> b)))).toMap
+    Snapshot(live, m.schemaDdl, m.version, StatsView.eager(sizes),
+      m.txns, m.constraints, dvs, m.droppedCols, m.colMap)
+  }
+
+  /** One bloom sidecar applied distributed: left-join the candidate
+    * files with the index rows and keep unindexed files (no row — the
+    * conservative keep) and files whose filter might contain a probe.
+    * Driver traffic: zero — the bitsets deserialize and test inside the
+    * executors, exactly like [[bloomKeepFiles]], but the KEPT set stays
+    * distributed instead of the REJECTED set coming back.
+    */
+  private def bloomFilterDF(spark: SparkSession, root: String,
+                            column: String, hashes: Array[Long],
+                            df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val bloomDf = spark.read.parquet(bloomDir(root, column).toString)
+      .select(col("file").as("__bloom_file"), col("bloom"))
+    val keepUdf = udf { (bytes: Array[Byte]) =>
+      bytes == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+        hashes.exists(bf.mightContainLong)
+      }
+    }
+    df.join(bloomDf, df("file") === col("__bloom_file"), "left_outer")
+      .filter(keepUdf(col("bloom")))
+      .drop("__bloom_file", "bloom")
+  }
+
+  /** Distributed exact COUNT(*): one aggregation over the checkpoint
+    * rows (`rows − dvRows` per file, summed as longs) plus the driver
+    * fold of the touched files — O(tail) driver memory where the
+    * materialized path held the whole live set. Falls back to the scan
+    * count on ANY live file without a recorded row count, exactly like
+    * the materialized path.
+    */
+  private def countRowsMeta(spark: SparkSession, root: String,
+                            m: MetaSnapshot,
+                            version: Option[Long]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    val (touched, _) = touchedState(spark, m, Seq(RowCountKey))
+    val tOk = touched.forall(_.stats.contains(RowCountKey))
+    val k = s"`mn:$RowCountKey`"
+    val (files, withStat, dsum) =
+      if (!m.legend.contains(RowCountKey)) {
+        val n = exceptTouched(ckptLiveDF(spark, m, Nil, withDv = false),
+          m.touchedAll).count()
+        (n, 0L, 0L)
+      } else {
+        val r = exceptTouched(
+            ckptLiveDF(spark, m, Seq(RowCountKey), withDv = true),
+            m.touchedAll)
+          .agg(count(lit(1)), count(col(k)),
+            sum(when(col(k).isNotNull,
+              (col(k) - coalesce(col("dvRows").cast("double"), lit(0.0)))
+                .cast("long"))))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+    if (withStat != files || !tOk)
+      return snapshot(spark, root, resolve(spark, root, version)).count()
+    dsum + touched.map(t =>
+      t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L)).sum
+  }
+
+  /** Distributed twin of [[minMaxFast]]'s metadata answer: the same
+    * None-on-any-gap contract (a live file without the stat, or any
+    * live deletion vector), evaluated as one aggregation.
+    */
+  private def minMaxFastMeta(spark: SparkSession, m: MetaSnapshot,
+                             column: String): Option[(Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    val pc = physName(m.colMap, column)
+    val (touched, _) = touchedState(spark, m, Seq(pc))
+    if (touched.exists(_.dv.isDefined)) return None
+    if (!m.legend.contains(pc)) {
+      val untouchedN = exceptTouched(
+        ckptLiveDF(spark, m, Nil, withDv = false), m.touchedAll).count()
+      if (untouchedN > 0) return None // untouched files lack the stat
+      val bs = touched.map(t => t.stats.get(pc))
+      if (bs.isEmpty || bs.exists(_.isEmpty)) None
+      else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+    } else {
+      val (mnC, mxC) = (col(s"`mn:$pc`"), col(s"`mx:$pc`"))
+      val r = exceptTouched(ckptLiveDF(spark, m, Seq(pc), withDv = true),
+          m.touchedAll)
+        .agg(count(lit(1)), count(mnC),
+          count(when(col("dvPath").isNotNull, 1)), min(mnC), max(mxC))
+        .collect()(0)
+      val (files, withStat, dvN) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (dvN > 0) return None
+      if (files + touched.size == 0) return None
+      if (withStat != files || touched.exists(!_.stats.contains(pc)))
+        return None
+      val lo = (Option.when(files > 0)(r.getDouble(3)) ++
+        touched.map(_.stats(pc)._1)).min
+      val hi = (Option.when(files > 0)(r.getDouble(4)) ++
+        touched.map(_.stats(pc)._2)).max
+      Some((lo, hi))
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Deletion-vector plumbing (see [[deleteVectored]] for the design)
   // -------------------------------------------------------------------
 
@@ -4400,6 +4843,10 @@ object TxLog {
     val meta = {
       val n = mapper.createObjectNode()
       n.put("format", 3)
+      // what lets [[resolveMeta]] gate the distributed tier WITHOUT
+      // touching the per-file rows; absent on older checkpoints, which
+      // simply keep the materialized path
+      n.put("liveCount", snap.live.size.toLong)
       if (statKeys.nonEmpty) {
         val sc = n.putArray("statCols")
         statKeys.foreach(sc.add)

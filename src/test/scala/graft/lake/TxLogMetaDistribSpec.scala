@@ -1,0 +1,244 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Distributed metadata tier: the bounded-driver resolve that answers
+  * counts, min/max, and stats/bloom-pruned scans from the format-3
+  * checkpoint parquet WITHOUT materializing the live file list
+  * (BASELINE.md "Metadata scale" — the measured 10M-file wall this
+  * tier removes for the read side).
+  *
+  * Every test here forces `spark.graft.meta.distributedThreshold=0` so
+  * the distributed path runs on a small table, and asserts BIT parity
+  * with the materialized path on the same log — same counts, same
+  * bounds, same surviving rows, same prune seams.
+  */
+class TxLogMetaDistribSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-metadist").toString
+
+  /** Run `body` with the distributed tier forced on, restoring the
+    * shared session's default (tier off for small tables) after.
+    */
+  private def distributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.meta.distributedThreshold", "0")
+    try body
+    finally spark.conf.unset("spark.graft.meta.distributedThreshold")
+  }
+
+  /** A table with three checkpointed single-file batches carrying id
+    * stats, so the checkpoint has a live set, flat stat columns, and a
+    * recorded liveCount.
+    */
+  private def ckptTable(root: String): Unit = {
+    val batches = Seq(Seq((1L, "a"), (2L, "b")), Seq((10L, "c"), (20L, "d")),
+      Seq((100L, "e"), (200L, "f")))
+    batches.foreach(b => TxLog.append(spark, b.toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id")))
+    TxLog.checkpoint(spark, root) shouldBe Some(2L)
+  }
+
+  test("countRows: distributed == materialized == scan, across a tail " +
+      "with an append and a deletion vector") {
+    val root = tmpRoot()
+    ckptTable(root)
+    // tail above the checkpoint: one more stats-carrying batch, then a
+    // vectored delete touching a CHECKPOINTED file's rows
+    TxLog.append(spark, Seq((1000L, "g"), (2000L, "h")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") === 10L)
+    val classic = TxLog.countRows(spark, root)
+    TxLog.lastResolveDistributed shouldBe false
+    val dist = distributed(TxLog.countRows(spark, root))
+    TxLog.lastResolveDistributed shouldBe true
+    dist shouldBe classic
+    dist shouldBe TxLog.readLatest(spark, root).count()
+    dist shouldBe 7L // 8 appended − 1 vectored out
+  }
+
+  test("countRows: a tail file without a recorded row count falls back " +
+      "to the scan count on BOTH paths") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.append(spark, Seq((7L, "x")).toDF("id", "s"), root) // no statsCols
+    val classic = TxLog.countRows(spark, root)
+    val dist = distributed(TxLog.countRows(spark, root))
+    TxLog.lastResolveDistributed shouldBe true
+    dist shouldBe classic
+    dist shouldBe 7L
+  }
+
+  test("minMaxFast: distributed matches the materialized answer AND its " +
+      "None contracts (live vector, stat-less column)") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.append(spark, Seq((5000L, "z")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    val classic = TxLog.minMaxFast(spark, root, "id")
+    val dist = distributed(TxLog.minMaxFast(spark, root, "id"))
+    TxLog.lastResolveDistributed shouldBe true
+    dist shouldBe classic
+    dist shouldBe Some((1.0, 5000.0))
+    // a column no write recorded stats for: None on both paths
+    distributed(TxLog.minMaxFast(spark, root, "s")) shouldBe
+      TxLog.minMaxFast(spark, root, "s")
+    distributed(TxLog.minMaxFast(spark, root, "s")) shouldBe None
+    // a live deletion vector may have removed the extremum: None
+    TxLog.deleteVectored(spark, root, col("id") === 5000L)
+    distributed(TxLog.minMaxFast(spark, root, "id")) shouldBe None
+    TxLog.minMaxFast(spark, root, "id") shouldBe None
+  }
+
+  test("readRange: distributed survivors, content, and prune seams " +
+      "match the materialized path") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.append(spark, Seq((1000L, "g")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    val classic = TxLog.readRange(spark, root, "id", 10.0, 30.0)
+      .orderBy("id").collect().toSeq
+    val classicPrune = TxLog.lastStatsPrune
+    val dist = distributed {
+      val r = TxLog.readRange(spark, root, "id", 10.0, 30.0)
+        .orderBy("id").collect().toSeq
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    dist shouldBe classic
+    dist.map(_.getLong(0)) shouldBe Seq(10L, 20L)
+    // same skipping: 1 of 4 files survives the bounds on either path
+    TxLog.lastStatsPrune shouldBe classicPrune
+    TxLog.lastStatsPrune shouldBe Some((1, 4))
+  }
+
+  test("readEquals: the bloom tier prunes DISTRIBUTED — survivors only " +
+      "reach the driver, result and seams match") {
+    val root = tmpRoot()
+    (0 until 4).foreach { i =>
+      TxLog.append(spark,
+        (i * 100 until i * 100 + 50).map(k => (k.toLong, s"r$k"))
+          .toDF("k", "v").repartition(1),
+        root, statsCols = Seq("k"))
+    }
+    TxLog.buildBloomIndex(spark, root, "k", expectedKeysPerFile = 1000L)
+    TxLog.checkpoint(spark, root) shouldBe Some(3L)
+    val classic = TxLog.readEquals(spark, root, "k", Seq(217L))
+      .collect().toSeq
+    val dist = distributed {
+      val r = TxLog.readEquals(spark, root, "k", Seq(217L)).collect().toSeq
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    dist shouldBe classic
+    dist.map(_.getLong(0)) shouldBe Seq(217L)
+    // the point lookup scanned ~1 of 4 files (bloom false positives may
+    // keep an extra), never the whole set
+    val (kept, candidates) = TxLog.lastBloomPrune.get
+    candidates shouldBe 4
+    kept should be < 4
+  }
+
+  test("a tail OVERWRITE above the checkpoint (every base file touched) " +
+      "resolves identically through the meta path") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.overwrite(spark,
+      Seq((7L, "n1"), (8L, "n2")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    distributed(TxLog.countRows(spark, root)) shouldBe 2L
+    TxLog.lastResolveDistributed shouldBe true
+    distributed(TxLog.minMaxFast(spark, root, "id")) shouldBe Some((7.0, 8.0))
+    distributed(TxLog.readStatsPruned(spark, root, Seq(("id", 0.0, 100.0)))
+      .orderBy("id").select("id").as[Long].collect().toSeq) shouldBe
+      Seq(7L, 8L)
+  }
+
+  test("a renamed column prunes through the meta path under its LOGICAL " +
+      "name (stats keyed by the frozen physical name)") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.renameColumn(spark, root, "id", "key")
+    TxLog.checkpoint(spark, root) // colMap lands in the checkpoint header
+    TxLog.append(spark, Seq((9999L, "t")).toDF("key", "s").repartition(1),
+      root, statsCols = Seq("key"))
+    val classic = TxLog.readRange(spark, root, "key", 100.0, 300.0)
+      .orderBy("key").select("key").as[Long].collect().toSeq
+    val dist = distributed {
+      val r = TxLog.readRange(spark, root, "key", 100.0, 300.0)
+        .orderBy("key").select("key").as[Long].collect().toSeq
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    dist shouldBe classic
+    dist shouldBe Seq(100L, 200L)
+    TxLog.lastStatsPrune shouldBe Some((1, 4))
+  }
+
+  test("schemaOf / currentVersion answer from the header + tail, never " +
+      "the per-file rows") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.append(spark,
+      Seq((1L, "x", true)).toDF("id", "s", "flag"), root) // tail evolution
+    val (ds, dv) = distributed {
+      val r = (TxLog.schemaOf(spark, root), TxLog.currentVersion(spark, root))
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    ds shouldBe TxLog.schemaOf(spark, root)
+    ds.fieldNames.toSeq shouldBe Seq("id", "s", "flag")
+    dv shouldBe TxLog.currentVersion(spark, root)
+    dv shouldBe Some(3L)
+  }
+
+  test("a VERSION AS OF read below the latest checkpoint rides whichever " +
+      "path its own newest checkpoint allows, identically") {
+    val root = tmpRoot()
+    ckptTable(root) // checkpoint at v2
+    TxLog.append(spark, Seq((1000L, "g")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    TxLog.checkpoint(spark, root) shouldBe Some(3L)
+    // upTo = 2: the eligible checkpoint is the v2 one at version 2
+    val classic = TxLog.readStatsPruned(spark, root, Seq(("id", 0.0, 1e9)),
+      version = Some(2L)).select("id").as[Long].collect().toSeq.sorted
+    val dist = distributed {
+      val r = TxLog.readStatsPruned(spark, root, Seq(("id", 0.0, 1e9)),
+        version = Some(2L)).select("id").as[Long].collect().toSeq.sorted
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    dist shouldBe classic
+    dist shouldBe Seq(1L, 2L, 10L, 20L, 100L, 200L)
+  }
+
+  test("the connector's pruned scan rides the distributed tier end-to-end") {
+    val root = tmpRoot()
+    ckptTable(root)
+    val classic = spark.read.format("graft").load(root)
+      .filter(col("id") >= 10L && col("id") <= 30L)
+      .orderBy("id").collect().toSeq
+    val dist = distributed {
+      val r = spark.read.format("graft").load(root)
+        .filter(col("id") >= 10L && col("id") <= 30L)
+        .orderBy("id").collect().toSeq
+      TxLog.lastResolveDistributed shouldBe true
+      r
+    }
+    dist shouldBe classic
+    dist.map(_.getLong(0)) shouldBe Seq(10L, 20L)
+  }
+
+  test("the tier never activates below the threshold or on a table " +
+      "whose newest checkpoint predates liveCount") {
+    val root = tmpRoot()
+    ckptTable(root)
+    // default threshold (100k): the 6-file table stays materialized
+    TxLog.countRows(spark, root) shouldBe 6L
+    TxLog.lastResolveDistributed shouldBe false
+  }
+}

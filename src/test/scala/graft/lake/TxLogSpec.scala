@@ -616,6 +616,11 @@ class TxLogSpec extends SparkSpec {
     def put(name: String): Unit = {
       val w = new java.io.FileWriter(s"$logDir/$name")
       try w.write("{}") finally w.close()
+      // age past the cutoff: the reap compares mtime < now STRICTLY, so
+      // a write landing in the same millisecond as the cutoff would
+      // survive a 0-ms window and flake this test
+      new java.io.File(s"$logDir/$name")
+        .setLastModified(System.currentTimeMillis() - 60000L)
     }
     // backup of the MATERIALIZED entry 0: belt-and-suspenders, reapable
     put(".00000000000000000000.json.aaaaaaaa.jdbcstaged")
