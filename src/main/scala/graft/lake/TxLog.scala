@@ -3939,7 +3939,12 @@ object TxLog {
       txns: Map[String, Long], constraints: Map[String, String],
       droppedCols: Set[String], colMap: Map[String, String],
       touchedLive: Map[String, Boolean], tailStats: FileStats,
-      tailDvs: Map[String, Option[DvRef]]) {
+      tailDvs: Map[String, Option[DvRef]],
+      // the tail's (remove, add) lists IN COMMIT ORDER — what lets the
+      // incremental checkpoint reproduce the live set's replay order
+      // (a removed-then-readded file moves to the END, like the
+      // LinkedHashSet fold) without replaying the whole set
+      tailOps: Seq[(Seq[String], Seq[String])]) {
     /** Every file the tail mentions in ANY way — excluded from the
       * distributed evaluation and handled on the driver instead.
       */
@@ -4044,7 +4049,8 @@ object TxLog {
             tail.lastOption.map(_.schemaDdl).getOrElse(n.get("schemaDdl").asText),
             tail.lastOption.map(_.version).getOrElse(v),
             txns, constraints, dropped, colMap,
-            touched, tailStats, tailDvs))
+            touched, tailStats, tailDvs,
+            tail.map(c => (c.remove, c.add))))
         }
       } catch {
         // header vanished between the listing and this read (torn-ckpt
@@ -4063,9 +4069,10 @@ object TxLog {
     * as stat-less, the conservative keep).
     */
   private def ckptLiveDF(spark: SparkSession, m: MetaSnapshot,
-                         statKeys: Seq[String], withDv: Boolean): DataFrame = {
+                         statKeys: Seq[String], withDv: Boolean,
+                         withIdx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cols = Seq(col("file")) ++
+    val cols = (if (withIdx) Seq(col("idx")) else Nil) ++ Seq(col("file")) ++
       (if (withDv) Seq(col("dvPath"), col("dvRows")) else Nil) ++
       statKeys.distinct.flatMap(k => m.legend.indexOf(k) match {
         case -1 => Nil
@@ -4087,8 +4094,13 @@ object TxLog {
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      df.join(org.apache.spark.sql.functions.broadcast(
-          touched.toSeq.toDF("file")),
+      val t = touched.toSeq.toDF("file")
+      // past ~1M names a broadcast stops paying (hundreds of MB per
+      // executor); a shuffled anti-join is the right plan there
+      df.join(
+        if (touched.size <= 1000000)
+          org.apache.spark.sql.functions.broadcast(t)
+        else t,
         Seq("file"), "left_anti")
     }
 
@@ -4097,7 +4109,8 @@ object TxLog {
     * per-file replacement; dv fold `-- remove -- dvDrop ++ dv`).
     */
   private final case class TouchedFile(file: String, dv: Option[DvRef],
-                                       stats: Map[String, (Double, Double)])
+                                       stats: Map[String, (Double, Double)],
+                                       baseIdx: Option[Long])
 
   /** Driver evaluation of the touched files: one O(touched) probe of
     * the checkpoint parquet establishes base membership + base stats +
@@ -4110,7 +4123,7 @@ object TxLog {
                            statKeys: Seq[String]): (Seq[TouchedFile], Long) = {
     val touched = m.touchedAll
     if (touched.isEmpty) return (Seq.empty, 0L)
-    val df = ckptLiveDF(spark, m, statKeys, withDv = true)
+    val df = ckptLiveDF(spark, m, statKeys, withDv = true, withIdx = true)
     val probe =
       if (touched.size <= 1000)
         df.filter(org.apache.spark.sql.functions.col("file")
@@ -4123,7 +4136,7 @@ object TxLog {
           Seq("file"), "left_semi")
       }
     val keys = statKeys.distinct.filter(k => m.legend.contains(k))
-    val base: Map[String, (Option[DvRef], Map[String, (Double, Double)])] =
+    val base: Map[String, (Option[DvRef], Map[String, (Double, Double)], Long)] =
       probe.collect().map { r =>
         val f = r.getAs[String]("file")
         val dv = Option(r.getAs[String]("dvPath"))
@@ -4133,7 +4146,7 @@ object TxLog {
           if (r.isNullAt(i)) None
           else Some(k -> (r.getDouble(i), r.getDouble(r.fieldIndex(s"mx:$k"))))
         }.toMap
-        f -> (dv, st)
+        f -> (dv, st, r.getAs[Long]("idx"))
       }.toMap
     val files = touched.toSeq.sorted.flatMap { f =>
       val inBase = base.contains(f)
@@ -4142,7 +4155,8 @@ object TxLog {
       else Some(TouchedFile(f,
         m.tailDvs.getOrElse(f, base.get(f).flatMap(_._1)),
         m.tailStats.getOrElse(f,
-          base.get(f).map(_._2).getOrElse(Map.empty))))
+          base.get(f).map(_._2).getOrElse(Map.empty)),
+        base.get(f).map(_._3)))
     }
     (files, base.size.toLong)
   }
@@ -4254,6 +4268,165 @@ object TxLog {
     df.join(bloomDf, df("file") === col("__bloom_file"), "left_outer")
       .filter(keepUdf(col("bloom")))
       .drop("__bloom_file", "bloom")
+  }
+
+  /** Incremental distributed checkpoint: derive the new checkpoint's
+    * per-file rows FROM the previous checkpoint's parquet (survivors
+    * pass through executor-side, stat columns remapped under the merged
+    * legend) unioned with O(tail) driver rows for the files the tail
+    * touched — never a driver materialization of the live set. The
+    * classic writer builds a driver Seq of every live file's Row, the
+    * measured dominant cost at metadata scale (BASELINE.md: 384 s and
+    * multi-GB heap at 10M files).
+    *
+    * Replay-order fidelity: `idx` is a SORT key, not a position —
+    * survivors keep their base idx (gaps are fine), and the tail replay
+    * assigns end-segment indices so a removed-then-readded file lands
+    * at the END, exactly like the LinkedHashSet fold ([[resolveOnce]]).
+    * Publication protocol (tmp + rename, skip-if-complete) is the
+    * classic writer's, so a valid checkpoint exists at every instant.
+    */
+  private def checkpointV2Incremental(spark: SparkSession, root: String,
+                                      m: MetaSnapshot): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val fs = fileSystem(spark, root)
+    val dst = ckptPathV2(root, m.version)
+    if (fs.exists(dst) && fs.exists(new Path(dst, CkptMetaName))) return
+    val (touchedLive, touchedInBase) = touchedState(spark, m, m.legend)
+    // the global idx high-water mark: end-segment indices must clear
+    // EVERY base idx, surviving or not (a touched survivor keeps its)
+    val aggRow = spark.read.parquet(m.ckptDir).agg(max(col("idx")))
+      .collect()(0)
+    val maxIdx = if (aggRow.isNullAt(0)) -1L else aggRow.getLong(0)
+    // protocol rung input: does ANY live file carry a deletion vector?
+    // untouched carriers counted distributed; touched ones by their
+    // EFFECTIVE dv after the tail fold
+    val hasLiveDv = touchedLive.exists(_.dv.isDefined) ||
+      exceptTouched(spark.read.parquet(m.ckptDir).select("file", "dvPath"),
+          m.touchedAll)
+        .filter(col("dvPath").isNotNull).limit(1).count() > 0
+    // tail replay over TOUCHED files only: position = kept base idx, or
+    // an end-segment slot past maxIdx
+    var pos = Map.empty[String, Long]
+    touchedLive.foreach(t => t.baseIdx.foreach(i => pos += t.file -> i))
+    var nextEnd = maxIdx + 1
+    m.tailOps.foreach { case (rm, ad) =>
+      rm.foreach(f => pos -= f)
+      ad.foreach { f =>
+        if (!pos.contains(f)) { pos += f -> nextEnd; nextEnd += 1 }
+      }
+    }
+    // merged legend: the base's keys plus any the tail's stats added
+    // (keys whose last carrier was removed stay as all-null columns —
+    // invisible to the pruned readers, which drop nulls at the scan)
+    val legend: IndexedSeq[String] =
+      (m.legend ++ touchedLive.flatMap(_.stats.keys)).distinct.sorted
+        .toIndexedSeq
+    val rowSchema = StructType(
+      Seq(StructField("idx", LongType, nullable = false),
+          StructField("file", StringType, nullable = false),
+          StructField("dvPath", StringType, nullable = true),
+          StructField("dvRows", LongType, nullable = true)) ++
+        legend.indices.flatMap(i => Seq(
+          StructField(s"min$i", DoubleType, nullable = true),
+          StructField(s"max$i", DoubleType, nullable = true))))
+    val baseCols = Seq(col("idx"), col("file"), col("dvPath"),
+      col("dvRows")) ++
+      legend.zipWithIndex.flatMap { case (k, j) =>
+        m.legend.indexOf(k) match {
+          case -1 => Seq(lit(null).cast(DoubleType).as(s"min$j"),
+            lit(null).cast(DoubleType).as(s"max$j"))
+          case i => Seq(col(s"min$i").as(s"min$j"),
+            col(s"max$i").as(s"max$j"))
+        }
+      }
+    val baseDF = exceptTouched(spark.read.parquet(m.ckptDir), m.touchedAll)
+      .select(baseCols: _*)
+    val keyIdx = legend.zipWithIndex.toMap
+    val touchedRows: Seq[Row] = touchedLive.map { t =>
+      val cells = new Array[Any](2 * legend.size)
+      t.stats.foreach { case (k, (mn, mx)) =>
+        val j = keyIdx(k); cells(2 * j) = mn; cells(2 * j + 1) = mx
+      }
+      Row.fromSeq(Seq[Any](pos(t.file), t.file,
+        t.dv.map(_._1).orNull, t.dv.map(_._2).map(Long.box).orNull) ++ cells)
+    }
+    val touchedDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(touchedRows,
+        math.max(1, touchedRows.size / 65536)),
+      rowSchema)
+    val liveCount = m.ckptLiveCount - touchedInBase + touchedLive.size
+    val meta = {
+      val n = mapper.createObjectNode()
+      n.put("format", 3)
+      n.put("liveCount", liveCount)
+      if (legend.nonEmpty) {
+        val sc = n.putArray("statCols")
+        legend.foreach(sc.add)
+      }
+      n.put("version", m.version)
+      n.put("schemaDdl", m.schemaDdl)
+      if (m.txns.nonEmpty) {
+        val tn = n.putObject("txns")
+        m.txns.foreach { case (app, v) => tn.put(app, v) }
+      }
+      if (m.constraints.nonEmpty) {
+        val cn = n.putObject("constraints")
+        m.constraints.foreach { case (name, sql) => cn.put(name, sql) }
+      }
+      if (m.droppedCols.nonEmpty) {
+        val dc = n.putArray("droppedCols")
+        m.droppedCols.toSeq.sorted.foreach(dc.add)
+      }
+      if (m.colMap.nonEmpty) {
+        val cm = n.putObject("colMap")
+        m.colMap.foreach { case (l, p) => cm.put(l, p) }
+      }
+      // minReaderOfState keys off set-emptiness only; a sentinel entry
+      // stands in for the distributed dv set
+      val mr = minReaderOfState(m.colMap,
+        if (hasLiveDv) Map("__live" -> (("", 0L): DvRef)) else Map.empty,
+        m.droppedCols)
+      if (mr > 1) n.put("minReader", mr)
+      n.toString
+    }
+    publishCkptDir(spark, fs, root, dst,
+      tmp => baseDF.union(touchedDF)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString),
+      meta)
+  }
+
+  /** The v2 checkpoint publication protocol, shared by the classic and
+    * incremental writers: write the rows to a hidden tmp dir, complete
+    * it with the meta header (written LAST — its presence is the
+    * completeness marker), then atomically rename into place; an
+    * existing COMPLETE dst is a concurrent writer's equivalent content
+    * and wins benignly.
+    */
+  private def publishCkptDir(spark: SparkSession, fs: FileSystem,
+                             root: String, dst: Path,
+                             writeRows: Path => Unit, meta: String): Unit = {
+    val tmp = new Path(s"$root/$LogDirName/.ckpt_tmp_${
+      UUID.randomUUID().toString.replace("-", "").take(12)}")
+    try {
+      writeRows(tmp)
+      val out = fs.create(new Path(tmp, CkptMetaName), true)
+      try out.write(meta.getBytes(UTF_8)) finally out.close()
+      def complete() = fs.exists(new Path(dst, CkptMetaName))
+      if (fs.exists(dst)) {
+        if (complete()) { fs.delete(tmp, true); return }
+        fs.delete(dst, true)
+      }
+      if (!fs.rename(tmp, dst)) {
+        if (complete()) { fs.delete(tmp, true); return } // lost a benign race
+        throw new IOException(
+          s"checkpoint rename $tmp -> $dst failed at $root")
+      }
+    } catch {
+      case t: Throwable =>
+        try { fs.delete(tmp, true); () } catch { case _: IOException => () }
+        throw t
+    }
   }
 
   /** Distributed exact COUNT(*): one aggregation over the checkpoint
@@ -4725,13 +4898,22 @@ object TxLog {
     // resolve through the previous checkpoint + tail (never a raw replay):
     // a checkpoint must not forget state whose commits predate an earlier
     // checkpoint
-    val snap = scala.util.Try(resolve(spark, root, None)).toOption
-      .getOrElse(return None)
-    if (spark.conf.get("spark.graft.checkpoint.format", "parquet") == "json")
+    if (spark.conf.get("spark.graft.checkpoint.format", "parquet") == "json") {
+      val snap = scala.util.Try(resolve(spark, root, None)).toOption
+        .getOrElse(return None)
       checkpointV1(spark, root, snap)
-    else
-      checkpointV2(spark, root, snap)
-    Some(snap.version)
+      Some(snap.version)
+    } else scala.util.Try(resolveMeta(spark, root, None)).toOption match {
+      case None => None
+      case Some(Right(m)) =>
+        // big table with a format-3 base: the new checkpoint derives
+        // from the previous one distributed, O(tail) on the driver
+        checkpointV2Incremental(spark, root, m)
+        Some(m.version)
+      case Some(Left(snap)) =>
+        checkpointV2(spark, root, snap)
+        Some(snap.version)
+    }
   }
 
   /** The original single-JSON-document checkpoint (kept writable for
@@ -4873,38 +5055,15 @@ object TxLog {
       if (mr > 1) n.put("minReader", mr)
       n.toString
     }
-    val tmp = new Path(s"$root/$LogDirName/.ckpt_tmp_${
-      UUID.randomUUID().toString.replace("-", "").take(12)}")
-    try {
-      // ~64k metadata-sized rows per part bounds both task count and
-      // part size; a 10^6-file table writes ~16 parallel parts
-      spark.createDataFrame(
+    // ~64k metadata-sized rows per part bounds both task count and
+    // part size; a 10^6-file table writes ~16 parallel parts
+    publishCkptDir(spark, fs, root, dst,
+      tmp => spark.createDataFrame(
           spark.sparkContext.parallelize(
             rows, math.max(1, rows.size / 65536)),
           rowSchema)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val out = fs.create(new Path(tmp, CkptMetaName), true)
-      try out.write(meta.getBytes(UTF_8)) finally out.close()
-      // A dst that appeared since the entry check is a concurrent writer
-      // publishing the equivalent content — our tmp is redundant, never
-      // grounds to delete theirs. Only a HEADERLESS leftover (torn by a
-      // crashed delete) is cleared, and it was unreadable anyway, so no
-      // valid checkpoint is ever destroyed.
-      def complete() = fs.exists(new Path(dst, CkptMetaName))
-      if (fs.exists(dst)) {
-        if (complete()) { fs.delete(tmp, true); return }
-        fs.delete(dst, true)
-      }
-      if (!fs.rename(tmp, dst)) {
-        if (complete()) { fs.delete(tmp, true); return } // lost a benign race
-        throw new IOException(
-          s"checkpoint rename $tmp -> $dst failed at $root")
-      }
-    } catch {
-      case t: Throwable =>
-        try { fs.delete(tmp, true); () } catch { case _: IOException => () }
-        throw t
-    }
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString),
+      meta)
   }
 
   /** Read a v2 checkpoint directory back into a [[Snapshot]]: header
@@ -4912,6 +5071,25 @@ object TxLog {
     * checkpoint columns; sorted by `idx` to reproduce live-set order
     * exactly — commit replay order is part of the format).
     */
+  /** Test seam: a deep CONTENT digest of a v2 checkpoint dir as public
+    * types — (live order, schemaDdl, version, live files' full stats,
+    * txns, constraints, dvs, droppedCols, colMap) — so the parity spec
+    * can assert the classic and incremental writers produce the same
+    * checkpoint for the same log (legend layout and idx numbering are
+    * free to differ; content is not).
+    */
+  private[lake] def ckptDigestV2(spark: SparkSession, root: String, v: Long)
+      : (Seq[String], String, Long, FileStats, Map[String, Long],
+         Map[String, String], Map[String, DvRef], Set[String],
+         Map[String, String]) = {
+    val s = readCkptV2(spark, root, v)
+    val liveSet = s.live.toSet
+    (s.live, s.schemaDdl, s.version,
+      s.stats.full.view.filterKeys(liveSet).toMap
+        .filter(_._2.nonEmpty),
+      s.txns, s.constraints, s.dvs, s.droppedCols, s.colMap)
+  }
+
   private def readCkptV2(spark: SparkSession, root: String,
                          version: Long): Snapshot = {
     val fs = fileSystem(spark, root)

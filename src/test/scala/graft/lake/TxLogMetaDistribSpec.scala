@@ -233,6 +233,75 @@ class TxLogMetaDistribSpec extends SparkSpec {
     dist.map(_.getLong(0)) shouldBe Seq(10L, 20L)
   }
 
+  test("the incremental checkpoint writes the SAME checkpoint as the " +
+      "classic writer — deep content parity over a rich tail") {
+    val root = tmpRoot()
+    ckptTable(root) // classic checkpoint at v2
+    // a tail exercising every per-file shape the writer must carry:
+    // v3 append (new file, new stats), v4 idempotent append (txn
+    // watermark), v5 a deletion vector on a CHECKPOINTED file, v6 a
+    // constraint, v7 a full-file DELETE (metadata-only remove), v8 a
+    // rollback (the removed file comes BACK — end-of-order re-add)
+    TxLog.append(spark, Seq((1000L, "g"), (2000L, "h")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.appendIdempotent(spark, Seq((3000L, "i")).toDF("id", "s")
+      .repartition(1), root, "app-x", 41L, statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") === 10L)
+    TxLog.addConstraint(spark, root, "pos_id", "id >= 0")
+    TxLog.delete(spark, root, col("id") >= 100L && col("id") <= 200L)
+    val preRollback = TxLog.currentVersion(spark, root).get
+    TxLog.rollback(spark, root, preRollback - 1)
+    val v = TxLog.currentVersion(spark, root).get
+    val ckptDir = f"$root/${TxLog.LogDirName}/$v%020d.checkpoint.parquet"
+
+    // classic writer first (default threshold: materialized path)
+    TxLog.checkpoint(spark, root) shouldBe Some(v)
+    TxLog.lastResolveDistributed shouldBe false
+    val classic = TxLog.ckptDigestV2(spark, root, v)
+    // wipe it, re-checkpoint through the incremental writer
+    val p = new org.apache.hadoop.fs.Path(ckptDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true) shouldBe true
+    distributed {
+      TxLog.checkpoint(spark, root) shouldBe Some(v)
+      TxLog.lastResolveDistributed shouldBe true
+    }
+    val incremental = TxLog.ckptDigestV2(spark, root, v)
+    incremental._1 shouldBe classic._1 // live files, REPLAY ORDER included
+    incremental._2 shouldBe classic._2 // schema
+    incremental._3 shouldBe classic._3 // version
+    incremental._4 shouldBe classic._4 // per-file stats, full maps
+    incremental._5 shouldBe classic._5 // txn watermarks
+    incremental._6 shouldBe classic._6 // constraints
+    incremental._7 shouldBe classic._7 // deletion vectors
+    incremental._8 shouldBe classic._8 // drop tombstones
+    incremental._9 shouldBe classic._9 // column mapping
+  }
+
+  test("a log truncated to an INCREMENTAL checkpoint resolves the full " +
+      "table state (the checkpoint is load-bearing, not derived-only)") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.append(spark, Seq((1000L, "g")).toDF("id", "s").repartition(1),
+      root, statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") === 20L)
+    val expected = TxLog.readLatest(spark, root).orderBy("id")
+      .collect().toSeq
+    val expectedCount = TxLog.countRows(spark, root)
+    distributed(TxLog.checkpoint(spark, root)) shouldBe
+      TxLog.currentVersion(spark, root)
+    // drop every raw entry and the old checkpoint: reads must survive
+    // on the incremental checkpoint alone
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1) should not be empty
+    TxLog.readLatest(spark, root).orderBy("id").collect().toSeq shouldBe
+      expected
+    TxLog.countRows(spark, root) shouldBe expectedCount
+    distributed(TxLog.countRows(spark, root)) shouldBe expectedCount
+    TxLog.minMaxFast(spark, root, "id") shouldBe None // live dv: None
+    TxLog.readRange(spark, root, "id", 10.0, 30.0)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(10L)
+  }
+
   test("the tier never activates below the threshold or on a table " +
       "whose newest checkpoint predates liveCount") {
     val root = tmpRoot()
