@@ -1406,6 +1406,66 @@ object Lake {
       out
     },
 
+    // Distributed metadata tier (BASELINE.md "Metadata scale"): with
+    // the threshold forced to 0, the checkpointed table's pruned scan,
+    // exact COUNT, and exact MIN/MAX are answered WITHOUT materializing
+    // the live file list on the driver — survivors and scalars come
+    // back from Spark jobs over the checkpoint parquet
+    // (TxLog.resolveMeta -> prunedSnapMeta/countRowsMeta/minMaxFastMeta).
+    // All three answers are computed INSIDE the forced window and
+    // pinned to DuckDB, so a tier that loses rows, counts vectored-out
+    // rows, or mis-folds the commit tail turns the row red. In-query
+    // requires assert the tier (not the materialized fallback) really
+    // answered.
+    QDef(
+      "q119_meta_distrib",
+      """SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price,
+        |       (SELECT count(*) FROM orders) AS table_rows,
+        |       (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders) AS key_min,
+        |       (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders) AS key_max
+        |FROM orders o
+        |WHERE o.o_orderkey >= 700 AND o.o_orderkey <= 1200
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "metadistrib")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val slice = maxKey / 4 + 1
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      TxLog.checkpoint(s, root) // format-3 base the tier derives from
+      s.conf.set("spark.graft.meta.distributedThreshold", "0")
+      try {
+        val pruned = s.read.format("graft").load(root)
+          .filter(col("o_orderkey") >= 700L && col("o_orderkey") <= 1200L)
+          .select("o_orderkey", "price").orderBy("o_orderkey").collect()
+        require(TxLog.lastResolveDistributed,
+          "q119: the pruned scan fell back to the materialized resolve")
+        val cnt = TxLog.countRows(s, root)
+        require(TxLog.lastResolveDistributed,
+          "q119: countRows fell back to the materialized resolve")
+        val mm = TxLog.minMaxFast(s, root, "o_orderkey").getOrElse(
+          throw new IllegalStateException(
+            "q119: minMaxFast returned no metadata answer"))
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        s.createDataFrame(
+            s.sparkContext.parallelize(pruned.toSeq, 1),
+            StructType(Seq(StructField("o_orderkey", LongType),
+              StructField("price", DoubleType))))
+          .withColumn("table_rows", lit(cnt))
+          .withColumn("key_min", lit(mm._1))
+          .withColumn("key_max", lit(mm._2))
+      } finally s.conf.unset("spark.graft.meta.distributedThreshold")
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every
