@@ -3761,8 +3761,9 @@ object TxLog {
     * the full replay. The in-flight-tail rule of [[history]] applies.
     */
   private def resolve(spark: SparkSession, root: String,
-                      upTo: Option[Long]): Snapshot =
-    try resolveOnce(spark, root, upTo)
+                      upTo: Option[Long],
+                      preListed: Option[Seq[String]] = None): Snapshot =
+    try resolveOnce(spark, root, upTo, preListed)
     catch {
       // A checkpoint listed from the log dir can vanish between the
       // listing and its read (a concurrent torn-checkpoint repair, or a
@@ -3770,16 +3771,22 @@ object TxLog {
       // one re-resolution re-lists and lands on whatever checkpoint now
       // exists. A second FileNotFoundException is real and propagates.
       case _: java.io.FileNotFoundException =>
-        resolveOnce(spark, root, upTo)
+        resolveOnce(spark, root, upTo, None)
     }
 
   private def resolveOnce(spark: SparkSession, root: String,
-                          upTo: Option[Long]): Snapshot = {
+                          upTo: Option[Long],
+                          preListed: Option[Seq[String]] = None): Snapshot = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
-    if (!fs.exists(dir))
-      throw new NotATxLogTableException(s"not a txlog table: $root")
-    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    // preListed: a caller that already listed the log dir this instant
+    // ([[resolveMeta]] falling back) passes its names through — on
+    // object stores the per-op LIST is the dominant metadata cost
+    val names = preListed.getOrElse {
+      if (!fs.exists(dir))
+        throw new NotATxLogTableException(s"not a txlog table: $root")
+      CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    }
     // both checkpoint formats are candidates; when one version carries
     // both forms they summarize identical state and v2 (parquet) wins
     val ckptForms: Map[Long, Boolean] = // version -> has a v2 form
@@ -3958,6 +3965,19 @@ object TxLog {
     */
   @volatile private[graft] var lastResolveDistributed: Boolean = false
 
+  /** Small LRU over parsed checkpoint HEADERS keyed by (path, stat):
+    * immutable once published (and the stat catches the one exception,
+    * a table deleted and recreated at the same path), so the per-op
+    * [[resolveMeta]] gate costs a stat call, never a re-read.
+    */
+  private val ckptHeaderCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long),
+        com.fasterxml.jackson.databind.JsonNode](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            com.fasterxml.jackson.databind.JsonNode]): Boolean = size() > 32
+    })
+
   private def metaThreshold(spark: SparkSession): Long =
     spark.conf.get("spark.graft.meta.distributedThreshold", "100000")
       .trim.toLong
@@ -3971,12 +3991,14 @@ object TxLog {
     */
   private def resolveMeta(spark: SparkSession, root: String,
                           upTo: Option[Long]): Either[Snapshot, MetaSnapshot] = {
-    def full = Left(resolve(spark, root, upTo))
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     if (!fs.exists(dir))
       throw new NotATxLogTableException(s"not a txlog table: $root")
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    // the fallback reuses THIS listing — a sub-threshold table must not
+    // pay an extra log-dir LIST for having been asked through the tier
+    def full = Left(resolve(spark, root, upTo, preListed = Some(names)))
     val v2s = names.collect { case CkptDirV2(v) => v.toLong }
       .filter(v => upTo.forall(v <= _))
     val v1s = names.collect { case CkptFile(v) => v.toLong }
@@ -3986,9 +4008,24 @@ object TxLog {
     val candidate = v2s.maxOption.filter(v => v1s.forall(_ <= v))
     val out = candidate.flatMap { v =>
       try {
-        val in = fs.open(new Path(ckptPathV2(root, v), CkptMetaName))
-        val n = try mapper.readTree(new String(in.readAllBytes(), UTF_8))
-                finally in.close()
+        // header parse cached per (path, stat): resolveMeta fronts EVERY
+        // read API now, so a hot sub-threshold table must pay one stat
+        // call here, not a read+parse per operation
+        val hp = new Path(ckptPathV2(root, v), CkptMetaName)
+        val st = fs.getFileStatus(hp)
+        val hKey = (hp.toString, st.getModificationTime, st.getLen)
+        val n = {
+          val hit = ckptHeaderCache.get(hKey)
+          if (hit != null) hit
+          else {
+            val in = fs.open(hp)
+            val parsed =
+              try mapper.readTree(new String(in.readAllBytes(), UTF_8))
+              finally in.close()
+            ckptHeaderCache.put(hKey, parsed)
+            parsed
+          }
+        }
         checkReaderVersion(n, s"checkpoint v$v")
         val fmt = Option(n.get("format")).map(_.asInt).getOrElse(2)
         val liveCount = Option(n.get("liveCount")).map(_.asLong)
@@ -4123,18 +4160,35 @@ object TxLog {
                            statKeys: Seq[String]): (Seq[TouchedFile], Long) = {
     val touched = m.touchedAll
     if (touched.isEmpty) return (Seq.empty, 0L)
+    // a file whose tail fold ends REMOVED is dead no matter what the
+    // base says — probing its row would drag O(former live set) back to
+    // the driver on exactly the tail an overwrite leaves (every old
+    // file removed). Dead files only matter to the liveCount
+    // reconciliation, which needs their COUNT in the base, not their
+    // rows — counted distributed below when any exist.
+    val dead = touched.filter(f => m.touchedLive.get(f).contains(false))
+    val probeSet = touched -- dead
     val df = ckptLiveDF(spark, m, statKeys, withDv = true, withIdx = true)
-    val probe =
-      if (touched.size <= 1000)
-        df.filter(org.apache.spark.sql.functions.col("file")
-          .isin(touched.toSeq: _*))
+    def semiJoin(target: DataFrame, files: Set[String]): DataFrame =
+      if (files.size <= 1000)
+        target.filter(org.apache.spark.sql.functions.col("file")
+          .isin(files.toSeq: _*))
       else {
-        val sp = df.sparkSession
+        val sp = target.sparkSession
         import sp.implicits._
-        df.join(org.apache.spark.sql.functions.broadcast(
-            touched.toSeq.toDF("file")),
+        val t = files.toSeq.toDF("file")
+        // same guard as exceptTouched: past ~1M names a broadcast stops
+        // paying — shuffle the semi-join instead
+        target.join(
+          if (files.size <= 1000000)
+            org.apache.spark.sql.functions.broadcast(t)
+          else t,
           Seq("file"), "left_semi")
       }
+    val probe = semiJoin(df, probeSet)
+    val deadInBase =
+      if (dead.isEmpty) 0L
+      else semiJoin(ckptLiveDF(spark, m, Nil, withDv = false), dead).count()
     val keys = statKeys.distinct.filter(k => m.legend.contains(k))
     val base: Map[String, (Option[DvRef], Map[String, (Double, Double)], Long)] =
       probe.collect().map { r =>
@@ -4148,7 +4202,7 @@ object TxLog {
         }.toMap
         f -> (dv, st, r.getAs[Long]("idx"))
       }.toMap
-    val files = touched.toSeq.sorted.flatMap { f =>
+    val files = probeSet.toSeq.sorted.flatMap { f =>
       val inBase = base.contains(f)
       val live = m.touchedLive.getOrElse(f, inBase)
       if (!live) None
@@ -4158,7 +4212,7 @@ object TxLog {
           base.get(f).map(_._2).getOrElse(Map.empty)),
         base.get(f).map(_._3)))
     }
-    (files, base.size.toLong)
+    (files, base.size.toLong + deadInBase)
   }
 
   /** Distributed twin of the stats+bloom pruned read paths: evaluate
@@ -4198,9 +4252,16 @@ object TxLog {
     val total = m.ckptLiveCount - touchedInBase + touchedLive.size
     // the bloom tier runs DISTRIBUTED, before any collect: for a pure
     // point lookup (no bounds) the stats tier keeps everything, and
-    // collecting it first would re-materialize the full live set
+    // collecting it first would re-materialize the full live set.
+    // Separating the two tiers' seam counts costs one extra pass over
+    // the checkpoint rows that only the parity spec reads — gated off
+    // in production (the seams then report the COMPOSED kept count)
     val statsKeptN: Option[Long] =
-      if (equalities.isEmpty) None else Some(afterBounds.count())
+      if (equalities.nonEmpty && spark.conf
+          .get("spark.graft.meta.pruneSeams", "false").trim
+          .equalsIgnoreCase("true"))
+        Some(afterBounds.count())
+      else None
     import org.apache.spark.sql.types.{ArrayType, MapType}
     val fs = fileSystem(spark, root)
     val afterBloom = equalities.foldLeft(afterBounds) {
@@ -4218,14 +4279,16 @@ object TxLog {
         }
     }
     val rows = afterBloom.collect()
-    if (bounds.nonEmpty)
+    // seam gating mirrors the classic paths: readStatsPruned sets the
+    // stats seam even for empty bounds, the equality paths never do
+    if (bounds.nonEmpty || equalities.isEmpty)
       lastStatsPrune = Some((
         (statsKeptN.getOrElse(rows.length.toLong) + touchedKept.size).toInt,
         total.toInt))
-    statsKeptN.foreach { sk =>
+    if (equalities.nonEmpty)
       lastBloomPrune = Some((rows.length + touchedKept.size,
-        (sk + touchedKept.size).toInt))
-    }
+        (statsKeptN.getOrElse(total - touchedKept.size) +
+          touchedKept.size).toInt))
     val live = rows.map(_.getAs[String]("file")).toSeq ++
       touchedKept.map(_.file)
     val dvs = (rows.flatMap { r =>
@@ -4316,12 +4379,26 @@ object TxLog {
         if (!pos.contains(f)) { pos += f -> nextEnd; nextEnd += 1 }
       }
     }
-    // merged legend: the base's keys plus any the tail's stats added
-    // (keys whose last carrier was removed stay as all-null columns —
-    // invisible to the pruned readers, which drop nulls at the scan)
+    val survivorDF = exceptTouched(spark.read.parquet(m.ckptDir),
+      m.touchedAll)
+    // merged legend: the base keys that still have a live CARRIER (one
+    // aggregation over the survivors — a big table never takes the
+    // classic writer again, so without retirement a key whose last
+    // carrier left would keep two all-null columns in every future
+    // checkpoint forever) plus any keys the tail's stats added
+    val carried: Set[String] =
+      if (m.legend.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.functions.count
+        val aggs = m.legend.indices.map(i => count(col(s"min$i")))
+        val r = survivorDF.agg(aggs.head, aggs.tail: _*).collect()(0)
+        m.legend.zipWithIndex.collect {
+          case (k, i) if r.getLong(i) > 0 => k
+        }.toSet
+      }
     val legend: IndexedSeq[String] =
-      (m.legend ++ touchedLive.flatMap(_.stats.keys)).distinct.sorted
-        .toIndexedSeq
+      (carried ++ touchedLive.flatMap(_.stats.keys)).toSeq
+        .distinct.sorted.toIndexedSeq
     val rowSchema = StructType(
       Seq(StructField("idx", LongType, nullable = false),
           StructField("file", StringType, nullable = false),
@@ -4340,8 +4417,7 @@ object TxLog {
             col(s"max$i").as(s"max$j"))
         }
       }
-    val baseDF = exceptTouched(spark.read.parquet(m.ckptDir), m.touchedAll)
-      .select(baseCols: _*)
+    val baseDF = survivorDF.select(baseCols: _*)
     val keyIdx = legend.zipWithIndex.toMap
     val touchedRows: Seq[Row] = touchedLive.map { t =>
       val cells = new Array[Any](2 * legend.size)

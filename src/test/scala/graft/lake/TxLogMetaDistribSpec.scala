@@ -302,6 +302,24 @@ class TxLogMetaDistribSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(10L)
   }
 
+  test("a stat key whose last carrier left the live set is RETIRED from " +
+      "the incremental checkpoint's legend") {
+    val root = tmpRoot()
+    ckptTable(root) // stats on id, checkpoint at v2
+    // the tail replaces the whole table WITHOUT stats: every id carrier
+    // is gone, so the incremental writer must drop the key, not carry
+    // two all-null columns forever
+    TxLog.overwrite(spark, Seq((7L, "n")).toDF("id", "s"), root)
+    val v = TxLog.currentVersion(spark, root).get
+    distributed(TxLog.checkpoint(spark, root)) shouldBe Some(v)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        f"$root/${TxLog.LogDirName}/$v%020d.checkpoint.parquet/_meta.json")))
+    // __bytes (stage-recorded on every write) survives; id must not
+    meta should not include "\"id\""
+    distributed(TxLog.countRows(spark, root)) shouldBe 1L // scan fallback
+  }
+
   test("the tier never activates below the threshold or on a table " +
       "whose newest checkpoint predates liveCount") {
     val root = tmpRoot()
