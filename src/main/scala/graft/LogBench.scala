@@ -142,6 +142,16 @@ object LogBench {
     val (_, planMs) = timedMs(
       TxLog.readLatest(spark, root).queryExecution.executedPlan)
 
+    // ---- a real append against the full table: with the distributed
+    // tier active the driver does O(tail) work — scalars from the
+    // checkpoint header, the live set never materialized (the append
+    // delta doesn't read it). This is the streaming-ingest unit cost on
+    // a 10 PB-class table.
+    val (_, appendMs) = timedMs(
+      TxLog.append(spark,
+        Seq((-1L, -1.0, 0.0)).toDF("id", "ts", "v").repartition(1),
+        root, statsCols = Seq("id", "ts", "v")))
+
     // ---- log maintenance
     val (hist, historyMs) = timedMs(TxLog.history(spark, root).size)
     val (vac, vacuumDryMs) = timedMs(
@@ -154,6 +164,7 @@ object LogBench {
       f""""build_sec":${buildMs / 1e3}%.2f,"checkpoint_sec":${ckptMs / 1e3}%.2f,""" +
       f""""count_cold_sec":${countColdMs / 1e3}%.2f,"count_warm_sec":${countWarmMs / 1e3}%.3f,""" +
       f""""minmax_sec":${minMaxMs / 1e3}%.3f,"range_sec":${rangeMs / 1e3}%.2f,""" +
+      f""""append_sec":${appendMs / 1e3}%.2f,""" +
       f""""plan_sec":${planMs / 1e3}%.2f,"history_sec":${historyMs / 1e3}%.2f,""" +
       f""""vacuum_dry_sec":${vacuumDryMs / 1e3}%.2f,""" +
       f""""heap_mb_before":$heapBefore,"heap_mb_after":$heapAfter}""")

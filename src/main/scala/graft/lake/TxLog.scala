@@ -680,12 +680,12 @@ object TxLog {
   private def tailVersion(spark: SparkSession, root: String,
                           commits: Seq[Commit]): Option[Long] =
     commits.lastOption.map(_.version)
-      .orElse(scala.util.Try(resolve(spark, root, None)).toOption
+      .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
         .map(_.version))
 
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
-                         delta: (Seq[Commit], Seq[String]) => (Seq[String], Seq[String], String),
+                         delta: (Seq[Commit], () => Seq[String]) => (Seq[String], Seq[String], String),
                          stats: FileStats = Map.empty,
                          maxAttempts: Int = 50,
                          txn: Option[(String, Long)] = None,
@@ -770,9 +770,27 @@ object TxLog {
         // must fail the WRITE. Computing the delta against a partial
         // live set or fencing against an empty column mapping would
         // commit wrong state on exactly the corruption being detected.
-        val snapNow =
-          try Some(resolve(spark, root, None))
+        //
+        // SCALARS only: every fence below reads version/txns/colMap/
+        // constraints/schema, which [[resolveScalars]] answers O(tail)
+        // on a big table. The live set materializes LAZILY, and only
+        // for the deltas that actually read it (overwrite/upsert/
+        // compact) — an append to a 10M-file table never does.
+        val metaNow =
+          try Some(resolveMeta(spark, root, None))
           catch { case _: NotATxLogTableException => None }
+        val snapNow = metaNow.map(_.fold(
+          s => ScalarState(s.version, s.schemaDdl, s.txns, s.constraints,
+            s.droppedCols, s.colMap),
+          m => ScalarState(m.version, m.schemaDdl, m.txns, m.constraints,
+            m.droppedCols, m.colMap)))
+        lazy val liveNow: Seq[String] = metaNow match {
+          case Some(Left(s))  => s.live // already materialized, reuse
+          case Some(Right(_)) =>
+            lastCommitLiveForced = true // test seam: this delta NEEDED it
+            resolve(spark, root, None).live
+          case None           => Seq.empty
+        }
         // idempotence check INSIDE the loop: a raced duplicate writer that
         // lost the version claim re-reads state here and must observe the
         // winner's watermark, not its own stale pre-stage read
@@ -825,7 +843,7 @@ object TxLog {
         val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
           .maxOption.map(_ + 1).getOrElse(0L)
         val (add, remove, schemaDdl) =
-          delta(commits, snapNow.map(_.live).getOrElse(Seq.empty))
+          delta(commits, () => liveNow)
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
           consAdd, consDrop, dv, dvDrop, metrics, schemaDrop, renames)
@@ -963,12 +981,12 @@ object TxLog {
     val dropped = commits.headOption match {
       case Some(first) if first.version == 0L =>
         foldDropped(Set.empty, commits)
-      case Some(_) => resolve(spark, root, None).droppedCols
+      case Some(_) => resolveScalars(spark, root).droppedCols
       case None =>
         // no visible commits: a fresh table (resolve throws -> no
         // tombstones can exist) or an externally truncated-to-empty
         // tail (resolve answers from the checkpoint)
-        scala.util.Try(resolve(spark, root, None)).toOption
+        scala.util.Try(resolveScalars(spark, root)).toOption
           .map(_.droppedCols).getOrElse(Set.empty)
     }
     if (dropped.nonEmpty) {
@@ -987,7 +1005,7 @@ object TxLog {
     // table would commit the batch schema verbatim — skipping the type
     // check, widen gating, enforce mode, and the bloom drop at once
     val cur = commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
-      .orElse(scala.util.Try(resolve(spark, root, None)).toOption
+      .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
         .map(_.schemaDdl).filter(_.nonEmpty))
     cur match {
       case None => batchDdl
@@ -1098,7 +1116,7 @@ object TxLog {
     */
   private def colMapForStage(spark: SparkSession,
                              root: String): Map[String, String] =
-    try resolve(spark, root, None).colMap
+    try resolveScalars(spark, root).colMap
     catch {
       case _: NotATxLogTableException => Map.empty
       case _: IllegalArgumentException
@@ -1171,7 +1189,7 @@ object TxLog {
                        appId: String, txnVersion: Long,
                        partitionCols: Seq[String] = Seq.empty,
                        statsCols: Seq[String] = Seq.empty): Option[Long] = {
-    val pre = scala.util.Try(resolve(spark, root, None)).toOption
+    val pre = scala.util.Try(resolveScalars(spark, root)).toOption
     if (pre.exists(_.txns.get(appId).exists(_ >= txnVersion))) return None
     val preMap = pre.map(_.colMap)
       .getOrElse(colMapForStage(spark, root))
@@ -1230,7 +1248,7 @@ object TxLog {
       replaceSchema = true)
     commitLoop(spark, root, "overwrite", partitionCols,
       { (commits, live) =>
-        (adds, live, ddl)
+        (adds, live(), ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
       withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes),
@@ -1256,7 +1274,7 @@ object TxLog {
     val touchedDirs = adds.map(relDir).distinct
     commitLoop(spark, root, "upsert", partitionCols,
       { (commits, live) =>
-        (adds, live.filter(f => touchedDirs.contains(relDir(f))),
+        (adds, live().filter(f => touchedDirs.contains(relDir(f))),
           committedDdl(spark, commits, ddl, "upsert", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = preMap), sizes),
@@ -1309,7 +1327,7 @@ object TxLog {
       enforceConstraints(spark, root, adds, ddl, "overwrite_partitions")
     commitLoop(spark, root, "overwrite_partitions", parts,
       { (commits, live) =>
-        (adds, live.filter(f => inScope(relDir(f))),
+        (adds, live().filter(f => inScope(relDir(f))),
           committedDdl(spark, commits, ddl, "overwrite_partitions", root))
       },
       withSizes(computeStats(spark, root, adds, statsCols, colMap = current.colMap), sizes),
@@ -1889,7 +1907,9 @@ object TxLog {
                                  adds: Seq[String], batchDdl: String,
                                  operation: String,
                                  replaceSchema: Boolean = false): Map[String, String] = {
-    val snap = scala.util.Try(resolve(spark, root, None)).toOption
+    // scalars only (constraints, schema, mapping): batch validation must
+    // not materialize a big table's live set — it scans the STAGED files
+    val snap = scala.util.Try(resolveScalars(spark, root)).toOption
     val cons = snap.map(_.constraints).getOrElse(Map.empty[String, String])
     // the return value is the constraint SET this batch was validated
     // against — commitLoop's consFence refuses the commit if the winning
@@ -2630,10 +2650,11 @@ object TxLog {
     // table's layout from the newest commit
     val target0 = resolve(spark, root, Some(toVersion))
     commitLoop(spark, root, "rollback",
-      partitionColsOf(spark, root, target0), { (_, have) =>
+      partitionColsOf(spark, root, target0), { (_, haveF) =>
       // target state via checkpoint-aware resolution (a raw replay would
       // miss pre-checkpoint state on a truncated log)
       val target = resolve(spark, root, Some(toVersion))
+      val have = haveF()
       (target.live.diff(have), have.diff(target.live), target.schemaDdl)
     },
       // deletion-vector state must roll back WITH the live set: drop
@@ -2802,6 +2823,13 @@ object TxLog {
     * since checkpoint), never O(log length)).
     */
   @volatile private[graft] var lastCommitTailLen: Int = -1
+
+  /** Test seam: whether the most recent [[commitLoop]] attempt on a
+    * DISTRIBUTED-tier table materialized the live set — pins that the
+    * append family stays O(tail) driver (only overwrite/upsert/compact
+    * deltas force it). Only meaningful when the tier was active.
+    */
+  @volatile private[graft] var lastCommitLiveForced: Boolean = false
 
   /** The version a point-in-time read resolves to: the HIGHEST version
     * whose commit timestamp is <= `tsMs` (the Delta `TIMESTAMP AS OF`
@@ -4098,6 +4126,26 @@ object TxLog {
     lastResolveDistributed = out.isDefined
     out.map(Right(_)).getOrElse(full)
   }
+
+  /** Scalar-only table state — everything the write path's fences and
+    * policies read (version, schema, txn watermarks, constraints, drop
+    * tombstones, column mapping) WITHOUT the live file list. O(tail)
+    * driver work past the distributed threshold; served by the
+    * materialized (cached) snapshot below it. This is what makes an
+    * APPEND to a 10M-file table O(tail) on the driver: the append
+    * delta never reads the live set, only these scalars.
+    */
+  private final case class ScalarState(version: Long, schemaDdl: String,
+      txns: Map[String, Long], constraints: Map[String, String],
+      droppedCols: Set[String], colMap: Map[String, String])
+
+  private def resolveScalars(spark: SparkSession, root: String,
+                             upTo: Option[Long] = None): ScalarState =
+    resolveMeta(spark, root, upTo).fold(
+      s => ScalarState(s.version, s.schemaDdl, s.txns, s.constraints,
+        s.droppedCols, s.colMap),
+      m => ScalarState(m.version, m.schemaDdl, m.txns, m.constraints,
+        m.droppedCols, m.colMap))
 
   /** The checkpoint's live-file rows as a COLUMN-PRUNED distributed
     * DataFrame: `file` (+ `dvPath`/`dvRows` when `withDv`) + one
@@ -5499,7 +5547,7 @@ object TxLog {
     val (adds, ddl, sizes) = stage(packed, root, parts,
       colMap = current.colMap)
     commitLoop(spark, root, "compact", parts, { (commits, live) =>
-      val gone = removed.filterNot(live.toSet)
+      val gone = removed.filterNot(live().toSet)
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"compact sources rewritten concurrently (${gone.head}) at " +

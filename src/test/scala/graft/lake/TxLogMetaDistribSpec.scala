@@ -302,6 +302,49 @@ class TxLogMetaDistribSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(10L)
   }
 
+  test("an APPEND to a distributed-tier table is O(tail) on the driver: " +
+      "scalars from the meta resolve, live set never materialized") {
+    val root = tmpRoot()
+    ckptTable(root)
+    distributed {
+      TxLog.lastCommitLiveForced = false
+      TxLog.append(spark, Seq((42L, "w")).toDF("id", "s").repartition(1),
+        root, statsCols = Seq("id"))
+      TxLog.lastResolveDistributed shouldBe true
+      TxLog.lastCommitLiveForced shouldBe false // append never forces it
+      // idempotent replays observe the txn watermark through scalars
+      TxLog.appendIdempotent(spark, Seq((43L, "x")).toDF("id", "s"),
+        root, "app-meta", 7L) should not be empty
+      TxLog.appendIdempotent(spark, Seq((43L, "dup")).toDF("id", "s"),
+        root, "app-meta", 7L) shouldBe None
+      TxLog.lastCommitLiveForced shouldBe false
+      // ... while an OVERWRITE's delta legitimately demands the set
+      TxLog.overwrite(spark, Seq((9L, "ow")).toDF("id", "s"), root)
+      TxLog.lastCommitLiveForced shouldBe true
+    }
+    TxLog.readLatest(spark, root).count() shouldBe 1L
+    spark.read.format("graft").load(root).count() shouldBe 1L
+  }
+
+  test("the write fences still bind through scalars on the distributed " +
+      "tier: constraints and schema tombstones refuse exactly as before") {
+    val root = tmpRoot()
+    ckptTable(root)
+    distributed {
+      TxLog.addConstraint(spark, root, "id_pos", "id >= 0")
+      intercept[IllegalStateException] {
+        TxLog.append(spark, Seq((-5L, "bad")).toDF("id", "s"), root)
+      }
+      TxLog.dropColumns(spark, root, Seq("s"))
+      intercept[IllegalArgumentException] {
+        // re-evolving a tombstoned column must refuse through the
+        // scalar-resolved droppedCols, same as the materialized path
+        TxLog.append(spark, Seq((5L, "zombie")).toDF("id", "s"), root)
+      }
+    }
+    TxLog.readLatest(spark, root).columns.toSeq shouldBe Seq("id")
+  }
+
   test("a stat key whose last carrier left the live set is RETIRED from " +
       "the incremental checkpoint's legend") {
     val root = tmpRoot()
