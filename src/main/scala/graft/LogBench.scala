@@ -146,11 +146,17 @@ object LogBench {
     // tier active the driver does O(tail) work — scalars from the
     // checkpoint header, the live set never materialized (the append
     // delta doesn't read it). This is the streaming-ingest unit cost on
-    // a 10 PB-class table.
-    val (_, appendMs) = timedMs(
-      TxLog.append(spark,
-        Seq((-1L, -1.0, 0.0)).toDF("id", "ts", "v").repartition(1),
-        root, statsCols = Seq("id", "ts", "v")))
+    // a 10 PB-class table. Cadence checkpointing is suspended for the
+    // phase: whether the appended version lands on the interval depends
+    // on nCommits, and folding a whole checkpoint into SOME runs'
+    // append_sec would make the row incomparable across configs.
+    spark.conf.set("spark.graft.checkpoint.interval", s"${Int.MaxValue}")
+    val (_, appendMs) =
+      try timedMs(
+        TxLog.append(spark,
+          Seq((-1L, -1.0, 0.0)).toDF("id", "ts", "v").repartition(1),
+          root, statsCols = Seq("id", "ts", "v")))
+      finally spark.conf.unset("spark.graft.checkpoint.interval")
 
     // ---- log maintenance
     val (hist, historyMs) = timedMs(TxLog.history(spark, root).size)

@@ -680,6 +680,7 @@ object TxLog {
   private def tailVersion(spark: SparkSession, root: String,
                           commits: Seq[Commit]): Option[Long] =
     commits.lastOption.map(_.version)
+      .orElse(Option(commitScalars.get).map(_.version))
       .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
         .map(_.version))
 
@@ -779,11 +780,8 @@ object TxLog {
         val metaNow =
           try Some(resolveMeta(spark, root, None))
           catch { case _: NotATxLogTableException => None }
-        val snapNow = metaNow.map(_.fold(
-          s => ScalarState(s.version, s.schemaDdl, s.txns, s.constraints,
-            s.droppedCols, s.colMap),
-          m => ScalarState(m.version, m.schemaDdl, m.txns, m.constraints,
-            m.droppedCols, m.colMap)))
+        val snapNow = metaNow.map(scalarsOf)
+        lastCommitLiveForced = false
         lazy val liveNow: Seq[String] = metaNow match {
           case Some(Left(s))  => s.live // already materialized, reuse
           case Some(Right(_)) =>
@@ -843,7 +841,10 @@ object TxLog {
         val version = (commits.lastOption.map(_.version) ++ snapNow.map(_.version))
           .maxOption.map(_ + 1).getOrElse(0L)
         val (add, remove, schemaDdl) =
-          delta(commits, () => liveNow)
+          try {
+            snapNow.foreach(commitScalars.set)
+            delta(commits, () => liveNow)
+          } finally commitScalars.remove()
         val c = Commit(version, operation, System.currentTimeMillis(),
           add, remove, schemaDdl, partitionCols, stats, txn,
           consAdd, consDrop, dv, dvDrop, metrics, schemaDrop, renames)
@@ -978,16 +979,21 @@ object TxLog {
     // reads the tombstones through checkpoint-aware resolution and
     // FAILS THE WRITE if that read fails — a guard against silent data
     // resurrection must not weaken itself on an IO error.
+    // inside a commitLoop delta the attempt's scalars are in hand —
+    // reuse them rather than re-list the log (one LIST per attempt)
+    val inLoop = Option(commitScalars.get)
     val dropped = commits.headOption match {
       case Some(first) if first.version == 0L =>
         foldDropped(Set.empty, commits)
-      case Some(_) => resolveScalars(spark, root).droppedCols
+      case Some(_) => inLoop.map(_.droppedCols)
+        .getOrElse(resolveScalars(spark, root).droppedCols)
       case None =>
         // no visible commits: a fresh table (resolve throws -> no
         // tombstones can exist) or an externally truncated-to-empty
         // tail (resolve answers from the checkpoint)
-        scala.util.Try(resolveScalars(spark, root)).toOption
-          .map(_.droppedCols).getOrElse(Set.empty)
+        inLoop.map(_.droppedCols)
+          .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
+            .map(_.droppedCols)).getOrElse(Set.empty)
     }
     if (dropped.nonEmpty) {
       val hit = StructType.fromDDL(batchDdl).map(_.name)
@@ -1005,6 +1011,7 @@ object TxLog {
     // table would commit the batch schema verbatim — skipping the type
     // check, widen gating, enforce mode, and the bloom drop at once
     val cur = commits.lastOption.map(_.schemaDdl).filter(_.nonEmpty)
+      .orElse(inLoop.map(_.schemaDdl).filter(_.nonEmpty))
       .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
         .map(_.schemaDdl).filter(_.nonEmpty))
     cur match {
@@ -4139,13 +4146,26 @@ object TxLog {
       txns: Map[String, Long], constraints: Map[String, String],
       droppedCols: Set[String], colMap: Map[String, String])
 
-  private def resolveScalars(spark: SparkSession, root: String,
-                             upTo: Option[Long] = None): ScalarState =
-    resolveMeta(spark, root, upTo).fold(
+  private def scalarsOf(
+      meta: Either[Snapshot, MetaSnapshot]): ScalarState =
+    meta.fold(
       s => ScalarState(s.version, s.schemaDdl, s.txns, s.constraints,
         s.droppedCols, s.colMap),
       m => ScalarState(m.version, m.schemaDdl, m.txns, m.constraints,
         m.droppedCols, m.colMap))
+
+  private def resolveScalars(spark: SparkSession, root: String,
+                             upTo: Option[Long] = None): ScalarState =
+    scalarsOf(resolveMeta(spark, root, upTo))
+
+  /** The scalar state of the attempt currently inside [[commitLoop]]'s
+    * delta callback (null outside one): per-commit helpers the deltas
+    * call — [[committedDdl]], [[tailVersion]] — reuse it instead of
+    * re-listing the log, so an attempt pays ONE list, not two.
+    * ThreadLocal because concurrent writers commit from their own
+    * threads; cleared in the loop's finally.
+    */
+  private val commitScalars = new ThreadLocal[ScalarState]
 
   /** The checkpoint's live-file rows as a COLUMN-PRUNED distributed
     * DataFrame: `file` (+ `dvPath`/`dvRows` when `withDv`) + one
