@@ -158,8 +158,12 @@ object LogBench {
           root, statsCols = Seq("id", "ts", "v")))
       finally spark.conf.unset("spark.graft.checkpoint.interval")
 
-    // ---- log maintenance
+    // ---- log maintenance. history = the full-Commit primitive (kept
+    // for cross-round comparability); historySummary = what DESCRIBE
+    // HISTORY actually runs — per-entry transient parse, O(entries)
+    // retained
     val (hist, historyMs) = timedMs(TxLog.history(spark, root).size)
+    val (_, histSumMs) = timedMs(TxLog.historySummary(spark, root).size)
     val (vac, vacuumDryMs) = timedMs(
       TxLog.vacuumLog(spark, root, keepCheckpoints = 1, dryRun = true).size)
 
@@ -172,6 +176,7 @@ object LogBench {
       f""""minmax_sec":${minMaxMs / 1e3}%.3f,"range_sec":${rangeMs / 1e3}%.2f,""" +
       f""""append_sec":${appendMs / 1e3}%.2f,""" +
       f""""plan_sec":${planMs / 1e3}%.2f,"history_sec":${historyMs / 1e3}%.2f,""" +
+      f""""history_summary_sec":${histSumMs / 1e3}%.2f,""" +
       f""""vacuum_dry_sec":${vacuumDryMs / 1e3}%.2f,""" +
       f""""heap_mb_before":$heapBefore,"heap_mb_after":$heapAfter}""")
     spark.stop()

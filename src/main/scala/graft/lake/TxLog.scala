@@ -313,7 +313,22 @@ object TxLog {
     */
   private def historyRaw(spark: SparkSession, root: String,
                          afterVersion: Long = -1L,
-                         boundAtCheckpoint: Boolean = false): Seq[(String, Option[Commit])] = {
+                         boundAtCheckpoint: Boolean = false): Seq[(String, Option[Commit])] =
+    historyProject(spark, root, afterVersion, boundAtCheckpoint)(identity)
+
+  /** Per-commit PROJECTIONS of the raw log entries, computed ONE ENTRY
+    * AT A TIME: each full [[Commit]] (an overwrite on a big table
+    * carries millions of file paths) is transient parse state inside
+    * its own step, and only `f`'s results are retained — what bounds
+    * DESCRIBE HISTORY and the timestamp-resolution ops on tables whose
+    * entries are themselves huge. Listing, ordering, version-bound, and
+    * torn-tail semantics are exactly [[historyRaw]]'s (which is this
+    * function at `identity`).
+    */
+  private def historyProject[A](spark: SparkSession, root: String,
+                                afterVersion: Long = -1L,
+                                boundAtCheckpoint: Boolean = false)
+                               (f: Commit => A): Seq[(String, Option[A])] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     val store = CommitStore.forPath(dir)
@@ -347,7 +362,7 @@ object TxLog {
         // a "crashed" tail it actually cannot parse would eventually
         // commit against state it doesn't understand
         val parsed =
-          try Some(fromJson(new String(store.read(fs, p), UTF_8)))
+          try Some(f(fromJson(new String(store.read(fs, p), UTF_8))))
           catch {
             case e: UnsupportedLogFeatureException => throw e
             case scala.util.control.NonFatal(_) => None
@@ -356,26 +371,46 @@ object TxLog {
       }
   }
 
-  /** All COMMITTED commits with version > `afterVersion`, in order (empty
-    * for a nonexistent table). An in-flight tail entry is excluded —
-    * readers resolve the previous snapshot until the commit's bytes are
-    * durable.
+  /** The committed projections of every entry above `afterVersion`, the
+    * in-flight-tail rule applied — the shared shape of [[history]] and
+    * its bounded variants.
     */
-  def history(spark: SparkSession, root: String,
-              afterVersion: Long = -1L): Seq[Commit] = {
-    val raw = historyRaw(spark, root, afterVersion)
+  private def committedProject[A](spark: SparkSession, root: String,
+                                  afterVersion: Long = -1L)
+                                 (f: Commit => A): Seq[A] = {
+    val raw = historyProject(spark, root, afterVersion)(f)
     val committed =
       if (raw.nonEmpty && raw.last._2.isEmpty) raw.init else raw
     committed.zipWithIndex.map {
-      case ((_, Some(c)), _) => c
+      case ((_, Some(a)), _) => a
       case ((name, None), i) =>
         throw new IOException(
           s"corrupt txlog entry $name at position $i in $root/$LogDirName")
     }
   }
 
+  /** DESCRIBE HISTORY's rows — (version, operation, timestampMs, files
+    * added, files removed, metrics) — parsed one entry at a time, so a
+    * big table's history never holds every commit's file lists on the
+    * driver at once.
+    */
+  def historySummary(spark: SparkSession, root: String)
+      : Seq[(Long, String, Long, Int, Int, Map[String, Long])] =
+    committedProject(spark, root)(c =>
+      (c.version, c.operation, c.timestampMs, c.add.size, c.remove.size,
+        c.metrics))
+
+  /** All COMMITTED commits with version > `afterVersion`, in order (empty
+    * for a nonexistent table). An in-flight tail entry is excluded —
+    * readers resolve the previous snapshot until the commit's bytes are
+    * durable.
+    */
+  def history(spark: SparkSession, root: String,
+              afterVersion: Long = -1L): Seq[Commit] =
+    committedProject(spark, root, afterVersion)(identity)
+
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
-    history(spark, root).lastOption.map(_.version)
+    committedProject(spark, root)(_.version).lastOption
 
   /** The table's current version through CHECKPOINT-AWARE resolution —
     * unlike [[latestVersion]]'s raw-entry replay, it is O(checkpoint +
@@ -2850,16 +2885,19 @@ object TxLog {
     */
   def versionAtTimestamp(spark: SparkSession, root: String,
                          tsMs: Long): Long = {
-    val commits = history(spark, root)
+    // bounded projection: resolving a timestamp needs (version, ts)
+    // pairs, never the commits' file lists
+    val commits = committedProject(spark, root)(c =>
+      (c.version, c.timestampMs))
     if (commits.isEmpty)
       throw new IllegalArgumentException(s"no commits at $root")
-    val at = commits.filter(_.timestampMs <= tsMs)
+    val at = commits.filter(_._2 <= tsMs)
     if (at.isEmpty)
       throw new IllegalArgumentException(
         s"timestamp $tsMs predates the earliest available commit " +
-          s"(version ${commits.head.version} at ${commits.head.timestampMs}) " +
+          s"(version ${commits.head._1} at ${commits.head._2}) " +
           s"in $root")
-    at.last.version
+    at.last._1
   }
 
   /** Timestamp-literal parser shared by every timestamp-bound surface
@@ -2889,8 +2927,9 @@ object TxLog {
     */
   def versionStrictlyBefore(spark: SparkSession, root: String,
                             tsMs: Long): Long =
-    history(spark, root).filter(_.timestampMs < tsMs)
-      .lastOption.map(_.version).getOrElse(-1L)
+    committedProject(spark, root)(c => (c.version, c.timestampMs))
+      .filter(_._2 < tsMs)
+      .lastOption.map(_._1).getOrElse(-1L)
 
   /** Point-in-time time travel: the snapshot as of wall-clock `tsMs`
     * ([[versionAtTimestamp]] then [[readAt]]).

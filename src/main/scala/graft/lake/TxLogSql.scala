@@ -465,9 +465,11 @@ object TxLogSql {
 
       case DescribeHistoryRe(ident) =>
         val (_, reg) = lookup(spark, ident, sqlText)
-        TxLog.history(spark, reg.root).map { c =>
-          (c.version, c.operation, new java.sql.Timestamp(c.timestampMs),
-            c.add.size, c.remove.size, c.metrics)
+        // the bounded projection: entries parse one at a time, so a big
+        // table's history never holds every commit's file lists at once
+        TxLog.historySummary(spark, reg.root).map {
+          case (v, op, ts, added, removed, metrics) =>
+            (v, op, new java.sql.Timestamp(ts), added, removed, metrics)
         }.toDF("version", "operation", "timestamp",
           "num_added_files", "num_removed_files", "operation_metrics")
 

@@ -363,6 +363,18 @@ class TxLogMetaDistribSpec extends SparkSpec {
     distributed(TxLog.countRows(spark, root)) shouldBe 1L // scan fallback
   }
 
+  test("historySummary is history's projection exactly — same rows, " +
+      "without retaining the commits' file lists") {
+    val root = tmpRoot()
+    ckptTable(root)
+    TxLog.overwrite(spark, Seq((7L, "n")).toDF("id", "s"), root)
+    val full = TxLog.history(spark, root).map(c =>
+      (c.version, c.operation, c.timestampMs, c.add.size, c.remove.size,
+        c.metrics))
+    TxLog.historySummary(spark, root) shouldBe full
+    full.map(_._2) shouldBe Seq("append", "append", "append", "overwrite")
+  }
+
   test("the tier never activates below the threshold or on a table " +
       "whose newest checkpoint predates liveCount") {
     val root = tmpRoot()
