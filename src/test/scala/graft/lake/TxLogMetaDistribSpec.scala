@@ -363,6 +363,38 @@ class TxLogMetaDistribSpec extends SparkSpec {
     distributed(TxLog.countRows(spark, root)) shouldBe 1L // scan fallback
   }
 
+  test("concurrent appends race correctly through the scalar commit " +
+      "path (cadence checkpoints land incrementally mid-fuzz)") {
+    val root = tmpRoot()
+    ckptTable(root) // checkpoint at v2
+    distributed {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      try {
+        val futures = (0 until 6).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+            def call(): Seq[Long] = (0 until 3).map { i =>
+              TxLog.append(spark,
+                Seq((t * 100L + i, s"w$t-$i")).toDF("id", "s"),
+                root, statsCols = Seq("id"))
+            }
+          })
+        }
+        val versions = futures.flatMap(
+          _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+        // 18 winners, distinct AND contiguous: the optimistic loop's
+        // version claims never skip or double-allocate under the
+        // scalar-resolved path (auto-cadence checkpoints at v9/v19
+        // exercise the incremental writer under contention)
+        versions.sorted shouldBe (3L to 20L)
+      } finally pool.shutdown()
+      TxLog.countRows(spark, root) shouldBe 24L
+    }
+    TxLog.readLatest(spark, root).count() shouldBe 24L
+    TxLog.readRange(spark, root, "id", 500.0, 502.0)
+      .select("id").as[Long].collect().toSeq.sorted shouldBe
+      Seq(500L, 501L, 502L)
+  }
+
   test("historySummary is history's projection exactly — same rows, " +
       "without retaining the commits' file lists") {
     val root = tmpRoot()
