@@ -812,9 +812,32 @@ object TxLog {
         // on a big table. The live set materializes LAZILY, and only
         // for the deltas that actually read it (overwrite/upsert/
         // compact) — an append to a 10M-file table never does.
-        val metaNow =
-          try Some(resolveMeta(spark, root, None))
-          catch { case _: NotATxLogTableException => None }
+        val metaNow = {
+          // A concurrent FIRST commit can claim its entry between THIS
+          // attempt's raw-tail listing and the resolve's own listing:
+          // the resolve then sees a claimed-but-not-yet-durable v0 —
+          // empty committed tail, no checkpoint, yet a log file name —
+          // and raises the truncated-log refusal. That state is the
+          // in-flight tail wait's, not corruption: wait it out bounded,
+          // exactly like the raw.last-in-flight branch above. Any
+          // other IllegalArgumentException stays loud.
+          def attempt(retriesLeft: Int): Option[Either[Snapshot, MetaSnapshot]] =
+            try Some(resolveMeta(spark, root, None))
+            catch {
+              case _: NotATxLogTableException => None
+              case e: IllegalArgumentException
+                  if inFlightFirstCommitOnly(spark, root) =>
+                if (retriesLeft <= 0)
+                  throw new IOException(
+                    s"txlog first commit of $root never became readable " +
+                      "(writer crashed between claim and write? run " +
+                      "`REPAIR LOG <table>` to quarantine the dead claim)",
+                    e)
+                Thread.sleep(10)
+                attempt(retriesLeft - 1)
+            }
+          attempt((maxTailWaitMs / 10).toInt)
+        }
         val snapNow = metaNow.map(scalarsOf)
         lastCommitLiveForced = false
         lazy val liveNow: Seq[String] = metaNow match {
