@@ -360,13 +360,15 @@ object TxLog {
         // torn/absent bytes read as None (the in-flight-tail state); a
         // reader-version refusal PROPAGATES — an old writer waiting out
         // a "crashed" tail it actually cannot parse would eventually
-        // commit against state it doesn't understand
+        // commit against state it doesn't understand. Only the PARSE
+        // sits in the catch: a projection that throws must propagate,
+        // not be misclassified as a torn entry
         val parsed =
-          try Some(f(fromJson(new String(store.read(fs, p), UTF_8))))
-          catch {
-            case e: UnsupportedLogFeatureException => throw e
-            case scala.util.control.NonFatal(_) => None
-          }
+          (try Some(fromJson(new String(store.read(fs, p), UTF_8)))
+           catch {
+             case e: UnsupportedLogFeatureException => throw e
+             case scala.util.control.NonFatal(_) => None
+           }).map(f)
         p.getName -> parsed
       }
   }
@@ -821,10 +823,17 @@ object TxLog {
           // in-flight tail wait's, not corruption: wait it out bounded,
           // exactly like the raw.last-in-flight branch above. Any
           // other IllegalArgumentException stays loud.
-          def attempt(retriesLeft: Int): Option[Either[Snapshot, MetaSnapshot]] =
-            try Some(resolveMeta(spark, root, None))
+          // a while loop, not recursion: the retry re-enter sits in a
+          // catch handler where a self-call cannot be tail-optimized,
+          // and maxTailWaitMs/10 frames is avoidable stack depth on a
+          // path that races concurrent first commits
+          var retriesLeft = (maxTailWaitMs / 10).toInt
+          var done = false
+          var res: Option[Either[Snapshot, MetaSnapshot]] = None
+          while (!done) {
+            try { res = Some(resolveMeta(spark, root, None)); done = true }
             catch {
-              case _: NotATxLogTableException => None
+              case _: NotATxLogTableException => res = None; done = true
               case e: IllegalArgumentException
                   if inFlightFirstCommitOnly(spark, root) =>
                 if (retriesLeft <= 0)
@@ -834,9 +843,10 @@ object TxLog {
                       "`REPAIR LOG <table>` to quarantine the dead claim)",
                     e)
                 Thread.sleep(10)
-                attempt(retriesLeft - 1)
+                retriesLeft -= 1
             }
-          attempt((maxTailWaitMs / 10).toInt)
+          }
+          res
         }
         val snapNow = metaNow.map(scalarsOf)
         lastCommitLiveForced = false
@@ -4075,9 +4085,21 @@ object TxLog {
             com.fasterxml.jackson.databind.JsonNode]): Boolean = size() > 32
     })
 
-  private def metaThreshold(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.meta.distributedThreshold", "100000")
-      .trim.toLong
+  private def metaThreshold(spark: SparkSession): Long = {
+    val raw = spark.conf.get("spark.graft.meta.distributedThreshold", "100000")
+    // resolveMeta fronts every read and commit attempt — a malformed
+    // conf must fail descriptively, not as a NumberFormatException
+    // mid-write, matching the retainCheckpoints validation discipline
+    val v = try raw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.meta.distributedThreshold must be a non-negative " +
+          s"integer (live-file count above which resolution goes " +
+          s"distributed), got: '$raw'")
+    }
+    if (v < 0) throw new IllegalArgumentException(
+      s"spark.graft.meta.distributedThreshold must be >= 0, got: $raw")
+    v
+  }
 
   /** Resolve to EITHER a fully-materialized [[Snapshot]] (small tables,
     * v1/format-2 checkpoints, no checkpoint, version reads predating
@@ -4105,12 +4127,17 @@ object TxLog {
     val candidate = v2s.maxOption.filter(v => v1s.forall(_ <= v))
     val out = candidate.flatMap { v =>
       try {
-        // header parse cached per (path, stat): resolveMeta fronts EVERY
-        // read API now, so a hot sub-threshold table must pay one stat
-        // call here, not a read+parse per operation
+        // header parse cached per (path, dir listing): resolveMeta
+        // fronts EVERY read API now, so a hot sub-threshold table must
+        // pay one LIST here, not a read+parse per operation. Identity
+        // is the checkpoint dir's FILE NAMES (parquet part names embed
+        // job UUIDs) — the same content identity the base-snapshot
+        // cache uses, because an mtime+length stat can miss a
+        // delete-and-recreate at the same path on coarse-mtime stores
         val hp = new Path(ckptPathV2(root, v), CkptMetaName)
-        val st = fs.getFileStatus(hp)
-        val hKey = (hp.toString, st.getModificationTime, st.getLen)
+        val dirNames = fs.listStatus(ckptPathV2(root, v))
+          .map(_.getPath.getName).sorted.mkString("\n")
+        val hKey = (s"$hp\n$dirNames", dirNames.length.toLong, 0L)
         val n = {
           val hit = ckptHeaderCache.get(hKey)
           if (hit != null) hit
