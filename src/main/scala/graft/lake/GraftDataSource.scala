@@ -6,7 +6,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -233,10 +237,17 @@ private[lake] final class GraftTable(schema0: StructType,
 private[lake] final class GraftScanBuilder(schema: StructType,
                                            options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  // memo from supportCompletePushDown; PROMOTED to the scan only by
+  // pushAggregation (Spark's contract: a true here is always followed
+  // by pushAggregation before build — but build must never serve an
+  // answer Spark didn't actually push)
+  private var answered: Option[GraftDataSource.AggAnswer] = None
+  private var pushedAgg: Option[GraftDataSource.AggAnswer] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept only filters the relation can re-apply EXACTLY; the rest go
@@ -250,10 +261,51 @@ private[lake] final class GraftScanBuilder(schema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- metadata-only aggregate pushdown: COUNT(*) from the committed
+  // row counts (TxLog.countRowsFast), MIN/MAX(col) from the committed
+  // stats (TxLog.minMaxFast) — answered COMPLETELY on the driver, so
+  // `SELECT COUNT(*), MIN(k), MAX(k)` over format("graft") plans a
+  // LocalTableScan: zero tasks, zero data files opened. Declines (and
+  // Spark falls back to its own scan aggregate) whenever metadata can't
+  // answer EXACTLY: pushed filters, GROUP BY, any aggregate beyond
+  // COUNT(*)/MIN/MAX on a plain column, a live file without the stat, a
+  // deletion vector under MIN/MAX (the vector may have removed the
+  // extreme row; COUNT stays answerable — vectors commit their
+  // cumulative row count), or a value the stats' double space can't
+  // round-trip exactly (longs at |v| >= 2^53).
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    answered = GraftDataSource.answerAggregation(agg, pushed, options)
+    answered.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete answers only: accepting here after supportCompletePushDown
+    // said no would make Spark treat the scan's rows as PARTIAL states
+    pushedAgg = answered
+    answered.isDefined
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(required, pushed, options)
+  override def build(): Scan = pushedAgg match {
+    case Some(a) =>
+      GraftDataSource.lastAggPushdown = Some(a.description)
+      new GraftAggScan(a)
+    case None => new GraftScan(required, pushed, options)
+  }
+}
+
+/** The pushed-aggregate scan: one driver-resident row, executed as a
+  * LocalTableScan — the connector twin of [[TxLog.countRows]] /
+  * [[TxLog.minMaxFast]].
+  */
+private[lake] final class GraftAggScan(answer: GraftDataSource.AggAnswer)
+    extends LocalScan {
+  override def readSchema(): StructType = answer.schema
+  override def rows(): Array[InternalRow] = Array(answer.row)
+  override def description(): String =
+    s"GraftAggScan(${answer.description})"
 }
 
 private[lake] final class GraftScan(required: StructType,
@@ -322,7 +374,99 @@ private[lake] final class GraftRelation(ctx: SQLContext,
   }
 }
 
-private[lake] object GraftDataSource {
+private[graft] object GraftDataSource {
+
+  /** A completely-answered pushed aggregation: the scan's output schema,
+    * its single row (internal representations), and a human-readable
+    * description (the plan/test seam).
+    */
+  final case class AggAnswer(schema: StructType, row: InternalRow,
+                             description: String)
+
+  /** Test seam: the description of the last aggregation a
+    * [[GraftScanBuilder]] answered from metadata (set at scan build).
+    */
+  @volatile var lastAggPushdown: Option[String] = None
+
+  /** Answer `agg` ENTIRELY from commit metadata, or None to decline
+    * (Spark then plans its own scan aggregate — correctness never
+    * depends on acceptance). Answerable: no pushed filters, no GROUP
+    * BY, and every aggregate is COUNT(*) (countRowsFast: every live
+    * file carries a row count) or MIN/MAX of a plain numeric column
+    * (minMaxFast: every live file carries the stat, no deletion
+    * vectors) whose value the stats' double space round-trips exactly.
+    */
+  def answerAggregation(agg: Aggregation, pushedFilters: Array[Filter],
+                        options: CaseInsensitiveStringMap)
+      : Option[AggAnswer] = {
+    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    val version = versionOf(spark, options)
+    lazy val tableSchema = TxLog.schemaOf(spark, root, version)
+    // one metadata read per column even when MIN and MAX both appear
+    val mmCache = scala.collection.mutable.Map
+      .empty[String, Option[(Double, Double)]]
+    def mm(c: String): Option[(Double, Double)] =
+      mmCache.getOrElseUpdate(c, TxLog.minMaxFast(spark, root, c, version))
+    def fieldOf(c: String): Option[org.apache.spark.sql.types.StructField] =
+      tableSchema.find(_.name.equalsIgnoreCase(c))
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    // a stat double back to the column's internal value — EXACT or
+    // decline. Int-width and float types round-trip by construction
+    // (the stat was widened from the value); longs only below 2^53.
+    def exact(d: Double, t: org.apache.spark.sql.types.DataType)
+        : Option[Any] = t match {
+      case org.apache.spark.sql.types.DoubleType  => Some(d)
+      case org.apache.spark.sql.types.FloatType   => Some(d.toFloat)
+      case org.apache.spark.sql.types.IntegerType => Some(d.toInt)
+      case org.apache.spark.sql.types.ShortType   => Some(d.toShort)
+      case org.apache.spark.sql.types.ByteType    => Some(d.toByte)
+      case org.apache.spark.sql.types.LongType
+          if math.abs(d) < 9007199254740992.0 && d == math.rint(d) =>
+        Some(d.toLong)
+      case _ => None
+    }
+    def minMaxVal(e: org.apache.spark.sql.connector.expressions.Expression,
+                  takeMin: Boolean): Option[(Any,
+                    org.apache.spark.sql.types.DataType, String)] =
+      for {
+        c <- colNameOf(e)
+        f <- fieldOf(c)
+        bounds <- mm(c)
+        v <- exact(if (takeMin) bounds._1 else bounds._2, f.dataType)
+      } yield (v, f.dataType, f.name)
+    val answers: Seq[Option[(Any, org.apache.spark.sql.types.DataType,
+      String)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        TxLog.countRowsFast(spark, root, version).map(n =>
+          (n: Any, org.apache.spark.sql.types.LongType
+            : org.apache.spark.sql.types.DataType, "COUNT(*)"))
+      case m: Min => minMaxVal(m.column, takeMin = true)
+        .map { case (v, t, n) => (v, t, s"MIN($n)") }
+      case m: Max => minMaxVal(m.column, takeMin = false)
+        .map { case (v, t, n) => (v, t, s"MAX($n)") }
+      case _ => None
+    }
+    if (answers.exists(_.isEmpty)) None
+    else {
+      val resolved = answers.flatten
+      val outSchema = StructType(resolved.zipWithIndex.map {
+        case ((_, t, _), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i", t,
+            nullable = false)
+      })
+      Some(AggAnswer(outSchema,
+        new GenericInternalRow(resolved.map(_._1).toArray),
+        resolved.map(_._3).mkString(", ")))
+    }
+  }
 
   def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).orElse(Option(options.get("root")))

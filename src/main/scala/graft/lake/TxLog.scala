@@ -594,10 +594,22 @@ object TxLog {
     */
   def countRows(spark: SparkSession, root: String,
                 version: Option[Long] = None): Long =
+    countRowsFast(spark, root, version).getOrElse(
+      snapshot(spark, root, resolve(spark, root, version)).count())
+
+  /** The metadata-only half of [[countRows]]: Some(exact count) when
+    * every live file carries a recorded row count, None when any file
+    * lacks it (the caller decides the fallback — [[countRows]] scans;
+    * the connector's aggregate pushdown DECLINES so Spark plans its own
+    * scan). Deletion vectors keep the answer metadata-only: each vector
+    * carries its cumulative removed-row count in the commit.
+    */
+  def countRowsFast(spark: SparkSession, root: String,
+                    version: Option[Long] = None): Option[Long] =
     resolveMeta(spark, root, version) match {
       // big tables (distributed tier): one aggregation over the
       // checkpoint parquet, O(tail) driver memory
-      case Right(m) => countRowsMeta(spark, root, m, version)
+      case Right(m) => countRowsMeta(spark, m)
       case Left(snap) =>
         // deletion vectors carry their cumulative row count in the
         // commit, so the metadata-only path stays metadata-only: file
@@ -605,8 +617,7 @@ object TxLog {
         val rc = snap.stats.col(RowCountKey) // pruned: one stat column read
         val counted = snap.live.flatMap(f =>
           rc.get(f).map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
-        if (counted.size == snap.live.size) counted.sum
-        else snapshot(spark, root, snap).count()
+        if (counted.size == snap.live.size) Some(counted.sum) else None
     }
 
   /** Distributed write of `df` into the table's partition layout under
@@ -4665,13 +4676,12 @@ object TxLog {
   /** Distributed exact COUNT(*): one aggregation over the checkpoint
     * rows (`rows − dvRows` per file, summed as longs) plus the driver
     * fold of the touched files — O(tail) driver memory where the
-    * materialized path held the whole live set. Falls back to the scan
-    * count on ANY live file without a recorded row count, exactly like
-    * the materialized path.
+    * materialized path held the whole live set. None on ANY live file
+    * without a recorded row count, exactly like the materialized path
+    * (the caller — [[countRowsFast]] — owns the fallback decision).
     */
-  private def countRowsMeta(spark: SparkSession, root: String,
-                            m: MetaSnapshot,
-                            version: Option[Long]): Long = {
+  private def countRowsMeta(spark: SparkSession,
+                            m: MetaSnapshot): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     val (touched, _) = touchedState(spark, m, Seq(RowCountKey))
     val tOk = touched.forall(_.stats.contains(RowCountKey))
@@ -4692,10 +4702,9 @@ object TxLog {
           .collect()(0)
         (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
       }
-    if (withStat != files || !tOk)
-      return snapshot(spark, root, resolve(spark, root, version)).count()
-    dsum + touched.map(t =>
-      t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L)).sum
+    if (withStat != files || !tOk) None
+    else Some(dsum + touched.map(t =>
+      t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L)).sum)
   }
 
   /** Distributed twin of [[minMaxFast]]'s metadata answer: the same

@@ -1466,6 +1466,60 @@ object Lake {
       } finally s.conf.unset("spark.graft.meta.distributedThreshold")
     },
 
+    // DSv2 AGGREGATE pushdown: `SELECT COUNT(*), MIN(k), MAX(k)` over
+    // format("graft") — the reference's commonest delegated query shape
+    // — is answered COMPLETELY from commit metadata
+    // (SupportsPushDownAggregates -> TxLog.countRowsFast/minMaxFast)
+    // and plans a LocalTableScan: zero tasks, zero data files opened.
+    // In-query requires pin exactly that (no file-opening scan node in
+    // the executed plan + the pushdown seam names all three answers);
+    // the oracle pins the VALUES against DuckDB computing them the slow
+    // way. On a stats-carrying 100 TB table this is the difference
+    // between O(log) driver work and a full-table scan job.
+    QDef(
+      "q120_dsv2_agg_pushdown",
+      """SELECT count(*) AS n_rows,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "dsv2agg")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val slice = maxKey / 4 + 1
+      (0L until 4L).foreach { i =>
+        TxLog.append(s,
+          orders.filter(col("o_orderkey") >= i * slice &&
+            col("o_orderkey") < (i + 1) * slice).repartition(1),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      graft.lake.GraftDataSource.lastAggPushdown = None
+      val out = s.read.format("graft").load(root).agg(
+        count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      val plan = out.queryExecution.executedPlan
+      val opensFiles = plan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      }.nonEmpty
+      val isLocal = plan.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty
+      require(isLocal && !opensFiles,
+        "q120: the aggregate was not answered as a LocalTableScan — " +
+          s"data files would be opened:\n$plan")
+      require(graft.lake.GraftDataSource.lastAggPushdown ==
+        Some("COUNT(*), MIN(o_orderkey), MAX(o_orderkey)"),
+        "q120: the pushdown seam did not record all three answers, got " +
+          graft.lake.GraftDataSource.lastAggPushdown)
+      out
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

@@ -322,4 +322,99 @@ class GraftDataSourceSpec extends SparkSpec {
         .head().getLong(0) shouldBe 10L
     } finally spark.sql("DROP TABLE g_ddl")
   }
+
+  // ---- metadata-only aggregate pushdown -----------------------------
+
+  private def isLocalPlan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan
+    val hasLocal = plan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty
+    val opensFiles = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+    }.nonEmpty
+    hasLocal && !opensFiles
+  }
+
+  test("COUNT(*)/MIN/MAX are answered from commit metadata: LocalTableScan, zero data files") {
+    val root = clusteredTable() // statsCols = id on every commit
+    GraftDataSource.lastAggPushdown = None
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    isLocalPlan(df) shouldBe true
+    df.head() shouldBe org.apache.spark.sql.Row(40L, 0L, 39L)
+    GraftDataSource.lastAggPushdown shouldBe
+      Some("COUNT(*), MIN(id), MAX(id)")
+    // same through SQL over the catalog surface
+    spark.sql("DROP TABLE IF EXISTS g_agg")
+    spark.sql(s"CREATE TABLE g_agg USING graft OPTIONS (path '$root')")
+    try {
+      val viaSql =
+        spark.sql("SELECT COUNT(*) AS n, MIN(id) AS mn, MAX(id) AS mx FROM g_agg")
+      isLocalPlan(viaSql) shouldBe true
+      viaSql.head() shouldBe org.apache.spark.sql.Row(40L, 0L, 39L)
+    } finally spark.sql("DROP TABLE g_agg")
+  }
+
+  test("aggregate pushdown DECLINES exactly when metadata can't answer — results stay correct") {
+    val root = clusteredTable()
+    // a filter makes COUNT non-metadata: decline, Spark scans
+    GraftDataSource.lastAggPushdown = None
+    val filtered = spark.read.format("graft").load(root)
+      .filter(col("id") >= 10L).agg(count(lit(1)).as("n"))
+    isLocalPlan(filtered) shouldBe false
+    filtered.head().getLong(0) shouldBe 30L
+    GraftDataSource.lastAggPushdown shouldBe None
+    // GROUP BY declines
+    val grouped = spark.read.format("graft").load(root)
+      .groupBy((col("id") / 10).cast("int").as("b")).agg(count(lit(1)))
+    isLocalPlan(grouped) shouldBe false
+    grouped.count() shouldBe 4L
+    // MIN/MAX of a STRING column declines (stats are numeric-only) and
+    // takes COUNT down with it — partial answers are never served
+    val withString = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), max("s").as("mx"))
+    isLocalPlan(withString) shouldBe false
+    withString.head() shouldBe org.apache.spark.sql.Row(40L, "s3-9")
+    // a table written WITHOUT statsCols has no row counts: decline
+    val bare = tmpRoot()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(1), bare)
+    val noStats = spark.read.format("graft").load(bare)
+      .agg(count(lit(1)).as("n"))
+    isLocalPlan(noStats) shouldBe false
+    noStats.head().getLong(0) shouldBe 2L
+  }
+
+  test("a deletion vector: COUNT stays metadata-only, MIN/MAX falls back to the scan") {
+    val root = tmpRoot()
+    TxLog.append(spark, (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") >= 8L)
+    // the vector carries its row count in the commit: COUNT(*) alone is
+    // still answered without opening the file
+    GraftDataSource.lastAggPushdown = None
+    val cnt = spark.read.format("graft").load(root).agg(count(lit(1)).as("n"))
+    isLocalPlan(cnt) shouldBe true
+    cnt.head().getLong(0) shouldBe 8L
+    GraftDataSource.lastAggPushdown shouldBe Some("COUNT(*)")
+    // MAX would serve the vector-deleted row (stats still claim 9):
+    // the whole aggregation declines and the scan answers exactly
+    val mx = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), max("id").as("mx"))
+    isLocalPlan(mx) shouldBe false
+    mx.head() shouldBe org.apache.spark.sql.Row(8L, 7L)
+  }
+
+  test("long bounds beyond the stats' double space decline instead of rounding") {
+    val root = tmpRoot()
+    val big = Long.MaxValue - 1L // not representable in double
+    TxLog.append(spark, Seq((1L, "a"), (big, "b")).toDF("id", "s")
+      .repartition(1), root, statsCols = Seq("id"))
+    val df = spark.read.format("graft").load(root)
+      .agg(max("id").as("mx"))
+    isLocalPlan(df) shouldBe false // declined: double can't round-trip it
+    df.head().getLong(0) shouldBe big // the scan still answers exactly
+  }
 }
