@@ -1,0 +1,403 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over commit-log tables — the catalog role the
+  * reference delegates to Glue (`staging_to_curated.py:122-134` creates
+  * there, `utils.py:72-83` registers, `purchase_orders.py:22-24` queries
+  * by name), expressed as Spark's own plugin point:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.lake.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = <shared storage path>
+  * }}}
+  *
+  * after which `graft.db.t` resolves through Spark's catalog paths with
+  * no per-session registration: `CREATE NAMESPACE` / `CREATE TABLE` /
+  * CTAS / `INSERT INTO` / `INSERT OVERWRITE` / `SELECT` / `DELETE FROM`
+  * / `DROP` / `SHOW TABLES`, plus `VERSION AS OF` / `TIMESTAMP AS OF`
+  * time travel via the loadTable overloads. UPDATE/MERGE keep their
+  * [[TxLogSql]] spelling (which resolves catalog identifiers too) —
+  * Spark routes those through SupportsRowLevelOperations, a copy-on-write
+  * planner the commit log implements natively and more cheaply
+  * (stats-pruned rewrites, deletion vectors) than the connector rewrite.
+  *
+  * Durability is the WAREHOUSE ITSELF, not a driver-side registry: a
+  * namespace is a directory holding a `_graft_db.json` marker, a table
+  * is a directory holding a `_graft_table.json` descriptor (layout +
+  * properties + optional external location) next to (or pointing at) its
+  * commit log. Any session on any machine pointed at the same warehouse
+  * sees the same catalog — the Glue-as-shared-metastore topology — and
+  * there is no second source of truth to drift from the logs.
+  *
+  * Scale: every operation here is O(1) metadata IO (one marker read) or
+  * one directory listing; nothing reads data files or log tails beyond
+  * what [[TxLog]]'s own checkpointed resolve pays.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private var spark: SparkSession = _
+
+  private val DbMarker = "_graft_db.json"
+  private val TableMarker = "_graft_table.json"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    spark = SparkSession.active
+    warehouse = Option(options.get("warehouse"))
+      .map(_.stripSuffix("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '$name' (graft.lake.GraftCatalog) needs a warehouse: " +
+          s"set spark.sql.catalog.$name.warehouse to a shared storage path"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path = {
+    // one level, like a database: the warehouse layout IS the catalog
+    // state, and nested namespaces would make a table dir ambiguous with
+    // a namespace dir at list time
+    if (namespace.length != 1)
+      throw new NoSuchNamespaceException(namespace)
+    new Path(s"$warehouse/${namespace.head}")
+  }
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && {
+      val p = new Path(nsPath(namespace), DbMarker)
+      fs(p).exists(p)
+    }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) return Array.empty
+    f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new Path(p, DbMarker)))
+      .map(p => Array(p.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // no nesting
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val p = new Path(nsPath(namespace), DbMarker)
+    graft.Json.parseStringMap(readUtf8(p)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespace.length != 1)
+      throw new IllegalArgumentException(
+        s"graft catalog namespaces are single-level (a database); got " +
+          namespace.mkString("."))
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    val marker = new Path(nsPath(namespace), DbMarker)
+    writeUtf8(marker, graft.Json.renderStringMap(
+      metadata.asScala.toMap), overwrite = false)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = {
+    val current = loadNamespaceMetadata(namespace).asScala.toMap
+    val updated = changes.foldLeft(current) {
+      case (m, set: NamespaceChange.SetProperty) =>
+        m + (set.property() -> set.value())
+      case (m, rm: NamespaceChange.RemoveProperty) => m - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported namespace change $other")
+    }
+    writeUtf8(new Path(nsPath(namespace), DbMarker),
+      graft.Json.renderStringMap(updated), overwrite = true)
+  }
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty " +
+          "(use DROP ... CASCADE)")
+    fs(nsPath(namespace)).delete(nsPath(namespace), true)
+  }
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val dir = nsPath(namespace)
+    val f = fs(dir)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new Path(p, TableMarker)))
+      .map(p => Identifier.of(namespace, p.getName)).sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && {
+      val p = new Path(tableDir(ident), TableMarker)
+      fs(p).exists(p)
+    }
+
+  /** The durable descriptor: write layout + properties + where the commit
+    * log lives (absent location = managed, the table dir itself).
+    */
+  private case class Descriptor(location: Option[String],
+                                partitionCols: Seq[String],
+                                properties: Map[String, String]) {
+    def root(ident: Identifier): String =
+      location.getOrElse(tableDir(ident).toString)
+  }
+
+  private def readDescriptor(ident: Identifier): Descriptor = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val m = graft.Json.parseStringMap(
+      readUtf8(new Path(tableDir(ident), TableMarker)))
+    Descriptor(
+      m.get("location").filter(_.nonEmpty),
+      m.get("partitionCols").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      m.removedAll(Seq("location", "partitionCols")))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  // `SELECT ... VERSION AS OF <v>`
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toLong))
+
+  // `SELECT ... TIMESTAMP AS OF <ts>` — Spark hands MICROseconds
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = readDescriptor(ident)
+    loadPinned(ident, Some(
+      TxLog.versionAtTimestamp(spark, d.root(ident), timestamp / 1000L)))
+  }
+
+  private def loadPinned(ident: Identifier, asOf: Option[Long]): Table = {
+    val d = readDescriptor(ident)
+    val root = d.root(ident)
+    // pin the snapshot at analysis (the getTable rule, same reason:
+    // execution re-resolving LATEST under a raced schema change would
+    // emit rows that no longer match the analyzed schema). loadTable runs
+    // per statement, so the next statement follows new commits.
+    val pinned = asOf.orElse(TxLog.currentVersion(spark, root))
+    new GraftCatalogTable(s"$catalogName.${ident.namespace().head}." +
+      ident.name(), root, pinned, d.partitionCols, d.properties)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only identity PARTITIONED BY columns are " +
+          s"supported, got $other")
+    }
+    val props = properties.asScala.toMap
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val kept = props -- Seq(TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      "option.path", "path")
+    val root = location.getOrElse(tableDir(ident).toString)
+    // the first commit carries the declared schema: an empty append is a
+    // schema-bearing version 0, so a later INSERT evolves/validates
+    // through TxLog.append's own schema policy. An EXTERNAL location that
+    // already holds a committed table is adopted as-is (the register-
+    // existing-data path, utils.py:72-83's role).
+    if (TxLog.currentVersion(spark, root).isEmpty)
+      TxLog.append(spark,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        root, partitionCols)
+    val desc = Map("partitionCols" -> partitionCols.mkString(",")) ++
+      location.map("location" -> _) ++ kept
+    writeUtf8(new Path(tableDir(ident), TableMarker),
+      graft.Json.renderStringMap(desc), overwrite = false)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = readDescriptor(ident)
+    val root = d.root(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        TxLog.addColumns(spark, root,
+          Seq(add.fieldNames()(0) -> add.dataType().sql))
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        TxLog.renameColumn(spark, root, rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        TxLog.dropColumns(spark, root, Seq(del.fieldNames()(0)))
+      case set: TableChange.SetProperty =>
+        val desc = Map("partitionCols" -> d.partitionCols.mkString(",")) ++
+          d.location.map("location" -> _) ++
+          (d.properties + (set.property() -> set.value()))
+        writeUtf8(new Path(tableDir(ident), TableMarker),
+          graft.Json.renderStringMap(desc), overwrite = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other — column type " +
+          "changes go through TxLog.alterColumnType (lossless widenings)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    // managed data lives in the table dir and goes with it; an external
+    // location is the user's — only the catalog entry is dropped
+    fs(tableDir(ident)).delete(tableDir(ident), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    val d = readDescriptor(oldIdent)
+    if (d.location.isEmpty) {
+      // managed: the dir IS the table — one atomic-on-HDFS dir rename
+      if (!fs(tableDir(oldIdent)).rename(tableDir(oldIdent),
+          tableDir(newIdent)))
+        throw new IllegalStateException(
+          s"rename ${tableDir(oldIdent)} -> ${tableDir(newIdent)} failed")
+    } else {
+      // external: move the descriptor, data stays put
+      writeUtf8(new Path(tableDir(newIdent), TableMarker),
+        readUtf8(new Path(tableDir(oldIdent), TableMarker)),
+        overwrite = false)
+      fs(tableDir(oldIdent)).delete(tableDir(oldIdent), true)
+    }
+  }
+
+  /** [[TxLogSql]]'s hook: resolve a table this catalog serves to the DML
+    * registration shape (root + write layout), or None when absent — what
+    * lets `UPDATE cat.db.t SET ...` / `MERGE INTO cat.db.t ...` execute
+    * against the commit log with no per-session register() call.
+    */
+  private[lake] def dmlRegistration(ident: Identifier)
+      : Option[TxLogSql.Registration] =
+    if (!tableExists(ident)) None
+    else {
+      val d = readDescriptor(ident)
+      Some(TxLogSql.Registration(d.root(ident), d.partitionCols, Seq.empty))
+    }
+
+  // ---- small durable-marker IO ----------------------------------------
+
+  private def readUtf8(p: Path): String = {
+    val in = fs(p).open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeUtf8(p: Path, s: String, overwrite: Boolean): Unit = {
+    val out = fs(p).create(p, overwrite)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** A catalog-addressed commit-log table: reads reuse the connector's
+  * pruning scan ([[GraftScanBuilder]] — stats + bloom file skipping,
+  * metadata-only aggregates), writes land as ACID commits through a
+  * V1Write ([[TxLog.append]]/[[TxLog.overwrite]]), and `DELETE FROM`
+  * executes as the commit log's own stats-pruned rewrite.
+  */
+private[lake] final class GraftCatalogTable(fullName: String,
+                                            root: String,
+                                            pinnedVersion: Option[Long],
+                                            partitionCols: Seq[String],
+                                            props: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = fullName
+
+  override lazy val schema: StructType =
+    TxLog.schemaOf(spark, root, pinnedVersion)
+
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    (props + (TableCatalog.PROP_LOCATION -> root)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = new util.HashMap[String, String](opts.asCaseSensitiveMap())
+    m.put("root", root)
+    pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
+    new GraftScanBuilder(schema, new CaseInsensitiveStringMap(m))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit =
+              if (overwriteAll || overwrite)
+                TxLog.overwrite(spark, data, root, partitionCols)
+              else TxLog.append(spark, data, root, partitionCols)
+          }
+      }
+    }
+
+  // `DELETE FROM graft.db.t WHERE ...` — only when every conjunct
+  // translates exactly (else Spark errors rather than deleting loosely;
+  // the TxLogSql/TxLog.delete spellings take arbitrary Column predicates)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftDataSource.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(GraftDataSource.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxLog.delete(spark, root, cond)
+  }
+}

@@ -976,18 +976,33 @@ object TxLogSql {
 
   private def refresh(spark: SparkSession, name: String,
                       reg: Registration): Unit =
-    TxLog.createView(spark, name, reg.root)
+    // catalog-qualified targets (cat.db.t) carry no session temp view to
+    // refresh — every statement re-resolves through the catalog plugin
+    if (!name.contains('.')) TxLog.createView(spark, name, reg.root)
 
   /** Unwrap the parsed target relation (possibly aliased:
     * `MERGE INTO t AS x`) to its registered name + registration; None
     * when the target is not a plain relation or is not registered (the
     * caller decides whether that is a loud failure or a passthrough).
+    * A catalog-QUALIFIED identifier (`cat.db.t`) whose catalog is a
+    * [[GraftCatalog]] resolves through the catalog's durable descriptors
+    * instead of the session registry — no register() needed.
     */
   @annotation.tailrec
   private def targetOpt(spark: SparkSession,
                         plan: LogicalPlan): Option[(String, Registration)] =
     plan match {
       case a: SubqueryAlias => targetOpt(spark, a.child)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 3 =>
+        org.apache.spark.sql.graftnative
+          .catalogPlugin(spark, r.multipartIdentifier.head) match {
+          case Some(gc: GraftCatalog) =>
+            gc.dmlRegistration(org.apache.spark.sql.connector.catalog
+              .Identifier.of(Array(r.multipartIdentifier(1)),
+                r.multipartIdentifier(2)))
+              .map(r.multipartIdentifier.mkString(".") -> _)
+          case _ => None
+        }
       case r: UnresolvedRelation =>
         val name = normalize(r.multipartIdentifier.last)
         registry.get((spark, name)).map(name -> _)

@@ -1520,6 +1520,59 @@ object Lake {
       out
     },
 
+    // DSv2 TableCatalog plugin (spark.sql.catalog.<name>=GraftCatalog):
+    // the reference's Glue-catalog role (staging_to_curated.py:122-134
+    // creates, purchase_orders.py:22-24 queries by name) as Spark's own
+    // catalog path — CREATE NAMESPACE / CTAS / DELETE FROM / SELECT all
+    // through `gq121.lake.orders_ct` multi-part identifiers, zero
+    // per-session registration, durability carried by warehouse files
+    // alone. The oracle recomputes the post-DELETE aggregate from the
+    // raw parquet in DuckDB, pinning that the whole catalog round trip
+    // (create -> CTAS commit -> ACID delete -> catalog-resolved scan)
+    // loses and invents nothing.
+    QDef(
+      "q121_catalog",
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT CAST(FLOOR(max(o_orderkey) / 2) AS BIGINT)
+        |                     FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val wh = Tables.scratch(dir, "cat_wh")
+      val whPath = new Path(wh)
+      val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.delete(whPath, true)
+      s.conf.set("spark.sql.catalog.gq121",
+        classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq121.warehouse", wh)
+      s.sql("CREATE NAMESPACE gq121.lake")
+      t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        col("o_orderkey").cast("long").as("o_orderkey"))
+        .createOrReplaceTempView("q121_orders_src")
+      s.sql("CREATE TABLE gq121.lake.orders_ct USING graft AS " +
+        "SELECT * FROM q121_orders_src")
+      val shown = s.sql("SHOW TABLES IN gq121.lake")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      require(shown == Seq("orders_ct"),
+        s"q121: SHOW TABLES should list the CTAS table, got $shown")
+      // ACID DELETE through Spark's own DSv2 path (SupportsDelete ->
+      // TxLog.delete), then the aggregate over the catalog-resolved scan
+      val cut = s.sql("SELECT max(o_orderkey) FROM gq121.lake.orders_ct")
+        .head().getLong(0) / 2
+      s.sql(s"DELETE FROM gq121.lake.orders_ct WHERE o_orderkey > $cut")
+      s.sql("""SELECT o_orderpriority,
+              |       count(*) AS n_orders,
+              |       min(o_orderkey) AS min_key,
+              |       max(o_orderkey) AS max_key
+              |FROM gq121.lake.orders_ct
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

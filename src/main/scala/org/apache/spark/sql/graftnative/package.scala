@@ -30,6 +30,20 @@ package object graftnative {
   def typeCollection(ts: types.AbstractDataType*): types.AbstractDataType =
     types.TypeCollection(ts: _*)
 
+  /** The session's REGISTERED catalog plugin instance under `name`
+    * (`spark.sql.catalog.<name>`), or None when no such catalog is
+    * configured — how TxLogSql recognizes a catalog-qualified DML target
+    * (`cat.db.t`) as a commit-log table without its own registry entry.
+    * Goes through the CatalogManager (not a fresh instantiation) so the
+    * plugin Spark's own analyzer uses — with its initialized warehouse —
+    * is the one consulted.
+    */
+  def catalogPlugin(spark: SparkSession,
+                    name: String): Option[connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Parse SQL text with the session's own parser WITHOUT executing it —
     * the entry point for DML statements (MERGE INTO / DELETE FROM /
     * UPDATE) that Spark's grammar accepts but only DSv2 tables execute;

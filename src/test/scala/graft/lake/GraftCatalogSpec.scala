@@ -1,0 +1,208 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[GraftCatalog]] — the DSv2 TableCatalog plugin
+  * (`spark.sql.catalog.<name>=graft.lake.GraftCatalog`): DDL/DML/query
+  * through multi-part identifiers, warehouse-file durability across
+  * sessions, time travel via the loadTable overloads, and the pruning /
+  * metadata-aggregate scan tiers reached through catalog resolution.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A session with THIS catalog under a fresh warehouse. newSession()
+    * shares the SparkContext but gets its own conf + CatalogManager —
+    * the honest in-JVM "fresh session" (plugin instances are per-session,
+    * so durability below is carried by the warehouse files alone).
+    */
+  private def sessionWithCatalog(warehouse: String,
+                                 cat: String = "gcat"): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    s
+  }
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("graft-cat-wh").toString
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT / DELETE through multi-part identifiers") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, s STRING, part STRING) " +
+      "USING graft PARTITIONED BY (part)")
+    // empty but schema-bearing from v0
+    s.table("gcat.db.t").schema.fieldNames.toSeq shouldBe
+      Seq("id", "s", "part")
+    s.table("gcat.db.t").count() shouldBe 0L
+
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'a', 'p1'), (2, 'b', 'p1'), " +
+      "(3, 'c', 'p2')")
+    s.sql("SELECT count(*) FROM gcat.db.t WHERE part = 'p1'")
+      .head().getLong(0) shouldBe 2L
+
+    // INSERT OVERWRITE = whole-table replace, one ACID commit
+    s.sql("INSERT OVERWRITE gcat.db.t VALUES (9, 'z', 'p9')")
+    s.table("gcat.db.t").select("id").as[Long].collect().toSeq shouldBe Seq(9L)
+
+    s.sql("INSERT INTO gcat.db.t VALUES (10, 'y', 'p9'), (11, 'x', 'p0')")
+    // DELETE FROM through SupportsDelete -> TxLog.delete (ACID rewrite)
+    s.sql("DELETE FROM gcat.db.t WHERE id >= 10")
+    s.table("gcat.db.t").select("id").as[Long].collect().toSeq shouldBe Seq(9L)
+
+    // the data landed under the warehouse as a commit log (managed table)
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/db/t"
+    TxLog.readLatest(s, root).count() shouldBe 1L
+  }
+
+  test("SHOW NAMESPACES / SHOW TABLES / DROP reflect the warehouse; CTAS works") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db1")
+    s.sql("CREATE NAMESPACE gcat.db2")
+    s.sql("SHOW NAMESPACES IN gcat").as[String].collect().sorted.toSeq shouldBe
+      Seq("db1", "db2")
+
+    s.sql("CREATE TABLE gcat.db1.src (k INT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.db1.src VALUES (1, 'a'), (2, 'b')")
+    // CTAS: createTable + append through the same write builder
+    s.sql("CREATE TABLE gcat.db1.ctas USING graft AS " +
+      "SELECT k, upper(v) AS v FROM gcat.db1.src")
+    s.sql("SELECT v FROM gcat.db1.ctas ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("A", "B")
+
+    s.sql("SHOW TABLES IN gcat.db1").select("tableName").as[String]
+      .collect().sorted.toSeq shouldBe Seq("ctas", "src")
+    s.sql("DROP TABLE gcat.db1.ctas")
+    s.sql("SHOW TABLES IN gcat.db1").count() shouldBe 1L
+    intercept[Exception](s.sql("SELECT * FROM gcat.db1.ctas").collect())
+
+    // non-empty namespace refuses a bare drop; cascade removes it
+    intercept[Exception](s.sql("DROP NAMESPACE gcat.db1"))
+    s.sql("DROP NAMESPACE gcat.db1 CASCADE")
+    s.sql("SHOW NAMESPACES IN gcat").as[String].collect().toSeq shouldBe
+      Seq("db2")
+  }
+
+  test("durability: a table created in one session is served to a fresh session by the warehouse alone") {
+    val wh = freshWarehouse()
+    val a = sessionWithCatalog(wh)
+    a.sql("CREATE NAMESPACE gcat.shared")
+    a.sql("CREATE TABLE gcat.shared.t (id BIGINT, v DOUBLE) USING graft")
+    a.sql("INSERT INTO gcat.shared.t VALUES (1, 1.5), (2, 2.5)")
+
+    // a FRESH session (own CatalogManager, own plugin instance): the only
+    // shared state is the warehouse directory
+    val b = sessionWithCatalog(wh)
+    b.sql("SELECT sum(v) FROM gcat.shared.t").head().getDouble(0) shouldBe 4.0
+    b.sql("INSERT INTO gcat.shared.t VALUES (3, 3.0)")
+    a.sql("SELECT count(*) FROM gcat.shared.t").head().getLong(0) shouldBe 3L
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time-travel through catalog identifiers") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.tt")
+    s.sql("CREATE TABLE gcat.tt.t (id BIGINT) USING graft") // v0 (empty)
+    s.sql("INSERT INTO gcat.tt.t VALUES (1)")               // v1
+    s.sql("INSERT INTO gcat.tt.t VALUES (2)")               // v2
+    s.sql("SELECT count(*) FROM gcat.tt.t VERSION AS OF 1")
+      .head().getLong(0) shouldBe 1L
+    s.sql("SELECT count(*) FROM gcat.tt.t VERSION AS OF 2")
+      .head().getLong(0) shouldBe 2L
+    // timestamp AS OF: resolve v1's commit time from the log, query at it
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/tt/t"
+    val tsV1 = TxLog.historySummary(s, root)
+      .find(_._1 == 1L).map(_._3).get
+    val lit = new java.sql.Timestamp(tsV1).toString
+    s.sql(s"SELECT count(*) FROM gcat.tt.t TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) shouldBe 1L
+  }
+
+  test("UPDATE and MERGE address catalog tables through TxLogSql with no register() call") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.dml")
+    s.sql("CREATE TABLE gcat.dml.t (k BIGINT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.dml.t VALUES (1, 'a'), (2, 'b')")
+
+    TxLogSql.run(s, "UPDATE gcat.dml.t SET v = 'B' WHERE k = 2")
+    s.sql("SELECT v FROM gcat.dml.t ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("a", "B")
+
+    // the MERGE source view must live in s (temp views are per-session)
+    s.createDataFrame(Seq((2L, "bb"), (3L, "c"))).toDF("k", "v")
+      .createOrReplaceTempView("ups_s")
+    TxLogSql.run(s,
+      """MERGE INTO gcat.dml.t t USING ups_s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT v FROM gcat.dml.t ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("a", "bb", "c")
+
+    // DELETE through run() resolves the catalog identifier the same way
+    TxLogSql.run(s, "DELETE FROM gcat.dml.t WHERE k = 1")
+    s.sql("SELECT count(*) FROM gcat.dml.t").head().getLong(0) shouldBe 2L
+  }
+
+  test("external LOCATION adopts an existing commit log; DROP leaves its data") {
+    val s = sessionWithCatalog(freshWarehouse())
+    val ext = Files.createTempDirectory("graft-cat-ext").toString
+    (1 to 3).foreach(i => TxLog.append(s,
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), ext))
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.ext (id BIGINT, v STRING) USING graft " +
+      s"LOCATION '$ext'")
+    s.sql("SELECT count(*) FROM gcat.db.ext").head().getLong(0) shouldBe 3L
+    s.sql("INSERT INTO gcat.db.ext VALUES (4, 'v4')")
+    TxLog.readLatest(s, ext).count() shouldBe 4L
+    s.sql("DROP TABLE gcat.db.ext")
+    // the external data survives the catalog drop
+    TxLog.readLatest(s, ext).count() shouldBe 4L
+  }
+
+  test("ALTER TABLE: ADD COLUMNS / RENAME COLUMN / SET TBLPROPERTIES / RENAME TABLE") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT) USING graft")
+    s.sql("INSERT INTO gcat.db.t VALUES (1)")
+    s.sql("ALTER TABLE gcat.db.t ADD COLUMNS (v STRING)")
+    s.table("gcat.db.t").schema.fieldNames.toSeq shouldBe Seq("id", "v")
+    s.sql("ALTER TABLE gcat.db.t RENAME COLUMN v TO w")
+    s.table("gcat.db.t").schema.fieldNames.toSeq shouldBe Seq("id", "w")
+    s.sql("ALTER TABLE gcat.db.t SET TBLPROPERTIES ('owner.team' = 'data')")
+    // the new name resolves WITHIN the catalog (Spark's RENAME contract)
+    s.sql("ALTER TABLE gcat.db.t RENAME TO db.t2")
+    s.sql("SELECT id FROM gcat.db.t2").as[Long].collect().toSeq shouldBe Seq(1L)
+    intercept[Exception](s.sql("SELECT * FROM gcat.db.t").collect())
+  }
+
+  test("catalog reads reach the pruning and metadata-aggregate tiers") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/db/clustered"
+    (0 until 4).foreach { c =>
+      TxLog.append(s,
+        (0 until 10).map(i => (c * 10L + i, s"s$c-$i")).toDF("id", "s")
+          .repartition(1), root, statsCols = Seq("id"))
+    }
+    s.sql("CREATE TABLE gcat.db.clustered (id BIGINT, s STRING) " +
+      s"USING graft LOCATION '$root'")
+
+    // stats-tier FILE pruning through a catalog-resolved scan
+    TxLog.lastStatsPrune = None
+    s.sql("SELECT id FROM gcat.db.clustered WHERE id >= 21 AND id < 25 " +
+      "ORDER BY id").as[Long].collect().toSeq shouldBe (21L to 24L)
+    TxLog.lastStatsPrune shouldBe Some((1, 4))
+
+    // metadata-only aggregates: COUNT/MIN/MAX answered with zero tasks
+    GraftDataSource.lastAggPushdown = None
+    val row = s.sql(
+      "SELECT count(*), min(id), max(id) FROM gcat.db.clustered").head()
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe (40L, 0L, 39L)
+    GraftDataSource.lastAggPushdown shouldBe
+      Some("COUNT(*), MIN(id), MAX(id)")
+  }
+}
