@@ -391,16 +391,60 @@ object TxLog {
     }
   }
 
+  /** One commit's history-summary row: everything DESCRIBE HISTORY and
+    * timestamp resolution need, NO file lists — ~100 bytes per commit
+    * regardless of how many files the commit touched.
+    */
+  private[lake] final case class HistRow(version: Long, op: String,
+                                         tsMs: Long, nAdd: Int,
+                                         nRemove: Int,
+                                         metrics: Map[String, Long])
+
+  private def histRowOf(c: Commit): HistRow =
+    HistRow(c.version, c.operation, c.timestampMs, c.add.size,
+      c.remove.size, c.metrics)
+
+  /** Test seam: where the last [[summaryRows]] call got its
+    * pre-checkpoint history — (checkpoint version it was served from, or
+    * -1 for the parse-everything path; raw tail entries parsed).
+    */
+  @volatile private[lake] var lastHistorySource: Option[(Long, Int)] = None
+
+  /** The summary rows behind [[historySummary]] and the timestamp
+    * resolvers: the newest v2 checkpoint's carried `_history.json` (one
+    * small JSON read covering every commit at-or-below it) plus a
+    * per-entry parse of the raw TAIL only. A long-lived table's
+    * DESCRIBE HISTORY / `TIMESTAMP AS OF` is then O(checkpoint read +
+    * tail) instead of a full Jackson parse of every surviving entry —
+    * on entries that each carry millions of file paths, that parse was
+    * the 100-second wall the memory-bounding round left behind. Tables
+    * whose checkpoints predate the history sidecar keep the
+    * parse-everything path unchanged.
+    */
+  private def summaryRows(spark: SparkSession,
+                          root: String): Seq[HistRow] =
+    carriedHistory(spark, root) match {
+      case Some((ckptV, rows)) =>
+        val tail = committedProject(spark, root, afterVersion = ckptV)(
+          histRowOf)
+        lastHistorySource = Some((ckptV, tail.size))
+        rows ++ tail
+      case None =>
+        val all = committedProject(spark, root)(histRowOf)
+        lastHistorySource = Some((-1L, all.size))
+        all
+    }
+
   /** DESCRIBE HISTORY's rows — (version, operation, timestampMs, files
-    * added, files removed, metrics) — parsed one entry at a time, so a
-    * big table's history never holds every commit's file lists on the
-    * driver at once.
+    * added, files removed, metrics) — from the checkpoint-carried
+    * summary plus the raw tail ([[summaryRows]]). On a log vacuumed
+    * below its newest checkpoint this is MORE complete than the raw
+    * entries: truncated commits' summaries live on in `_history.json`.
     */
   def historySummary(spark: SparkSession, root: String)
       : Seq[(Long, String, Long, Int, Int, Map[String, Long])] =
-    committedProject(spark, root)(c =>
-      (c.version, c.operation, c.timestampMs, c.add.size, c.remove.size,
-        c.metrics))
+    summaryRows(spark, root).map(h =>
+      (h.version, h.op, h.tsMs, h.nAdd, h.nRemove, h.metrics))
 
   /** All COMMITTED commits with version > `afterVersion`, in order (empty
     * for a nonexistent table). An in-flight tail entry is excluded —
@@ -2929,10 +2973,10 @@ object TxLog {
     */
   def versionAtTimestamp(spark: SparkSession, root: String,
                          tsMs: Long): Long = {
-    // bounded projection: resolving a timestamp needs (version, ts)
-    // pairs, never the commits' file lists
-    val commits = committedProject(spark, root)(c =>
-      (c.version, c.timestampMs))
+    // (version, ts) pairs from the checkpoint-carried summary + raw
+    // tail — never the commits' file lists, never a full-log parse on a
+    // checkpointed table
+    val commits = summaryRows(spark, root).map(h => (h.version, h.tsMs))
     if (commits.isEmpty)
       throw new IllegalArgumentException(s"no commits at $root")
     val at = commits.filter(_._2 <= tsMs)
@@ -2971,9 +3015,9 @@ object TxLog {
     */
   def versionStrictlyBefore(spark: SparkSession, root: String,
                             tsMs: Long): Long =
-    committedProject(spark, root)(c => (c.version, c.timestampMs))
-      .filter(_._2 < tsMs)
-      .lastOption.map(_._1).getOrElse(-1L)
+    summaryRows(spark, root)
+      .filter(_.tsMs < tsMs)
+      .lastOption.map(_.version).getOrElse(-1L)
 
   /** Point-in-time time travel: the snapshot as of wall-clock `tsMs`
     * ([[versionAtTimestamp]] then [[readAt]]).
@@ -4654,6 +4698,23 @@ object TxLog {
       UUID.randomUUID().toString.replace("-", "").take(12)}")
     try {
       writeRows(tmp)
+      // the history sidecar rides every checkpoint publication (before
+      // the completeness marker): summaries of all commits at-or-below
+      // it, O(tail) to compute. Derived state — an entry the sidecar
+      // builder cannot parse (a feature rung this reader lacks,
+      // transient in a truncated range) degrades to no sidecar rather
+      // than failing the checkpoint; readers then keep the raw path.
+      val histV = dst.getName match {
+        case CkptDirV2(v) => v.toLong
+        case other => throw new IllegalStateException(
+          s"not a v2 checkpoint dir name: $other")
+      }
+      (try Some(renderHistRows(historyForCkpt(spark, root, histV)))
+       catch { case _: UnsupportedLogFeatureException => None }
+      ).foreach { hist =>
+        val hout = fs.create(new Path(tmp, CkptHistName), true)
+        try hout.write(hist.getBytes(UTF_8)) finally hout.close()
+      }
       val out = fs.create(new Path(tmp, CkptMetaName), true)
       try out.write(meta.getBytes(UTF_8)) finally out.close()
       def complete() = fs.exists(new Path(dst, CkptMetaName))
@@ -5121,6 +5182,117 @@ object TxLog {
     new Path(f"$root/$LogDirName/$version%020d.checkpoint.parquet")
 
   private val CkptMetaName = "_meta.json"
+
+  /** History sidecar riding every v2 checkpoint: summary rows
+    * ([[HistRow]] — no file lists) for every commit at-or-below the
+    * checkpoint version. A SEPARATE file from `_meta.json` deliberately:
+    * the meta header fronts every resolve (hot path, must stay small);
+    * history is read only by DESCRIBE HISTORY and timestamp resolution.
+    * Underscore-prefixed so parquet scans of the directory ignore it.
+    */
+  private val CkptHistName = "_history.json"
+
+  /** Bound on carried history rows (newest kept) —
+    * `spark.graft.history.retainEntries`; at ~100 bytes/row the default
+    * caps the sidecar at ~10 MB on a table with 100k commits.
+    */
+  private def historyRetain(spark: SparkSession): Int = {
+    val raw = spark.conf.get("spark.graft.history.retainEntries", "100000")
+    val v = try raw.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.history.retainEntries must be a positive integer " +
+          s"(newest history rows carried by each checkpoint), got: '$raw'")
+    }
+    if (v < 1) throw new IllegalArgumentException(
+      s"spark.graft.history.retainEntries must be >= 1, got: $raw")
+    v
+  }
+
+  private def renderHistRows(rows: Seq[HistRow]): String = {
+    val n = mapper.createObjectNode()
+    n.put("format", 1)
+    val arr = n.putArray("rows")
+    rows.foreach { h =>
+      val o = arr.addObject()
+      o.put("v", h.version); o.put("op", h.op); o.put("ts", h.tsMs)
+      o.put("a", h.nAdd); o.put("r", h.nRemove)
+      if (h.metrics.nonEmpty) {
+        val m = o.putObject("m")
+        h.metrics.toSeq.sortBy(_._1).foreach { case (k, x) => m.put(k, x) }
+      }
+    }
+    n.toString
+  }
+
+  private def parseHistRows(s: String): Seq[HistRow] = {
+    val n = mapper.readTree(s)
+    val rows = n.get("rows")
+    require(rows != null && rows.isArray, s"malformed $CkptHistName")
+    (0 until rows.size).map { i =>
+      val o = rows.get(i)
+      val metrics = Option(o.get("m")).map { m =>
+        val it = m.fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asLong
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, Long])
+      HistRow(o.get("v").asLong, o.get("op").asText, o.get("ts").asLong,
+        o.get("a").asInt, o.get("r").asInt, metrics)
+    }
+  }
+
+  /** The newest v2 checkpoint's carried history: (its version, summary
+    * rows at-or-below it). One listing + one small JSON read; None when
+    * no checkpoint carries a sidecar (logs checkpointed before the
+    * sidecar existed keep the parse-everything path).
+    */
+  private def carriedHistory(spark: SparkSession, root: String)
+      : Option[(Long, Seq[HistRow])] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    val store = CommitStore.forPath(dir)
+    val vs = (try store.list(fs, dir)
+              catch { case scala.util.control.NonFatal(_) =>
+                return None })
+      .map(_.getName).collect { case CkptDirV2(v) => v.toLong }
+      .sorted(Ordering[Long].reverse)
+    vs.iterator.flatMap { v =>
+      val p = new Path(ckptPathV2(root, v), CkptHistName)
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(), UTF_8)
+                  finally in.close()
+          Some((v, parseHistRows(s)))
+        }
+      } catch {
+        // a torn/unreadable sidecar is derived state: fall back to the
+        // next-older checkpoint's, or to the raw parse
+        case scala.util.control.NonFatal(_) => None
+      }
+    }.nextOption()
+  }
+
+  /** The rows a checkpoint at `upTo` carries: the newest prior sidecar
+    * plus per-entry parses of the raw entries between — O(tail) per
+    * checkpoint, not O(log length) — capped to [[historyRetain]]
+    * (newest kept).
+    */
+  private def historyForCkpt(spark: SparkSession, root: String,
+                             upTo: Long): Seq[HistRow] = {
+    val (baseV, carried) = carriedHistory(spark, root) match {
+      case Some((v, rows)) if v <= upTo => (v, rows)
+      case _ => (-1L, Seq.empty[HistRow])
+    }
+    val tail = historyProject(spark, root, afterVersion = baseV)(histRowOf)
+      .collect { case (_, Some(h)) if h.version <= upTo => h }
+    val all = carried ++ tail
+    val keep = historyRetain(spark)
+    if (all.size > keep) all.takeRight(keep) else all
+  }
 
   // Parquet checkpoint row layouts (the dir name is the same for both;
   // `_meta.json`'s "format" field disambiguates):

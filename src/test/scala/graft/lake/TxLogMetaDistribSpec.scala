@@ -395,6 +395,70 @@ class TxLogMetaDistribSpec extends SparkSpec {
       Seq(500L, 501L, 502L)
   }
 
+  test("historySummary over a checkpointed log parses only the TAIL " +
+      "(seam-counted), equal to the parse-everything projection") {
+    val root = tmpRoot()
+    ckptTable(root) // v0..v2, checkpoint at 2 carries _history.json
+    TxLog.append(spark, Seq((7L, "g")).toDF("id", "s"), root)      // v3
+    TxLog.overwrite(spark, Seq((9L, "h")).toDF("id", "s"), root)   // v4
+    val full = TxLog.history(spark, root).map(c =>
+      (c.version, c.operation, c.timestampMs, c.add.size, c.remove.size,
+        c.metrics))
+    TxLog.lastHistorySource = None
+    TxLog.historySummary(spark, root) shouldBe full
+    // served from the v2 sidecar; only the 2 tail entries were parsed
+    TxLog.lastHistorySource shouldBe Some((2L, 2))
+  }
+
+  test("the history sidecar outlives log truncation: DESCRIBE HISTORY " +
+      "and timestamp resolution reach pre-checkpoint commits the raw " +
+      "entries no longer hold") {
+    val root = tmpRoot()
+    ckptTable(root)                                                // ckpt@2
+    TxLog.append(spark, Seq((7L, "g")).toDF("id", "s"), root)      // v3
+    val full = TxLog.historySummary(spark, root)
+    full.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L)
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    // raw parse-everything can no longer see v0..v1; the sidecar can
+    TxLog.history(spark, root).map(_.version) should not be full.map(_._1)
+    TxLog.historySummary(spark, root) shouldBe full
+    // a PRE-checkpoint instant resolves through the sidecar...
+    val ts1 = full.find(_._1 == 1L).get._3
+    val expect = full.filter(_._3 <= ts1).last._1
+    TxLog.versionAtTimestamp(spark, root, ts1) shouldBe expect
+    // ...and reading a vacuumed version fails loudly, never silently
+    if (expect < 2L)
+      intercept[Exception](TxLog.readAt(spark, root, expect).collect())
+  }
+
+  test("checkpoints chain their sidecars (newest prior + tail, never a " +
+      "full-log parse) and honor the retainEntries cap") {
+    val root = tmpRoot()
+    ckptTable(root)                                                // ckpt@2
+    TxLog.append(spark, Seq((7L, "g")).toDF("id", "s"), root)      // v3
+    TxLog.append(spark, Seq((8L, "i")).toDF("id", "s"), root)      // v4
+    TxLog.checkpoint(spark, root) shouldBe Some(4L)                // ckpt@4
+    TxLog.lastHistorySource = None
+    val full = TxLog.historySummary(spark, root)
+    full.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    TxLog.lastHistorySource shouldBe Some((4L, 0))
+    // cap: a re-checkpoint under a small retainEntries keeps the NEWEST
+    spark.conf.set("spark.graft.history.retainEntries", "2")
+    try {
+      TxLog.append(spark, Seq((9L, "j")).toDF("id", "s"), root)    // v5
+      TxLog.checkpoint(spark, root) shouldBe Some(5L)              // ckpt@5
+      TxLog.lastHistorySource = None
+      TxLog.historySummary(spark, root).map(_._1) shouldBe Seq(4L, 5L)
+      TxLog.lastHistorySource shouldBe Some((5L, 0))
+      // a NEW checkpoint version (same-version checkpoints return early)
+      TxLog.append(spark, Seq((10L, "k")).toDF("id", "s"), root)   // v6
+      intercept[IllegalArgumentException] {
+        spark.conf.set("spark.graft.history.retainEntries", "zero")
+        TxLog.checkpoint(spark, root)
+      }
+    } finally spark.conf.unset("spark.graft.history.retainEntries")
+  }
+
   test("historySummary is history's projection exactly — same rows, " +
       "without retaining the commits' file lists") {
     val root = tmpRoot()
