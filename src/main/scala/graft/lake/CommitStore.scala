@@ -339,10 +339,12 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits",
 
   @volatile private var ready = false
 
-  /** Test seam: called with "inserted" right after a won CAS insert and
-    * "staged" after the staged bytes land (both BEFORE publication) —
-    * lets a spec freeze a winner inside the exact windows the steal
-    * ladder exists for. No-op in production.
+  /** Test seam: called with "inserted" right after a won CAS insert,
+    * "staged" after the staged bytes land (both BEFORE publication),
+    * and "published" right after the atomic row publication but BEFORE
+    * the canonical entry materializes — lets a spec freeze or crash a
+    * winner inside the exact windows the steal/heal ladder exists for.
+    * No-op in production.
     */
   @volatile private[lake] var pauseHook: String => Unit = _ => ()
 
@@ -546,6 +548,9 @@ final class JdbcCommitStore(url: String, table: String = "graft_commits",
         try { fs.delete(sp, false); () } catch { case _: IOException => () }
         false
       } else {
+        // the commit decision is MADE: a crash from here on leaves a
+        // published row + staged bytes, which any later claimer heals
+        pauseHook("published")
         try { materialize(fs, p, sp, bytes); true }
         catch {
           case t: Throwable =>

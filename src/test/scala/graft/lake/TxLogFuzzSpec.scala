@@ -361,6 +361,53 @@ class TxLogFuzzSpec extends SparkSpec {
       .filter(_ == "stalled-bytes") shouldBe empty
   }
 
+  test("jdbc store: a publisher CRASHED between publication and materialize is healed by the next claimer; the commit survives") {
+    val url = derbyUrl("jdbccrash")
+    val dir = Files.createTempDirectory("graft-jdbccrash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+    val crasher = new JdbcCommitStore(url)
+    crasher.pauseHook = phase =>
+      if (phase == "published") throw new RuntimeException("simulated crash")
+    // the publisher dies AFTER the atomic row publication, BEFORE the
+    // canonical entry exists: its caller sees a crash, but the commit
+    // decision is already durable in the row + staged bytes
+    intercept[RuntimeException](crasher.claim(fs, p, "crashed-bytes".getBytes))
+    fs.exists(p) shouldBe false
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .count(_.getPath.getName.endsWith(".jdbcstaged")) shouldBe 1
+    // a later claimer observes the published row, HEALS the canonical
+    // path from the staged backup, and reports its own claim lost —
+    // acknowledged history is never stolen, even by an impatient store
+    val healer = new JdbcCommitStore(url, staleClaimMs = 0L)
+    healer.claim(fs, p, "usurper-bytes".getBytes) shouldBe false
+    new String(healer.read(fs, p)) shouldBe "crashed-bytes"
+  }
+
+  test("commit loop over a jdbc store: a crash in the publication window leaves a table the NEXT writer heals and extends") {
+    val root = Files.createTempDirectory("graft-jdbccrash2").toString
+    val store = new JdbcCommitStore(derbyUrl("jdbccrash2"))
+    CommitStore.install(root, store)
+    try {
+      store.pauseHook = phase =>
+        if (phase == "published") throw new RuntimeException("simulated crash")
+      // version 0's publisher crashes post-decision: the append call
+      // fails, but version 0 IS committed (row + staged bytes durable)
+      intercept[Exception](
+        TxLog.append(spark, Seq(("crashed", 0L)).toDF("w", "seq"), root))
+      store.pauseHook = _ => ()
+      // the next writer's claim on version 0 heals the canonical entry,
+      // loses, re-reads state, and lands at version 1 — nothing wedges,
+      // nothing is lost
+      TxLog.append(spark,
+        Seq(("later", 1L)).toDF("w", "seq"), root) shouldBe 1L
+      TxLog.history(spark, root).map(_.version) shouldBe Seq(0L, 1L)
+      TxLog.readLatest(spark, root).as[(String, Long)].collect().toSet shouldBe
+        Set(("crashed", 0L), ("later", 1L))
+    } finally CommitStore.uninstall(root)
+  }
+
   test("jdbc store: concurrent writers through the commit loop, no lost updates") {
     val root = Files.createTempDirectory("graft-jdbcfuzz").toString
     CommitStore.install(root, new JdbcCommitStore(derbyUrl("jdbcfuzz")))
