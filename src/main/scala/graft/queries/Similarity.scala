@@ -81,6 +81,7 @@ object Similarity {
     memo.clear()
     pqMemo.clear()
     exactMemo.clear()
+    countMemo.clear()
   }
 
   /** Memo occupancy (frames, codebooks, exact-contract rows) — lets the
@@ -89,6 +90,38 @@ object Similarity {
     */
   private[queries] def cachedEntryCounts: (Int, Int, Int) =
     (memo.size, pqMemo.size, exactMemo.size)
+
+  /** Corpus row count, memoized per (session, dir): one job on the cached
+    * norms frame, reused by every adaptive index-sizing decision below.
+    */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    countMemo.getOrElseUpdate((s, dir), withNorms(s, dir).count())
+
+  /** Corpus-adaptive IVF cell counts, calibrated so every standard
+    * fixture keeps the original 16 cells (contract outputs there are
+    * bit-unchanged) while large corpora stop paying fixed-cell blowup —
+    * the retune the 100x scale-ladder rung demanded (BASELINE.md
+    * "Dedup/ANN scale ladder"):
+    *
+    *  - [[probeCells]] (the q41/q82 top-k indexes): ceil(sqrt(N/8)) —
+    *    the FAISS sqrt(N) sizing. Per-query candidate volume
+    *    nProbe*N/cells then grows as sqrt(N) instead of linearly
+    *    (fixed 16 cells made a 100x corpus scan 1/4 of itself per query).
+    *  - [[blockCells]] (q108 SemDeDup's blocking): N/125 — constant
+    *    EXPECTED CELL SIZE, so the within-cell all-pairs stage grows
+    *    linearly with the corpus instead of quadratically (fixed 16
+    *    cells made it (N/16)^2 per cell).
+    */
+  private def probeCells(s: SparkSession, dir: String): Int = {
+    val n = corpusCount(s, dir)
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt))
+  }
+  private def blockCells(s: SparkSession, dir: String): Int = {
+    val n = corpusCount(s, dir)
+    math.min(8192, math.max(16, (n / 125L).toInt))
+  }
 
   /** Corpus with per-row norm, projected once before any pairwise stage. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -126,7 +159,7 @@ object Similarity {
     * same memos the queries consult.)
     */
   def annWarmup(s: SparkSession, dir: String): Unit = {
-    trainedCentroids(s, dir, nCells = 16).count()
+    trainedCentroids(s, dir, probeCells(s, dir)).count()
     pqCodebooks(s, dir)
     exactSampleTopK(s, dir)
     ()
@@ -200,14 +233,14 @@ object Similarity {
     Map(
       "q41_sim_topk_ivf" -> ((s, dir) =>
         ivfTopK(corpus(s, dir), querySet(s, dir),
-          trainedCentroids(s, dir, nCells = 16), TopK, nProbe = 4)),
+          trainedCentroids(s, dir, probeCells(s, dir)), TopK, nProbe = 4)),
       "q60_sim_topk_quant" -> (int8TopK _),
       "q81_sim_topk_pq" -> ((s, dir) =>
         pqTopK(corpus(s, dir), querySet(s, dir), pqCodebooks(s, dir),
           TopK, shortlist = 8 * TopK)),
       "q82_sim_topk_ivfpq" -> ((s, dir) =>
         ivfPqTopK(corpus(s, dir), querySet(s, dir),
-          trainedCentroids(s, dir, nCells = 16), pqCodebooks(s, dir),
+          trainedCentroids(s, dir, probeCells(s, dir)), pqCodebooks(s, dir),
           TopK, nProbe = 4, shortlist = 8 * TopK)))
 
   private def annStats(variant: String, res: DataFrame, s: SparkSession,
@@ -257,9 +290,19 @@ object Similarity {
   def trainCentroids(embs: DataFrame, nCells: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val unit = embs
+    val unit0 = embs
       .select(array_to_vector(
         transform(col("embedding"), x => x / col("nrm"))).as("features"))
+    // train on a BOUNDED sample (the FAISS train-on-sample rule): k-means
+    // quality needs ~tens of points per cell, not the corpus, and the
+    // adaptive cell counts above would otherwise make training cost
+    // N x cells. Deterministic seed; every standard fixture sits under
+    // the cap, so their centroids are bit-unchanged.
+    val target = math.max(25000L, 64L * nCells)
+    val n = embs.count()
+    val unit =
+      if (n <= target) unit0
+      else unit0.sample(withReplacement = false, target.toDouble / n, 42L)
     val model = new KMeans()
       .setK(nCells).setMaxIter(10).setSeed(42L).setFeaturesCol("features")
       .fit(unit)
@@ -815,7 +858,9 @@ object Similarity {
          |FROM comp c2 JOIN sized s USING (component)
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val corpus = lshCorpus(s, dir).select("vec_id", "embedding", "nrm")
-      val cents = trainedCentroids(s, dir, nCells = 16)
+      // blocking tier: constant expected cell size (N/125), so the
+      // within-cell all-pairs stage below stays linear in the corpus
+      val cents = trainedCentroids(s, dir, blockCells(s, dir))
       val assigned = ivfCells(corpus, cents, "vec_id", "embedding", "nrm",
         keep = 1)
       // materialize the blocking once and hand the SAME copy to the
