@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{EqualTo, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,10 +27,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * after which `graft.db.t` resolves through Spark's catalog paths with
   * no per-session registration: `CREATE NAMESPACE` / `CREATE TABLE` /
-  * CTAS / `INSERT INTO` / `INSERT OVERWRITE` / `SELECT` / `DELETE FROM`
-  * / `DROP` / `SHOW TABLES`, plus `VERSION AS OF` / `TIMESTAMP AS OF`
-  * time travel via the loadTable overloads. UPDATE/MERGE keep their
-  * [[TxLogSql]] spelling (which resolves catalog identifiers too) —
+  * CTAS / `INSERT INTO` / `INSERT OVERWRITE [PARTITION (p = 'x')]` (the
+  * scoped form lands as an atomic partition replace, not a full-table
+  * rewrite) / `SELECT` / `DELETE FROM` / `DROP` / `SHOW TABLES`, plus
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel via the loadTable
+  * overloads. UPDATE/MERGE and the maintenance statements (DESCRIBE
+  * HISTORY/DETAIL, VACUUM, OPTIMIZE) keep their [[TxLogSql]] spelling,
+  * which resolves catalog identifiers too —
   * Spark routes those through SupportsRowLevelOperations, a copy-on-write
   * planner the commit log implements natively and more cheaply
   * (stats-pruned rewrites, deletion vectors) than the connector rewrite.
@@ -363,7 +366,8 @@ private[lake] final class GraftCatalogTable(fullName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val m = new util.HashMap[String, String](opts.asCaseSensitiveMap())
@@ -373,17 +377,61 @@ private[lake] final class GraftCatalogTable(fullName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwriteAll = false
-      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(empty/AlwaysTrue) = whole-table replace;
+      // Some(partition equalities) = scoped replacePartitions — how
+      // `INSERT OVERWRITE t PARTITION (p = 'x')` lands as an atomic
+      // partition replace instead of a full-table rewrite
+      private var overwriteBy: Option[Array[Filter]] = None
+      override def truncate(): WriteBuilder = {
+        overwriteBy = Some(Array.empty); this
+      }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteBy = Some(filters); this
+      }
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        // only scopes the commit log can replace EXACTLY: anything it
+        // cannot re-apply verbatim is declined (Spark then reports the
+        // unsupported overwrite instead of this table replacing loosely)
+        filters.forall {
+          case _: org.apache.spark.sql.sources.AlwaysTrue => true
+          case f => GraftDataSource.toColumn(f).isDefined
+        }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit =
-              if (overwriteAll || overwrite)
-                TxLog.overwrite(spark, data, root, partitionCols)
-              else TxLog.append(spark, data, root, partitionCols)
+                                overwrite: Boolean): Unit = overwriteBy match {
+              case None =>
+                if (overwrite) TxLog.overwrite(spark, data, root, partitionCols)
+                else TxLog.append(spark, data, root, partitionCols)
+              case Some(fs0) =>
+                val fs1 = fs0.filterNot(
+                  _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+                def isPartitionEq(f: Filter) = f match {
+                  case EqualTo(a, _) =>
+                    partitionCols.exists(_.equalsIgnoreCase(a))
+                  case _ => false
+                }
+                if (fs1.isEmpty)
+                  TxLog.overwrite(spark, data, root, partitionCols)
+                else if (fs1.forall(isPartitionEq))
+                  // partition equalities: metadata-scoped atomic replace
+                  TxLog.replacePartitions(spark, data, root, fs1.collect {
+                    case EqualTo(a, v) =>
+                      partitionCols.find(_.equalsIgnoreCase(a))
+                        .getOrElse(a) -> String.valueOf(v)
+                  }.toMap)
+                else {
+                  // arbitrary translatable predicate (REPLACE WHERE /
+                  // writeTo().overwrite(cond)): the commit log's
+                  // row-scoped replace — matched files rewritten,
+                  // survivors carried over, one ACID commit
+                  val cond = fs1.toSeq.flatMap(GraftDataSource.toColumn)
+                    .reduce(_ && _)
+                  TxLog.replaceWhere(spark, data, root, cond)
+                }
+            }
           }
       }
     }

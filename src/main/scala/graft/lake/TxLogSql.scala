@@ -954,25 +954,44 @@ object TxLogSql {
   /** [[lookup]] without the failure: for statements that are also valid
     * Spark SQL and must pass through when the target is not registered.
     */
+  /** Catalog-plugin resolution shared by DML targets and maintenance
+    * identifiers: `cat.db.t` whose `cat` is a registered [[GraftCatalog]]
+    * resolves through the catalog's durable descriptors — DESCRIBE
+    * HISTORY/DETAIL, VACUUM, OPTIMIZE, UPDATE, MERGE all address catalog
+    * tables with no register() call.
+    */
+  private def catalogReg(spark: SparkSession,
+                         parts: Seq[String]): Option[(String, Registration)] =
+    if (parts.length != 3) None
+    else org.apache.spark.sql.graftnative
+      .catalogPlugin(spark, parts.head) match {
+      case Some(gc: GraftCatalog) =>
+        gc.dmlRegistration(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array(parts(1)), parts(2)))
+          .map(parts.mkString(".") -> _)
+      case _ => None
+    }
+
   private def lookupOpt(spark: SparkSession,
                         ident: String): Option[(String, Registration)] = {
-    val name = normalize(stripQuotes(ident).split('.').last)
-    registry.get((spark, name)).map(name -> _)
+    val parts = stripQuotes(ident).split('.').toSeq
+    catalogReg(spark, parts).orElse {
+      val name = normalize(parts.last)
+      registry.get((spark, name)).map(name -> _)
+    }
   }
 
   /** Registry lookup for a maintenance-statement identifier (possibly
-    * backquoted or qualified — the registry is keyed by the bare name,
-    * like [[target]] for parsed DML).
+    * backquoted, qualified, or catalog-addressed — the registry is keyed
+    * by the bare name, like [[target]] for parsed DML).
     */
   private def lookup(spark: SparkSession, ident: String,
-                     sqlText: String): (String, Registration) = {
-    val name = normalize(stripQuotes(ident).split('.').last)
-    registry.get((spark, name)) match {
-      case Some(reg) => (name, reg)
+                     sqlText: String): (String, Registration) =
+    lookupOpt(spark, ident) match {
+      case Some(hit) => hit
       case None => fail(sqlText,
         s"table '$ident' is not TxLogSql-registered; call TxLogSql.register first")
     }
-  }
 
   private def refresh(spark: SparkSession, name: String,
                       reg: Registration): Unit =
@@ -993,19 +1012,11 @@ object TxLogSql {
                         plan: LogicalPlan): Option[(String, Registration)] =
     plan match {
       case a: SubqueryAlias => targetOpt(spark, a.child)
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 3 =>
-        org.apache.spark.sql.graftnative
-          .catalogPlugin(spark, r.multipartIdentifier.head) match {
-          case Some(gc: GraftCatalog) =>
-            gc.dmlRegistration(org.apache.spark.sql.connector.catalog
-              .Identifier.of(Array(r.multipartIdentifier(1)),
-                r.multipartIdentifier(2)))
-              .map(r.multipartIdentifier.mkString(".") -> _)
-          case _ => None
-        }
       case r: UnresolvedRelation =>
-        val name = normalize(r.multipartIdentifier.last)
-        registry.get((spark, name)).map(name -> _)
+        catalogReg(spark, r.multipartIdentifier).orElse {
+          val name = normalize(r.multipartIdentifier.last)
+          registry.get((spark, name)).map(name -> _)
+        }
       case _ => None
     }
 

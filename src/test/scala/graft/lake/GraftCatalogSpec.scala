@@ -179,6 +179,61 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](s.sql("SELECT * FROM gcat.db.t").collect())
   }
 
+  test("scoped overwrites through the catalog replace ONLY their scope, atomically") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, part STRING) USING graft " +
+      "PARTITIONED BY (part)")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'p1'), (2, 'p1'), (3, 'p2')")
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/db/t"
+    val vBefore = TxLog.currentVersion(s, root).get
+
+    // native SQL scoped replace: REPLACE WHERE plans OverwriteByExpression
+    // whose predicate the write builder routes to the commit log's
+    // partition-scoped replace — p1 rewritten, p2 untouched, ONE commit
+    s.sql("INSERT INTO gcat.db.t REPLACE WHERE part = 'p1' " +
+      "SELECT 9, 'p1'")
+    s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
+      .collect().toSeq shouldBe Seq(3L, 9L)
+    TxLog.currentVersion(s, root).get shouldBe vBefore + 1
+    TxLog.history(s, root).last.operation shouldBe "overwrite_partitions"
+
+    // DataFrameWriterV2: df.writeTo(t).overwrite(cond), same routing
+    s.createDataFrame(Seq((8L, "p2"))).toDF("id", "part")
+      .writeTo("gcat.db.t").overwrite(col("part") === "p2")
+    s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
+      .collect().toSeq shouldBe Seq(8L, 9L)
+
+    // the INSERT OVERWRITE ... PARTITION spelling: Spark's V2Writes
+    // cannot translate the cast-wrapped static value (pre-folding), so
+    // that SQL shape goes through TxLogSql.run — same scoped commit
+    TxLogSql.run(s,
+      "INSERT OVERWRITE gcat.db.t PARTITION (part = 'p2') SELECT 10")
+    s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
+      .collect().toSeq shouldBe Seq(9L, 10L)
+
+    // a row escaping the REPLACE WHERE scope is refused, not replaced in
+    intercept[Exception](s.sql(
+      "INSERT INTO gcat.db.t REPLACE WHERE part = 'p1' SELECT 11, 'p9'"))
+
+    // unscoped INSERT OVERWRITE still replaces the whole table
+    s.sql("INSERT OVERWRITE gcat.db.t VALUES (7, 'p7')")
+    s.sql("SELECT id FROM gcat.db.t").as[Long].collect().toSeq shouldBe Seq(7L)
+  }
+
+  test("maintenance statements address catalog tables: DESCRIBE HISTORY / DETAIL via TxLogSql.run") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT) USING graft")
+    s.sql("INSERT INTO gcat.db.t VALUES (1), (2)")
+    val hist = TxLogSql.run(s, "DESCRIBE HISTORY gcat.db.t")
+    hist.select("version").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 1L)
+    hist.select("operation").as[String].collect().toSet shouldBe
+      Set("append")
+    val detail = TxLogSql.run(s, "DESCRIBE DETAIL gcat.db.t")
+    detail.select("num_files").as[Long].head() should be >= 1L
+  }
+
   test("catalog reads reach the pruning and metadata-aggregate tiers") {
     val s = sessionWithCatalog(freshWarehouse())
     s.sql("CREATE NAMESPACE gcat.db")
