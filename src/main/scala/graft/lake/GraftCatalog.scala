@@ -54,7 +54,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
-  private var spark: SparkSession = _
+
+  // resolved PER CALL, not captured at initialize: the plugin is
+  // instantiated lazily by whichever thread first references the
+  // catalog, and a captured session would pin every later operation —
+  // possibly issued from another thread or a cloned session — to it
+  private def spark: SparkSession = SparkSession.active
 
   private val DbMarker = "_graft_db.json"
   private val TableMarker = "_graft_table.json"
@@ -62,7 +67,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    spark = SparkSession.active
     warehouse = Option(options.get("warehouse"))
       .map(_.stripSuffix("/"))
       .getOrElse(throw new IllegalArgumentException(

@@ -24,7 +24,11 @@ import org.apache.spark.sql.graftnative.{parsePlan, planToDf, toColumn}
   * Usage: [[register]] a table once (name -> log root + layout); the name
   * then works in DML text AND as a `spark.sql` view for reads. Each
   * successful statement commits ONE TxLog version and re-registers the
-  * read view at the new snapshot.
+  * read view at the new snapshot. Catalog-qualified identifiers
+  * (`cat.db.t` where `cat` is a [[GraftCatalog]]) need NO registration:
+  * DML targets and maintenance identifiers both resolve through the
+  * catalog's durable descriptors, and reads go through the catalog
+  * itself.
   *
   * Supported shapes (the commit log's row-level semantics):
   *   - `INSERT INTO t SELECT ...` / `INSERT OVERWRITE t SELECT ...`

@@ -234,6 +234,30 @@ class GraftCatalogSpec extends SparkSpec {
     detail.select("num_files").as[Long].head() should be >= 1L
   }
 
+  test("concurrent INSERTs through the catalog surface race correctly: contiguous versions, no lost rows") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (w STRING, seq BIGINT) USING graft")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 3).foreach { seq =>
+          s.sql(s"INSERT INTO gcat.db.t VALUES ('w$w', $seq)")
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    errs.isEmpty shouldBe true
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/db/t"
+    // v0 (create) + 12 inserts, a contiguous chain — catalog resolution
+    // adds no second commit arbiter to drift from the log's own
+    TxLog.history(s, root).map(_.version) shouldBe (0L to 12L)
+    s.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0) shouldBe 12L
+    s.createDataFrame((0 until 4).flatMap(w => (0 until 3)
+      .map(seq => (s"w$w", seq.toLong)))).toDF("w", "seq")
+      .except(s.table("gcat.db.t")).count() shouldBe 0L
+  }
+
   test("catalog reads reach the pruning and metadata-aggregate tiers") {
     val s = sessionWithCatalog(freshWarehouse())
     s.sql("CREATE NAMESPACE gcat.db")
