@@ -31,12 +31,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scoped form lands as an atomic partition replace, not a full-table
   * rewrite) / `SELECT` / `DELETE FROM` / `DROP` / `SHOW TABLES`, plus
   * `VERSION AS OF` / `TIMESTAMP AS OF` time travel via the loadTable
-  * overloads. UPDATE/MERGE and the maintenance statements (DESCRIBE
-  * HISTORY/DETAIL, VACUUM, OPTIMIZE) keep their [[TxLogSql]] spelling,
-  * which resolves catalog identifiers too —
-  * Spark routes those through SupportsRowLevelOperations, a copy-on-write
-  * planner the commit log implements natively and more cheaply
-  * (stats-pruned rewrites, deletion vectors) than the connector rewrite.
+  * overloads. With the engine's extensions on
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `GraftExtensions.register(spark)` at runtime) plain `spark.sql`
+  * UPDATE / MERGE / arbitrary-predicate DELETE also execute natively:
+  * [[GraftDmlStrategy]] claims those plans and runs the commit log's
+  * row-level commits — stats-pruned rewrites or deletion vectors,
+  * cheaper than the SupportsRowLevelOperations connector rewrite Spark
+  * would otherwise demand. Without extensions they keep the
+  * [[TxLogSql]] spelling, which resolves catalog identifiers too (as do
+  * the maintenance statements: DESCRIBE HISTORY/DETAIL, VACUUM,
+  * OPTIMIZE).
   *
   * Durability is the WAREHOUSE ITSELF, not a driver-side registry: a
   * namespace is a directory holding a `_graft_db.json` marker, a table
@@ -356,6 +361,11 @@ private[lake] final class GraftCatalogTable(fullName: String,
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
+
+  // the DML strategy's seam (graft.lake is private; the strategy is
+  // injected from graft.plans)
+  private[graft] def txRoot: String = root
+  private[graft] def txPartitionCols: Seq[String] = partitionCols
 
   override def name(): String = fullName
 

@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analog, serverless.yml:422) — enforced at query-stage preparation
     // when spark.graft.scanBudget.bytes is set
     ext.injectQueryStagePrepRule(ScanBudgetRule.apply)
+    // SQL UPDATE/MERGE/DELETE on GraftCatalog tables: injected strategies
+    // run before the built-ins, so these plans execute as the commit
+    // log's own row-level commits instead of the planner's
+    // "does not support UPDATE TABLE" refusal
+    ext.injectPlannerStrategy(_ => graft.lake.GraftDmlStrategy)
   }
 }
 
@@ -38,11 +43,17 @@ object GraftExtensions {
     * that didn't control the builder); cluster jobs should prefer
     * `spark.sql.extensions=graft.plans.GraftExtensions`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, i, builder) =>
       org.apache.spark.sql.graftnative.registerFunction(
         spark, FunctionIdentifier(name), i, builder)
     }
+    // the runtime twin of injectPlannerStrategy (idempotent)
+    if (!spark.experimental.extraStrategies
+        .contains(graft.lake.GraftDmlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.lake.GraftDmlStrategy
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

@@ -234,6 +234,48 @@ class GraftCatalogSpec extends SparkSpec {
     detail.select("num_files").as[Long].head() should be >= 1L
   }
 
+  test("native spark.sql UPDATE / MERGE / DELETE via the injected DML strategy") {
+    val s = sessionWithCatalog(freshWarehouse())
+    graft.plans.GraftExtensions.register(s) // extraStrategies, runtime twin
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (k BIGINT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    // UPDATE with an expression SET and predicate — plain spark.sql, no
+    // TxLogSql spelling, no registration
+    s.sql("UPDATE gcat.db.t SET v = upper(v) WHERE k >= 2")
+    s.sql("SELECT v FROM gcat.db.t ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("a", "B", "C")
+
+    // MERGE: whole-row upsert by key through the same strategy
+    s.createDataFrame(Seq((3L, "cc"), (4L, "d"))).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    s.sql("""MERGE INTO gcat.db.t t USING m_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT v FROM gcat.db.t ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("a", "B", "cc", "d")
+
+    // DELETE with a predicate SupportsDelete cannot translate (modulo):
+    // the strategy preempts the connector path and runs TxLog.delete
+    s.sql("DELETE FROM gcat.db.t WHERE k % 2 = 0")
+    s.sql("SELECT k FROM gcat.db.t ORDER BY k").as[Long]
+      .collect().toSeq shouldBe Seq(1L, 3L)
+
+    // a subquery predicate cannot re-bind against the snapshot frame —
+    // refused loudly, never mis-evaluated
+    intercept[Exception](s.sql(
+      "UPDATE gcat.db.t SET v = 'x' WHERE k IN (SELECT k FROM m_src)"))
+
+    // vector mode rides the same conf as the TxLogSql path
+    s.conf.set("spark.graft.update.mode", "vector")
+    try {
+      s.sql("UPDATE gcat.db.t SET v = 'z' WHERE k = 1")
+      s.sql("SELECT v FROM gcat.db.t WHERE k = 1").as[String]
+        .head() shouldBe "z"
+    } finally s.conf.unset("spark.graft.update.mode")
+  }
+
   test("concurrent INSERTs through the catalog surface race correctly: contiguous versions, no lost rows") {
     val s = sessionWithCatalog(freshWarehouse())
     s.sql("CREATE NAMESPACE gcat.db")
