@@ -1573,6 +1573,67 @@ object Lake {
               |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // SQL row-level DML on a CATALOG table through the injected planner
+    // strategy (GraftDmlStrategy via GraftExtensions): plain `spark.sql`
+    // UPDATE (expression SET, modular predicate) then MERGE (whole-row
+    // upsert by key, matched updates + fresh inserts) execute as the
+    // commit log's own row-level commits — the statements Spark's
+    // planner refuses on tables without the SupportsRowLevelOperations
+    // connector rewrite. The oracle REPLAYS both statements'
+    // set-semantics in DuckDB over the raw parquet and pins the final
+    // aggregate: the strategy's rewrites lose and invent nothing.
+    QDef(
+      "q122_catalog_dml",
+      """WITH t0 AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |                   CAST(o_totalprice AS DOUBLE) AS price
+        |            FROM orders),
+        |t1 AS (SELECT k, prio,
+        |              CASE WHEN k % 3 = 0 THEN price * 1.1 ELSE price END
+        |                AS price
+        |       FROM t0),
+        |ups AS (SELECT k, 'MERGED' AS prio, 0.0 AS price FROM t0
+        |        WHERE k % 7 = 0
+        |        UNION ALL
+        |        SELECT k + 10000000, 'MERGED', 1.0 FROM t0
+        |        WHERE k % 11 = 0),
+        |t2 AS (SELECT * FROM t1 WHERE k NOT IN (SELECT k FROM ups)
+        |       UNION ALL SELECT * FROM ups)
+        |SELECT prio, count(*) AS n_rows,
+        |       min(k) AS min_key, max(k) AS max_key,
+        |       count(*) FILTER (WHERE price > 30000) AS n_big
+        |FROM t2 GROUP BY prio ORDER BY prio""".stripMargin) { (s, dir) =>
+      val wh = Tables.scratch(dir, "cat_dml_wh")
+      val whPath = new Path(wh)
+      val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.delete(whPath, true)
+      s.conf.set("spark.sql.catalog.gq122",
+        classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq122.warehouse", wh)
+      graft.plans.GraftExtensions.register(s)
+      s.sql("CREATE NAMESPACE gq122.lake")
+      t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("q122_src")
+      s.sql("CREATE TABLE gq122.lake.t USING graft AS " +
+        "SELECT * FROM q122_src")
+      s.sql("UPDATE gq122.lake.t SET price = price * 1.1 WHERE k % 3 = 0")
+      s.sql("""SELECT k, 'MERGED' AS prio, CAST(0.0 AS DOUBLE) AS price
+              |FROM q122_src WHERE k % 7 = 0
+              |UNION ALL
+              |SELECT k + 10000000, 'MERGED', CAST(1.0 AS DOUBLE)
+              |FROM q122_src WHERE k % 11 = 0""".stripMargin)
+        .createOrReplaceTempView("q122_ups")
+      s.sql("""MERGE INTO gq122.lake.t t USING q122_ups s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT prio, count(*) AS n_rows,
+              |       min(k) AS min_key, max(k) AS max_key,
+              |       count(CASE WHEN price > 30000 THEN 1 END) AS n_big
+              |FROM gq122.lake.t GROUP BY prio ORDER BY prio""".stripMargin)
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every
