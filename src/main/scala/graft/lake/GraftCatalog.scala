@@ -182,13 +182,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   /** The durable descriptor: write layout + properties + where the commit
-    * log lives (absent location = managed, the table dir itself).
+    * log lives (absent location = managed, the table dir itself). The
+    * `graft.statsCols` property (comma list, settable at CREATE or via
+    * SET TBLPROPERTIES) opts the table's writes into per-file skipping
+    * stats — what makes the pruning and metadata-aggregate tiers engage
+    * on catalog-authored tables.
     */
   private case class Descriptor(location: Option[String],
                                 partitionCols: Seq[String],
                                 properties: Map[String, String]) {
     def root(ident: Identifier): String =
       location.getOrElse(tableDir(ident).toString)
+    def statsCols: Seq[String] = properties.get(GraftCatalog.StatsColsProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
   }
 
   private def readDescriptor(ident: Identifier): Descriptor = {
@@ -225,7 +232,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // per statement, so the next statement follows new commits.
     val pinned = asOf.orElse(TxLog.currentVersion(spark, root))
     new GraftCatalogTable(s"$catalogName.${ident.namespace().head}." +
-      ident.name(), root, pinned, d.partitionCols, d.properties)
+      ident.name(), root, pinned, d.partitionCols, d.statsCols,
+      d.properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -247,43 +255,74 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       "option.path", "path")
     val root = location.getOrElse(tableDir(ident).toString)
-    // the first commit carries the declared schema: an empty append is a
-    // schema-bearing version 0, so a later INSERT evolves/validates
-    // through TxLog.append's own schema policy. An EXTERNAL location that
-    // already holds a committed table is adopted as-is (the register-
-    // existing-data path, utils.py:72-83's role).
-    if (TxLog.currentVersion(spark, root).isEmpty)
-      TxLog.append(spark,
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        root, partitionCols)
+    // marker FIRST (create-without-overwrite is the atomic claim): a
+    // racing CREATE of the same name fails here before touching any
+    // commit log — committing first would let the loser's
+    // schema-bearing append land in the WINNER's table history. A crash
+    // after the claim leaves a committed-state-less entry that reads
+    // fail on loudly and DROP removes; never a polluted log.
     val desc = Map("partitionCols" -> partitionCols.mkString(",")) ++
       location.map("location" -> _) ++ kept
     writeUtf8(new Path(tableDir(ident), TableMarker),
       graft.Json.renderStringMap(desc), overwrite = false)
+    // the first commit carries the declared schema with ZERO data files
+    // (the Delta CREATE shape): an empty DataFrame append would commit
+    // one stats-less empty part file, permanently disqualifying the
+    // table from the metadata-only COUNT/MIN/MAX tier (which requires
+    // EVERY live file to carry the stat). Later INSERTs evolve/validate
+    // through TxLog.append's own schema policy; partition columns are
+    // derived from their committed paths. An EXTERNAL location that
+    // already holds a committed table is adopted as-is (the register-
+    // existing-data path, utils.py:72-83's role).
+    try {
+      if (TxLog.currentVersion(spark, root).isEmpty)
+        TxLog.commitMetadataOnly(spark, root, Seq.empty, Map.empty,
+          schema.toDDL)
+    } catch {
+      case t: Throwable =>
+        // undo the claim so a corrected CREATE can retry cleanly
+        try {
+          fs(tableDir(ident)).delete(
+            new Path(tableDir(ident), TableMarker), false); ()
+        } catch { case u: Throwable => t.addSuppressed(u) }
+        throw t
+    }
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = readDescriptor(ident)
     val root = d.root(ident)
-    changes.foreach {
-      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+    // property changes FOLD across the statement (a multi-property SET
+    // TBLPROPERTIES is one alterTable call with several changes — a
+    // per-change marker write from the pre-statement descriptor would
+    // keep only the last) and land as ONE marker write
+    val updatedProps = changes.foldLeft(d.properties) {
+      case (props, set: TableChange.SetProperty) =>
+        props + (set.property() -> set.value())
+      case (props, rm: TableChange.RemoveProperty) => props - rm.property()
+      case (props, add: TableChange.AddColumn)
+          if add.fieldNames().length == 1 =>
         TxLog.addColumns(spark, root,
           Seq(add.fieldNames()(0) -> add.dataType().sql))
-      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        props
+      case (props, rn: TableChange.RenameColumn)
+          if rn.fieldNames().length == 1 =>
         TxLog.renameColumn(spark, root, rn.fieldNames()(0), rn.newName())
-      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        props
+      case (props, del: TableChange.DeleteColumn)
+          if del.fieldNames().length == 1 =>
         TxLog.dropColumns(spark, root, Seq(del.fieldNames()(0)))
-      case set: TableChange.SetProperty =>
-        val desc = Map("partitionCols" -> d.partitionCols.mkString(",")) ++
-          d.location.map("location" -> _) ++
-          (d.properties + (set.property() -> set.value()))
-        writeUtf8(new Path(tableDir(ident), TableMarker),
-          graft.Json.renderStringMap(desc), overwrite = true)
-      case other => throw new UnsupportedOperationException(
+        props
+      case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — column type " +
           "changes go through TxLog.alterColumnType (lossless widenings)")
+    }
+    if (updatedProps != d.properties) {
+      val desc = Map("partitionCols" -> d.partitionCols.mkString(",")) ++
+        d.location.map("location" -> _) ++ updatedProps
+      writeUtf8(new Path(tableDir(ident), TableMarker),
+        graft.Json.renderStringMap(desc), overwrite = true)
     }
     loadTable(ident)
   }
@@ -327,7 +366,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) None
     else {
       val d = readDescriptor(ident)
-      Some(TxLogSql.Registration(d.root(ident), d.partitionCols, Seq.empty))
+      Some(TxLogSql.Registration(d.root(ident), d.partitionCols,
+        d.statsCols))
     }
 
   // ---- small durable-marker IO ----------------------------------------
@@ -357,6 +397,7 @@ private[lake] final class GraftCatalogTable(fullName: String,
                                             root: String,
                                             pinnedVersion: Option[Long],
                                             partitionCols: Seq[String],
+                                            statsCols: Seq[String],
                                             props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
@@ -366,6 +407,7 @@ private[lake] final class GraftCatalogTable(fullName: String,
   // injected from graft.plans)
   private[graft] def txRoot: String = root
   private[graft] def txPartitionCols: Seq[String] = partitionCols
+  private[graft] def txStatsCols: Seq[String] = statsCols
 
   override def name(): String = fullName
 
@@ -417,8 +459,9 @@ private[lake] final class GraftCatalogTable(fullName: String,
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = overwriteBy match {
               case None =>
-                if (overwrite) TxLog.overwrite(spark, data, root, partitionCols)
-                else TxLog.append(spark, data, root, partitionCols)
+                if (overwrite)
+                  TxLog.overwrite(spark, data, root, partitionCols, statsCols)
+                else TxLog.append(spark, data, root, partitionCols, statsCols)
               case Some(fs0) =>
                 val fs1 = fs0.filterNot(
                   _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
@@ -428,22 +471,23 @@ private[lake] final class GraftCatalogTable(fullName: String,
                   case _ => false
                 }
                 if (fs1.isEmpty)
-                  TxLog.overwrite(spark, data, root, partitionCols)
+                  TxLog.overwrite(spark, data, root, partitionCols, statsCols)
                 else if (fs1.forall(isPartitionEq))
                   // partition equalities: metadata-scoped atomic replace
                   TxLog.replacePartitions(spark, data, root, fs1.collect {
                     case EqualTo(a, v) =>
                       partitionCols.find(_.equalsIgnoreCase(a))
                         .getOrElse(a) -> String.valueOf(v)
-                  }.toMap)
+                  }.toMap, statsCols)
                 else {
                   // arbitrary translatable predicate (REPLACE WHERE /
                   // writeTo().overwrite(cond)): the commit log's
                   // row-scoped replace — matched files rewritten,
                   // survivors carried over, one ACID commit
-                  val cond = fs1.toSeq.flatMap(GraftDataSource.toColumn)
+                  val cond = fs1.toSeq
+                    .map(GraftCatalog.exactColumn(_, "overwrite"))
                     .reduce(_ && _)
-                  TxLog.replaceWhere(spark, data, root, cond)
+                  TxLog.replaceWhere(spark, data, root, cond, statsCols)
                 }
             }
           }
@@ -457,9 +501,27 @@ private[lake] final class GraftCatalogTable(fullName: String,
     filters.forall(f => GraftDataSource.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.toSeq.flatMap(GraftDataSource.toColumn)
+    // every conjunct must translate EXACTLY — canDeleteWhere gated this,
+    // but dropping an untranslatable filter here would widen the delete
+    // scope silently if any caller ever bypasses the gate
+    val cond = filters.toSeq
+      .map(GraftCatalog.exactColumn(_, "DELETE"))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    TxLog.delete(spark, root, cond)
+    TxLog.delete(spark, root, cond, statsCols)
   }
+}
+
+private[graft] object GraftCatalog {
+
+  /** Table property opting writes into per-file skipping stats (comma
+    * list of columns): `TBLPROPERTIES ('graft.statsCols' = 'k,price')`.
+    */
+  val StatsColsProp = "graft.statsCols"
+
+  private[lake] def exactColumn(f: Filter,
+                                what: String): org.apache.spark.sql.Column =
+    GraftDataSource.toColumn(f).getOrElse(throw new IllegalStateException(
+      s"graft catalog: $what filter $f is not exactly translatable — " +
+        "refusing to widen the scope"))
 }

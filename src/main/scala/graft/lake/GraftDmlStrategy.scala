@@ -103,8 +103,10 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
     }.toMap
     require(set.size == u.assignments.size, "duplicate SET column in UPDATE")
     spark.conf.getOption("spark.graft.update.mode").getOrElse("rewrite") match {
-      case "vector"  => TxLog.updateVectored(spark, t.txRoot, cond, set)
-      case "rewrite" => TxLog.update(spark, t.txRoot, cond, set)
+      case "vector"  =>
+        TxLog.updateVectored(spark, t.txRoot, cond, set, t.txStatsCols)
+      case "rewrite" =>
+        TxLog.update(spark, t.txRoot, cond, set, t.txStatsCols)
       case other => throw new IllegalArgumentException(
         s"unknown spark.graft.update.mode '$other' (rewrite|vector)")
     }
@@ -115,7 +117,7 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
     val cond = unresolve(d.condition, "DELETE WHERE")
     spark.conf.getOption("spark.graft.delete.mode").getOrElse("rewrite") match {
       case "vector"  => TxLog.deleteVectored(spark, t.txRoot, cond)
-      case "rewrite" => TxLog.delete(spark, t.txRoot, cond)
+      case "rewrite" => TxLog.delete(spark, t.txRoot, cond, t.txStatsCols)
       case other => throw new IllegalArgumentException(
         s"unknown spark.graft.delete.mode '$other' (rewrite|vector)")
     }
@@ -129,7 +131,11 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
     // (clause conditions or partial-column actions are not this shape)
     def wholeRow(asgn: Seq[Assignment], clause: String): Unit =
       asgn.foreach { a =>
-        val ok = a.value match {
+        // stripCast: star expansion wraps a type-coerced source column
+        // in a Cast (e.g. INT source onto BIGINT target) — still the
+        // user's literal `UPDATE SET *`, accepted (TxLog.merge applies
+        // the committed schema's store-assignment casts itself)
+        val ok = stripCast(a.value) match {
           case v: AttributeReference =>
             v.name.equalsIgnoreCase(keyName(a.key, clause))
           case _ => false
@@ -151,20 +157,33 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
     if (m.notMatchedBySourceActions.nonEmpty)
       throw new IllegalArgumentException(
         "WHEN NOT MATCHED BY SOURCE is not supported")
-    val keys = splitConjuncts(m.mergeCondition).map {
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if l.name.equalsIgnoreCase(r.name) => l.name
-      case other => throw new IllegalArgumentException(
+    val keys = splitConjuncts(m.mergeCondition).map { c =>
+      // casts stripped on both sides: type coercion wraps a narrower
+      // key column, but the user's condition is still t.k = s.k
+      (c match {
+        case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if a.name.equalsIgnoreCase(b.name) => Some(a.name)
+          case _ => None
+        }
+        case _ => None
+      }).getOrElse(throw new IllegalArgumentException(
         s"MERGE ON must be a conjunction of t.k = s.k equalities over " +
-          s"the same column name; got: ${other.sql}")
+          s"the same column name; got: ${c.sql}"))
     }.distinct
     TxLog.merge(spark, planToDf(spark, m.sourceTable), t.txRoot, keys,
-      t.txPartitionCols)
+      t.txPartitionCols, t.txStatsCols)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case leaf => Seq(leaf)
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      stripCast(c.child)
+    case other => other
   }
 
   private def keyName(e: Expression, what: String): String = e match {

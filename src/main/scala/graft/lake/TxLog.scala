@@ -428,11 +428,26 @@ object TxLog {
         val tail = committedProject(spark, root, afterVersion = ckptV)(
           histRowOf)
         lastHistorySource = Some((ckptV, tail.size))
-        rows ++ tail
+        contiguousSuffix(rows ++ tail)
       case None =>
         val all = committedProject(spark, root)(histRowOf)
         lastHistorySource = Some((-1L, all.size))
         all
+    }
+
+  /** Commits form a contiguous version chain, so a GAP inside a combined
+    * summary (a sidecar-less newer checkpoint whose raw range was
+    * vacuumed; a retainEntries cap) marks versions whose history is not
+    * recoverable — and serving rows BELOW such a gap would let
+    * versionAtTimestamp resolve an instant INSIDE it to the wrong
+    * version silently. Keep the contiguous suffix: older instants then
+    * fail with the honest predates-the-earliest error, exactly like a
+    * vacuumed pre-sidecar log.
+    */
+  private def contiguousSuffix(rows: Seq[HistRow]): Seq[HistRow] =
+    rows.foldLeft(Vector.empty[HistRow]) { (acc, h) =>
+      if (acc.nonEmpty && h.version != acc.last.version + 1) Vector(h)
+      else acc :+ h
     }
 
   /** DESCRIBE HISTORY's rows — (version, operation, timestampMs, files
@@ -4188,7 +4203,11 @@ object TxLog {
         // is the checkpoint dir's FILE NAMES (parquet part names embed
         // job UUIDs) — the same content identity the base-snapshot
         // cache uses, because an mtime+length stat can miss a
-        // delete-and-recreate at the same path on coarse-mtime stores
+        // delete-and-recreate at the same path on coarse-mtime stores.
+        // Cost accounting: a checkpoint dir holds ~1 part per 65k files
+        // (~160 at 10M), so this is ONE single-page LIST round trip —
+        // the same order as the getFileStatus it replaced, bought for a
+        // sound identity; only a table past ~65M live files would page
         val hp = new Path(ckptPathV2(root, v), CkptMetaName)
         val dirNames = fs.listStatus(ckptPathV2(root, v))
           .map(_.getPath.getName).sorted.mkString("\n")
@@ -5289,7 +5308,10 @@ object TxLog {
     }
     val tail = historyProject(spark, root, afterVersion = baseV)(histRowOf)
       .collect { case (_, Some(h)) if h.version <= upTo => h }
-    val all = carried ++ tail
+    // a gap (vacuumed range under a sidecar-less checkpoint) must not
+    // chain forward — the sidecar records only what is contiguous with
+    // this checkpoint's version
+    val all = contiguousSuffix(carried ++ tail)
     val keep = historyRetain(spark)
     if (all.size > keep) all.takeRight(keep) else all
   }

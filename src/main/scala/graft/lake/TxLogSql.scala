@@ -971,8 +971,17 @@ object TxLogSql {
       .catalogPlugin(spark, parts.head) match {
       case Some(gc: GraftCatalog) =>
         gc.dmlRegistration(org.apache.spark.sql.connector.catalog.Identifier
-            .of(Array(parts(1)), parts(2)))
-          .map(parts.mkString(".") -> _)
+            .of(Array(parts(1)), parts(2))) match {
+          case Some(reg) => Some(parts.mkString(".") -> reg)
+          case None =>
+            // the head names a REAL graft catalog: a missing table must
+            // fail HERE — falling back to the bare-name session registry
+            // would silently run the statement against a different table
+            // than the one the user explicitly addressed
+            throw new IllegalArgumentException(
+              s"table ${parts.mkString(".")} does not exist in graft " +
+                s"catalog '${parts.head}'")
+        }
       case _ => None
     }
 

@@ -276,6 +276,61 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.update.mode")
   }
 
+  test("a multi-property SET TBLPROPERTIES persists every property; a graft.statsCols property makes catalog writes stats-bearing") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (k BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('graft.statsCols' = 'k')")
+    // one ALTER, several changes: all must land (folded, one marker write)
+    s.sql("ALTER TABLE gcat.db.t SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
+    val props = s.sql("SHOW TBLPROPERTIES gcat.db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("a") shouldBe Some("1")
+    props.get("b") shouldBe Some("2")
+    props.get("graft.statsCols") shouldBe Some("k")
+
+    // statsCols flow into catalog-authored writes: the metadata
+    // aggregate tier engages with NO externally-written log
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'x'), (9, 'y')")
+    GraftDataSource.lastAggPushdown = None
+    val row = s.sql("SELECT count(*), min(k), max(k) FROM gcat.db.t").head()
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe (2L, 1L, 9L)
+    GraftDataSource.lastAggPushdown shouldBe
+      Some("COUNT(*), MIN(k), MAX(k)")
+  }
+
+  test("a missing table under a REAL graft catalog fails loudly — never retargets a same-named session registration") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    // a bare-name registration that a silent fallback would have hit
+    val decoy = java.nio.file.Files.createTempDirectory("graft-decoy").toString
+    s.createDataFrame(Seq((1L, "keep"))).toDF("k", "v")
+      .write.format("graft").save(decoy)
+    TxLogSql.register(s, "t", decoy)
+    val e = intercept[IllegalArgumentException](
+      TxLogSql.run(s, "DELETE FROM gcat.db.t WHERE k = 1"))
+    e.getMessage should include("does not exist in graft catalog")
+    TxLog.readLatest(s, decoy).count() shouldBe 1L // untouched
+  }
+
+  test("MERGE through the strategy survives type coercion on the key and star columns") {
+    val s = sessionWithCatalog(freshWarehouse())
+    graft.plans.GraftExtensions.register(s)
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (k BIGINT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'a'), (2, 'b')")
+    // INT source key/values onto a BIGINT target: the analyzer wraps the
+    // source columns in casts when expanding SET * / INSERT * — still
+    // the user's literal star merge, must be accepted
+    s.createDataFrame(Seq((2, "bb"), (3, "c"))).toDF("k", "v")
+      .createOrReplaceTempView("m_int_src")
+    s.sql("""MERGE INTO gcat.db.t t USING m_int_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT v FROM gcat.db.t ORDER BY k").as[String]
+      .collect().toSeq shouldBe Seq("a", "bb", "c")
+  }
+
   test("concurrent INSERTs through the catalog surface race correctly: contiguous versions, no lost rows") {
     val s = sessionWithCatalog(freshWarehouse())
     s.sql("CREATE NAMESPACE gcat.db")
