@@ -459,6 +459,37 @@ class TxLogMetaDistribSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.history.retainEntries")
   }
 
+  test("a vacuumed gap under a sidecar-less checkpoint degrades history " +
+      "to the contiguous suffix — never a wrong version for an instant " +
+      "inside the gap") {
+    val root = tmpRoot()
+    ckptTable(root)                                              // ckpt@2
+    val full = TxLog.historySummary(spark, root)
+    TxLog.append(spark, Seq((7L, "g")).toDF("id", "s"), root)    // v3
+    TxLog.append(spark, Seq((8L, "h")).toDF("id", "s"), root)    // v4
+    TxLog.checkpoint(spark, root) shouldBe Some(4L)              // ckpt@4
+    // simulate an OLDER writer's checkpoint: strip ckpt@4's sidecar
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist4 = new org.apache.hadoop.fs.Path(
+      f"$root/_txlog/${4L}%020d.checkpoint.parquet/_history.json")
+    fs.delete(hist4, false) shouldBe true
+    // vacuum to ckpt@4: raw entries v0..v4 gone; the newest SIDECAR is
+    // ckpt@2's, which cannot cover v3..v4 — a gap
+    TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
+    TxLog.append(spark, Seq((9L, "i")).toDF("id", "s"), root)    // v5
+    // the summary serves only the contiguous suffix (v4 survives the
+    // vacuum as the checkpointed version's entry, then v5) — never
+    // ckpt@2's rows with a silent hole at v3
+    TxLog.historySummary(spark, root).map(_._1) shouldBe Seq(4L, 5L)
+    // an instant inside the unrecoverable range fails HONESTLY — the
+    // pre-contiguity code resolved it to v2, a wrong snapshot
+    val ts1 = full.find(_._1 == 1L).get._3
+    val e = intercept[IllegalArgumentException](
+      TxLog.versionAtTimestamp(spark, root, ts1))
+    e.getMessage should include("predates")
+  }
+
   test("historySummary is history's projection exactly — same rows, " +
       "without retaining the commits' file lists") {
     val root = tmpRoot()
