@@ -777,19 +777,43 @@ object TxLog {
   private final class AlreadyCommitted(val watermark: Long) extends Exception
 
   /** The table's version as seen inside a [[commitLoop]] delta callback —
-    * the raw tail's last version, falling back to checkpoint-aware
-    * resolution when the tail is EMPTY (a checkpoint-truncated log, which
-    * readers and commitLoop both support). Read-modify-write operations
-    * compare this against the version their rewrite was computed from;
-    * comparing the raw tail alone would make every such commit on a
-    * truncated log fail "conflicted" forever.
+    * the NEWER of the raw tail's last version and the attempt's resolved
+    * scalars, falling back to checkpoint-aware resolution when both are
+    * absent (a checkpoint-truncated log outside a loop). Read-modify-write
+    * operations compare this against the version their rewrite was
+    * computed from.
+    *
+    * MAX, not tail-first: the two sources come from SEPARATE listings —
+    * the raw tail at loop entry ([[commitLoop]] line order), the scalars
+    * inside [[resolveMeta]] a few calls later — so a concurrent commit
+    * can land between them. A tail-first read let a stale-base write
+    * whose VERSION computation (which already takes the max of both)
+    * saw the interloper pass this fence and claim a FRESH version: a
+    * concurrent `deleteVectored`'s cumulative sidecar ref then silently
+    * clobbered the interleaved winner's, un-deleting its rows. With the
+    * max, any commit that lands before the attempt's meta resolve trips
+    * the fence, and any commit that lands after it collides with this
+    * attempt's claim target (version = max + 1) — no window remains.
     */
   private def tailVersion(spark: SparkSession, root: String,
-                          commits: Seq[Commit]): Option[Long] =
-    commits.lastOption.map(_.version)
-      .orElse(Option(commitScalars.get).map(_.version))
+                          commits: Seq[Commit]): Option[Long] = {
+    val tail = commits.lastOption.map(_.version)
+    val scalars = Option(commitScalars.get).map(_.version)
+    (tail ++ scalars).maxOption
       .orElse(scala.util.Try(resolveScalars(spark, root)).toOption
         .map(_.version))
+  }
+
+  /** Test seams: deterministic pause points inside [[commitLoop]] —
+    * `commitListPause` fires after the attempt's raw-tail listing and
+    * BEFORE its meta resolve; `commitClaimPause` fires after the delta
+    * (fences included) and right BEFORE the version claim. Specs install
+    * hooks here to drive exact interleavings of the two windows a
+    * concurrent commit can land in, instead of rolling CyclicBarrier
+    * dice. Both default to no-ops and are never set outside tests.
+    */
+  @volatile private[lake] var commitListPause: String => Unit = _ => ()
+  @volatile private[lake] var commitClaimPause: String => Unit = _ => ()
 
   private def commitLoop(spark: SparkSession, root: String, operation: String,
                          partitionCols: Seq[String],
@@ -868,6 +892,7 @@ object TxLog {
               "`REPAIR LOG <table>` to quarantine the dead claim)")
       } else {
         val commits = raw.map(_._2.get)
+        commitListPause(root)
         // current state through CHECKPOINT-AWARE resolution: raw commit
         // replay would silently miss pre-checkpoint state on a log whose
         // old entries were truncated (which readers support) — and the
@@ -988,6 +1013,7 @@ object TxLog {
           consAdd, consDrop, dv, dvDrop, metrics, schemaDrop, renames)
         val p = logPath(root, version)
         fs.mkdirs(p.getParent)
+        commitClaimPause(root)
         if (CommitStore.forPath(p).claim(fs, p, toJson(c).getBytes(UTF_8))) {
           // Close the refresh-vs-widen race: an index build/refresh that
           // resolved the PRE-widen schema may have re-created

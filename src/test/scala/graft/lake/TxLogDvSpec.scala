@@ -423,28 +423,113 @@ class TxLogDvSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // looped: the lost-update window this pins was a few microseconds
+    // wide (two listings straddling a concurrent commit), so a single
+    // roll proves little. GRAFT_RACE_ITERS=100 for the long soak; the
+    // deterministic pause-hook tests below cover both windows exactly.
+    val iters = sys.env.get("GRAFT_RACE_ITERS").map(_.toInt).getOrElse(5)
+    for (_ <- 1 to iters) {
+      val root = tmpRoot()
+      TxLog.append(spark, base.repartition(1), root)
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      def attempt(cond: org.apache.spark.sql.Column): Future[Boolean] = Future {
+        gate.await()
+        try { TxLog.deleteVectored(spark, root, cond); true }
+        catch { case _: java.util.ConcurrentModificationException => false }
+      }
+      val (a, b) = (attempt(col("id") <= 2), attempt(col("id") >= 5))
+      val results = Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+      // exactly one side may lose (both can win if one commits before the
+      // other resolves); every loser retries cleanly against the new state
+      if (!results(0)) TxLog.deleteVectored(spark, root, col("id") <= 2)
+      if (!results(1)) TxLog.deleteVectored(spark, root, col("id") >= 5)
+      TxLog.readLatest(spark, root).orderBy("id").select("id")
+        .as[Long].collect().toSeq shouldBe Seq(3L, 4L)
+      // no orphan sidecars: every dv dir on disk is referenced by a commit
+      val refd = TxLog.history(spark, root)
+        .flatMap(_.dv.valuesIterator.map(_._1)).toSet
+      val onDisk = Option(new java.io.File(s"$root/_txlog/dv").listFiles())
+        .getOrElse(Array.empty).map(f => s"_txlog/dv/${f.getName}").toSet
+      onDisk shouldBe refd
+    }
+  }
+
+  test("deterministic: a commit between the tail listing and the meta resolve trips the fence") {
+    // the exact window behind the lost update the looped test above once
+    // caught: writer B lists the raw tail (stale), writer A commits, B's
+    // meta resolve then SEES A — the fence must fire on the NEWER of the
+    // two reads, or B claims a fresh version and its cumulative sidecar
+    // ref un-deletes A's rows
     val root = tmpRoot()
     TxLog.append(spark, base.repartition(1), root)
-    val gate = new java.util.concurrent.CyclicBarrier(2)
-    def attempt(cond: org.apache.spark.sql.Column): Future[Boolean] = Future {
-      gate.await()
-      try { TxLog.deleteVectored(spark, root, cond); true }
-      catch { case _: java.util.ConcurrentModificationException => false }
-    }
-    val (a, b) = (attempt(col("id") <= 2), attempt(col("id") >= 5))
-    val results = Await.result(Future.sequence(Seq(a, b)), 120.seconds)
-    // exactly one side may lose (both can win if one commits before the
-    // other resolves); every loser retries cleanly against the new state
-    if (!results(0)) TxLog.deleteVectored(spark, root, col("id") <= 2)
-    if (!results(1)) TxLog.deleteVectored(spark, root, col("id") >= 5)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxLog.commitListPause = r =>
+      if (r == root && fired.compareAndSet(false, true))
+        TxLog.deleteVectored(spark, root, col("id") <= 2)
+    try
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.deleteVectored(spark, root, col("id") >= 5)
+      }
+    finally TxLog.commitListPause = _ => ()
+    fired.get() shouldBe true
+    // the interleaved winner's deletes are intact, the loser lost nothing
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L, 5L, 6L)
+    // the loser's retry unions onto the winner's vector state
+    TxLog.deleteVectored(spark, root, col("id") >= 5)
     TxLog.readLatest(spark, root).orderBy("id").select("id")
       .as[Long].collect().toSeq shouldBe Seq(3L, 4L)
-    // no orphan sidecars: every dv dir on disk is referenced by a commit
+    // the failed attempt reaped its sidecar: disk holds only referenced dvs
     val refd = TxLog.history(spark, root)
       .flatMap(_.dv.valuesIterator.map(_._1)).toSet
     val onDisk = Option(new java.io.File(s"$root/_txlog/dv").listFiles())
       .getOrElse(Array.empty).map(f => s"_txlog/dv/${f.getName}").toSet
     onDisk shouldBe refd
+  }
+
+  test("deterministic: a commit between the fence and the claim collides on the version, then conflicts") {
+    // the OTHER window: B's fence passes legitimately, A commits before
+    // B's claim — B must collide on the version number (claim target =
+    // max + 1 = A's version), re-list, and conflict; it must never land
+    // on a fresh version above A
+    val root = tmpRoot()
+    TxLog.append(spark, base.repartition(1), root)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxLog.commitClaimPause = r =>
+      if (r == root && fired.compareAndSet(false, true))
+        TxLog.deleteVectored(spark, root, col("id") <= 2)
+    try
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.deleteVectored(spark, root, col("id") >= 5)
+      }
+    finally TxLog.commitClaimPause = _ => ()
+    fired.get() shouldBe true
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L, 5L, 6L)
+    TxLog.deleteVectored(spark, root, col("id") >= 5)
+    TxLog.readLatest(spark, root).orderBy("id").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(3L, 4L)
+  }
+
+  test("deterministic: updateVectored based on a stale snapshot conflicts instead of clobbering") {
+    val root = tmpRoot()
+    TxLog.append(spark, base.repartition(1), root)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxLog.commitListPause = r =>
+      if (r == root && fired.compareAndSet(false, true))
+        TxLog.deleteVectored(spark, root, col("id") <= 2)
+    try
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.updateVectored(spark, root, col("id") >= 5,
+          Map("v" -> lit(0.0)))
+      }
+    finally TxLog.commitListPause = _ => ()
+    // winner intact; retry applies the update over the winner's state
+    TxLog.readLatest(spark, root).count() shouldBe 4L
+    TxLog.updateVectored(spark, root, col("id") >= 5, Map("v" -> lit(0.0)))
+    TxLog.readLatest(spark, root).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq shouldBe
+      Seq((3L, 30.0), (4L, 40.0), (5L, 0.0), (6L, 0.0))
   }
 
   test("applyCdc records the netted feed composition in the commit metrics") {

@@ -431,4 +431,51 @@ class TxLogFuzzSpec extends SparkSpec {
         writers.flatMap(w => (0 until perWriter).map(s => (w, s.toLong))).toSet
     } finally CommitStore.uninstall(root)
   }
+
+  test("concurrent op soup with vector deletes/updates: disjoint writers converge, no lost update") {
+    // the merge-on-read ops in the CONCURRENT soup: each writer owns a
+    // disjoint key range (so every interleaving converges to the same
+    // state) and retries on conflict — exactly the contract the
+    // deleteVectored/updateVectored fences promise. A lost update shows
+    // up as a resurrected deleted row or a missed update.
+    val root = Files.createTempDirectory("graft-dvsoup").toString
+    TxLog.append(spark,
+      spark.range(0, 60).selectExpr("id", "cast(id as double) as v")
+        .repartition(2), root)
+    def retrying(op: () => Unit): Unit = {
+      var left = 30
+      while (left > 0)
+        try { op(); left = 0 }
+        catch { case _: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left == 0) throw new IllegalStateException("retries exhausted")
+        }
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { k =>
+      val lo = 20L * k
+      new Thread(() => {
+        try {
+          retrying(() => { TxLog.deleteVectored(spark, root,
+            col("id") >= lo && col("id") < lo + 5); () })
+          retrying(() => { TxLog.updateVectored(spark, root,
+            col("id") >= lo + 5 && col("id") < lo + 10,
+            Map("v" -> lit(-1.0))); () })
+          TxLog.append(spark,
+            Seq((100L + k, 0.0)).toDF("id", "v"), root)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    errs.forEach(t => fail(s"writer failed: $t", t))
+    val got = TxLog.readLatest(spark, root).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    val want = (0L until 60L).flatMap { id =>
+      val off = id % 20
+      if (off < 5) None
+      else if (off < 10) Some((id, -1.0))
+      else Some((id, id.toDouble))
+    } ++ Seq((100L, 0.0), (101L, 0.0), (102L, 0.0))
+    got shouldBe want.sortBy(_._1)
+  }
 }
