@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Supp
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.{EqualTo, Filter, InsertableRelation}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -157,9 +157,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
                              cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
     if (!cascade && listTables(namespace).nonEmpty)
-      throw new IllegalStateException(
-        s"namespace ${namespace.mkString(".")} is not empty " +
-          "(use DROP ... CASCADE)")
+      // Spark's own catalog error contract (error-class handlers and
+      // SQL clients match on this type, not IllegalStateException)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
     fs(nsPath(namespace)).delete(nsPath(namespace), true)
   }
 
@@ -254,6 +255,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val kept = props -- Seq(TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       "option.path", "path")
+    rejectReservedProps(kept.keySet)
     val root = location.getOrElse(tableDir(ident).toString)
     // marker FIRST (create-without-overwrite is the atomic claim): a
     // racing CREATE of the same name fails here before touching any
@@ -299,6 +301,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // keep only the last) and land as ONE marker write
     val updatedProps = changes.foldLeft(d.properties) {
       case (props, set: TableChange.SetProperty) =>
+        rejectReservedProps(Set(set.property()))
         props + (set.property() -> set.value())
       case (props, rm: TableChange.RemoveProperty) => props - rm.property()
       case (props, add: TableChange.AddColumn)
@@ -325,6 +328,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         graft.Json.renderStringMap(desc), overwrite = true)
     }
     loadTable(ident)
+  }
+
+  /** The durable table marker serializes its OWN fields ("partitionCols",
+    * "location") in the same flat map as user TBLPROPERTIES — a user
+    * property under either name would silently overwrite the real
+    * partition layout / root at the next loadTable, so both are reserved
+    * and rejected loudly at CREATE and SET TBLPROPERTIES. ('location' is
+    * normally consumed by Spark as PROP_LOCATION before reaching here;
+    * this guards the paths that hand properties through verbatim.)
+    */
+  private def rejectReservedProps(keys: Set[String]): Unit = {
+    val hit = keys.intersect(Set("partitionCols", "location"))
+    if (hit.nonEmpty) throw new IllegalArgumentException(
+      s"table propert${if (hit.size == 1) "y" else "ies"} " +
+        s"${hit.mkString(", ")} ${if (hit.size == 1) "is" else "are"} " +
+        "reserved by the graft catalog's table descriptor — choose " +
+        "another property name")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -423,7 +443,16 @@ private[lake] final class GraftCatalogTable(fullName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // `INSERT OVERWRITE` under partitionOverwriteMode=dynamic: the
+      // plan (OverwritePartitionsDynamic) has no V1 fallback exec, so
+      // it executes through GraftDmlStrategy -> TxLog.upsertPartitions
+      // (registered by GraftExtensions, like SQL UPDATE/MERGE/DELETE).
+      // BATCH_WRITE rides along because TableCapabilityCheck demands it
+      // STRICTLY (not via the V1 alias) for dynamic overwrite; physical
+      // planning keys off the Write instance (always our V1Write), so
+      // every other write path is unchanged by advertising it
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val m = new util.HashMap[String, String](opts.asCaseSensitiveMap())
@@ -433,12 +462,20 @@ private[lake] final class GraftCatalogTable(fullName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       // None = append; Some(empty/AlwaysTrue) = whole-table replace;
       // Some(partition equalities) = scoped replacePartitions — how
       // `INSERT OVERWRITE t PARTITION (p = 'x')` lands as an atomic
       // partition replace instead of a full-table rewrite
       private var overwriteBy: Option[Array[Filter]] = None
+      // accepted so the optimizer's V2Writes builds the plan instead of
+      // refusing; the execution itself is GraftDmlStrategy's claim of
+      // OverwritePartitionsDynamic (there is no V1 fallback exec for
+      // dynamic overwrite), dispatching TxLog.upsertPartitions — the
+      // snapshot-atomic replace of exactly the partitions in the batch
+      override def overwriteDynamicPartitions(): WriteBuilder = this
       override def truncate(): WriteBuilder = {
         overwriteBy = Some(Array.empty); this
       }
@@ -465,8 +502,16 @@ private[lake] final class GraftCatalogTable(fullName: String,
               case Some(fs0) =>
                 val fs1 = fs0.filterNot(
                   _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+                // EqualNullSafe included: the static value of
+                // `INSERT OVERWRITE t PARTITION (p = 'x')` arrives from
+                // V2Writes as `p <=> 'x'` — for a NON-NULL value that is
+                // the same partition equality, and routing it here keeps
+                // the Hive spelling on the metadata-scoped atomic path
+                // instead of the row-scoped replaceWhere rewrite
                 def isPartitionEq(f: Filter) = f match {
-                  case EqualTo(a, _) =>
+                  case EqualTo(a, v) => v != null &&
+                    partitionCols.exists(_.equalsIgnoreCase(a))
+                  case EqualNullSafe(a, v) => v != null &&
                     partitionCols.exists(_.equalsIgnoreCase(a))
                   case _ => false
                 }
@@ -476,6 +521,9 @@ private[lake] final class GraftCatalogTable(fullName: String,
                   // partition equalities: metadata-scoped atomic replace
                   TxLog.replacePartitions(spark, data, root, fs1.collect {
                     case EqualTo(a, v) =>
+                      partitionCols.find(_.equalsIgnoreCase(a))
+                        .getOrElse(a) -> String.valueOf(v)
+                    case EqualNullSafe(a, v) =>
                       partitionCols.find(_.equalsIgnoreCase(a))
                         .getOrElse(a) -> String.valueOf(v)
                   }.toMap, statsCols)

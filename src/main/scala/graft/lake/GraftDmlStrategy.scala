@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
@@ -52,6 +52,24 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
     case d: DeleteFromTable =>
       graftTable(d.table).map { t =>
         exec("graft DELETE", t)(s => runDelete(s, t, d))
+      }.toSeq
+    case o: OverwritePartitionsDynamic =>
+      // `INSERT OVERWRITE` under partitionOverwriteMode=dynamic: Spark
+      // has no V1 fallback exec for this plan (the write builder only
+      // ACCEPTS it so V2Writes doesn't refuse), so the strategy executes
+      // it as the commit log's partition upsert — the live files of
+      // exactly the partitions present in the batch are replaced in ONE
+      // snapshot-atomic commit, untouched partitions never read
+      graftTable(o.table).map { t =>
+        exec("graft dynamic OVERWRITE", t) { s =>
+          // the analyzer aligned the query to the table schema by
+          // position; re-label positionally so staging partitions by
+          // NAME can never depend on the source's own column names
+          val df = planToDf(s, o.query)
+            .toDF(t.columns().map(_.name).toIndexedSeq: _*)
+          TxLog.upsertPartitions(s, df, t.txRoot, t.txPartitionCols,
+            t.txStatsCols)
+        }
       }.toSeq
     case _ => Nil
   }

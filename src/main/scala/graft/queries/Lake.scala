@@ -1634,6 +1634,77 @@ object Lake {
               |FROM gq122.lake.t GROUP BY prio ORDER BY prio""".stripMargin)
     },
 
+    // Partition-scoped INSERT OVERWRITE on a CATALOG table through PLAIN
+    // spark.sql — both spellings a lake user types: the Hive static
+    // `PARTITION (prio = 'x')` (V2Writes hands the write builder
+    // `prio <=> 'x'`, routed to the metadata-scoped atomic
+    // replacePartitions — no data read) and partitionOverwriteMode=
+    // dynamic (OverwritePartitionsDynamic has no V1 exec; the injected
+    // strategy executes it as the snapshot-atomic partition upsert).
+    // Both commit paths are ASSERTED in-query from DESCRIBE HISTORY, so
+    // a silent fallback to a row-scoped rewrite or a full-table
+    // truncate turns the row red. The oracle replays the two
+    // partition replacements as set algebra in DuckDB.
+    QDef(
+      "q126_catalog_partition_overwrite",
+      """WITH src AS (SELECT o_orderkey AS k,
+        |                    CAST(o_totalprice AS DOUBLE) AS price,
+        |                    o_orderpriority AS prio
+        |             FROM orders),
+        |p1 AS (SELECT k, price * 2 AS price, prio FROM src
+        |       WHERE prio = '1-URGENT' AND k % 2 = 0),
+        |p2 AS (SELECT k, price, prio FROM src
+        |       WHERE prio = '2-HIGH' AND k % 3 = 0),
+        |rest AS (SELECT k, price, prio FROM src
+        |         WHERE prio NOT IN ('1-URGENT', '2-HIGH')),
+        |t AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM rest)
+        |SELECT prio, count(*) AS n_rows,
+        |       min(k) AS min_key, max(k) AS max_key,
+        |       count(CASE WHEN price > 60000 THEN 1 END) AS n_big
+        |FROM t GROUP BY prio ORDER BY prio""".stripMargin) { (s, dir) =>
+      val wh = Tables.scratch(dir, "cat_povw_wh")
+      val whPath = new Path(wh)
+      val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whPath)) fs.delete(whPath, true)
+      s.conf.set("spark.sql.catalog.gq126",
+        classOf[graft.lake.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq126.warehouse", wh)
+      graft.plans.GraftExtensions.register(s)
+      s.sql("CREATE NAMESPACE gq126.lake")
+      t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderpriority").as("prio"))
+        .createOrReplaceTempView("q126_src")
+      s.sql("CREATE TABLE gq126.lake.t (k BIGINT, price DOUBLE, " +
+        "prio STRING) USING graft PARTITIONED BY (prio)")
+      s.sql("INSERT INTO gq126.lake.t SELECT * FROM q126_src")
+      val root = s"$wh/lake/t"
+      // static spelling -> metadata-scoped atomic partition replace
+      s.sql("INSERT OVERWRITE gq126.lake.t PARTITION (prio = '1-URGENT') " +
+        "SELECT k, price * 2 FROM q126_src " +
+        "WHERE prio = '1-URGENT' AND k % 2 = 0")
+      val op1 = TxLog.history(s, root).last.operation
+      require(op1 == "overwrite_partitions",
+        s"q126: static PARTITION overwrite must land metadata-scoped, " +
+          s"got '$op1'")
+      // dynamic mode -> the strategy's snapshot-atomic partition upsert
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("INSERT OVERWRITE gq126.lake.t SELECT k, price, prio " +
+          "FROM q126_src WHERE prio = '2-HIGH' AND k % 3 = 0")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val op2 = TxLog.history(s, root).last.operation
+      require(op2 == "upsert",
+        s"q126: dynamic overwrite must land as the partition upsert, " +
+          s"got '$op2'")
+      s.sql("""SELECT prio, count(*) AS n_rows,
+              |       min(k) AS min_key, max(k) AS max_key,
+              |       count(CASE WHEN price > 60000 THEN 1 END) AS n_big
+              |FROM gq126.lake.t GROUP BY prio ORDER BY prio""".stripMargin)
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

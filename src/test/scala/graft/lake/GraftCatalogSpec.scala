@@ -204,13 +204,14 @@ class GraftCatalogSpec extends SparkSpec {
     s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
       .collect().toSeq shouldBe Seq(8L, 9L)
 
-    // the INSERT OVERWRITE ... PARTITION spelling: Spark's V2Writes
-    // cannot translate the cast-wrapped static value (pre-folding), so
-    // that SQL shape goes through TxLogSql.run — same scoped commit
-    TxLogSql.run(s,
-      "INSERT OVERWRITE gcat.db.t PARTITION (part = 'p2') SELECT 10")
+    // the Hive INSERT OVERWRITE ... PARTITION spelling through PLAIN
+    // spark.sql: the static value arrives as `part <=> 'p2'`, which the
+    // write builder routes to the SAME metadata-scoped atomic replace —
+    // one commit, no data read, p1 untouched
+    s.sql("INSERT OVERWRITE gcat.db.t PARTITION (part = 'p2') SELECT 10")
     s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
       .collect().toSeq shouldBe Seq(9L, 10L)
+    TxLog.history(s, root).last.operation shouldBe "overwrite_partitions"
 
     // a row escaping the REPLACE WHERE scope is refused, not replaced in
     intercept[Exception](s.sql(
@@ -219,6 +220,61 @@ class GraftCatalogSpec extends SparkSpec {
     // unscoped INSERT OVERWRITE still replaces the whole table
     s.sql("INSERT OVERWRITE gcat.db.t VALUES (7, 'p7')")
     s.sql("SELECT id FROM gcat.db.t").as[Long].collect().toSeq shouldBe Seq(7L)
+  }
+
+  test("INSERT OVERWRITE under partitionOverwriteMode=dynamic replaces only the written partitions") {
+    val s = sessionWithCatalog(freshWarehouse())
+    graft.plans.GraftExtensions.register(s) // the strategy executes it
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, part STRING) USING graft " +
+      "PARTITIONED BY (part)")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'p1'), (2, 'p1'), (3, 'p2'), " +
+      "(4, 'p3')")
+    val root = s"${s.conf.get("spark.sql.catalog.gcat.warehouse")}/db/t"
+    val vBefore = TxLog.currentVersion(s, root).get
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the batch touches p1 and p2: exactly those are replaced, p3
+      // survives — ONE snapshot-atomic commit (Spark's default static
+      // mode would truncate the whole table first)
+      s.sql("INSERT OVERWRITE gcat.db.t VALUES (10, 'p1'), (30, 'p2')")
+      s.sql("SELECT id, part FROM gcat.db.t ORDER BY id")
+        .as[(Long, String)].collect().toSeq shouldBe
+        Seq((4L, "p3"), (10L, "p1"), (30L, "p2"))
+      TxLog.currentVersion(s, root).get shouldBe vBefore + 1
+      TxLog.history(s, root).last.operation shouldBe "upsert"
+      // the dynamic-partition column spelling routes the same way
+      s.sql("INSERT OVERWRITE gcat.db.t PARTITION (part) SELECT 40, 'p3'")
+      s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
+        .collect().toSeq shouldBe Seq(10L, 30L, 40L)
+    } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("descriptor keys are reserved; non-empty DROP NAMESPACE raises Spark's catalog error type") {
+    val s = sessionWithCatalog(freshWarehouse())
+    s.sql("CREATE NAMESPACE gcat.db")
+    // a user property literally named 'partitionCols' would overwrite
+    // the durable marker's real partition layout — rejected at CREATE
+    val e1 = intercept[Exception](s.sql("CREATE TABLE gcat.db.bad " +
+      "(id BIGINT) USING graft TBLPROPERTIES ('partitionCols' = 'id')"))
+    e1.getMessage should include("reserved")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, part STRING) USING graft " +
+      "PARTITIONED BY (part)")
+    // ... and at SET TBLPROPERTIES
+    val e2 = intercept[Exception](s.sql(
+      "ALTER TABLE gcat.db.t SET TBLPROPERTIES ('partitionCols' = 'id')"))
+    e2.getMessage should include("reserved")
+    // the rejected statements corrupted nothing: the layout still reads
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'p1')")
+    s.sql("SELECT part FROM gcat.db.t").as[String]
+      .collect().toSeq shouldBe Seq("p1")
+    // throwing Spark's NonEmptyNamespaceException (not a bare
+    // IllegalStateException) lets DropNamespaceExec translate it into
+    // the standard SCHEMA_NOT_EMPTY error-class AnalysisException —
+    // the contract SQL clients and error handlers match on
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      s.sql("DROP NAMESPACE gcat.db"))
+    e3.getCondition shouldBe "SCHEMA_NOT_EMPTY"
   }
 
   test("maintenance statements address catalog tables: DESCRIBE HISTORY / DETAIL via TxLogSql.run") {
