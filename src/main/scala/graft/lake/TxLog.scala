@@ -327,7 +327,8 @@ object TxLog {
     */
   private def historyProject[A](spark: SparkSession, root: String,
                                 afterVersion: Long = -1L,
-                                boundAtCheckpoint: Boolean = false)
+                                boundAtCheckpoint: Boolean = false,
+                                untilVersion: Long = Long.MaxValue)
                                (f: Commit => A): Seq[(String, Option[A])] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
@@ -348,10 +349,12 @@ object TxLog {
     listed
       .filter { p =>
         p.getName match {
-          // version bound applied at the LISTING, before any file is
+          // version bounds applied at the LISTING, before any file is
           // opened — this is what makes checkpointed resolution O(tail)
-          // reads instead of O(log length)
-          case LogFile(v) => v.toLong > after
+          // reads instead of O(log length), and below-window history
+          // reads O(window), never a re-parse of the whole tail
+          case LogFile(v) =>
+            val n = v.toLong; n > after && n <= untilVersion
           case _          => false
         }
       }
@@ -427,8 +430,21 @@ object TxLog {
       case Some((ckptV, rows)) =>
         val tail = committedProject(spark, root, afterVersion = ckptV)(
           histRowOf)
-        lastHistorySource = Some((ckptV, tail.size))
-        contiguousSuffix(rows ++ tail)
+        val combined = rows ++ tail
+        // a retainEntries-capped sidecar starts ABOVE version 0 while
+        // the raw entries below its window may still exist — parse
+        // exactly those (listing-bounded) so a timestamp that predates
+        // the carried window keeps resolving until a vacuum actually
+        // removes the history. Skipped entirely on the common shape
+        // (window starts at 0), and version-bounded otherwise.
+        val winStart = combined.headOption.map(_.version).getOrElse(0L)
+        val below =
+          if (winStart <= 0L) Seq.empty[HistRow]
+          else historyProject(spark, root,
+            untilVersion = winStart - 1)(histRowOf)
+            .collect { case (_, Some(h)) => h }
+        lastHistorySource = Some((ckptV, below.size + tail.size))
+        contiguousSuffix(below ++ combined)
       case None =>
         val all = committedProject(spark, root)(histRowOf)
         lastHistorySource = Some((-1L, all.size))
@@ -2936,9 +2952,49 @@ object TxLog {
   // Readers
   // -------------------------------------------------------------------
 
-  /** The table as of `version` (time travel). */
+  /** The table as of `version` (time travel). A version the history
+    * summary still lists but whose raw entries AND covering checkpoint
+    * were vacuumed fails with the truncation-horizon error below — the
+    * generic resolve refusal reads like corruption to a time-travel
+    * caller who did nothing wrong.
+    */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
-    snapshot(spark, root, resolve(spark, root, Some(version)))
+    try snapshot(spark, root, resolve(spark, root, Some(version)))
+    catch {
+      case e: IllegalArgumentException
+          if version < oldestReconstructable(spark, root) =>
+        throw new IllegalArgumentException(
+          s"version $version of $root predates the earliest " +
+            s"reconstructable snapshot (version " +
+            s"${oldestReconstructable(spark, root)}): its raw entries " +
+            "and covering checkpoint were truncated from the log — " +
+            "history summaries (DESCRIBE HISTORY, timestamp resolution) " +
+            "survive truncation, snapshots do not", e)
+    }
+
+  /** The oldest version a snapshot read can still reconstruct: 0 while
+    * the raw chain starts at the origin, else the oldest surviving
+    * checkpoint (a checkpoint alone answers its own version; raw tails
+    * above it answer later ones). Long.MaxValue when neither exists —
+    * that table state already fails every read loudly.
+    */
+  private def oldestReconstructable(spark: SparkSession,
+                                    root: String): Long = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    val names =
+      try CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+      catch { case scala.util.control.NonFatal(_) => return Long.MaxValue }
+    val hasOrigin = names.exists {
+      case LogFile(v) => v.toLong == 0L
+      case _          => false
+    }
+    if (hasOrigin) 0L
+    else names.collect {
+      case CkptFile(v)  => v.toLong
+      case CkptDirV2(v) => v.toLong
+    }.minOption.getOrElse(Long.MaxValue)
+  }
 
   /** The latest committed snapshot. */
   def readLatest(spark: SparkSession, root: String): DataFrame =

@@ -429,6 +429,19 @@ object TxLogSql {
     */
   def run(spark: SparkSession, sqlText: String): DataFrame = {
     import spark.implicits._
+    // Guarded-statement resolution as an extractor, so each guarded case
+    // resolves its identifier ONCE: `case SomeRe(Registered(name, reg))`
+    // binds the guard-time lookup, instead of a `lookupOpt.isDefined`
+    // guard plus a second `lookupOpt.get` in the body — which charged
+    // catalog-qualified identifiers two descriptor reads (two filesystem
+    // round trips) per maintenance statement. Note catalog-qualified
+    // lookups of a MISSING table fail loudly inside the lookup (the
+    // real-catalog-never-retargets rule), so a statement naming one
+    // errors rather than falling through to Spark's grammar.
+    object Registered {
+      def unapply(ident: String): Option[(String, Registration)] =
+        lookupOpt(spark, ident)
+    }
     sqlText match {
       // `DESCRIBE SCAN <query>` — cost preview, the user-facing half of
       // the scan budget ([[graft.plans.ScanBudget]], the engine-native
@@ -600,8 +613,7 @@ object TxLogSql {
       // commit, whitelist-clamped types, old partitions stay readable.
       // Guarded: ALTER TABLE ADD COLUMNS is valid Spark SQL for catalog
       // tables, so unregistered targets keep Spark's own behavior.
-      case AddColumnsRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
-        val (name, reg) = lookupOpt(spark, ident).get
+      case AddColumnsRe(Registered(name, reg), colsText) =>
         val itemRe = """(?s)\s*(`[^`]+`|\w+)\s+(.+)""".r
         val cols = splitTopLevel(colsText).map {
           case itemRe(n, t) => stripQuotes(n) -> t.trim
@@ -618,8 +630,7 @@ object TxLogSql {
       // re-evolution (stale bytes stay in pre-drop files — see
       // TxLog.dropColumns). Guarded like ADD COLUMNS: unregistered
       // targets keep Spark's own ALTER TABLE behavior.
-      case DropColumnsRe(ident, colsText) if lookupOpt(spark, ident).isDefined =>
-        val (name, reg) = lookupOpt(spark, ident).get
+      case DropColumnsRe(Registered(name, reg), colsText) =>
         val cols = colsText.split(",").map(c => stripQuotes(c.trim))
           .filter(_.nonEmpty).toSeq
         if (cols.isEmpty) fail(sqlText, "empty DROP COLUMNS list")
@@ -630,9 +641,7 @@ object TxLogSql {
       // Metadata-only column rename via column mapping (physical names
       // frozen, zero bytes rewritten — TxLog.renameColumn). Guarded:
       // Spark's own grammar accepts this shape for catalog tables.
-      case RenameColumnRe(ident, fromQ, toQ)
-          if lookupOpt(spark, ident).isDefined =>
-        val (name, reg) = lookupOpt(spark, ident).get
+      case RenameColumnRe(Registered(name, reg), fromQ, toQ) =>
         val v = TxLog.renameColumn(spark, reg.root,
           stripQuotes(fromQ), stripQuotes(toQ))
         refresh(spark, name, reg) // the view must expose the new name
@@ -642,9 +651,7 @@ object TxLogSql {
       // the schema.mode=widen append path — metadata-only, up-casts
       // only, strict bloom-index drop. Guarded: Spark's own grammar
       // accepts this shape for v2 catalog tables.
-      case AlterColumnTypeRe(ident, colQ, typeDdl)
-          if lookupOpt(spark, ident).isDefined =>
-        val (name, reg) = lookupOpt(spark, ident).get
+      case AlterColumnTypeRe(Registered(name, reg), colQ, typeDdl) =>
         val v = TxLog.alterColumnType(spark, reg.root,
           stripQuotes(colQ), typeDdl.trim)
         refresh(spark, name, reg) // the view must expose the new type
@@ -657,8 +664,7 @@ object TxLogSql {
       // the stats land in the commit log as a data-less version and
       // feed readRange/merge pruning (the statsCols retrofit), and the
       // partition listing answers from the log with no filesystem walk.
-      case AnalyzeRe(ident, all, colsText) if lookupOpt(spark, ident).isDefined =>
-        val (_, reg) = lookupOpt(spark, ident).get
+      case AnalyzeRe(Registered(_, reg), all, colsText) =>
         val cols =
           if (all != null) {
             // FOR ALL COLUMNS: every schema column except partition
@@ -682,15 +688,13 @@ object TxLogSql {
       // DETAIL): fail with the supported forms instead of falling
       // through to spark.sql, which would die on the temp-view-backed
       // registration with an unrelated catalog error.
-      case AnalyzePlainRe(ident) if lookupOpt(spark, ident).isDefined =>
+      case AnalyzePlainRe(ident @ Registered(_, _)) =>
         fail(sqlText,
           s"ANALYZE on graft table ${stripQuotes(ident)} computes " +
             "column skipping stats: use COMPUTE STATISTICS FOR COLUMNS " +
             "(c1, ...) or FOR ALL COLUMNS")
 
-      case BloomIndexRe(verb, ident, colQ, optsText)
-          if lookupOpt(spark, ident).isDefined =>
-        val (_, reg) = lookupOpt(spark, ident).get
+      case BloomIndexRe(verb, Registered(_, reg), colQ, optsText) =>
         val colName = stripQuotes(colQ)
         val opts = Option(optsText).map(_.split(",").toSeq
             .map(_.trim).filter(_.nonEmpty).map { kv =>
@@ -724,8 +728,7 @@ object TxLogSql {
               .toDF("column", "operation", "files_indexed")
         }
 
-      case ShowPartitionsRe(ident) if lookupOpt(spark, ident).isDefined =>
-        val (_, reg) = lookupOpt(spark, ident).get
+      case ShowPartitionsRe(ident @ Registered(_, reg)) =>
         // partitioning is decided by the LOG, not the registration (a
         // register() call may legitimately omit partitionCols); one
         // resolution answers both the check and the listing

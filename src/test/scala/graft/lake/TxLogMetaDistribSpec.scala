@@ -447,9 +447,24 @@ class TxLogMetaDistribSpec extends SparkSpec {
     try {
       TxLog.append(spark, Seq((9L, "j")).toDF("id", "s"), root)    // v5
       TxLog.checkpoint(spark, root) shouldBe Some(5L)              // ckpt@5
+      // the cap bounds the SIDECAR, not the answer: raw entries below
+      // the carried window still exist, so the summary parses exactly
+      // those (version-bounded) and stays complete
+      TxLog.lastHistorySource = None
+      TxLog.historySummary(spark, root).map(_._1) shouldBe
+        Seq(0L, 1L, 2L, 3L, 4L, 5L)
+      TxLog.lastHistorySource shouldBe Some((5L, 4))
+      // once the raw history is actually vacuumed, the carried window
+      // is all there is — the honest truncation horizon
+      TxLog.vacuumLog(spark, root, keepCheckpoints = 1)
       TxLog.lastHistorySource = None
       TxLog.historySummary(spark, root).map(_._1) shouldBe Seq(4L, 5L)
       TxLog.lastHistorySource shouldBe Some((5L, 0))
+      // reading a version the summary no longer reconstructs names the
+      // truncation horizon, not a generic resolve failure
+      val e = intercept[IllegalArgumentException](
+        TxLog.readAt(spark, root, 1L).collect())
+      e.getMessage should include("earliest reconstructable snapshot")
       // a NEW checkpoint version (same-version checkpoints return early)
       TxLog.append(spark, Seq((10L, "k")).toDF("id", "s"), root)   // v6
       intercept[IllegalArgumentException] {
