@@ -18,7 +18,8 @@ object AnnProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("q41_sim_topk_ivf", "q60_sim_topk_quant",
-        "q81_sim_topk_pq", "q82_sim_topk_ivfpq").foreach { n =>
+        "q81_sim_topk_pq", "q82_sim_topk_ivfpq",
+        "q123_sim_topk_ann_index").foreach { n =>
       val rows = queries.Similarity.recallProbe(spark, sfDir, n).collect()
       rows.foreach(r => println(s"$n: $r"))
     }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -303,7 +304,7 @@ private[lake] final class GraftScanBuilder(schema: StructType,
 private[lake] final class GraftAggScan(answer: GraftDataSource.AggAnswer)
     extends LocalScan {
   override def readSchema(): StructType = answer.schema
-  override def rows(): Array[InternalRow] = Array(answer.row)
+  override def rows(): Array[InternalRow] = answer.rows
   override def description(): String =
     s"GraftAggScan(${answer.description})"
 }
@@ -377,10 +378,11 @@ private[lake] final class GraftRelation(ctx: SQLContext,
 private[graft] object GraftDataSource {
 
   /** A completely-answered pushed aggregation: the scan's output schema,
-    * its single row (internal representations), and a human-readable
-    * description (the plan/test seam).
+    * its rows (internal representations — ONE for the global-aggregate
+    * tier, one per group for the partition-grouped tier), and a
+    * human-readable description (the plan/test seam).
     */
-  final case class AggAnswer(schema: StructType, row: InternalRow,
+  final case class AggAnswer(schema: StructType, rows: Array[InternalRow],
                              description: String)
 
   /** Test seam: the description of the last aggregation a
@@ -399,8 +401,12 @@ private[graft] object GraftDataSource {
   def answerAggregation(agg: Aggregation, pushedFilters: Array[Filter],
                         options: CaseInsensitiveStringMap)
       : Option[AggAnswer] = {
-    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    // partition tier: COUNT(*) under partition-equality filters and/or
+    // GROUP BY partition columns — answered from live-path values +
+    // per-file committed row counts, one metadata fold, zero data files
+    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return answerPartitionCounts(agg, pushedFilters, options)
     val spark = SparkSession.active
     val root = rootOf(options)
     val version = versionOf(spark, options)
@@ -463,8 +469,127 @@ private[graft] object GraftDataSource {
             nullable = false)
       })
       Some(AggAnswer(outSchema,
-        new GenericInternalRow(resolved.map(_._1).toArray),
+        Array[InternalRow](new GenericInternalRow(resolved.map(_._1).toArray)),
         resolved.map(_._3).mkString(", ")))
+    }
+  }
+
+  /** The partition-metadata aggregate tier: answers an `agg` whose
+    * aggregates are ALL COUNT(*), whose GROUP BY columns (if any) are
+    * all PARTITION columns, and whose pushed filters (if any) are all
+    * partition-column equalities with non-null values — entirely from
+    * [[TxLog.partitionRowCounts]] (live-path partition values + per-file
+    * committed row counts, dv-subtracted). Declines on anything else,
+    * and on partition value types the path string can't round-trip
+    * EXACTLY (only string and integral columns qualify — a date/double
+    * rendering mismatch would silently mis-bucket rows). The answer is
+    * one LocalTableScan row per surviving group (the standard complete-
+    * pushdown shape: grouping columns first, then the aggregates);
+    * `SELECT part, count(*) ... GROUP BY part` over 100k files is then
+    * zero tasks and zero data files, like Delta's partition-stats path.
+    */
+  private def answerPartitionCounts(agg: Aggregation,
+                                    pushedFilters: Array[Filter],
+                                    options: CaseInsensitiveStringMap)
+      : Option[AggAnswer] = {
+    import org.apache.spark.sql.types._
+    if (!agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      return None
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    val version = versionOf(spark, options)
+    val tableSchema = TxLog.schemaOf(spark, root, version)
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    // the group columns must all resolve to plain column references
+    val groupNames = agg.groupByExpressions.toSeq.map(colNameOf)
+    if (groupNames.exists(_.isEmpty)) return None
+    val (pcols, counts) =
+      TxLog.partitionRowCounts(spark, root, version).getOrElse(return None)
+    val pIndex = pcols.zipWithIndex
+      .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }
+      .toMap
+    def idxOf(name: String): Option[Int] =
+      pIndex.get(name.toLowerCase(java.util.Locale.ROOT))
+    // a path string back to the column's typed value — EXACT or decline
+    // (same posture as the stats tier's double round-trip rule)
+    def parse(v: String, t: DataType): Option[Any] = t match {
+      case StringType  => Some(UTF8String.fromString(v))
+      case LongType    => v.toLongOption
+      case IntegerType => v.toIntOption
+      case ShortType   => v.toShortOption.map(s => s: Any)
+      case ByteType    => v.toByteOption.map(b => b: Any)
+      case _           => None
+    }
+    def fieldOf(c: String): Option[StructField] =
+      tableSchema.find(_.name.equalsIgnoreCase(c))
+    // every pushed filter must be a partition constraint we can absorb —
+    // answering while silently dropping a filter would over-count.
+    // IsNotNull on a partition column is vacuous here (the tier already
+    // declines tables with null-marker partitions), and Spark INFERS one
+    // next to every pushed equality.
+    val constraints: Seq[Option[Seq[(Int, Any)]]] = pushedFilters.toSeq.map {
+      case EqualTo(a, v) if v != null =>
+        idxOf(a).map(i => Seq(i -> v))
+      case EqualNullSafe(a, v) if v != null =>
+        idxOf(a).map(i => Seq(i -> v))
+      case IsNotNull(a) =>
+        idxOf(a).map(_ => Seq.empty)
+      case _ => None
+    }
+    if (constraints.exists(_.isEmpty)) return None
+    // typed tuples: parse every partition value under its column type
+    val typed: Seq[(Seq[Any], Long)] = counts.toSeq.map { case (vs, n) =>
+      val parsed = pcols.zip(vs).map { case (c, v) =>
+        fieldOf(c).flatMap(f => parse(v, f.dataType))
+      }
+      if (parsed.exists(_.isEmpty)) return None
+      (parsed.flatten, n)
+    }
+    def matchesAll(vs: Seq[Any]): Boolean = constraints.flatten.flatten.forall {
+      case (i, want) => vs(i) match {
+        // UTF8String vs the filter's java String
+        case u: UTF8String => u.toString == String.valueOf(want)
+        case other         => other == want
+      }
+    }
+    val survivors = typed.filter { case (vs, _) => matchesAll(vs) }
+    val nAggs = agg.aggregateExpressions.length
+    val filterDesc =
+      if (pushedFilters.isEmpty) ""
+      else s" WHERE ${pushedFilters.map(_.toString).mkString(" AND ")}"
+    if (agg.groupByExpressions.isEmpty) {
+      // filtered global COUNT: one row (COUNT over no rows is 0)
+      val total = survivors.map(_._2).sum
+      val schema = StructType((0 until nAggs).map(i =>
+        StructField(s"agg_$i", LongType, nullable = false)))
+      Some(AggAnswer(schema,
+        Array[InternalRow](new GenericInternalRow(
+          Array.fill[Any](nAggs)(total))),
+        s"COUNT(*) x $nAggs$filterDesc [partition metadata]"))
+    } else {
+      val gIdx = groupNames.flatten.map(n => idxOf(n).getOrElse(return None))
+      val gFields = groupNames.flatten.map(n =>
+        fieldOf(n).getOrElse(return None))
+      val grouped = survivors
+        .groupMapReduce { case (vs, _) => gIdx.map(vs) }(_._2)(_ + _)
+        .toSeq.sortBy(_._1.map(String.valueOf).mkString("/"))
+      val schema = StructType(
+        gFields.map(f => StructField(f.name, f.dataType,
+          nullable = false)) ++
+          (0 until nAggs).map(i =>
+            StructField(s"agg_$i", LongType, nullable = false)))
+      val rows = grouped.map { case (key, n) =>
+        new GenericInternalRow(
+          (key ++ Seq.fill[Any](nAggs)(n)).toArray): InternalRow
+      }.toArray
+      Some(AggAnswer(schema, rows,
+        s"GROUP BY ${gFields.map(_.name).mkString(", ")} / " +
+          s"COUNT(*) x $nAggs$filterDesc [partition metadata]"))
     }
   }
 

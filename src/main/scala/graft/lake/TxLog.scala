@@ -489,6 +489,17 @@ object TxLog {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     committedProject(spark, root)(_.version).lastOption
 
+  /** The transaction watermark recorded for `appId` (the highest
+    * `txnVersion` any committed write carried — [[appendIdempotent]] /
+    * [[overwrite]]'s `txn`), or None for an unknown app or a table with
+    * no committed state. What an incremental consumer reads to know
+    * where to resume; checkpoint-aware and O(tail) like every scalar.
+    */
+  def txnWatermark(spark: SparkSession, root: String,
+                   appId: String): Option[Long] =
+    scala.util.Try(resolveScalars(spark, root)).toOption
+      .flatMap(_.txns.get(appId))
+
   /** The table's current version through CHECKPOINT-AWARE resolution —
     * unlike [[latestVersion]]'s raw-entry replay, it is O(checkpoint +
     * tail) and stays correct on a log vacuumed down to a tip checkpoint
@@ -694,6 +705,77 @@ object TxLog {
           rc.get(f).map(_._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
         if (counted.size == snap.live.size) Some(counted.sum) else None
     }
+
+  /** Per-partition VISIBLE row counts from commit metadata alone — the
+    * backbone of partition-grouped/filtered COUNT pushdown: (partition
+    * columns in directory order, value-tuple -> visible rows), deletion-
+    * vector rows subtracted per file exactly like [[countRowsFast]].
+    * Zero-row partitions (fully vectored / empty files) are dropped —
+    * GROUP BY surfaces no group for them. None when the table is
+    * unpartitioned (or mixed-layout), any live file lacks a row count,
+    * or any partition value is Hive's null marker (the typed value is
+    * not reconstructable from the path). Sub-threshold tables fold on
+    * the driver; distributed-tier tables run ONE aggregation over the
+    * checkpoint parquet whose result is bounded by the PARTITION count,
+    * never the file count.
+    */
+  def partitionRowCounts(spark: SparkSession, root: String,
+                         version: Option[Long] = None)
+      : Option[(Seq[String], Map[Seq[String], Long])] = {
+    val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+    def parseDir(dir: String): Seq[(String, String)] =
+      dir.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        seg.take(math.max(i, 0)) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(i + 1))
+      }
+    def fold(perFile: Seq[(String, Long)])
+        : Option[(Seq[String], Map[Seq[String], Long])] = {
+      if (perFile.isEmpty) return None
+      val parsed = perFile.map { case (d, n) => (parseDir(d), n) }
+      val cols = parsed.head._1.map(_._1)
+      if (cols.isEmpty || cols.exists(_.isEmpty)) return None
+      if (parsed.exists(_._1.map(_._1) != cols)) return None // mixed depth
+      if (parsed.exists(_._1.exists(_._2 == NullMarker))) return None
+      Some((cols, parsed.groupMapReduce(_._1.map(_._2))(_._2)(_ + _)
+        .filter(_._2 > 0)))
+    }
+    resolveMeta(spark, root, version) match {
+      case Left(snap) =>
+        val rc = snap.stats.col(RowCountKey)
+        val perFile = snap.live.map { f =>
+          rc.get(f).map(st => relDir(f) ->
+            (st._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
+        }
+        if (perFile.exists(_.isEmpty)) None else fold(perFile.flatten)
+      case Right(m) =>
+        import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
+        if (!m.legend.contains(RowCountKey)) return None
+        val (touched, _) = touchedState(spark, m, Seq(RowCountKey))
+        if (touched.exists(t => !t.stats.contains(RowCountKey))) return None
+        val k = s"`mn:$RowCountKey`"
+        // one distributed aggregation, output bounded by partition count
+        val grouped = exceptTouched(
+            ckptLiveDF(spark, m, Seq(RowCountKey), withDv = true),
+            m.touchedAll)
+          .withColumn("dir",
+            when(expr("instr(file, '/')") === 0, lit(""))
+              .otherwise(expr(
+                "substring(file, 1, length(file) - locate('/', reverse(file)))")))
+          .groupBy("dir")
+          .agg(count(lit(1)).as("nFiles"), count(col(k)).as("nStat"),
+            sum(expr(s"cast($k - coalesce(cast(dvRows as double), 0.0) " +
+              "as long)")).as("nRows"))
+          .collect()
+        if (grouped.exists(r => r.getLong(1) != r.getLong(2))) return None
+        val base = grouped.toSeq.map(r =>
+          r.getString(0) -> (if (r.isNullAt(3)) 0L else r.getLong(3)))
+        val touchedPer = touched.map(t => relDir(t.file) ->
+          (t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L)))
+        fold(base ++ touchedPer)
+    }
+  }
 
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'
@@ -1427,19 +1509,30 @@ object TxLog {
     */
   def overwrite(spark: SparkSession, df: DataFrame, root: String,
                 partitionCols: Seq[String] = Seq.empty,
-                statsCols: Seq[String] = Seq.empty): Long = {
+                statsCols: Seq[String] = Seq.empty,
+                txn: Option[(String, Long)] = None): Long = {
     // full rewrite: files land under the LOGICAL names and the commit's
     // op clears the column mapping (+ tombstones, per foldDropped)
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = Map.empty)
     val enfCons = enforceConstraints(spark, root, adds, ddl, "overwrite",
       replaceSchema = true)
-    commitLoop(spark, root, "overwrite", partitionCols,
+    // `txn`: a (appId, version) watermark riding the replace — the
+    // derived-table shape (an index REBUILT from its source records the
+    // source version it summarizes, so incremental refreshes know where
+    // to resume). A replay at-or-below the recorded watermark returns
+    // the current version instead of double-replacing.
+    try commitLoop(spark, root, "overwrite", partitionCols,
       { (commits, live) =>
         (adds, live(), ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
       withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes),
+      txn = txn,
       consFence = Some(enfCons))
+    catch { case _: AlreadyCommitted =>
+      deleteStaged(spark, root, adds)
+      resolveScalars(spark, root).version
+    }
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the

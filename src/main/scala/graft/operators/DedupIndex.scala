@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.lake.TxLog
+
+/** INCREMENTAL corpus deduplication — the single most common LLM-pipeline
+  * loop, as a lake operator: a persisted MinHash band table that each new
+  * corpus batch probes and extends, so dedup cost per batch is
+  * O(delta + collisions), never a whole-corpus recompute (the in-session
+  * q37 recomputes every signature per run; at 100 TB that is a daily
+  * full-scan job for a few-GB delta).
+  *
+  * The band table at `indexRoot` is a graft table
+  * (band INT, bsig BIGINT, doc_id LONG) — one row per (document, LSH
+  * band). It stores NO shingle arrays: candidate verification re-shingles
+  * exactly the candidate documents from the corpus by id (bounded by the
+  * collision count). Same S-curve as q37 (64 hashes × bands of 2 — the
+  * candidate probability at the verify threshold itself is ~0.9999, see
+  * queries/Text.scala's band-shape note), so the incremental pair stream
+  * equals the full-recompute pair set exactly (oracle q124 pins this).
+  *
+  * [[update]] is the exactly-once batch step the reference's
+  * `{t}_incremental` staging pattern implies (utils.py:111-114) composed
+  * with MinHash: read the index's corpus-version watermark (a commit-log
+  * transaction — `appId(corpusRoot)`), shingle + band ONLY the docs the
+  * corpus change feed added above it, probe the persisted bands plus the
+  * batch's own (both equi-joins on (band, bsig)), verify candidates by
+  * exact Jaccard, and append the batch's band rows in ONE watermarked
+  * commit. A crash-replay re-reads the same watermark and the append is
+  * idempotent — no batch is double-indexed, no pair is lost (pairs are
+  * recomputed deterministically from the same feed).
+  */
+object DedupIndex {
+
+  /** q37's LSH shape — see the band-width rationale in queries/Text. */
+  val NumHashes = 64
+  val RowsPerBand = 2
+
+  private def appId(corpusRoot: String): String =
+    s"graft-dedup-index::$corpusRoot"
+
+  /** The indexed-through corpus version (-1 before the first update). */
+  def watermark(spark: SparkSession, corpusRoot: String,
+                indexRoot: String): Long =
+    TxLog.txnWatermark(spark, indexRoot, appId(corpusRoot)).getOrElse(-1L)
+
+  /** One incremental step: index every corpus commit above the
+    * watermark and return the VERIFIED near-dup pairs the delta
+    * introduced — (doc_a, doc_b, jaccard) with doc_a < doc_b, exact
+    * trigram-shingle Jaccard >= `threshold`; both batch-vs-indexed and
+    * within-batch pairs. Empty when the corpus has nothing new. The
+    * result's scans are snapshot-pinned at call time, so it reads the
+    * same even when consumed after later appends (maintenance that
+    * REMOVES files — compact/vacuum — invalidates it, like any held
+    * snapshot).
+    */
+  def update(spark: SparkSession, corpusRoot: String, indexRoot: String,
+             threshold: Double = 0.5, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"dedup index update: no committed corpus at $corpusRoot"))
+    val wm = watermark(spark, corpusRoot, indexRoot)
+    def emptyPairs =
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    if (corpusV <= wm) return emptyPairs
+    val feed = TxLog.readChanges(spark, corpusRoot, wm, Some(corpusV))
+    // grow-only index, same refusal rule as [[AnnIndex.refresh]]: a
+    // deleted/rewritten doc's bands would keep matching as a phantom
+    if (feed.filter(col("_change_type") === "delete").limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"corpus $corpusRoot deleted or rewrote rows since indexed " +
+          s"version $wm — rebuild the dedup index from scratch")
+    val newDocs = feed.select(col(idCol).as("doc_id"), col(textCol))
+    val newBands = newDocs
+      .select(col("doc_id"),
+        posexplode(TextHash.minHashBandsf(
+          TextHash.shingleHashf(col(textCol)), NumHashes, RowsPerBand))
+          .as(Seq("band", "bsig")))
+      .select("band", "bsig", "doc_id")
+      .cache()
+    try {
+      val existing =
+        if (wm < 0) newBands.limit(0)
+        else TxLog.readLatest(spark, indexRoot)
+          .select("band", "bsig", "doc_id")
+      // batch bands probe (indexed ∪ batch): equi-join on (band, bsig),
+      // the only shuffle key — bounded collisions, never all-pairs
+      val target = existing.unionByName(newBands)
+      val cand = newBands.as("a")
+        .join(target.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      // verify by EXACT Jaccard, re-shingling only the candidate docs
+      // from the corpus snapshot (id equi-join — candidate-bounded)
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candSigs = TxLog.readLatest(spark, corpusRoot)
+        .select(col(idCol).as("doc_id"), col(textCol))
+        .join(candIds, "doc_id")
+        .select(col("doc_id"),
+          TextHash.shingleHashf(col(textCol)).as("shs"))
+        .withColumn("n_sh", size(col("shs")).cast("long"))
+      val a = candSigs.select(col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("n_sh").as("n_a"))
+      val b = candSigs.select(col("doc_id").as("doc_b"),
+        col("shs").as("sh_b"), col("n_sh").as("n_b"))
+      val pairs = cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter",
+          TextHash.intersectCountf(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+      // the returned frame stays correct after the append below (and any
+      // later corpus/index commits): every TxLog scan above resolved its
+      // snapshot EAGERLY at call time, so the plan's file set is pinned —
+      // re-evaluation re-reads those files, never the extended tables
+      // ONE watermarked commit extends the index; replay-safe
+      TxLog.appendIdempotent(spark, newBands, indexRoot,
+        appId(corpusRoot), corpusV)
+      pairs
+    } finally { newBands.unpersist(); () }
+  }
+}

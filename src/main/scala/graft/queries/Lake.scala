@@ -1705,6 +1705,64 @@ object Lake {
               |FROM gq126.lake.t GROUP BY prio ORDER BY prio""".stripMargin)
     },
 
+    // Partition-METADATA aggregates (q120's tier extended): `SELECT
+    // part, count(*) ... GROUP BY part` and COUNT under a partition-
+    // equality filter answer from live-path partition values + per-file
+    // committed row counts — LocalTableScan, zero tasks, zero data
+    // files opened, deletion-vector rows subtracted (the vector commit
+    // carries its cumulative count). Both shapes are plan-ASSERTED
+    // in-query; the oracle recomputes the same counts relationally over
+    // the raw parquet, dv'd keys excluded. At a 10M-file table this is
+    // the difference between a metadata fold and a full stats scan for
+    // the most common operational query there is.
+    QDef(
+      "q125_partition_metadata_agg",
+      """WITH src AS (SELECT o_orderkey AS k, o_orderpriority AS prio
+        |             FROM orders WHERE o_orderkey % 10 <> 0),
+        |g AS (SELECT prio, count(*) AS n_rows FROM src GROUP BY prio),
+        |f AS (SELECT '(1-URGENT only)' AS prio, count(*) AS n_rows
+        |      FROM src WHERE prio = '1-URGENT')
+        |SELECT prio, n_rows FROM (SELECT * FROM g UNION ALL
+        |                          SELECT * FROM f)
+        |ORDER BY prio""".stripMargin) { (s, dir) =>
+      val root = Tables.scratch(dir, "pmeta")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      TxLog.append(s,
+        t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderpriority").as("prio")),
+        root, partitionCols = Seq("prio"), statsCols = Seq("k"))
+      // sparse vector delete: counts must come out dv-subtracted
+      TxLog.deleteVectored(s, root, col("k") % 10 === 0)
+      val tbl = s.read.format("graft").load(root)
+      def assertLocal(df: DataFrame, what: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        val opensFiles = plan.collectWithSubqueries {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+        }.nonEmpty
+        val isLocal = plan.collectWithSubqueries {
+          case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+        }.nonEmpty
+        require(isLocal && !opensFiles,
+          s"q125: $what was not answered as a LocalTableScan:\n$plan")
+      }
+      graft.lake.GraftDataSource.lastAggPushdown = None
+      val grouped = tbl.groupBy("prio").agg(count(lit(1)).as("n_rows"))
+      assertLocal(grouped, "GROUP BY prio / COUNT(*)")
+      require(graft.lake.GraftDataSource.lastAggPushdown
+        .exists(_.contains("GROUP BY prio")),
+        "q125: the grouped count did not go through the partition " +
+          s"tier: ${graft.lake.GraftDataSource.lastAggPushdown}")
+      val filtered = tbl.filter(col("prio") === "1-URGENT")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("(1-URGENT only)").as("prio"), col("n_rows"))
+      assertLocal(filtered, "COUNT(*) WHERE prio = '1-URGENT'")
+      grouped.unionByName(filtered).orderBy("prio")
+    },
+
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build
     // deterministic vendor-style PO payloads from the fixture tables
     // (orders as headers, lineitems as repeated <item> elements, every

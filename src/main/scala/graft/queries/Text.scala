@@ -367,6 +367,39 @@ object Text {
       verifyJaccard(cand, docs, 0.5)
     },
 
+    // INCREMENTAL corpus dedup ([[graft.operators.DedupIndex]]) — the
+    // production shape of q37: the documents arrive as THREE commit-log
+    // batches, each batch shingles/bands ONLY its own docs, probes the
+    // persisted band table, verifies candidates by exact Jaccard, and
+    // extends the table in one watermarked commit (crash-replay
+    // idempotent — DedupIndexSpec). The accumulated per-batch pair
+    // stream must equal q37's full-recompute pair set EXACTLY: same
+    // oracle, so a pair lost across a batch boundary (or emitted twice)
+    // turns the row red. At 100 TB each batch costs O(delta +
+    // collisions); q37's recompute costs O(corpus) per run.
+    QDef("q124_dedup_incremental", oracleShingles) { (s, dir) =>
+      val corpusRoot = Tables.scratch(dir, "dedup_idx_corpus")
+      val indexRoot = Tables.scratch(dir, "dedup_idx")
+      // fresh per invocation (bench runs the query twice per process):
+      // the scratch root is per-JVM, so same-session reruns must reset
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(corpusRoot, indexRoot).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val batches = Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2))
+      batches.map { b =>
+        graft.lake.TxLog.append(s, b, corpusRoot)
+        graft.operators.DedupIndex.update(s, corpusRoot, indexRoot,
+          threshold = 0.5)
+      }.reduce(_ unionByName _).orderBy("doc_a", "doc_b")
+    },
+
     // SimHash near-dup: 64-bit signature from per-shingle hash bit votes
     // (trigram shingles — unigram features degenerate on low-entropy
     // vocabularies: unrelated docs share whole token SETS); candidates

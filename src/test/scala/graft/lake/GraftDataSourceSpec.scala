@@ -357,6 +357,75 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE g_agg")
   }
 
+  test("partition tier: GROUP BY partition columns and partition-equality COUNTs answer from metadata") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (0L until 40L).map(i => (i, s"p${i % 4}")).toDF("id", "part"),
+      root, partitionCols = Seq("part"), statsCols = Seq("id"))
+    TxLog.append(spark, Seq((100L, "p0")).toDF("id", "part"), root,
+      partitionCols = Seq("part"), statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") === 0L) // dv-subtracted
+    val t = spark.read.format("graft").load(root)
+    // GROUP BY partition column: one LocalTableScan row per partition
+    GraftDataSource.lastAggPushdown = None
+    val grouped = t.groupBy("part").agg(count(lit(1)).as("n"))
+    isLocalPlan(grouped) shouldBe true
+    grouped.orderBy("part").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("p0", 10L), ("p1", 10L), ("p2", 10L), ("p3", 10L))
+    GraftDataSource.lastAggPushdown.get should include("GROUP BY part")
+    // partition-equality filter absorbed into a metadata COUNT
+    GraftDataSource.lastAggPushdown = None
+    val filtered = t.filter(col("part") === "p1").agg(count(lit(1)).as("n"))
+    isLocalPlan(filtered) shouldBe true
+    filtered.head().getLong(0) shouldBe 10L
+    GraftDataSource.lastAggPushdown.get should include("partition metadata")
+    // filter + GROUP BY compose; a no-match filter yields zero groups
+    val both = t.filter(col("part") === "p2").groupBy("part")
+      .agg(count(lit(1)).as("n"))
+    isLocalPlan(both) shouldBe true
+    both.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("p2", 10L))
+    val none = t.filter(col("part") === "nope").groupBy("part")
+      .agg(count(lit(1)).as("n"))
+    isLocalPlan(none) shouldBe true
+    none.count() shouldBe 0L
+    // ...and an UNGROUPED count over a no-match filter is one zero row
+    val zero = t.filter(col("part") === "nope").agg(count(lit(1)).as("n"))
+    isLocalPlan(zero) shouldBe true
+    zero.head().getLong(0) shouldBe 0L
+    // declines (falls back to a correct scan): non-partition group key,
+    // non-equality partition predicate, non-COUNT aggregate
+    GraftDataSource.lastAggPushdown = None
+    val byId = t.groupBy("id").agg(count(lit(1)).as("n"))
+    isLocalPlan(byId) shouldBe false
+    byId.count() shouldBe 40L
+    val gt = t.filter(col("part") > "p1").agg(count(lit(1)).as("n"))
+    isLocalPlan(gt) shouldBe false
+    gt.head().getLong(0) shouldBe 20L
+    val mx = t.groupBy("part").agg(max("id").as("mx"))
+    isLocalPlan(mx) shouldBe false
+    GraftDataSource.lastAggPushdown shouldBe None
+  }
+
+  test("partition tier: integral partition values group under their typed column; a fully-deleted partition surfaces no group") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (0L until 30L).map(i => (i, i % 3)).toDF("id", "bucket"),
+      root, partitionCols = Seq("bucket"), statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("bucket") === 2L)
+    val t = spark.read.format("graft").load(root)
+    val grouped = t.groupBy("bucket").agg(count(lit(1)).as("n"))
+    isLocalPlan(grouped) shouldBe true
+    grouped.orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((0L, 10L), (1L, 10L)) // bucket 2 fully vectored: NO group row
+    // the typed filter value matches the typed path value
+    val f = t.filter(col("bucket") === 1L).agg(count(lit(1)).as("n"))
+    isLocalPlan(f) shouldBe true
+    f.head().getLong(0) shouldBe 10L
+  }
+
   test("aggregate pushdown DECLINES exactly when metadata can't answer — results stay correct") {
     val root = clusteredTable()
     // a filter makes COUNT non-metadata: decline, Spark scans

@@ -1701,7 +1701,7 @@ class TxLogSpec extends SparkSpec {
     TxLog.readAt(spark, root, 9L).count() shouldBe 10
     intercept[IllegalArgumentException] {
       TxLog.readAt(spark, root, 8L).count()
-    }.getMessage should include("no commit at or before")
+    }.getMessage should include("earliest reconstructable snapshot")
     // the table keeps working: appends, history, describe
     TxLog.append(spark, Seq((99L, "post")).toDF("id", "s"), root)
     TxLog.readLatest(spark, root).count() shouldBe 13

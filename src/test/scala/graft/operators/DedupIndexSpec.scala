@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.lake.TxLog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[DedupIndex]] — incremental MinHash dedup against a persisted band
+  * table: batch-incremental pair stream ≡ one-shot pair set, any batch
+  * order, exactly-once under replay, grow-only refusal on deletes.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-dedupidx").toString
+
+  /** 30 docs; each even doc 2k has a near-dup at 2k+1 (12 words, last
+    * word changed — trigram Jaccard 9/11 ≈ 0.818); odd-pair vocabularies
+    * are disjoint across pairs, so the expected pair set is exactly the
+    * planted one.
+    */
+  private def docs = (0 until 30).map { i =>
+    val pair = i / 2
+    val words = (0 until 11).map(j => s"w${pair}_$j") :+
+      (if (i % 2 == 0) s"tail${pair}_a" else s"tail${pair}_b")
+    (i.toLong, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def runBatches(splits: Seq[org.apache.spark.sql.Column])
+      : (String, String, Seq[(Long, Long, Double)]) = {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    val pairs = splits.flatMap { cond =>
+      TxLog.append(spark, docs.filter(cond), corpusRoot)
+      DedupIndex.update(spark, corpusRoot, indexRoot)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    (corpusRoot, indexRoot, pairs)
+  }
+
+  test("batch-incremental pairs equal the one-shot pair set, under any batch order") {
+    val (_, _, oneShot) = runBatches(Seq(lit(true)))
+    oneShot.map(p => (p._1, p._2)).toSet shouldBe
+      (0 until 30 by 2).map(k => (k.toLong, k + 1L)).toSet
+    oneShot.foreach(_._3 shouldBe 0.818182 +- 1e-6)
+    // three arrival batches, two different splits — same cumulative set
+    val (_, _, byThirds) = runBatches(Seq(
+      col("doc_id") < 10, col("doc_id") >= 10 && col("doc_id") < 20,
+      col("doc_id") >= 20))
+    byThirds.toSet shouldBe oneShot.toSet
+    val (_, _, interleaved) = runBatches(Seq(
+      col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
+      col("doc_id") % 3 === 0))
+    interleaved.toSet shouldBe oneShot.toSet
+    // ...and each pair was emitted exactly once across batches
+    byThirds.size shouldBe oneShot.size
+    interleaved.size shouldBe oneShot.size
+  }
+
+  test("replay is exactly-once: a re-run after the commit landed indexes nothing and emits nothing") {
+    val (corpusRoot, indexRoot, _) = runBatches(Seq(lit(true)))
+    val v = TxLog.currentVersion(spark, indexRoot).get
+    val wm = DedupIndex.watermark(spark, corpusRoot, indexRoot)
+    wm shouldBe TxLog.currentVersion(spark, corpusRoot).get
+    // the crash-replay shape: the driver re-runs the batch step after
+    // the watermarked append already committed — the re-read watermark
+    // covers the feed, so nothing is reprocessed or re-emitted
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 0L
+    TxLog.currentVersion(spark, indexRoot).get shouldBe v
+    DedupIndex.watermark(spark, corpusRoot, indexRoot) shouldBe wm
+  }
+
+  test("corpus deletes fail the update loudly (grow-only index)") {
+    val (corpusRoot, indexRoot, _) = runBatches(Seq(lit(true)))
+    TxLog.delete(spark, corpusRoot, col("doc_id") === 3L)
+    val e = intercept[IllegalStateException](
+      DedupIndex.update(spark, corpusRoot, indexRoot))
+    e.getMessage should include("rebuild")
+  }
+
+  test("cross-batch pairs are found when the LATER member arrives") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    // batch 1: only the even halves — no pairs yet
+    TxLog.append(spark, docs.filter(col("doc_id") % 2 === 0), corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 0L
+    // batch 2: the odd twins — every planted pair surfaces now
+    TxLog.append(spark, docs.filter(col("doc_id") % 2 === 1), corpusRoot)
+    val pairs = DedupIndex.update(spark, corpusRoot, indexRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe (0 until 30 by 2).map(k => (k.toLong, k + 1L)).toSet
+  }
+}
