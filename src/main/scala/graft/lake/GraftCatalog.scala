@@ -234,7 +234,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val pinned = asOf.orElse(TxLog.currentVersion(spark, root))
     new GraftCatalogTable(s"$catalogName.${ident.namespace().head}." +
       ident.name(), root, pinned, d.partitionCols, d.statsCols,
-      d.properties)
+      d.properties, explicitAsOf = asOf.isDefined)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -418,7 +418,8 @@ private[lake] final class GraftCatalogTable(fullName: String,
                                             pinnedVersion: Option[Long],
                                             partitionCols: Seq[String],
                                             statsCols: Seq[String],
-                                            props: Map[String, String])
+                                            props: Map[String, String],
+                                            explicitAsOf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
@@ -428,6 +429,11 @@ private[lake] final class GraftCatalogTable(fullName: String,
   private[graft] def txRoot: String = root
   private[graft] def txPartitionCols: Seq[String] = partitionCols
   private[graft] def txStatsCols: Seq[String] = statsCols
+  // the streaming bridge declines EXPLICITLY time-traveled tables
+  // (streaming a frozen snapshot is a contradiction; Spark's own refusal
+  // stays) — NOT the ordinary analysis-time snapshot pin, which every
+  // loadTable applies
+  private[graft] def isTimeTravelPinned: Boolean = explicitAsOf
 
   override def name(): String = fullName
 

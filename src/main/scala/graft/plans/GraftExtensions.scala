@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // log's own row-level commits instead of the planner's
     // "does not support UPDATE TABLE" refusal
     ext.injectPlannerStrategy(_ => graft.lake.GraftDmlStrategy)
+    // spark.readStream.table("cat.db.t") on graft catalog tables: the
+    // analyzer bridge to the V1 change-feed source (analyzer rules bind
+    // at session build — no runtime register() twin exists for this one)
+    ext.injectResolutionRule(s => new graft.lake.GraftStreamSourceRule(s))
   }
 }
 

@@ -80,6 +80,44 @@ package object graftnative {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
 
+  /** A NEW session over the same SparkContext with extensions applied —
+    * what tests and shells need to exercise ANALYZER-rule injections:
+    * runtime registration can add functions and planner strategies, but
+    * a session's extendedResolutionRules are fixed at build time, so
+    * rules like the readStream-catalog bridge need a session built with
+    * `spark.sql.extensions` (clusters) or this (an existing JVM).
+    * Implemented through the public builder — the default/active session
+    * is cleared for the construction (getOrCreate would otherwise hand
+    * back the existing session, extensions silently dropped) and
+    * restored after; safe under the sequential forked-test model.
+    */
+  def sessionWithExtensions(spark: SparkSession,
+                            f: SparkSessionExtensions => Unit): SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder().withExtensions(f).getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  /** The V1 streaming leaf for a `format` source with `options` — what
+    * the analyzer bridge substitutes for a StreamingRelationV2 over a
+    * graft catalog table (the table exposes no DSv2 MicroBatchStream;
+    * its streaming read IS the V1 change-feed source behind
+    * `readStream.format("graft")`). Both types are `private[sql]`.
+    */
+  def v1StreamingRelation(spark: SparkSession, format: String,
+                          options: Map[String, String])
+      : catalyst.plans.logical.LogicalPlan =
+    execution.streaming.runtime.StreamingRelation(
+      execution.datasources.DataSource(
+        spark.asInstanceOf[classic.SparkSession],
+        className = format, options = options))
+
   /** Re-plan a batch DataFrame as a STREAMING one (isStreaming=true) —
     * what a V1 `Source.getBatch` must return so MicroBatchExecution
     * accepts the micro-batch plan. Same trick every built-in V1 source

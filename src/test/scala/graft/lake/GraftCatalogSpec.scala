@@ -250,6 +250,40 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  test("spark.readStream.table on a catalog table streams its change feed") {
+    // analyzer rules bind at session BUILD: this needs a session built
+    // with the extensions (spark.sql.extensions on a cluster; the
+    // graftnative constructor here, since runtime register() can only
+    // add functions and planner strategies)
+    val s = org.apache.spark.sql.graftnative
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val wh = freshWarehouse()
+    s.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'a'), (2, 'b')")
+    s.sql("INSERT INTO gcat.db.t VALUES (3, 'c')")
+    val q = s.readStream.table("gcat.db.t")
+      .filter(col("_change_type") === "insert")
+      .select("id", "v")
+      .writeStream.format("memory").queryName("gcat_feed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+    s.table("gcat_feed").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    // a time-travel-pinned identifier keeps Spark's own loud refusal
+    intercept[Exception] {
+      s.readStream.table("gcat.db.t VERSION AS OF 1")
+        .writeStream.format("memory").queryName("gcat_pinned")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+  }
+
   test("descriptor keys are reserved; non-empty DROP NAMESPACE raises Spark's catalog error type") {
     val s = sessionWithCatalog(freshWarehouse())
     s.sql("CREATE NAMESPACE gcat.db")
