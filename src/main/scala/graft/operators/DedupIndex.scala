@@ -8,10 +8,16 @@ import graft.lake.TxLog
 
 /** INCREMENTAL corpus deduplication — the single most common LLM-pipeline
   * loop, as a lake operator: a persisted MinHash band table that each new
-  * corpus batch probes and extends, so dedup cost per batch is
-  * O(delta + collisions), never a whole-corpus recompute (the in-session
-  * q37 recomputes every signature per run; at 100 TB that is a daily
-  * full-scan job for a few-GB delta).
+  * corpus batch probes and extends. Per-batch cost is O(delta) shingling
+  * + one SHUFFLE-FREE streamed scan of the band table (the batch's bands
+  * are the broadcast side of the probe join; 8-byte hash rows, a
+  * fraction of re-shingling the corpus) — never a whole-corpus text
+  * recompute (the in-session q37 re-shingles everything per run; at
+  * 100 TB that is a daily full-scan job for a few-GB delta). Measured
+  * (graft.IndexLadder, BASELINE.md "Persistent index ladder"): at a
+  * 100x corpus the delta batch costs 0.44x the full recompute, and the
+  * gap widens with corpus size since the recompute's shingling is the
+  * heavy term.
   *
   * The band table at `indexRoot` is a graft table
   * (band INT, bsig BIGINT, doc_id LONG) — one row per (document, LSH
