@@ -529,18 +529,26 @@ private[graft] object GraftDataSource {
       tableSchema.find(_.name.equalsIgnoreCase(c))
     // every pushed filter must be a partition constraint we can absorb —
     // answering while silently dropping a filter would over-count.
-    // IsNotNull on a partition column is vacuous here (the tier already
-    // declines tables with null-marker partitions), and Spark INFERS one
-    // next to every pushed equality.
-    val constraints: Seq[Option[Seq[(Int, Any)]]] = pushedFilters.toSeq.map {
-      case EqualTo(a, v) if v != null =>
-        idxOf(a).map(i => Seq(i -> v))
-      case EqualNullSafe(a, v) if v != null =>
-        idxOf(a).map(i => Seq(i -> v))
-      case IsNotNull(a) =>
-        idxOf(a).map(_ => Seq.empty)
-      case _ => None
+    // Equality, IN (a disjunction over one column), and the IsNotNull
+    // Spark INFERS next to every pushed equality (vacuous here — the
+    // tier already declines tables with null-marker partitions).
+    def valueMatches(parsed: Any, want: Any): Boolean = parsed match {
+      case u: UTF8String => u.toString == String.valueOf(want)
+      case other         => other == want
     }
+    val constraints: Seq[Option[Seq[Any] => Boolean]] =
+      pushedFilters.toSeq.map {
+        case EqualTo(a, v) if v != null =>
+          idxOf(a).map(i => (vs: Seq[Any]) => valueMatches(vs(i), v))
+        case EqualNullSafe(a, v) if v != null =>
+          idxOf(a).map(i => (vs: Seq[Any]) => valueMatches(vs(i), v))
+        case In(a, arr) if arr.nonEmpty && arr.forall(_ != null) =>
+          idxOf(a).map(i => (vs: Seq[Any]) =>
+            arr.exists(w => valueMatches(vs(i), w)))
+        case IsNotNull(a) =>
+          idxOf(a).map(_ => (_: Seq[Any]) => true)
+        case _ => None
+      }
     if (constraints.exists(_.isEmpty)) return None
     // typed tuples: parse every partition value under its column type
     val typed: Seq[(Seq[Any], Long)] = counts.toSeq.map { case (vs, n) =>
@@ -550,14 +558,9 @@ private[graft] object GraftDataSource {
       if (parsed.exists(_.isEmpty)) return None
       (parsed.flatten, n)
     }
-    def matchesAll(vs: Seq[Any]): Boolean = constraints.flatten.flatten.forall {
-      case (i, want) => vs(i) match {
-        // UTF8String vs the filter's java String
-        case u: UTF8String => u.toString == String.valueOf(want)
-        case other         => other == want
-      }
+    val survivors = typed.filter { case (vs, _) =>
+      constraints.flatten.forall(_(vs))
     }
-    val survivors = typed.filter { case (vs, _) => matchesAll(vs) }
     val nAggs = agg.aggregateExpressions.length
     val filterDesc =
       if (pushedFilters.isEmpty) ""

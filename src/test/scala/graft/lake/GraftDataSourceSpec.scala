@@ -424,6 +424,17 @@ class GraftDataSourceSpec extends SparkSpec {
     val f = t.filter(col("bucket") === 1L).agg(count(lit(1)).as("n"))
     isLocalPlan(f) shouldBe true
     f.head().getLong(0) shouldBe 10L
+    // IN over partition values is a per-column disjunction the tier
+    // absorbs; the fully-deleted member contributes zero
+    val in = t.filter(col("bucket").isin(0L, 2L)).agg(count(lit(1)).as("n"))
+    isLocalPlan(in) shouldBe true
+    in.head().getLong(0) shouldBe 10L
+    val inG = t.filter(col("bucket").isin(0L, 1L)).groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+    isLocalPlan(inG) shouldBe true
+    inG.orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((0L, 10L), (1L, 10L))
   }
 
   test("aggregate pushdown DECLINES exactly when metadata can't answer — results stay correct") {

@@ -62,6 +62,28 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q123 persisted-index probe: cell equi-join candidates, id-join re-rank — never all-pairs") {
+    // the candidate generation must stay the (cell) EQUI-join of probes
+    // vs the PERSISTED codes scan, and the exact re-rank an id equi-join
+    // back to the corpus. The only nested-loop joins allowed are the
+    // k-BOUNDED centroid-assignment crossJoins (a broadcast of the
+    // metadata-sized centroid table — the intended IVF shape, same as
+    // q41/q82): one for the query probes, never one over the codes or
+    // the corpus (points x centroids pairs, not points x points).
+    val p = plan("q123_sim_topk_ann_index")
+    p should not include "CartesianProduct"
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    nested should be <= 1
+    // the candidate join itself is hash/merge on the cell key
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) shouldBe true
+  }
+
+  test("q124 incremental dedup: band-table probe and candidate verify are equi-joins") {
+    val p = plan("q124_dedup_incremental")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("q42 exact near-dup is a block-pair equi-join, not a nested loop") {
     val p = plan("q42_dedup_embcos")
     p should not include "BroadcastNestedLoopJoin"
