@@ -493,8 +493,6 @@ private[graft] object GraftDataSource {
                                     options: CaseInsensitiveStringMap)
       : Option[AggAnswer] = {
     import org.apache.spark.sql.types._
-    if (!agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
-      return None
     val spark = SparkSession.active
     val root = rootOf(options)
     val version = versionOf(spark, options)
@@ -505,16 +503,6 @@ private[graft] object GraftDataSource {
         Some(nr.fieldNames()(0))
       case _ => None
     }
-    // the group columns must all resolve to plain column references
-    val groupNames = agg.groupByExpressions.toSeq.map(colNameOf)
-    if (groupNames.exists(_.isEmpty)) return None
-    val (pcols, counts) =
-      TxLog.partitionRowCounts(spark, root, version).getOrElse(return None)
-    val pIndex = pcols.zipWithIndex
-      .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }
-      .toMap
-    def idxOf(name: String): Option[Int] =
-      pIndex.get(name.toLowerCase(java.util.Locale.ROOT))
     // a path string back to the column's typed value — EXACT or decline
     // (same posture as the stats tier's double round-trip rule)
     def parse(v: String, t: DataType): Option[Any] = t match {
@@ -527,6 +515,37 @@ private[graft] object GraftDataSource {
     }
     def fieldOf(c: String): Option[StructField] =
       tableSchema.find(_.name.equalsIgnoreCase(c))
+    // the group columns must all resolve to plain column references
+    val groupNames = agg.groupByExpressions.toSeq.map(colNameOf)
+    if (groupNames.exists(_.isEmpty)) return None
+    // classify the aggregates: COUNT(*), or MIN/MAX of a data column
+    // answered from the per-partition stat bounds (exact round-trip
+    // required, same posture as the global tier)
+    sealed trait ASpec
+    case object ACount extends ASpec
+    final case class ABound(name: String, takeMin: Boolean,
+                            t: DataType) extends ASpec
+    val specs: Seq[ASpec] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ACount
+      case m: Min =>
+        val c = colNameOf(m.column).getOrElse(return None)
+        val f = fieldOf(c).getOrElse(return None)
+        ABound(f.name, takeMin = true, f.dataType)
+      case m: Max =>
+        val c = colNameOf(m.column).getOrElse(return None)
+        val f = fieldOf(c).getOrElse(return None)
+        ABound(f.name, takeMin = false, f.dataType)
+      case _ => return None
+    }
+    val statCols = specs.collect { case b: ABound => b.name }.distinct
+    val (pcols, parts) =
+      TxLog.partitionAggregates(spark, root, version, statCols)
+        .getOrElse(return None)
+    val pIndex = pcols.zipWithIndex
+      .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }
+      .toMap
+    def idxOf(name: String): Option[Int] =
+      pIndex.get(name.toLowerCase(java.util.Locale.ROOT))
     // every pushed filter must be a partition constraint we can absorb —
     // answering while silently dropping a filter would over-count.
     // Equality, IN (a disjunction over one column), and the IsNotNull
@@ -551,48 +570,103 @@ private[graft] object GraftDataSource {
       }
     if (constraints.exists(_.isEmpty)) return None
     // typed tuples: parse every partition value under its column type
-    val typed: Seq[(Seq[Any], Long)] = counts.toSeq.map { case (vs, n) =>
-      val parsed = pcols.zip(vs).map { case (c, v) =>
-        fieldOf(c).flatMap(f => parse(v, f.dataType))
+    val typed: Seq[(Seq[Any], TxLog.PartitionAgg)] =
+      parts.toSeq.map { case (vs, a) =>
+        val parsed = pcols.zip(vs).map { case (c, v) =>
+          fieldOf(c).flatMap(f => parse(v, f.dataType))
+        }
+        if (parsed.exists(_.isEmpty)) return None
+        (parsed.flatten, a)
       }
-      if (parsed.exists(_.isEmpty)) return None
-      (parsed.flatten, n)
-    }
     val survivors = typed.filter { case (vs, _) =>
       constraints.flatten.forall(_(vs))
     }
-    val nAggs = agg.aggregateExpressions.length
-    val filterDesc =
-      if (pushedFilters.isEmpty) ""
-      else s" WHERE ${pushedFilters.map(_.toString).mkString(" AND ")}"
+    // a stat double back to the column's internal value — EXACT or
+    // decline (the global tier's rule, restated here for group bounds)
+    def exact(d: Double, t: DataType): Option[Any] = t match {
+      case DoubleType  => Some(d)
+      case FloatType   => Some(d.toFloat)
+      case IntegerType => Some(d.toInt)
+      case ShortType   => Some(d.toShort)
+      case ByteType    => Some(d.toByte)
+      case LongType
+          if math.abs(d) < 9007199254740992.0 && d == math.rint(d) =>
+        Some(d.toLong)
+      case _ => None
+    }
+    // MIN/MAX over a partition with a deletion vector may overstate (the
+    // vector can remove the extreme row): any surviving dv under a bound
+    // aggregate declines the whole answer. Per-group bound values are
+    // required present + exactly-convertible; a group with zero visible
+    // rows can only arise through a vector here (an empty file carries
+    // no stats at all, declining earlier), so the dv rule covers it.
+    val wantBounds = specs.exists(_.isInstanceOf[ABound])
+    if (wantBounds && survivors.exists(_._2.anyDv)) return None
+    def boundOf(a: TxLog.PartitionAgg, b: ABound): Option[Any] =
+      a.bounds(b.name).flatMap(mm =>
+        exact(if (b.takeMin) mm._1 else mm._2, b.t))
+    def describe: String = {
+      val ags = specs.map {
+        case ACount => "COUNT(*)"
+        case b: ABound =>
+          s"${if (b.takeMin) "MIN" else "MAX"}(${b.name})"
+      }.mkString(", ")
+      val f = if (pushedFilters.isEmpty) ""
+        else s" WHERE ${pushedFilters.map(_.toString).mkString(" AND ")}"
+      s"$ags$f [partition metadata]"
+    }
+    def aggSchema: Seq[StructField] = specs.zipWithIndex.map {
+      case (ACount, i)    => StructField(s"agg_$i", LongType,
+        nullable = false)
+      case (b: ABound, i) => StructField(s"agg_$i", b.t, nullable = true)
+    }
     if (agg.groupByExpressions.isEmpty) {
-      // filtered global COUNT: one row (COUNT over no rows is 0)
-      val total = survivors.map(_._2).sum
-      val schema = StructType((0 until nAggs).map(i =>
-        StructField(s"agg_$i", LongType, nullable = false)))
-      Some(AggAnswer(schema,
-        Array[InternalRow](new GenericInternalRow(
-          Array.fill[Any](nAggs)(total))),
-        s"COUNT(*) x $nAggs$filterDesc [partition metadata]"))
+      // filtered global aggregate: ONE row — COUNT over no rows is 0,
+      // MIN/MAX over no rows is NULL
+      val total = survivors.map(_._2.rows).sum
+      val values: Seq[Any] = specs.map {
+        case ACount => total
+        case b: ABound =>
+          val nonEmpty = survivors.map(_._2).filter(_.rows > 0)
+          if (nonEmpty.isEmpty) null
+          else {
+            val per = nonEmpty.map(boundOf(_, b))
+            if (per.exists(_.isEmpty)) return None
+            val ds = nonEmpty.map(_.bounds(b.name).get)
+            exact(if (b.takeMin) ds.map(_._1).min else ds.map(_._2).max,
+              b.t).getOrElse(return None)
+          }
+      }
+      Some(AggAnswer(StructType(aggSchema),
+        Array[InternalRow](new GenericInternalRow(values.toArray)),
+        describe))
     } else {
       val gIdx = groupNames.flatten.map(n => idxOf(n).getOrElse(return None))
       val gFields = groupNames.flatten.map(n =>
         fieldOf(n).getOrElse(return None))
-      val grouped = survivors
-        .groupMapReduce { case (vs, _) => gIdx.map(vs) }(_._2)(_ + _)
+      // zero-visible-row partitions surface no group (SQL: no rows, no
+      // group); with bounds requested the dv rule above already declined
+      val grouped = survivors.filter(_._2.rows > 0)
+        .groupMapReduce { case (vs, _) => gIdx.map(vs) }(_._2) { (a, b) =>
+          TxLog.PartitionAgg(a.rows + b.rows, a.anyDv || b.anyDv,
+            statCols.map { c =>
+              c -> (for { x <- a.bounds(c); y <- b.bounds(c) }
+                yield (math.min(x._1, y._1), math.max(x._2, y._2)))
+            }.toMap)
+        }
         .toSeq.sortBy(_._1.map(String.valueOf).mkString("/"))
       val schema = StructType(
         gFields.map(f => StructField(f.name, f.dataType,
-          nullable = false)) ++
-          (0 until nAggs).map(i =>
-            StructField(s"agg_$i", LongType, nullable = false)))
-      val rows = grouped.map { case (key, n) =>
-        new GenericInternalRow(
-          (key ++ Seq.fill[Any](nAggs)(n)).toArray): InternalRow
+          nullable = false)) ++ aggSchema)
+      val rows = grouped.map { case (key, a) =>
+        val values: Seq[Any] = specs.map {
+          case ACount    => a.rows
+          case b: ABound => boundOf(a, b).getOrElse(return None)
+        }
+        new GenericInternalRow((key ++ values).toArray): InternalRow
       }.toArray
       Some(AggAnswer(schema, rows,
-        s"GROUP BY ${gFields.map(_.name).mkString(", ")} / " +
-          s"COUNT(*) x $nAggs$filterDesc [partition metadata]"))
+        s"GROUP BY ${gFields.map(_.name).mkString(", ")} / $describe"))
     }
   }
 

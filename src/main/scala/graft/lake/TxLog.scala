@@ -706,22 +706,32 @@ object TxLog {
         if (counted.size == snap.live.size) Some(counted.sum) else None
     }
 
-  /** Per-partition VISIBLE row counts from commit metadata alone — the
-    * backbone of partition-grouped/filtered COUNT pushdown: (partition
-    * columns in directory order, value-tuple -> visible rows), deletion-
-    * vector rows subtracted per file exactly like [[countRowsFast]].
-    * Zero-row partitions (fully vectored / empty files) are dropped —
-    * GROUP BY surfaces no group for them. None when the table is
-    * unpartitioned (or mixed-layout), any live file lacks a row count,
-    * or any partition value is Hive's null marker (the typed value is
-    * not reconstructable from the path). Sub-threshold tables fold on
-    * the driver; distributed-tier tables run ONE aggregation over the
-    * checkpoint parquet whose result is bounded by the PARTITION count,
-    * never the file count.
+  /** One partition's metadata aggregate: visible rows (dv-subtracted),
+    * whether ANY of its live files carries a deletion vector (a vector
+    * may have removed a file's extreme row, so MIN/MAX answers must
+    * decline), and per-requested-column [min, max] bounds — None for a
+    * column any of the partition's files lacks.
     */
-  def partitionRowCounts(spark: SparkSession, root: String,
-                         version: Option[Long] = None)
-      : Option[(Seq[String], Map[Seq[String], Long])] = {
+  final case class PartitionAgg(rows: Long, anyDv: Boolean,
+                                bounds: Map[String, Option[(Double, Double)]])
+
+  /** Per-partition metadata aggregates — the backbone of partition-
+    * grouped/filtered COUNT/MIN/MAX pushdown: (partition columns in
+    * directory order, value-tuple -> [[PartitionAgg]]), row counts
+    * dv-subtracted per file exactly like [[countRowsFast]], bounds the
+    * fold of the per-file committed stats under `statCols` (LOGICAL
+    * names — translated through the snapshot's column mapping). None
+    * when the table is unpartitioned (or mixed-layout), any live file
+    * lacks a row count, or any partition value is Hive's null marker
+    * (the typed value is not reconstructable from the path). Sub-
+    * threshold tables fold on the driver; distributed-tier tables run
+    * ONE aggregation over the checkpoint parquet whose result is
+    * bounded by the PARTITION count, never the file count.
+    */
+  def partitionAggregates(spark: SparkSession, root: String,
+                          version: Option[Long] = None,
+                          statCols: Seq[String] = Seq.empty)
+      : Option[(Seq[String], Map[Seq[String], PartitionAgg])] = {
     val NullMarker = "__HIVE_DEFAULT_PARTITION__"
     def parseDir(dir: String): Seq[(String, String)] =
       dir.split('/').filter(_.nonEmpty).toSeq.map { seg =>
@@ -730,52 +740,107 @@ object TxLog {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.drop(i + 1))
       }
-    def fold(perFile: Seq[(String, Long)])
-        : Option[(Seq[String], Map[Seq[String], Long])] = {
+    // (dir, rows, dv?, per-col bounds) per FILE -> grouped per partition
+    def fold(perFile: Seq[(String, Long, Boolean,
+                           Map[String, Option[(Double, Double)]])])
+        : Option[(Seq[String], Map[Seq[String], PartitionAgg])] = {
       if (perFile.isEmpty) return None
-      val parsed = perFile.map { case (d, n) => (parseDir(d), n) }
+      val parsed = perFile.map { case (d, n, dv, b) =>
+        (parseDir(d), n, dv, b)
+      }
       val cols = parsed.head._1.map(_._1)
       if (cols.isEmpty || cols.exists(_.isEmpty)) return None
       if (parsed.exists(_._1.map(_._1) != cols)) return None // mixed depth
       if (parsed.exists(_._1.exists(_._2 == NullMarker))) return None
-      Some((cols, parsed.groupMapReduce(_._1.map(_._2))(_._2)(_ + _)
-        .filter(_._2 > 0)))
+      val grouped = parsed.groupMapReduce(_._1.map(_._2))(
+        t => PartitionAgg(t._2, t._3, t._4)) { (a, b) =>
+        PartitionAgg(a.rows + b.rows, a.anyDv || b.anyDv,
+          statCols.map { c =>
+            c -> (for { x <- a.bounds(c); y <- b.bounds(c) }
+              yield (math.min(x._1, y._1), math.max(x._2, y._2)))
+          }.toMap)
+      }
+      Some((cols, grouped))
     }
     resolveMeta(spark, root, version) match {
       case Left(snap) =>
         val rc = snap.stats.col(RowCountKey)
+        val colStats = statCols.map(c =>
+          c -> snap.stats.col(physName(snap.colMap, c))).toMap
         val perFile = snap.live.map { f =>
-          rc.get(f).map(st => relDir(f) ->
-            (st._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L)))
+          rc.get(f).map { st =>
+            (relDir(f),
+              st._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L),
+              snap.dvs.contains(f),
+              statCols.map(c => c -> colStats(c).get(f)).toMap)
+          }
         }
         if (perFile.exists(_.isEmpty)) None else fold(perFile.flatten)
       case Right(m) =>
-        import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
+        import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum, when}
         if (!m.legend.contains(RowCountKey)) return None
-        val (touched, _) = touchedState(spark, m, Seq(RowCountKey))
+        val phys = statCols.map(c => c -> physName(m.colMap, c)).toMap
+        val keys = RowCountKey +: statCols.map(phys)
+        val (touched, _) = touchedState(spark, m, keys)
         if (touched.exists(t => !t.stats.contains(RowCountKey))) return None
         val k = s"`mn:$RowCountKey`"
         // one distributed aggregation, output bounded by partition count
+        val aggs = Seq(count(lit(1)).as("nFiles"),
+          count(col(k)).as("nStat"),
+          sum(expr(s"cast($k - coalesce(cast(dvRows as double), 0.0) " +
+            "as long)")).as("nRows"),
+          max(when(col("dvPath").isNotNull, 1).otherwise(0)).as("anyDv")) ++
+          statCols.zipWithIndex.flatMap { case (c, i) =>
+            val p = phys(c)
+            if (!m.legend.contains(p))
+              Seq(lit(0L).as(s"nb_$i"), lit(null).as(s"mn_$i"),
+                lit(null).as(s"mx_$i"))
+            else Seq(count(col(s"`mn:$p`")).as(s"nb_$i"),
+              min(col(s"`mn:$p`")).as(s"mn_$i"),
+              max(col(s"`mx:$p`")).as(s"mx_$i"))
+          }
         val grouped = exceptTouched(
-            ckptLiveDF(spark, m, Seq(RowCountKey), withDv = true),
-            m.touchedAll)
+            ckptLiveDF(spark, m, keys, withDv = true), m.touchedAll)
           .withColumn("dir",
             when(expr("instr(file, '/')") === 0, lit(""))
               .otherwise(expr(
                 "substring(file, 1, length(file) - locate('/', reverse(file)))")))
           .groupBy("dir")
-          .agg(count(lit(1)).as("nFiles"), count(col(k)).as("nStat"),
-            sum(expr(s"cast($k - coalesce(cast(dvRows as double), 0.0) " +
-              "as long)")).as("nRows"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
         if (grouped.exists(r => r.getLong(1) != r.getLong(2))) return None
-        val base = grouped.toSeq.map(r =>
-          r.getString(0) -> (if (r.isNullAt(3)) 0L else r.getLong(3)))
-        val touchedPer = touched.map(t => relDir(t.file) ->
-          (t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L)))
+        val base = grouped.toSeq.map { r =>
+          val nFiles = r.getLong(1)
+          val bounds = statCols.zipWithIndex.map { case (c, i) =>
+            val nb = r.getAs[Long](s"nb_$i")
+            c -> (if (nb != nFiles) None
+                  else Some((r.getAs[Double](s"mn_$i"),
+                    r.getAs[Double](s"mx_$i"))))
+          }.toMap
+          (r.getString(0),
+            if (r.isNullAt(3)) 0L else r.getLong(3),
+            r.getAs[Int]("anyDv") > 0, bounds)
+        }
+        val touchedPer = touched.map { t =>
+          (relDir(t.file),
+            t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L),
+            t.dv.isDefined,
+            statCols.map(c => c -> t.stats.get(phys(c))).toMap)
+        }
         fold(base ++ touchedPer)
     }
   }
+
+  /** Per-partition VISIBLE row counts ([[partitionAggregates]] restricted
+    * to counts): zero-row partitions (fully vectored / empty files) are
+    * dropped — GROUP BY surfaces no group for them.
+    */
+  def partitionRowCounts(spark: SparkSession, root: String,
+                         version: Option[Long] = None)
+      : Option[(Seq[String], Map[Seq[String], Long])] =
+    partitionAggregates(spark, root, version).map { case (cols, m) =>
+      (cols, m.collect { case (k, a) if a.rows > 0 => k -> a.rows })
+    }
 
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'

@@ -1717,14 +1717,15 @@ object Lake {
     // the most common operational query there is.
     QDef(
       "q125_partition_metadata_agg",
-      """WITH src AS (SELECT o_orderkey AS k, o_orderpriority AS prio
-        |             FROM orders WHERE o_orderkey % 10 <> 0),
-        |g AS (SELECT prio, count(*) AS n_rows FROM src GROUP BY prio),
-        |f AS (SELECT '(1-URGENT only)' AS prio, count(*) AS n_rows
-        |      FROM src WHERE prio = '1-URGENT')
-        |SELECT prio, n_rows FROM (SELECT * FROM g UNION ALL
-        |                          SELECT * FROM f)
-        |ORDER BY prio""".stripMargin) { (s, dir) =>
+      """WITH pre AS (SELECT o_orderpriority AS prio, count(*) AS n_pre,
+        |                    min(o_orderkey) AS min_k,
+        |                    max(o_orderkey) AS max_k
+        |             FROM orders GROUP BY 1),
+        |post AS (SELECT o_orderpriority AS prio, count(*) AS n_post
+        |         FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1)
+        |SELECT pre.prio AS prio, n_pre, min_k, max_k, n_post
+        |FROM pre JOIN post ON pre.prio = post.prio
+        |ORDER BY pre.prio""".stripMargin) { (s, dir) =>
       val root = Tables.scratch(dir, "pmeta")
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1734,9 +1735,6 @@ object Lake {
           col("o_orderkey").cast("long").as("k"),
           col("o_orderpriority").as("prio")),
         root, partitionCols = Seq("prio"), statsCols = Seq("k"))
-      // sparse vector delete: counts must come out dv-subtracted
-      TxLog.deleteVectored(s, root, col("k") % 10 === 0)
-      val tbl = s.read.format("graft").load(root)
       def assertLocal(df: DataFrame, what: String): Unit = {
         val plan = df.queryExecution.executedPlan
         val opensFiles = plan.collectWithSubqueries {
@@ -1749,18 +1747,42 @@ object Lake {
         require(isLocal && !opensFiles,
           s"q125: $what was not answered as a LocalTableScan:\n$plan")
       }
+      // pre-delete: grouped COUNT + MIN/MAX from per-partition file
+      // stats — the whole row is metadata (vectors not written yet)
       graft.lake.GraftDataSource.lastAggPushdown = None
-      val grouped = tbl.groupBy("prio").agg(count(lit(1)).as("n_rows"))
-      assertLocal(grouped, "GROUP BY prio / COUNT(*)")
+      val pre = s.read.format("graft").load(root).groupBy("prio")
+        .agg(count(lit(1)).as("n_pre"), min("k").as("min_k"),
+          max("k").as("max_k"))
+      assertLocal(pre, "GROUP BY prio / COUNT + MIN + MAX")
       require(graft.lake.GraftDataSource.lastAggPushdown
-        .exists(_.contains("GROUP BY prio")),
-        "q125: the grouped count did not go through the partition " +
+        .exists(d => d.contains("GROUP BY prio") && d.contains("MIN(k)")),
+        "q125: the grouped bounds did not go through the partition " +
           s"tier: ${graft.lake.GraftDataSource.lastAggPushdown}")
-      val filtered = tbl.filter(col("prio") === "1-URGENT")
-        .agg(count(lit(1)).as("n_rows"))
-        .select(lit("(1-URGENT only)").as("prio"), col("n_rows"))
-      assertLocal(filtered, "COUNT(*) WHERE prio = '1-URGENT'")
-      grouped.unionByName(filtered).orderBy("prio")
+      // materialize before the vector lands (the scan is snapshot-pinned
+      // but the ASSERTION is about the pre-delete state)
+      val preRows = pre.collect().toSeq
+      // sparse vector delete: grouped COUNTS must come out dv-subtracted
+      // (bounds now decline — a vector can remove the extreme row)
+      TxLog.deleteVectored(s, root, col("k") % 10 === 0)
+      val tbl2 = s.read.format("graft").load(root)
+      val post = tbl2.groupBy("prio").agg(count(lit(1)).as("n_post"))
+      assertLocal(post, "post-delete GROUP BY prio / COUNT(*)")
+      // the FILTERED metadata count agrees with its grouped row
+      val f = tbl2.filter(col("prio") === "1-URGENT")
+        .agg(count(lit(1)).as("n"))
+      assertLocal(f, "COUNT(*) WHERE prio = '1-URGENT'")
+      val fromGroup = post.filter(col("prio") === "1-URGENT")
+        .head().getLong(1)
+      val fromFilter = f.head().getLong(0)
+      require(fromFilter == fromGroup,
+        s"q125: filtered count $fromFilter != grouped row $fromGroup")
+      import s.implicits._
+      preRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toDF("prio", "n_pre", "min_k", "max_k")
+        .join(post, "prio")
+        .select("prio", "n_pre", "min_k", "max_k", "n_post")
+        .orderBy("prio")
     },
 
     // O-2's XML parse seam, oracle-pinned (previously spec-only): build

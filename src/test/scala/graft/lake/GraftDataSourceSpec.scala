@@ -408,6 +408,52 @@ class GraftDataSourceSpec extends SparkSpec {
     GraftDataSource.lastAggPushdown shouldBe None
   }
 
+  test("partition tier: per-partition MIN/MAX answer from grouped file stats; vectors decline bounds, not counts") {
+    val root = tmpRoot()
+    TxLog.append(spark,
+      (0L until 40L).map(i => (i, s"p${i % 4}")).toDF("id", "part"),
+      root, partitionCols = Seq("part"), statsCols = Seq("id"))
+    TxLog.append(spark, Seq((100L, "p0")).toDF("id", "part"), root,
+      partitionCols = Seq("part"), statsCols = Seq("id"))
+    val t = spark.read.format("graft").load(root)
+    GraftDataSource.lastAggPushdown = None
+    val g = t.groupBy("part").agg(count(lit(1)).as("n"),
+      min("id").as("mn"), max("id").as("mx"))
+    isLocalPlan(g) shouldBe true
+    g.orderBy("part").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe Seq(("p0", 11L, 0L, 100L), ("p1", 10L, 1L, 37L),
+        ("p2", 10L, 2L, 38L), ("p3", 10L, 3L, 39L))
+    GraftDataSource.lastAggPushdown.get should include("MIN(id)")
+    // filtered UNGROUPED bounds: one metadata row
+    val f = t.filter(col("part") === "p2")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+    isLocalPlan(f) shouldBe true
+    f.head() shouldBe org.apache.spark.sql.Row(2L, 38L)
+    // ...over a no-match filter: NULL bounds, like SQL over zero rows
+    val z = t.filter(col("part") === "nope").agg(min("id").as("mn"))
+    isLocalPlan(z) shouldBe true
+    z.head().isNullAt(0) shouldBe true
+    // a deletion vector may have removed the extreme row: bounds
+    // decline (correct via the scan), grouped COUNT stays metadata
+    TxLog.deleteVectored(spark, root, col("id") === 100L)
+    val t2 = spark.read.format("graft").load(root)
+    GraftDataSource.lastAggPushdown = None
+    val g2 = t2.groupBy("part").agg(max("id").as("mx"))
+    isLocalPlan(g2) shouldBe false
+    g2.orderBy("part").collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(36L, 37L, 38L, 39L)
+    val c2 = t2.groupBy("part").agg(count(lit(1)).as("n"))
+    isLocalPlan(c2) shouldBe true
+    c2.orderBy("part").collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(10L, 10L, 10L, 10L)
+    // a stat-less column (the partition column itself carries no file
+    // stats) declines to the scan, result exact
+    val np = t2.groupBy("part").agg(max("part").as("mx"))
+    isLocalPlan(np) shouldBe false
+    np.count() shouldBe 4L
+  }
+
   test("partition tier: integral partition values group under their typed column; a fully-deleted partition surfaces no group") {
     val root = tmpRoot()
     TxLog.append(spark,

@@ -395,6 +395,39 @@ class TxLogMetaDistribSpec extends SparkSpec {
       Seq(500L, 501L, 502L)
   }
 
+  test("partitionAggregates: distributed tier == driver fold, across a tail with an append and a vector") {
+    val root = tmpRoot()
+    // partitioned, stats-bearing, checkpointed base + a tail holding an
+    // append AND a vectored delete on a checkpointed file's rows
+    (0 until 3).foreach { b =>
+      TxLog.append(spark,
+        (0L until 20L).map(i => (b * 100L + i, s"p${i % 2}"))
+          .toDF("id", "part"),
+        root, partitionCols = Seq("part"), statsCols = Seq("id"))
+    }
+    TxLog.checkpoint(spark, root) shouldBe Some(2L)
+    TxLog.append(spark, Seq((999L, "p1")).toDF("id", "part"), root,
+      partitionCols = Seq("part"), statsCols = Seq("id"))
+    TxLog.deleteVectored(spark, root, col("id") === 0L) // in p0, ckpt'd
+    val small = TxLog.partitionAggregates(spark, root,
+      statCols = Seq("id"))
+    TxLog.lastResolveDistributed = false
+    val dist = distributed(
+      TxLog.partitionAggregates(spark, root, statCols = Seq("id")))
+    TxLog.lastResolveDistributed shouldBe true
+    dist shouldBe small
+    val (cols, m) = dist.get
+    cols shouldBe Seq("part")
+    m(Seq("p0")).rows shouldBe 29L // 30 minus the vectored id 0
+    m(Seq("p0")).anyDv shouldBe true
+    m(Seq("p1")).rows shouldBe 31L
+    m(Seq("p1")).anyDv shouldBe false
+    m(Seq("p1")).bounds("id") shouldBe Some((1.0, 999.0))
+    // dv'd partition: bounds still FOLD from file stats (the DECISION to
+    // decline under vectors is the consumer's — answerPartitionCounts)
+    m(Seq("p0")).bounds("id") shouldBe Some((0.0, 218.0))
+  }
+
   test("historySummary over a checkpointed log parses only the TAIL " +
       "(seam-counted), equal to the parse-everything projection") {
     val root = tmpRoot()
