@@ -497,6 +497,17 @@ private[lake] final class GraftCatalogTable(fullName: String,
           case f => GraftDataSource.toColumn(f).isDefined
         }
       override def build(): V1Write = new V1Write {
+        // the ONLY path that reaches toBatch on this V1 write is a
+        // dynamic partition overwrite planned WITHOUT the strategy
+        // (every other plan shape has a V1 exec): turn Spark's generic
+        // unsupported-operation failure into the actionable one
+        override def toBatch
+            : org.apache.spark.sql.connector.write.BatchWrite =
+          throw new IllegalStateException(
+            "dynamic partition overwrite on graft tables executes " +
+              "through the injected planner strategy — set " +
+              "spark.sql.extensions=graft.plans.GraftExtensions, or " +
+              "call GraftExtensions.register(spark) first")
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,

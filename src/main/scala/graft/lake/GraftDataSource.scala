@@ -478,7 +478,7 @@ private[graft] object GraftDataSource {
     * aggregates are ALL COUNT(*), whose GROUP BY columns (if any) are
     * all PARTITION columns, and whose pushed filters (if any) are all
     * partition-column equalities with non-null values — entirely from
-    * [[TxLog.partitionRowCounts]] (live-path partition values + per-file
+    * [[TxLog.partitionAggregates]] (live-path partition values + per-file
     * committed row counts, dv-subtracted). Declines on anything else,
     * and on partition value types the path string can't round-trip
     * EXACTLY (only string and integral columns qualify — a date/double
@@ -538,8 +538,19 @@ private[graft] object GraftDataSource {
       case _ => return None
     }
     val statCols = specs.collect { case b: ABound => b.name }.distinct
+    // filter SHAPES validated before any metadata work, and the named
+    // columns handed to partitionAggregates so a non-partition GROUP
+    // BY/filter declines on a file-name probe, never a metadata fold
+    val filterCols: Seq[String] = pushedFilters.toSeq.map {
+      case EqualTo(a, v) if v != null                            => a
+      case EqualNullSafe(a, v) if v != null                      => a
+      case In(a, arr) if arr.nonEmpty && arr.forall(_ != null)   => a
+      case IsNotNull(a)                                          => a
+      case _ => return None
+    }
     val (pcols, parts) =
-      TxLog.partitionAggregates(spark, root, version, statCols)
+      TxLog.partitionAggregates(spark, root, version, statCols,
+        requireCols = groupNames.flatten ++ filterCols)
         .getOrElse(return None)
     val pIndex = pcols.zipWithIndex
       .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }

@@ -67,8 +67,14 @@ private[graft] object GraftDmlStrategy extends SparkStrategy {
           // NAME can never depend on the source's own column names
           val df = planToDf(s, o.query)
             .toDF(t.columns().map(_.name).toIndexedSeq: _*)
-          TxLog.upsertPartitions(s, df, t.txRoot, t.txPartitionCols,
-            t.txStatsCols)
+          if (t.txPartitionCols.isEmpty)
+            // Spark's dynamic-overwrite semantics on an UNPARTITIONED
+            // table: the one implicit partition is the table — replace
+            // it (upsertPartitions would refuse)
+            TxLog.overwrite(s, df, t.txRoot, statsCols = t.txStatsCols)
+          else
+            TxLog.upsertPartitions(s, df, t.txRoot, t.txPartitionCols,
+              t.txStatsCols)
         }
       }.toSeq
     case _ => Nil

@@ -730,9 +730,19 @@ object TxLog {
     */
   def partitionAggregates(spark: SparkSession, root: String,
                           version: Option[Long] = None,
-                          statCols: Seq[String] = Seq.empty)
+                          statCols: Seq[String] = Seq.empty,
+                          requireCols: Seq[String] = Seq.empty)
       : Option[(Seq[String], Map[Seq[String], PartitionAgg])] = {
     val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+    // `requireCols`: decline EARLY (one file-name probe, no aggregation
+    // job) unless every named column is a partition column — the
+    // planner consults this tier speculatively, and a non-qualifying
+    // GROUP BY/filter must not pay a distributed metadata fold to learn
+    // it doesn't qualify
+    def colsOk(cols: Seq[String]): Boolean = {
+      val set = cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      requireCols.forall(c => set(c.toLowerCase(java.util.Locale.ROOT)))
+    }
     def parseDir(dir: String): Seq[(String, String)] =
       dir.split('/').filter(_.nonEmpty).toSeq.map { seg =>
         val i = seg.indexOf('=')
@@ -764,6 +774,9 @@ object TxLog {
     }
     resolveMeta(spark, root, version) match {
       case Left(snap) =>
+        snap.live.headOption.foreach { f =>
+          if (!colsOk(parseDir(relDir(f)).map(_._1))) return None
+        }
         val rc = snap.stats.col(RowCountKey)
         val colStats = statCols.map(c =>
           c -> snap.stats.col(physName(snap.colMap, c))).toMap
@@ -781,6 +794,18 @@ object TxLog {
         if (!m.legend.contains(RowCountKey)) return None
         val phys = statCols.map(c => c -> physName(m.colMap, c)).toMap
         val keys = RowCountKey +: statCols.map(phys)
+        // layout probe BEFORE the aggregation: a live touched file is
+        // in hand for free; otherwise one single-row job
+        val sampleDir = m.touchedLive.collectFirst {
+          case (f, true) => relDir(f)
+        }.orElse(
+          exceptTouched(ckptLiveDF(spark, m, Nil, withDv = false),
+            m.touchedAll)
+            .select("file").limit(1).collect()
+            .headOption.map(r => relDir(r.getString(0))))
+        sampleDir.foreach { d =>
+          if (!colsOk(parseDir(d).map(_._1))) return None
+        }
         val (touched, _) = touchedState(spark, m, keys)
         if (touched.exists(t => !t.stats.contains(RowCountKey))) return None
         val k = s"`mn:$RowCountKey`"
@@ -831,16 +856,6 @@ object TxLog {
     }
   }
 
-  /** Per-partition VISIBLE row counts ([[partitionAggregates]] restricted
-    * to counts): zero-row partitions (fully vectored / empty files) are
-    * dropped — GROUP BY surfaces no group for them.
-    */
-  def partitionRowCounts(spark: SparkSession, root: String,
-                         version: Option[Long] = None)
-      : Option[(Seq[String], Map[Seq[String], Long])] =
-    partitionAggregates(spark, root, version).map { case (cols, m) =>
-      (cols, m.collect { case (k, a) if a.rows > 0 => k -> a.rows })
-    }
 
   /** Distributed write of `df` into the table's partition layout under
     * unique, not-yet-committed names. Returns the added files'
@@ -992,7 +1007,8 @@ object TxLog {
                          schemaDrop: Seq[String] = Seq.empty,
                          renames: Option[Map[String, String]] = None,
                          mappingFence: Option[(Map[String, String], Seq[String])] = None,
-                         consFence: Option[Map[String, String]] = None): Long = {
+                         consFence: Option[Map[String, String]] = None,
+                         txnFence: Boolean = true): Long = {
     val fs = fileSystem(spark, root)
     // parse the auto-truncation config BEFORE any claim: a malformed
     // value must fail the write while nothing is durable — thrown after
@@ -1117,8 +1133,11 @@ object TxLog {
         }
         // idempotence check INSIDE the loop: a raced duplicate writer that
         // lost the version claim re-reads state here and must observe the
-        // winner's watermark, not its own stale pre-stage read
-        txn.foreach { case (app, v) =>
+        // winner's watermark, not its own stale pre-stage read.
+        // txnFence=false RECORDS the watermark without the duplicate
+        // check — replace-semantics writers (overwrite) legitimately
+        // re-run at the same source version (a REBUILD) and must win
+        if (txnFence) txn.foreach { case (app, v) =>
           snapNow.flatMap(_.txns.get(app)).filter(_ >= v)
             .foreach(w => throw new AlreadyCommitted(w))
         }
@@ -1584,20 +1603,18 @@ object TxLog {
     // `txn`: a (appId, version) watermark riding the replace — the
     // derived-table shape (an index REBUILT from its source records the
     // source version it summarizes, so incremental refreshes know where
-    // to resume). A replay at-or-below the recorded watermark returns
-    // the current version instead of double-replacing.
-    try commitLoop(spark, root, "overwrite", partitionCols,
+    // to resume). UNFENCED: replace semantics win — a rebuild at the
+    // SAME source version must still replace (the fenced skip silently
+    // kept the old contents while the caller's sibling artifacts were
+    // already replaced — the mixed-index bug).
+    commitLoop(spark, root, "overwrite", partitionCols,
       { (commits, live) =>
         (adds, live(), ddl)
       },
       // overwrite staged under LOGICAL names and clears the mapping
       withSizes(computeStats(spark, root, adds, statsCols, colMap = Map.empty), sizes),
-      txn = txn,
+      txn = txn, txnFence = false,
       consFence = Some(enfCons))
-    catch { case _: AlreadyCommitted =>
-      deleteStaged(spark, root, adds)
-      resolveScalars(spark, root).version
-    }
   }
 
   /** Partition-level upsert with SNAPSHOT semantics: logically removes the
@@ -3119,15 +3136,18 @@ object TxLog {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     try snapshot(spark, root, resolve(spark, root, Some(version)))
     catch {
-      case e: IllegalArgumentException
-          if version < oldestReconstructable(spark, root) =>
+      case e: IllegalArgumentException =>
+        // ONE listing for the horizon (guard + message), on the error
+        // path only — and no guard/message disagreement under a racing
+        // vacuum
+        val floor = oldestReconstructable(spark, root)
+        if (version >= floor) throw e
         throw new IllegalArgumentException(
           s"version $version of $root predates the earliest " +
-            s"reconstructable snapshot (version " +
-            s"${oldestReconstructable(spark, root)}): its raw entries " +
-            "and covering checkpoint were truncated from the log — " +
-            "history summaries (DESCRIBE HISTORY, timestamp resolution) " +
-            "survive truncation, snapshots do not", e)
+            s"reconstructable snapshot (version $floor): its raw " +
+            "entries and covering checkpoint were truncated from the " +
+            "log — history summaries (DESCRIBE HISTORY, timestamp " +
+            "resolution) survive truncation, snapshots do not", e)
     }
 
   /** The oldest version a snapshot read can still reconstruct: 0 while

@@ -86,11 +86,18 @@ object AnnIndex {
       }.toSeq.toDF("sub", "idx", "vals")
       TxLog.overwrite(spark, centroids, centroidsRoot(indexRoot))
       TxLog.overwrite(spark, cbDf, codebookRoot(indexRoot))
-      // the codes table carries the corpus watermark — written LAST, so
-      // a crash mid-build leaves a watermark that still describes a
-      // consistent (older) artifact set, never a fresher one
+      // the codes table carries the corpus watermark (UNFENCED on the
+      // overwrite — a rebuild at the same corpus version must still
+      // replace, or re-running build() after changing nCells/m/k would
+      // silently keep stale codes under fresh quantizers). A crash
+      // BETWEEN the three replaces leaves mixed artifacts — build() is
+      // idempotent, so the recovery is simply to re-run it; searches in
+      // the window may lose recall but never error. statsCols: vec_id
+      // bounds ride every file so the refresh drift check counts from
+      // metadata, and searches by id range could prune
       TxLog.overwrite(spark, encode(embs, centroids, cb),
-        codesRoot(indexRoot), txn = Some((appId(corpusRoot), corpusV)))
+        codesRoot(indexRoot), statsCols = Seq("vec_id"),
+        txn = Some((appId(corpusRoot), corpusV)))
       corpusV
     } finally { embs.unpersist(); () }
   }
@@ -127,8 +134,11 @@ object AnnIndex {
 
   /** Incrementally index the corpus commits above the watermark with the
     * EXISTING centroids/codebooks — one idempotent O(delta) commit. When
-    * the fraction of rows indexed since the last (re)train exceeds
-    * `retrainAt`, rebuilds instead (same cell count and PQ shape).
+    * the CUMULATIVE fraction of rows indexed since the last (re)train —
+    * everything appended to the codes table after its newest overwrite
+    * commit, plus this delta — exceeds `retrainAt`, rebuilds instead
+    * (same cell count and PQ shape): many small refreshes accumulate
+    * toward the trigger instead of each hiding under it.
     */
   def refresh(spark: SparkSession, corpusRoot: String, indexRoot: String,
               retrainAt: Double = 0.5,
@@ -143,7 +153,7 @@ object AnnIndex {
       throw new IllegalArgumentException(
         s"ANN index refresh: no committed corpus at $corpusRoot"))
     if (corpusV <= wm)
-      return Refresh(0L, TxLog.readLatest(spark, codes).count(), false)
+      return Refresh(0L, TxLog.countRows(spark, codes), false)
     val feed = TxLog.readChanges(spark, corpusRoot, wm, Some(corpusV))
     // a grow-only index cannot honor corpus deletes (stale codes would
     // keep surfacing deleted ids): loud, with both ways out named.
@@ -157,10 +167,19 @@ object AnnIndex {
     val delta = normed(feed, idCol, vecCol).cache()
     try {
       val added = delta.count()
-      val preTotal = TxLog.readLatest(spark, codes).count()
-      if (preTotal > 0 && added.toDouble / (preTotal + added) > retrainAt) {
-        // drift hook: the delta now dominates what the quantizers were
-        // trained on — retrain from the full corpus at the same shape
+      val preTotal = TxLog.countRows(spark, codes)
+      // CUMULATIVE drift since the last (re)train: the codes table's
+      // newest overwrite commit IS the last train (build replaces it),
+      // so everything above that version arrived through refreshes
+      val trainedV = TxLog.historySummary(spark, codes)
+        .filter(_._2 == "overwrite").map(_._1).max
+      val atTrain = TxLog.countRows(spark, codes, Some(trainedV))
+      val sinceTrain = (preTotal - atTrain) + added
+      if (preTotal > 0 &&
+          sinceTrain.toDouble / (preTotal + added) > retrainAt) {
+        // drift hook: the un-retrained fraction now dominates what the
+        // quantizers were trained on — retrain from the full corpus at
+        // the same shape
         val nCells = TxLog.readLatest(spark,
           centroidsRoot(indexRoot)).count().toInt
         val cb = loadCodebooks(spark, indexRoot)
@@ -171,7 +190,7 @@ object AnnIndex {
       val centroids = TxLog.readLatest(spark, centroidsRoot(indexRoot))
       val cb = loadCodebooks(spark, indexRoot)
       TxLog.appendIdempotent(spark, encode(delta, centroids, cb), codes,
-        appId(corpusRoot), corpusV)
+        appId(corpusRoot), corpusV, statsCols = Seq("vec_id"))
       Refresh(added, preTotal + added, retrained = false)
     } finally { delta.unpersist(); () }
   }

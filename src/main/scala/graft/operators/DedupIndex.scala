@@ -36,8 +36,14 @@ import graft.lake.TxLog
   * batch's own (both equi-joins on (band, bsig)), verify candidates by
   * exact Jaccard, and append the batch's band rows in ONE watermarked
   * commit. A crash-replay re-reads the same watermark and the append is
-  * idempotent — no batch is double-indexed, no pair is lost (pairs are
-  * recomputed deterministically from the same feed).
+  * idempotent — no batch is ever double-indexed. Pair DELIVERY: the
+  * returned frame is recomputed deterministically only while the band
+  * commit has not landed; a crash AFTER it but before the caller
+  * consumed the frame would drop that batch's pairs — callers needing
+  * exactly-once pair delivery pass `pairsRoot`, and the pairs are
+  * appended there (same corpus-version transaction, committed BEFORE
+  * the band extension) so every crash point replays into the same
+  * state: pairs committed once, bands committed once.
   */
 object DedupIndex {
 
@@ -65,7 +71,8 @@ object DedupIndex {
     */
   def update(spark: SparkSession, corpusRoot: String, indexRoot: String,
              threshold: Double = 0.5, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text",
+             pairsRoot: Option[String] = None): DataFrame = {
     import spark.implicits._
     val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(
@@ -133,6 +140,15 @@ object DedupIndex {
       // later corpus/index commits): every TxLog scan above resolved its
       // snapshot EAGERLY at call time, so the plan's file set is pinned —
       // re-evaluation re-reads those files, never the extended tables
+      // exactly-once pair delivery (optional): committed BEFORE the band
+      // extension under the same corpus-version transaction — a crash
+      // between the two replays the batch (index watermark still old)
+      // and the pairs append skips itself
+      pairsRoot.foreach { pr =>
+        if (pairs.limit(1).count() > 0)
+          TxLog.appendIdempotent(spark, pairs, pr,
+            appId(corpusRoot), corpusV)
+      }
       // ONE watermarked commit extends the index; replay-safe
       TxLog.appendIdempotent(spark, newBands, indexRoot,
         appId(corpusRoot), corpusV)

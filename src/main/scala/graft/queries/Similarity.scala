@@ -182,6 +182,16 @@ object Similarity {
     idxMemo.getOrElseUpdate((s, dir), {
       val corpusRoot = Tables.scratch(dir, "ann_index_corpus")
       val indexRoot = Tables.scratch(dir, "ann_index")
+      // the memo is per (session, dir) but the scratch root is per JVM:
+      // a SECOND session's memo miss must rebuild from empty, not append
+      // the bulk a second time (duplicate vec_ids would silently break
+      // the recall contract). Deterministic content either way.
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(corpusRoot, indexRoot).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       val base = t(s, dir, "embeddings").select("vec_id", "embedding")
       graft.lake.TxLog.append(s,
         base.filter(col("vec_id") % 20 =!= 3), corpusRoot)

@@ -247,6 +247,27 @@ class GraftCatalogSpec extends SparkSpec {
       s.sql("INSERT OVERWRITE gcat.db.t PARTITION (part) SELECT 40, 'p3'")
       s.sql("SELECT id FROM gcat.db.t ORDER BY id").as[Long]
         .collect().toSeq shouldBe Seq(10L, 30L, 40L)
+      // dynamic mode on an UNPARTITIONED table: the one implicit
+      // partition is the table — whole-table replace, Spark's semantics
+      s.sql("CREATE TABLE gcat.db.u (id BIGINT) USING graft")
+      s.sql("INSERT INTO gcat.db.u VALUES (1), (2)")
+      s.sql("INSERT OVERWRITE gcat.db.u VALUES (9)")
+      s.sql("SELECT id FROM gcat.db.u").as[Long]
+        .collect().toSeq shouldBe Seq(9L)
+    } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("dynamic overwrite WITHOUT the extensions fails with the actionable error, not a generic one") {
+    val s = sessionWithCatalog(freshWarehouse()) // catalog only, no strategy
+    s.sql("CREATE NAMESPACE gcat.db")
+    s.sql("CREATE TABLE gcat.db.t (id BIGINT, part STRING) USING graft " +
+      "PARTITIONED BY (part)")
+    s.sql("INSERT INTO gcat.db.t VALUES (1, 'p1')")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception](
+        s.sql("INSERT OVERWRITE gcat.db.t VALUES (2, 'p2')"))
+      e.getMessage should include("GraftExtensions")
     } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 

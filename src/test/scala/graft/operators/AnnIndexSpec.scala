@@ -94,6 +94,48 @@ class AnnIndexSpec extends SparkSpec {
     top.getDouble(3) shouldBe 1.0 +- 1e-9
   }
 
+  test("a REBUILD at the same corpus version replaces the codes (never a mixed index)") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 100), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    val codesRoot = AnnIndex.codesRoot(indexRoot)
+    val v1 = TxLog.currentVersion(spark, codesRoot).get
+    // same corpus version, different PQ shape: the codes overwrite must
+    // WIN (a watermark-fenced skip would leave stale 4x8 codes under
+    // fresh 2x4 codebooks — silently wrong ADC scores)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 2, k = 4)
+    TxLog.currentVersion(spark, codesRoot).get should be > v1
+    TxLog.history(spark, codesRoot).last.operation shouldBe "overwrite"
+    TxLog.readLatest(spark,
+      AnnIndex.codebookRoot(indexRoot)).count() shouldBe 2L * 4L
+    // the rebuilt artifacts answer consistently
+    val probe = corpusDf(42 until 43)
+      .select(lit(99999L).as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", VecOps.normf(col("qe")))
+    AnnIndex.search(spark, corpusRoot, indexRoot, probe,
+      kTop = 1, nProbe = 2, shortlist = 100).head().getLong(1) shouldBe 42L
+  }
+
+  test("drift accumulates ACROSS refreshes: small deltas trigger the retrain once their sum passes the threshold") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 50), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    // three 20-row batches: cumulative un-retrained fraction 20/70,
+    // 40/90, 60/110 — the THIRD crosses 0.5 even though each single
+    // delta is far under it
+    TxLog.append(spark, corpusDf(50 until 70), corpusRoot)
+    AnnIndex.refresh(spark, corpusRoot, indexRoot).retrained shouldBe false
+    TxLog.append(spark, corpusDf(70 until 90), corpusRoot)
+    AnnIndex.refresh(spark, corpusRoot, indexRoot).retrained shouldBe false
+    TxLog.append(spark, corpusDf(90 until 110), corpusRoot)
+    val r = AnnIndex.refresh(spark, corpusRoot, indexRoot)
+    r.retrained shouldBe true
+    // retrain resets the clock: the next small delta refreshes again
+    TxLog.append(spark, corpusDf(110 until 120), corpusRoot)
+    AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
+      AnnIndex.Refresh(10L, 120L, false)
+  }
+
   test("corpus deletes fail the refresh loudly (grow-only index)") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     TxLog.append(spark, corpusDf(0 until 100), corpusRoot)

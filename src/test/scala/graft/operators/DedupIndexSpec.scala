@@ -72,6 +72,25 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.watermark(spark, corpusRoot, indexRoot) shouldBe wm
   }
 
+  test("pairsRoot delivers every pair exactly once across batches and replays") {
+    val corpusRoot = tmp(); val indexRoot = tmp(); val pairsRoot = tmp()
+    Seq(col("doc_id") < 15, col("doc_id") >= 15).foreach { cond =>
+      TxLog.append(spark, docs.filter(cond), corpusRoot)
+      DedupIndex.update(spark, corpusRoot, indexRoot,
+        pairsRoot = Some(pairsRoot)).count()
+      ()
+    }
+    val delivered = TxLog.readLatest(spark, pairsRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    delivered shouldBe (0 until 30 by 2).map(k => (k.toLong, k + 1L)).toSet
+    val v = TxLog.currentVersion(spark, pairsRoot).get
+    // replay: nothing re-delivered, nothing re-indexed
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    TxLog.currentVersion(spark, pairsRoot).get shouldBe v
+    TxLog.readLatest(spark, pairsRoot).count() shouldBe 15L
+  }
+
   test("corpus deletes fail the update loudly (grow-only index)") {
     val (corpusRoot, indexRoot, _) = runBatches(Seq(lit(true)))
     TxLog.delete(spark, corpusRoot, col("doc_id") === 3L)
