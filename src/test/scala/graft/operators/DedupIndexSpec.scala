@@ -91,6 +91,35 @@ class DedupIndexSpec extends SparkSpec {
     TxLog.readLatest(spark, pairsRoot).count() shouldBe 15L
   }
 
+  test("racing updaters of the same batch: bands and pairs commit exactly once") {
+    // two drivers replaying the same batch concurrently (the duplicated-
+    // scheduler shape): the watermarked appends admit ONE winner per
+    // table; the loser's appendIdempotent observes the winner's
+    // watermark inside the commit loop and skips — no double-indexed
+    // bands, no double-delivered pairs, both callers report the pairs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpusRoot = tmp(); val indexRoot = tmp(); val pairsRoot = tmp()
+    TxLog.append(spark, docs, corpusRoot)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def attempt(): Future[Long] = Future {
+      gate.await()
+      DedupIndex.update(spark, corpusRoot, indexRoot,
+        pairsRoot = Some(pairsRoot)).count()
+    }
+    val counts = Await.result(
+      Future.sequence(Seq(attempt(), attempt())), 180.seconds)
+    // both computed against the pre-append state: both see the pairs
+    counts.foreach(_ shouldBe 15L)
+    // ONE band append, ONE pairs append
+    TxLog.history(spark, indexRoot).map(_.operation) shouldBe Seq("append")
+    TxLog.history(spark, pairsRoot).map(_.operation) shouldBe Seq("append")
+    TxLog.readLatest(spark, pairsRoot).count() shouldBe 15L
+    TxLog.readLatest(spark, indexRoot).count() shouldBe
+      30L * (DedupIndex.NumHashes / DedupIndex.RowsPerBand)
+  }
+
   test("corpus deletes fail the update loudly (grow-only index)") {
     val (corpusRoot, indexRoot, _) = runBatches(Seq(lit(true)))
     TxLog.delete(spark, corpusRoot, col("doc_id") === 3L)
