@@ -1560,6 +1560,28 @@ object TxLog {
     catch { case _: AlreadyCommitted => None }
   }
 
+  /** Advance an (appId, txnVersion) watermark with a DATA-LESS commit —
+    * the exactly-once mark for a batch that changed no table content
+    * (e.g. an incremental index step whose whole delta was deletions
+    * applied as separate idempotent commits). Same fencing as
+    * [[appendIdempotent]]; None when the watermark already covers
+    * `txnVersion`. The table must exist: a watermark needs a log to
+    * ride, and inventing a schema for an empty first commit would
+    * plant an empty stat-less file problem this helper exists to avoid.
+    */
+  def commitTxnMark(spark: SparkSession, root: String, appId: String,
+                    txnVersion: Long): Option[Long] = {
+    val pre = resolveScalars(spark, root)
+    if (pre.txns.get(appId).exists(_ >= txnVersion)) return None
+    try Some(commitLoop(spark, root, "txn", Seq.empty, { (commits, _) =>
+      (Seq.empty, Seq.empty,
+        commits.lastOption.map(_.schemaDdl).getOrElse(throw
+          new IllegalArgumentException(
+            s"txn mark on a table with no commits: $root")))
+    }, txn = Some((appId, txnVersion))))
+    catch { case _: AlreadyCommitted => None }
+  }
+
   /** [[append]] gated by data-quality expectations ([[Expect]]): the
     * violation counters ride the staged write itself (an `observe` node —
     * no second scan), and the COMMIT IS WITHHELD when any expectation

@@ -11,7 +11,7 @@ import graft.lake.TxLog
   * artifact the in-session ANN family (graft.queries.Similarity) memoizes
   * per JVM. At 100 TB the index build is a batch job whose outputs must
   * outlive every session and version against the corpus; this operator
-  * materializes them as three graft tables under `indexRoot`:
+  * materializes them as four graft tables under `indexRoot`:
   *
   *   - `centroids`  (cell INT, ce ARRAY<FLOAT>, cenorm DOUBLE) — the IVF
   *     coarse quantizer, metadata-sized, broadcast at search time.
@@ -22,20 +22,41 @@ import graft.lake.TxLog
   *     NO raw embeddings: the scan search pays is m bytes/row (16x
   *     smaller than the fixture's 64-float vectors); exact re-rank
   *     fetches only the shortlist's embeddings from the corpus by id.
+  *   - `meta`       one row: (epoch, corpus_version, n_cells, m, k,
+  *     rows_at_train, churn_since_train) — the index's consistency and
+  *     progress record (below).
   *
-  * Versioning against the corpus: the `codes` commits carry a
-  * (appId(corpusRoot), corpusVersion) transaction, so the indexed corpus
-  * version IS the table's txn watermark — [[refresh]] reads it, feeds
-  * only the corpus change feed above it through the EXISTING centroids +
-  * codebooks, and appends the new rows idempotently in ONE commit
-  * (crash-replay safe: a replayed refresh at-or-below the watermark is a
-  * no-op). Appends therefore cost O(delta); corpus DELETES invalidate a
-  * grow-only index and fail the refresh loudly (rebuild, or vector-delete
-  * the ids from `codes` first). When the un-retrained fraction drifts
-  * past `retrainAt`, refresh retrains centroids + codebooks from the
-  * full corpus and rebuilds — the drift-triggered retrain hook.
+  * CONSISTENCY ACROSS THE FOUR TABLES — the build epoch: [[build]] cannot
+  * replace four independent commit logs atomically, so every table's
+  * build commit carries a shared monotone epoch as a txn watermark
+  * (`EpochApp`) and the `meta` row — committed LAST — records the epoch
+  * the set is complete at. [[refresh]] and [[search]] verify every
+  * table's epoch watermark equals meta's before trusting the artifacts:
+  * a crash inside build() leaves SOME tables at epoch e+1 under a meta
+  * still at e (or a meta at e+1 the codes never reached — impossible,
+  * meta is last), which fails loudly with "re-run build()" instead of
+  * silently mixing new quantizers with stale codes (the
+  * permanent-recall-corruption window a naive last-table-wins ordering
+  * has). build() is idempotent, so recovery is exactly that re-run.
   *
-  * Search never trains: a FRESH session loads the three tables and runs
+  * Versioning against the corpus: `meta.corpus_version` IS the indexed
+  * watermark (committed only after the codes are in place, so a torn
+  * refresh replays). [[refresh]] feeds the corpus change feed above it
+  * through the EXISTING centroids + codebooks and appends the new rows
+  * idempotently (the codes append carries its own (appId, corpusV) txn,
+  * so a crash-replay never double-indexes), then advances the meta
+  * watermark. Corpus DELETES and REWRITES are consumed, not refused:
+  * every id the feed deleted is vector-deleted from `codes`
+  * (idempotent deletion-vector commits, O(deleted rows)), and rewritten
+  * ids re-encode through the append — maintenance stays O(delta) under
+  * takedowns and GDPR deletes instead of degrading to a rebuild. When
+  * the CUMULATIVE churn since the last (re)train
+  * (`meta.churn_since_train`, adds + removes) drifts past `retrainAt`
+  * of the corpus, refresh retrains from the full corpus — the
+  * drift-triggered retrain hook (deletions drift the quantizers exactly
+  * like insertions: the trained distribution is gone either way).
+  *
+  * Search never trains: a FRESH session loads the tables and runs
   * probe-cells → ADC shortlist → exact re-rank (the
   * [[graft.queries.Similarity.ivfPqTopK]] pipeline with the candidate
   * scan reading the persisted codes and the re-rank joining the corpus).
@@ -45,14 +66,71 @@ object AnnIndex {
   def centroidsRoot(indexRoot: String): String = s"$indexRoot/centroids"
   def codebookRoot(indexRoot: String): String = s"$indexRoot/codebook"
   def codesRoot(indexRoot: String): String = s"$indexRoot/codes"
+  def metaRoot(indexRoot: String): String = s"$indexRoot/meta"
 
   private def appId(corpusRoot: String): String =
     s"graft-ann-index::$corpusRoot"
 
-  /** What [[refresh]] did: rows newly indexed, total indexed rows after,
-    * and whether drift triggered a full retrain.
+  /** The shared build-epoch txn app: every artifact table's build commit
+    * carries (EpochApp, epoch), and meta records the epoch the set is
+    * complete at — the cross-table torn-build detector.
     */
-  final case class Refresh(added: Long, total: Long, retrained: Boolean)
+  private[graft] val EpochApp = "graft-ann-epoch"
+
+  /** What [[refresh]] did: rows newly indexed, rows vector-deleted from
+    * the codes, total indexed rows after, and whether drift triggered a
+    * full retrain.
+    */
+  final case class Refresh(added: Long, removed: Long, total: Long,
+                           retrained: Boolean)
+
+  /** The meta table's single row. */
+  private final case class Meta(epoch: Long, corpusVersion: Long,
+                                nCells: Int, m: Int, k: Int,
+                                rowsAtTrain: Long, churnSinceTrain: Long)
+
+  private def readMetaOpt(spark: SparkSession,
+                          indexRoot: String): Option[Meta] =
+    if (TxLog.currentVersion(spark, metaRoot(indexRoot)).isEmpty) None
+    else TxLog.readLatest(spark, metaRoot(indexRoot))
+      .select("epoch", "corpus_version", "n_cells", "m", "k",
+        "rows_at_train", "churn_since_train")
+      .collect().headOption.map(r => Meta(r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6)))
+
+  private def writeMeta(spark: SparkSession, indexRoot: String,
+                        m: Meta): Unit = {
+    import spark.implicits._
+    TxLog.overwrite(spark,
+      Seq((m.epoch, m.corpusVersion, m.nCells, m.m, m.k, m.rowsAtTrain,
+        m.churnSinceTrain))
+        .toDF("epoch", "corpus_version", "n_cells", "m", "k",
+          "rows_at_train", "churn_since_train"),
+      metaRoot(indexRoot), txn = Some((EpochApp, m.epoch)))
+    ()
+  }
+
+  /** Verify the artifact set is epoch-coherent (every table's build
+    * watermark equals meta's epoch) and return the meta row — the gate
+    * every read of the artifacts passes through. A mismatch means a
+    * crash interrupted [[build]] between table replaces; the fix is
+    * named because it is the whole fix.
+    */
+  private def coherentMeta(spark: SparkSession, indexRoot: String): Meta = {
+    val meta = readMetaOpt(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"ANN index at $indexRoot has no meta table — run build() first"))
+    Seq(centroidsRoot(indexRoot), codebookRoot(indexRoot),
+      codesRoot(indexRoot)).foreach { r =>
+      val e = TxLog.txnWatermark(spark, r, EpochApp).getOrElse(-1L)
+      if (e != meta.epoch)
+        throw new IllegalStateException(
+          s"ANN index at $indexRoot is epoch-torn ($r at build epoch $e, " +
+            s"meta at ${meta.epoch}) — a crash interrupted build(); " +
+            "re-run build() to restore a coherent artifact set")
+    }
+    meta
+  }
 
   private def normed(corpus: DataFrame, idCol: String,
                      vecCol: String): DataFrame =
@@ -63,8 +141,11 @@ object AnnIndex {
   /** Build (or rebuild) the index from the corpus table's CURRENT
     * snapshot: train the coarse quantizer and PQ codebooks on bounded
     * samples (the FAISS rule — quality needs thousands of points, not
-    * the corpus), encode every vector, and replace all three tables.
-    * Returns the corpus version the index now summarizes.
+    * the corpus), encode every vector, and replace all four tables
+    * under a fresh shared epoch (meta LAST — the commit that declares
+    * the set coherent). Returns the corpus version the index now
+    * summarizes. Idempotent: a crash mid-build leaves an epoch-torn set
+    * every reader refuses until build() is re-run.
     */
   def build(spark: SparkSession, corpusRoot: String, indexRoot: String,
             nCells: Int, m: Int = 16, k: Int = 32,
@@ -74,9 +155,17 @@ object AnnIndex {
     val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(
         s"ANN index build: no committed corpus at $corpusRoot"))
+    // next epoch: strictly above BOTH the last coherent epoch and any
+    // torn table's watermark (a crashed build may have left a single
+    // table ahead of meta — the new epoch must supersede it everywhere)
+    val epoch = (Seq(centroidsRoot(indexRoot), codebookRoot(indexRoot),
+      codesRoot(indexRoot)).map(r =>
+      TxLog.txnWatermark(spark, r, EpochApp).getOrElse(0L)) ++
+      readMetaOpt(spark, indexRoot).map(_.epoch).toSeq).max + 1
     val embs = normed(TxLog.readLatest(spark, corpusRoot), idCol, vecCol)
       .cache()
     try {
+      val total = embs.count()
       val centroids = graft.queries.Similarity.trainCentroids(embs, nCells)
       val cb = graft.queries.Similarity.trainPqCodebooks(embs, m, k)
       val cbDf = cb.iterator.zipWithIndex.flatMap { case (sub, j) =>
@@ -84,20 +173,21 @@ object AnnIndex {
           (j, i, cent.toSeq)
         }
       }.toSeq.toDF("sub", "idx", "vals")
-      TxLog.overwrite(spark, centroids, centroidsRoot(indexRoot))
-      TxLog.overwrite(spark, cbDf, codebookRoot(indexRoot))
-      // the codes table carries the corpus watermark (UNFENCED on the
-      // overwrite — a rebuild at the same corpus version must still
-      // replace, or re-running build() after changing nCells/m/k would
-      // silently keep stale codes under fresh quantizers). A crash
-      // BETWEEN the three replaces leaves mixed artifacts — build() is
-      // idempotent, so the recovery is simply to re-run it; searches in
-      // the window may lose recall but never error. statsCols: vec_id
-      // bounds ride every file so the refresh drift check counts from
-      // metadata, and searches by id range could prune
+      TxLog.overwrite(spark, centroids, centroidsRoot(indexRoot),
+        txn = Some((EpochApp, epoch)))
+      TxLog.overwrite(spark, cbDf, codebookRoot(indexRoot),
+        txn = Some((EpochApp, epoch)))
+      // statsCols: vec_id bounds ride every file so searches by id
+      // range could prune; the epoch txn stamps the build generation
+      // (the corpus watermark lives in meta — the codes append txn slot
+      // stays free for refresh's exactly-once delta commits)
       TxLog.overwrite(spark, encode(embs, centroids, cb),
         codesRoot(indexRoot), statsCols = Seq("vec_id"),
-        txn = Some((appId(corpusRoot), corpusV)))
+        txn = Some((EpochApp, epoch)))
+      // meta LAST: its epoch declares the set coherent; every earlier
+      // crash point leaves a detectable mismatch, never a mixed index
+      writeMeta(spark, indexRoot,
+        Meta(epoch, corpusV, nCells, m, k, total, 0L))
       corpusV
     } finally { embs.unpersist(); () }
   }
@@ -132,11 +222,55 @@ object AnnIndex {
         rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
       }.toArray
 
+  /** Vector-delete `ids` ((id LONG) single-column frame) from the rows of
+    * `root` whose `idCol` matches — streamed to the driver in bounded
+    * chunks so the predicate never holds more than `chunk` ids, each
+    * chunk one idempotent deletion-vector commit (O(matched rows), the
+    * sparse-delete path). Shared by the index maintainers: delete feeds
+    * are takedown-sized, but "bounded" is enforced, not assumed.
+    */
+  private[operators] def deleteIdsChunked(spark: SparkSession, root: String,
+                                          idCol: String, ids: DataFrame,
+                                          chunk: Int = 500000): Unit = {
+    val it = ids.select(col(ids.columns.head).cast("long")).toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def flush(): Unit = if (buf.nonEmpty) {
+      TxLog.deleteVectored(spark, root, col(idCol).isInCollection(buf.toSeq))
+      buf.clear()
+    }
+    while (it.hasNext) {
+      buf += it.next().getLong(0)
+      if (buf.size >= chunk) flush()
+    }
+    flush()
+  }
+
+  /** The change feed REDUCED to net per-id effect: `removed` = every id
+    * with a delete event (its old row/code is stale whether or not a
+    * rewrite re-inserted it), `upserts` = the rows whose FINAL state in
+    * the range is insert (at one version a rewrite emits delete+insert —
+    * the row survives). Shared by the index maintainers.
+    */
+  private[operators] def netFeed(feed: DataFrame, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val removed = feed.filter(col("_change_type") === "delete")
+      .select(col(idCol)).distinct()
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 0).otherwise(1))
+    val upserts = feed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") === "insert")
+      .drop("__rn")
+    (removed, upserts)
+  }
+
   /** Incrementally index the corpus commits above the watermark with the
-    * EXISTING centroids/codebooks — one idempotent O(delta) commit. When
-    * the CUMULATIVE fraction of rows indexed since the last (re)train —
-    * everything appended to the codes table after its newest overwrite
-    * commit, plus this delta — exceeds `retrainAt`, rebuilds instead
+    * EXISTING centroids/codebooks — deletes applied as idempotent
+    * vector-delete commits, the insert delta as one idempotent append,
+    * the watermark advanced by the meta commit LAST (every crash point
+    * replays into the same state). When cumulative churn since the last
+    * (re)train exceeds `retrainAt` of the corpus, rebuilds instead
     * (same cell count and PQ shape): many small refreshes accumulate
     * toward the trigger instead of each hiding under it.
     */
@@ -145,68 +279,64 @@ object AnnIndex {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): Refresh = {
     val codes = codesRoot(indexRoot)
-    val wm = TxLog.txnWatermark(spark, codes, appId(corpusRoot)).getOrElse(
-      throw new IllegalStateException(
-        s"ANN index at $indexRoot has no build watermark for corpus " +
-          s"$corpusRoot — run build() first"))
+    val meta = coherentMeta(spark, indexRoot)
     val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(
         s"ANN index refresh: no committed corpus at $corpusRoot"))
-    if (corpusV <= wm)
-      return Refresh(0L, TxLog.countRows(spark, codes), false)
-    val feed = TxLog.readChanges(spark, corpusRoot, wm, Some(corpusV))
-    // a grow-only index cannot honor corpus deletes (stale codes would
-    // keep surfacing deleted ids): loud, with both ways out named.
-    // File-rewrite ops emit delete+insert per row, so this also catches
-    // updates — correct: an updated vector's old code is equally stale.
-    if (feed.filter(col("_change_type") === "delete").limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"corpus $corpusRoot deleted or rewrote rows since indexed " +
-          s"version $wm — rebuild the ANN index (build()), or vector-" +
-          "delete the affected ids from the codes table first")
-    val delta = normed(feed, idCol, vecCol).cache()
+    if (corpusV <= meta.corpusVersion)
+      return Refresh(0L, 0L, TxLog.countRows(spark, codes), false)
+    val feed = TxLog.readChanges(spark, corpusRoot, meta.corpusVersion,
+      Some(corpusV))
+    val (removedIds, upserts) = netFeed(feed, idCol)
+    val delta = normed(upserts, idCol, vecCol).cache()
     try {
       val added = delta.count()
       val preTotal = TxLog.countRows(spark, codes)
-      // CUMULATIVE drift since the last (re)train: the codes table's
-      // newest overwrite commit IS the last train (build replaces it),
-      // so everything above that version arrived through refreshes
-      val trainedV = TxLog.historySummary(spark, codes)
-        .filter(_._2 == "overwrite").map(_._1).max
-      val atTrain = TxLog.countRows(spark, codes, Some(trainedV))
-      val sinceTrain = (preTotal - atTrain) + added
-      if (preTotal > 0 &&
-          sinceTrain.toDouble / (preTotal + added) > retrainAt) {
-        // drift hook: the un-retrained fraction now dominates what the
+      // deletes FIRST (idempotent — a replayed chunk matches nothing):
+      // stale codes leave the scan before anything new lands, and the
+      // exact removed count falls out of the metadata row counts
+      deleteIdsChunked(spark, codes, "vec_id", removedIds)
+      val afterDelete = TxLog.countRows(spark, codes)
+      val removed = preTotal - afterDelete
+      val total = afterDelete + added
+      val churn = meta.churnSinceTrain + added + removed
+      if (total > 0 && churn.toDouble / total > retrainAt) {
+        // drift hook: cumulative churn now dominates what the
         // quantizers were trained on — retrain from the full corpus at
-        // the same shape
-        val nCells = TxLog.readLatest(spark,
-          centroidsRoot(indexRoot)).count().toInt
-        val cb = loadCodebooks(spark, indexRoot)
-        build(spark, corpusRoot, indexRoot, nCells,
-          m = cb.length, k = cb(0).length, idCol = idCol, vecCol = vecCol)
-        return Refresh(added, preTotal + added, retrained = true)
+        // the same shape (build resets the churn clock)
+        build(spark, corpusRoot, indexRoot, meta.nCells,
+          m = meta.m, k = meta.k, idCol = idCol, vecCol = vecCol)
+        return Refresh(added, removed, TxLog.countRows(spark, codes),
+          retrained = true)
       }
-      val centroids = TxLog.readLatest(spark, centroidsRoot(indexRoot))
-      val cb = loadCodebooks(spark, indexRoot)
-      TxLog.appendIdempotent(spark, encode(delta, centroids, cb), codes,
-        appId(corpusRoot), corpusV, statsCols = Seq("vec_id"))
-      Refresh(added, preTotal + added, retrained = false)
+      if (added > 0) {
+        val centroids = TxLog.readLatest(spark, centroidsRoot(indexRoot))
+        val cb = loadCodebooks(spark, indexRoot)
+        TxLog.appendIdempotent(spark, encode(delta, centroids, cb), codes,
+          appId(corpusRoot), corpusV, statsCols = Seq("vec_id"))
+      }
+      // watermark + churn advance LAST: a crash before this line
+      // replays the whole step (deletes no-op, append dedups on its
+      // own txn) and lands here again with the same numbers
+      writeMeta(spark, indexRoot,
+        meta.copy(corpusVersion = corpusV, churnSinceTrain = churn))
+      Refresh(added, removed, total, retrained = false)
     } finally { delta.unpersist(); () }
   }
 
   /** Top-k cosine search against the PERSISTED index — no training, no
-    * session state: load centroids (broadcast) + codebooks (driver),
-    * probe each query's `nProbe` nearest cells, ADC-score the cell
-    * candidates from the byte-packed codes scan, shortlist, then re-rank
-    * the shortlist EXACTLY by fetching only its embeddings from the
-    * corpus (an id equi-join — the full vectors are never scanned).
-    * `queries` = (qid, qe ARRAY<FLOAT>, qnorm).
+    * session state: verify epoch coherence, load centroids (broadcast) +
+    * codebooks (driver), probe each query's `nProbe` nearest cells,
+    * ADC-score the cell candidates from the byte-packed codes scan,
+    * shortlist, then re-rank the shortlist EXACTLY by fetching only its
+    * embeddings from the corpus (an id equi-join — the full vectors are
+    * never scanned). `queries` = (qid, qe ARRAY<FLOAT>, qnorm).
     */
   def search(spark: SparkSession, corpusRoot: String, indexRoot: String,
              queries: DataFrame, kTop: Int, nProbe: Int, shortlist: Int,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    coherentMeta(spark, indexRoot)
     val centroids = TxLog.readLatest(spark, centroidsRoot(indexRoot))
     val cb = loadCodebooks(spark, indexRoot)
     val m = cb.length

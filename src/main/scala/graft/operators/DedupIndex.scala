@@ -31,19 +31,28 @@ import graft.lake.TxLog
   * [[update]] is the exactly-once batch step the reference's
   * `{t}_incremental` staging pattern implies (utils.py:111-114) composed
   * with MinHash: read the index's corpus-version watermark (a commit-log
-  * transaction — `appId(corpusRoot)`), shingle + band ONLY the docs the
-  * corpus change feed added above it, probe the persisted bands plus the
-  * batch's own (both equi-joins on (band, bsig)), verify candidates by
-  * exact Jaccard, and append the batch's band rows in ONE watermarked
-  * commit. A crash-replay re-reads the same watermark and the append is
-  * idempotent — no batch is ever double-indexed. Pair DELIVERY: the
-  * returned frame is recomputed deterministically only while the band
-  * commit has not landed; a crash AFTER it but before the caller
-  * consumed the frame would drop that batch's pairs — callers needing
-  * exactly-once pair delivery pass `pairsRoot`, and the pairs are
-  * appended there (same corpus-version transaction, committed BEFORE
-  * the band extension) so every crash point replays into the same
-  * state: pairs committed once, bands committed once.
+  * transaction — `appId(corpusRoot)`), reduce the change feed above it
+  * to its NET effect — every id the feed deleted is vector-deleted from
+  * the band table (idempotent O(deleted rows) commits: a removed doc
+  * must stop matching future batches, the phantom-pair path), rewritten
+  * docs re-band — then shingle + band only the feed's final-state
+  * inserts, probe the persisted bands plus the batch's own (both
+  * equi-joins on (band, bsig)), verify candidates by exact Jaccard, and
+  * append the batch's band rows in ONE watermarked commit (a
+  * deletes-only batch advances the watermark with a data-less txn mark
+  * instead). A crash-replay re-reads the same watermark: deletes match
+  * nothing, the appends dedup on their txn — no batch is ever
+  * double-indexed. Pair DELIVERY: the returned frame is recomputed
+  * deterministically only while the band commit has not landed; a crash
+  * AFTER it but before the caller consumed the frame would drop that
+  * batch's pairs — callers needing exactly-once pair delivery pass
+  * `pairsRoot`, and the pairs are appended there (same corpus-version
+  * transaction, committed BEFORE the band extension) so every crash
+  * point replays into the same state: pairs committed once, bands
+  * committed once. Pairs ALREADY DELIVERED for a doc that is later
+  * deleted stay in the stream — they were true when emitted; what the
+  * deletion guarantees is that no FUTURE batch pairs against the
+  * deleted doc.
   */
 object DedupIndex {
 
@@ -82,13 +91,15 @@ object DedupIndex {
       Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
     if (corpusV <= wm) return emptyPairs
     val feed = TxLog.readChanges(spark, corpusRoot, wm, Some(corpusV))
-    // grow-only index, same refusal rule as [[AnnIndex.refresh]]: a
-    // deleted/rewritten doc's bands would keep matching as a phantom
-    if (feed.filter(col("_change_type") === "delete").limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"corpus $corpusRoot deleted or rewrote rows since indexed " +
-          s"version $wm — rebuild the dedup index from scratch")
-    val newDocs = feed.select(col(idCol).as("doc_id"), col(textCol))
+    // net effect per doc: deleted ids leave the band table BEFORE the
+    // probe below reads it (a phantom band row would pair a dead doc
+    // with every future near-dup of it), rewritten docs re-band
+    val (removedIds, upserts) = AnnIndex.netFeed(feed, idCol)
+    val indexExists = wm >= 0 &&
+      TxLog.currentVersion(spark, indexRoot).isDefined
+    if (indexExists)
+      AnnIndex.deleteIdsChunked(spark, indexRoot, "doc_id", removedIds)
+    val newDocs = upserts.select(col(idCol).as("doc_id"), col(textCol))
     val newBands = newDocs
       .select(col("doc_id"),
         posexplode(TextHash.minHashBandsf(
@@ -98,7 +109,7 @@ object DedupIndex {
       .cache()
     try {
       val existing =
-        if (wm < 0) newBands.limit(0)
+        if (!indexExists) newBands.limit(0)
         else TxLog.readLatest(spark, indexRoot)
           .select("band", "bsig", "doc_id")
       // batch bands probe (indexed ∪ batch): equi-join on (band, bsig),
@@ -112,7 +123,9 @@ object DedupIndex {
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       // verify by EXACT Jaccard, re-shingling only the candidate docs
-      // from the corpus snapshot (id equi-join — candidate-bounded)
+      // from the corpus snapshot (id equi-join — candidate-bounded;
+      // the post-delete snapshot, so a candidate against a just-deleted
+      // doc drops out here too — double protection with the band purge)
       val candIds = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -143,15 +156,26 @@ object DedupIndex {
       // exactly-once pair delivery (optional): committed BEFORE the band
       // extension under the same corpus-version transaction — a crash
       // between the two replays the batch (index watermark still old)
-      // and the pairs append skips itself
+      // and the pairs append skips itself. The pipeline behind `pairs`
+      // (probe + verify) is the batch's whole cost: persist it so the
+      // emptiness gate, the append, and the caller's consumption run it
+      // ONCE (the ContextCleaner reaps the cache when the frame dies)
       pairsRoot.foreach { pr =>
-        if (pairs.limit(1).count() > 0)
+        pairs.persist()
+        if (pairs.count() > 0)
           TxLog.appendIdempotent(spark, pairs, pr,
             appId(corpusRoot), corpusV)
       }
-      // ONE watermarked commit extends the index; replay-safe
-      TxLog.appendIdempotent(spark, newBands, indexRoot,
-        appId(corpusRoot), corpusV)
+      // ONE watermarked commit extends the index; replay-safe. A batch
+      // with no band rows (deletes-only, or every doc too short to
+      // shingle) still advances the watermark — with a DATA-LESS txn
+      // mark (an empty append would plant a stat-less file), and only
+      // once the table exists to carry it
+      if (newBands.limit(1).count() > 0)
+        TxLog.appendIdempotent(spark, newBands, indexRoot,
+          appId(corpusRoot), corpusV)
+      else if (indexExists)
+        TxLog.commitTxnMark(spark, indexRoot, appId(corpusRoot), corpusV)
       pairs
     } finally { newBands.unpersist(); () }
   }

@@ -200,6 +200,22 @@ object Similarity {
       graft.lake.TxLog.append(s,
         base.filter(col("vec_id") % 20 === 3), corpusRoot)
       graft.operators.AnnIndex.refresh(s, corpusRoot, indexRoot)
+      // delete leg of the maintenance lifecycle: EXACT CLONES of every
+      // 40th vector join the corpus under decoy ids, get indexed, then
+      // are deleted and the deletion refreshed through (vector-deletes
+      // on the codes table). The final corpus equals the fixture, so
+      // the recall contract's exact side is unchanged — but a decoy
+      // whose code survived its deletion is a cosine-1.0 twin that
+      // outranks the true neighbor for its source's queries and fails
+      // the contract (leaked ids are not in the exact pair set).
+      graft.lake.TxLog.append(s,
+        base.filter(col("vec_id") % 40 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding")), corpusRoot)
+      graft.operators.AnnIndex.refresh(s, corpusRoot, indexRoot)
+      graft.lake.TxLog.deleteVectored(s, corpusRoot,
+        col("vec_id") >= 10000000L)
+      graft.operators.AnnIndex.refresh(s, corpusRoot, indexRoot)
       (corpusRoot, indexRoot)
     })
 

@@ -131,6 +131,32 @@ object Text {
       |WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q124's DuckDB twin: the full exact-Jaccard pair set MINUS exactly
+    * the pairs the lifecycle's takedown suppresses — a deleted doc
+    * (doc_id % 5 == 2, present only if it arrived in batches 1-2, i.e.
+    * doc_id % 3 < 2) can no longer pair with the LATER batch-3 docs
+    * (doc_id % 3 == 2); every other pair was delivered before the
+    * deletion and stays in the append-only stream.
+    */
+  private val oracleIncremental =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                       for i in range(1, greatest(len(toks)-1, 1))]) AS sh
+      |      FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
+      |             count(*) AS inter
+      |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.5
+      |  AND NOT ((da % 5 = 2 AND da % 3 < 2 AND db % 3 = 2)
+      |        OR (db % 5 = 2 AND db % 3 < 2 AND da % 3 = 2))
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // MinHash family: 64 permutations approximated by seeded hashes; bands
   // of 2 rows => 32 bands. Band width is chosen so the LSH S-curve is
   // ~1 AT the q36 verify threshold itself, not just for high-J pairs:
@@ -369,15 +395,22 @@ object Text {
 
     // INCREMENTAL corpus dedup ([[graft.operators.DedupIndex]]) — the
     // production shape of q37: the documents arrive as THREE commit-log
-    // batches, each batch shingles/bands ONLY its own docs, probes the
-    // persisted band table, verifies candidates by exact Jaccard, and
-    // extends the table in one watermarked commit (crash-replay
-    // idempotent — DedupIndexSpec). The accumulated per-batch pair
-    // stream must equal q37's full-recompute pair set EXACTLY: same
-    // oracle, so a pair lost across a batch boundary (or emitted twice)
-    // turns the row red. At 100 TB each batch costs O(delta +
-    // collisions); q37's recompute costs O(corpus) per run.
-    QDef("q124_dedup_incremental", oracleShingles) { (s, dir) =>
+    // batches plus a DELETE batch, each insert batch shingles/bands ONLY
+    // its own docs, probes the persisted band table, verifies candidates
+    // by exact Jaccard, and extends the table in one watermarked commit
+    // (crash-replay idempotent — DedupIndexSpec). The delete batch
+    // (every doc_id % 5 == 2 doc already indexed) vector-deletes those
+    // docs' band rows, so pairs they would have formed with the LATER
+    // third batch never appear — while pairs already delivered before
+    // the deletion stay in the stream (delivery is append-only). The
+    // accumulated stream must equal q37's full-recompute pair set MINUS
+    // exactly the deleted-x-batch3 pairs: the oracle restates that
+    // set-algebra independently, so a phantom pair from an unpurged
+    // band row (or a pair lost across a batch boundary, or emitted
+    // twice) turns the row red. At 100 TB each batch costs O(delta +
+    // collisions) and a takedown costs O(deleted rows); q37's recompute
+    // costs O(corpus) per run.
+    QDef("q124_dedup_incremental", oracleIncremental) { (s, dir) =>
       val corpusRoot = Tables.scratch(dir, "dedup_idx_corpus")
       val indexRoot = Tables.scratch(dir, "dedup_idx")
       // fresh per invocation (bench runs the query twice per process):
@@ -389,15 +422,21 @@ object Text {
         if (fs.exists(p)) fs.delete(p, true)
       }
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val batches = Seq(
-        docs.filter(col("doc_id") % 3 === 0),
-        docs.filter(col("doc_id") % 3 === 1),
-        docs.filter(col("doc_id") % 3 === 2))
-      batches.map { b =>
-        graft.lake.TxLog.append(s, b, corpusRoot)
+      def step(batch: Option[DataFrame]): DataFrame = {
+        batch.foreach(graft.lake.TxLog.append(s, _, corpusRoot))
         graft.operators.DedupIndex.update(s, corpusRoot, indexRoot,
           threshold = 0.5)
-      }.reduce(_ unionByName _).orderBy("doc_a", "doc_b")
+      }
+      val p1 = step(Some(docs.filter(col("doc_id") % 3 === 0)))
+      val p2 = step(Some(docs.filter(col("doc_id") % 3 === 1)))
+      // takedown between batches 2 and 3: already-indexed docs leave
+      // the corpus; the maintenance step consumes the delete feed
+      graft.lake.TxLog.deleteVectored(s, corpusRoot,
+        col("doc_id") % 5 === 2)
+      val pd = step(None)
+      val p3 = step(Some(docs.filter(col("doc_id") % 3 === 2)))
+      Seq(p1, p2, pd, p3).reduce(_ unionByName _)
+        .orderBy("doc_a", "doc_b")
     },
 
     // SimHash near-dup: 64-bit signature from per-shingle hash bit votes

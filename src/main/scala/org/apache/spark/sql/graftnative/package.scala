@@ -89,20 +89,31 @@ package object graftnative {
     * Implemented through the public builder — the default/active session
     * is cleared for the construction (getOrCreate would otherwise hand
     * back the existing session, extensions silently dropped) and
-    * restored after; safe under the sequential forked-test model.
+    * restored after. The clear-build-restore window mutates JVM-GLOBAL
+    * session state, so the whole sequence serializes on a monitor:
+    * concurrent CALLERS OF THIS HELPER can never interleave their
+    * clears/restores. A thread running a bare
+    * `SparkSession.builder().getOrCreate()` concurrently is still
+    * outside the monitor's reach (it doesn't take it) — that is
+    * inherent to the global-registry design, which is why this helper
+    * is for TEST/SHELL wiring, not hot paths: production clusters set
+    * `spark.sql.extensions` at session build and never need it.
     */
   def sessionWithExtensions(spark: SparkSession,
-                            f: SparkSessionExtensions => Unit): SparkSession = {
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    try SparkSession.builder().withExtensions(f).getOrCreate()
-    finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+                            f: SparkSessionExtensions => Unit): SparkSession =
+    sessionSwapLock.synchronized {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try SparkSession.builder().withExtensions(f).getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
     }
-  }
+
+  private object sessionSwapLock
 
   /** The V1 streaming leaf for a `format` source with `options` — what
     * the analyzer bridge substitutes for a StreamingRelationV2 over a

@@ -8,7 +8,9 @@ import java.nio.file.Files
 
 /** [[AnnIndex]] — the persisted IVF×PQ index: build/search across
   * sessions with no retraining, O(delta) refresh off the change feed,
-  * grow-only refusal on corpus deletes, drift-triggered retrain.
+  * delete-aware maintenance (corpus deletes vector-delete the codes;
+  * search never returns a deleted id), epoch-torn detection, and the
+  * drift-triggered retrain.
   */
 class AnnIndexSpec extends SparkSpec {
 
@@ -70,7 +72,7 @@ class AnnIndexSpec extends SparkSpec {
     val vBuilt = TxLog.currentVersion(spark, codesRoot).get
     TxLog.append(spark, corpusDf(160 until 200), corpusRoot)
     val r = AnnIndex.refresh(spark, corpusRoot, indexRoot)
-    r shouldBe AnnIndex.Refresh(40L, 200L, false)
+    r shouldBe AnnIndex.Refresh(40L, 0L, 200L, false)
     // ONE append commit, O(delta): exactly the 40 new rows landed
     val last = TxLog.history(spark, codesRoot).last
     last.version shouldBe vBuilt + 1
@@ -78,7 +80,7 @@ class AnnIndexSpec extends SparkSpec {
     TxLog.readLatest(spark, codesRoot).count() shouldBe 200L
     // idempotent: nothing new -> no commit
     AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
-      AnnIndex.Refresh(0L, 200L, false)
+      AnnIndex.Refresh(0L, 0L, 200L, false)
     TxLog.currentVersion(spark, codesRoot).get shouldBe vBuilt + 1
     // a query AT a fresh vector finds it first (query id outside the
     // corpus; shortlist covers the probed cells — the coarse k=8 PQ
@@ -133,17 +135,89 @@ class AnnIndexSpec extends SparkSpec {
     // retrain resets the clock: the next small delta refreshes again
     TxLog.append(spark, corpusDf(110 until 120), corpusRoot)
     AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
-      AnnIndex.Refresh(10L, 120L, false)
+      AnnIndex.Refresh(10L, 0L, 120L, false)
   }
 
-  test("corpus deletes fail the refresh loudly (grow-only index)") {
+  test("corpus deletes are consumed: codes vector-deleted, search never returns a deleted id") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 100), corpusRoot)
+    // an exact clone of vector 42 under id 1042: if 42's code survives
+    // its deletion, a probe AT that vector would rank the phantom first
+    TxLog.append(spark, corpusDf(42 until 43)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    TxLog.deleteVectored(spark, corpusRoot, col("vec_id") === 42L)
+    val r = AnnIndex.refresh(spark, corpusRoot, indexRoot)
+    r shouldBe AnnIndex.Refresh(0L, 1L, 100L, false)
+    val codes = TxLog.readLatest(spark, AnnIndex.codesRoot(indexRoot))
+    codes.filter(col("vec_id") === 42L).count() shouldBe 0L
+    codes.count() shouldBe 100L
+    val probe = corpusDf(42 until 43)
+      .select(lit(99999L).as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", VecOps.normf(col("qe")))
+    val hits = AnnIndex.search(spark, corpusRoot, indexRoot, probe,
+      kTop = 3, nProbe = 2, shortlist = 100)
+      .select("cand_id").as[Long].collect().toSeq
+    hits should not contain 42L
+    hits.head shouldBe 1042L // the clone answers in the dead id's place
+    // replay of the same maintenance step: deletes match nothing, the
+    // watermark already covers the feed
+    AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
+      AnnIndex.Refresh(0L, 0L, 100L, false)
+  }
+
+  test("a REWRITTEN vector re-encodes; insert+delete inside one window leaves no phantom") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     TxLog.append(spark, corpusDf(0 until 100), corpusRoot)
     AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
-    TxLog.delete(spark, corpusRoot, col("vec_id") === 7L)
-    val e = intercept[IllegalStateException](
+    // rewrite: vector 7 becomes vector 60's embedding (delete+insert in
+    // the feed at one version — the net state is insert, re-encoded)
+    val v60 = corpusDf(60 until 61).select(col("embedding")).head()
+      .getSeq[Float](0)
+    TxLog.updateVectored(spark, corpusRoot, col("vec_id") === 7L,
+      Map("embedding" -> typedLit(v60).cast("array<float>")))
+    // and a same-window insert+delete: 200 never reaches the index
+    TxLog.append(spark, corpusDf(200 until 201), corpusRoot)
+    TxLog.deleteVectored(spark, corpusRoot, col("vec_id") === 200L)
+    val r = AnnIndex.refresh(spark, corpusRoot, indexRoot)
+    r.removed shouldBe 1L // 7's old code; 200 was never indexed
+    r.added shouldBe 1L   // 7's new code
+    r.total shouldBe 100L
+    val codes = TxLog.readLatest(spark, AnnIndex.codesRoot(indexRoot))
+    codes.filter(col("vec_id") === 200L).count() shouldBe 0L
+    codes.filter(col("vec_id") === 7L).count() shouldBe 1L
+    // a probe at 60's vector now finds the re-encoded 7 as an exact twin
+    val probe = corpusDf(60 until 61)
+      .select(lit(99999L).as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", VecOps.normf(col("qe")))
+    AnnIndex.search(spark, corpusRoot, indexRoot, probe, kTop = 2,
+      nProbe = 2, shortlist = 200)
+      .select("cand_id").as[Long].collect().toSet shouldBe Set(7L, 60L)
+  }
+
+  test("an epoch-torn artifact set (crash inside build) is refused loudly and heals on re-build") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 100), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    // simulate a crash between build's table replaces: the centroids
+    // advance to a new epoch the meta never declared complete
+    val centRoot = AnnIndex.centroidsRoot(indexRoot)
+    val e = TxLog.txnWatermark(spark, centRoot, AnnIndex.EpochApp).get
+    TxLog.overwrite(spark, TxLog.readLatest(spark, centRoot), centRoot,
+      txn = Some((AnnIndex.EpochApp, e + 1)))
+    intercept[IllegalStateException](
       AnnIndex.refresh(spark, corpusRoot, indexRoot))
-    e.getMessage should include("rebuild")
+      .getMessage should include("re-run build()")
+    val qs = queriesOf(Seq(0L, 21L))
+    intercept[IllegalStateException](
+      AnnIndex.search(spark, corpusRoot, indexRoot, qs, kTop = 5,
+        nProbe = 2, shortlist = 20)).getMessage should include("build()")
+    // the named recovery: re-running build restores a coherent set
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    AnnIndex.search(spark, corpusRoot, indexRoot, qs, kTop = 5,
+      nProbe = 2, shortlist = 20).count() shouldBe 10L
+    AnnIndex.refresh(spark, corpusRoot, indexRoot).retrained shouldBe false
   }
 
   test("drift past the threshold retrains from the full corpus") {
@@ -163,6 +237,6 @@ class AnnIndexSpec extends SparkSpec {
     TxLog.readLatest(spark,
       AnnIndex.codesRoot(indexRoot)).count() shouldBe 200L
     AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
-      AnnIndex.Refresh(0L, 200L, false)
+      AnnIndex.Refresh(0L, 0L, 200L, false)
   }
 }

@@ -7,7 +7,9 @@ import java.nio.file.Files
 
 /** [[DedupIndex]] — incremental MinHash dedup against a persisted band
   * table: batch-incremental pair stream ≡ one-shot pair set, any batch
-  * order, exactly-once under replay, grow-only refusal on deletes.
+  * order, exactly-once under replay, delete-aware maintenance (a
+  * deleted doc's bands are purged — the pair stream never revives it;
+  * a rewritten doc re-bands).
   */
 class DedupIndexSpec extends SparkSpec {
 
@@ -120,12 +122,44 @@ class DedupIndexSpec extends SparkSpec {
       30L * (DedupIndex.NumHashes / DedupIndex.RowsPerBand)
   }
 
-  test("corpus deletes fail the update loudly (grow-only index)") {
-    val (corpusRoot, indexRoot, _) = runBatches(Seq(lit(true)))
-    TxLog.delete(spark, corpusRoot, col("doc_id") === 3L)
-    val e = intercept[IllegalStateException](
-      DedupIndex.update(spark, corpusRoot, indexRoot))
-    e.getMessage should include("rebuild")
+  test("a deleted doc's bands are purged: the pair stream never revives it") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    // batch 1: evens only — every planted pair still waits on its twin
+    TxLog.append(spark, docs.filter(col("doc_id") % 2 === 0), corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 0L
+    val bandsBefore = TxLog.readLatest(spark, indexRoot).count()
+    bandsBefore shouldBe 15L * (DedupIndex.NumHashes / DedupIndex.RowsPerBand)
+    // doc 0 is deleted BEFORE its twin (doc 1) arrives; the deletes-only
+    // batch advances the watermark with a data-less txn mark
+    TxLog.deleteVectored(spark, corpusRoot, col("doc_id") === 0L)
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 0L
+    TxLog.readLatest(spark, indexRoot)
+      .filter(col("doc_id") === 0L).count() shouldBe 0L
+    DedupIndex.watermark(spark, corpusRoot, indexRoot) shouldBe
+      TxLog.currentVersion(spark, corpusRoot).get
+    // batch 2: the odd twins — every pair surfaces EXCEPT the dead one
+    TxLog.append(spark, docs.filter(col("doc_id") % 2 === 1), corpusRoot)
+    val pairs = DedupIndex.update(spark, corpusRoot, indexRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe (2 until 30 by 2).map(k => (k.toLong, k + 1L)).toSet
+    // replay after everything landed: nothing re-emitted
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 0L
+  }
+
+  test("a REWRITTEN doc re-bands: new near-dups surface, stale ones do not") {
+    val (corpusRoot, indexRoot, oneShot) = runBatches(Seq(lit(true)))
+    oneShot.size shouldBe 15
+    // doc 3 (twin of 2) is rewritten into pair 0's vocabulary: its old
+    // bands must leave the table (no re-emission against doc 2) and its
+    // new bands must pair it with BOTH members of pair 0
+    val newText = ((0 until 11).map(j => s"w0_$j") :+ "tail0_c").mkString(" ")
+    TxLog.updateVectored(spark, corpusRoot, col("doc_id") === 3L,
+      Map("text" -> lit(newText)))
+    val pairs = DedupIndex.update(spark, corpusRoot, indexRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((0L, 3L), (1L, 3L))
+    TxLog.readLatest(spark, indexRoot).filter(col("doc_id") === 3L)
+      .count() shouldBe (DedupIndex.NumHashes / DedupIndex.RowsPerBand).toLong
   }
 
   test("cross-batch pairs are found when the LATER member arrives") {
