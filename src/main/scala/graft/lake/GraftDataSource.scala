@@ -395,8 +395,10 @@ private[graft] object GraftDataSource {
     * depends on acceptance). Answerable: no pushed filters, no GROUP
     * BY, and every aggregate is COUNT(*) (countRowsFast: every live
     * file carries a row count) or MIN/MAX of a plain numeric column
-    * (minMaxFast: every live file carries the stat, no deletion
-    * vectors) whose value the stats' double space round-trips exactly.
+    * (minMaxFast: every live file carries the stat; under deletion
+    * vectors only when a vector-free file dominates the bound — the
+    * clean-dominates rule) whose value the stats' double space
+    * round-trips exactly.
     */
   def answerAggregation(agg: Aggregation, pushedFilters: Array[Filter],
                         options: CaseInsensitiveStringMap)
@@ -605,17 +607,20 @@ private[graft] object GraftDataSource {
         Some(d.toLong)
       case _ => None
     }
-    // MIN/MAX over a partition with a deletion vector may overstate (the
-    // vector can remove the extreme row): any surviving dv under a bound
-    // aggregate declines the whole answer. Per-group bound values are
-    // required present + exactly-convertible; a group with zero visible
-    // rows can only arise through a vector here (an empty file carries
-    // no stats at all, declining earlier), so the dv rule covers it.
-    val wantBounds = specs.exists(_.isInstanceOf[ABound])
-    if (wantBounds && survivors.exists(_._2.anyDv)) return None
+    // MIN/MAX under deletion vectors: a vector can remove a file's
+    // extreme row, so per group the bound is answered only when a
+    // VECTOR-FREE file dominates the vector-carrying files' stat bound
+    // (TxLog.BoundParts — exact by construction: the clean extreme is
+    // achieved by a surviving row). A sparse delete therefore declines
+    // only the groups it actually touched AND whose extreme it could
+    // hide; an untouched partition's groups keep the metadata answer.
+    // Any unanswerable group declines the whole aggregation (complete
+    // pushdown is all-or-nothing). Per-group bound values are required
+    // present + exactly-convertible; a group with zero visible rows
+    // (fully vector-deleted) surfaces no group row, SQL-correctly.
     def boundOf(a: TxLog.PartitionAgg, b: ABound): Option[Any] =
-      a.bounds(b.name).flatMap(mm =>
-        exact(if (b.takeMin) mm._1 else mm._2, b.t))
+      a.bounds(b.name).flatMap(_.answer(b.takeMin))
+        .flatMap(exact(_, b.t))
     def describe: String = {
       val ags = specs.map {
         case ACount => "COUNT(*)"
@@ -641,10 +646,14 @@ private[graft] object GraftDataSource {
           val nonEmpty = survivors.map(_._2).filter(_.rows > 0)
           if (nonEmpty.isEmpty) null
           else {
-            val per = nonEmpty.map(boundOf(_, b))
+            // fold the per-partition ANSWERED bounds (each exact under
+            // the clean-dominates rule); any unanswerable partition
+            // declines the whole aggregation
+            val per = nonEmpty.map(
+              _.bounds(b.name).flatMap(_.answer(b.takeMin)))
             if (per.exists(_.isEmpty)) return None
-            val ds = nonEmpty.map(_.bounds(b.name).get)
-            exact(if (b.takeMin) ds.map(_._1).min else ds.map(_._2).max,
+            val ds = per.flatten
+            exact(if (b.takeMin) ds.min else ds.max,
               b.t).getOrElse(return None)
           }
       }
@@ -656,13 +665,13 @@ private[graft] object GraftDataSource {
       val gFields = groupNames.flatten.map(n =>
         fieldOf(n).getOrElse(return None))
       // zero-visible-row partitions surface no group (SQL: no rows, no
-      // group); with bounds requested the dv rule above already declined
+      // group — a fully vector-deleted partition vanishes correctly)
       val grouped = survivors.filter(_._2.rows > 0)
         .groupMapReduce { case (vs, _) => gIdx.map(vs) }(_._2) { (a, b) =>
           TxLog.PartitionAgg(a.rows + b.rows, a.anyDv || b.anyDv,
             statCols.map { c =>
               c -> (for { x <- a.bounds(c); y <- b.bounds(c) }
-                yield (math.min(x._1, y._1), math.max(x._2, y._2)))
+                yield x.merge(y))
             }.toMap)
         }
         .toSeq.sortBy(_._1.map(String.valueOf).mkString("/"))

@@ -706,14 +706,56 @@ object TxLog {
         if (counted.size == snap.live.size) Some(counted.sum) else None
     }
 
+  /** One column's [min, max] fold SPLIT by deletion-vector state:
+    * `clean` folds the files WITHOUT a vector (exact — every stat row
+    * survives), `dirty` the files WITH one (a vector can only move a
+    * file's true extreme INWARD of its committed stat). None = that
+    * side has no files. A bound is answerable from metadata when the
+    * clean side exists and DOMINATES the dirty side's stat bound
+    * (clean min <= dirty stat min, resp. clean max >= dirty stat max):
+    * the clean extreme is achieved by a surviving row, and no dirty
+    * file's survivors can beat a bound its pre-delete stats already
+    * didn't.
+    */
+  final case class BoundParts(clean: Option[(Double, Double)],
+                              dirty: Option[(Double, Double)]) {
+    def merge(o: BoundParts): BoundParts =
+      BoundParts(BoundParts.side(clean, o.clean),
+        BoundParts.side(dirty, o.dirty))
+
+    /** The exact bound, or None when the dirty side could hide it. */
+    def answer(takeMin: Boolean): Option[Double] = (clean, dirty) match {
+      case (c, None) => c.map(b => if (takeMin) b._1 else b._2)
+      case (Some(c), Some(d)) =>
+        if (takeMin && c._1 <= d._1) Some(c._1)
+        else if (!takeMin && c._2 >= d._2) Some(c._2)
+        else None
+      case (None, Some(_)) => None
+    }
+  }
+
+  object BoundParts {
+    private def side(a: Option[(Double, Double)],
+                     b: Option[(Double, Double)]): Option[(Double, Double)] =
+      (a, b) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(p), Some(q)) =>
+          Some((math.min(p._1, q._1), math.max(p._2, q._2)))
+      }
+
+    def of(dv: Boolean, b: (Double, Double)): BoundParts =
+      if (dv) BoundParts(None, Some(b)) else BoundParts(Some(b), None)
+  }
+
   /** One partition's metadata aggregate: visible rows (dv-subtracted),
-    * whether ANY of its live files carries a deletion vector (a vector
-    * may have removed a file's extreme row, so MIN/MAX answers must
-    * decline), and per-requested-column [min, max] bounds — None for a
-    * column any of the partition's files lacks.
+    * whether ANY of its live files carries a deletion vector, and
+    * per-requested-column [[BoundParts]] — None for a column any of the
+    * partition's files lacks (incomplete stats decline the bound
+    * regardless of vectors).
     */
   final case class PartitionAgg(rows: Long, anyDv: Boolean,
-                                bounds: Map[String, Option[(Double, Double)]])
+                                bounds: Map[String, Option[BoundParts]])
 
   /** Per-partition metadata aggregates — the backbone of partition-
     * grouped/filtered COUNT/MIN/MAX pushdown: (partition columns in
@@ -750,9 +792,10 @@ object TxLog {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.drop(i + 1))
       }
-    // (dir, rows, dv?, per-col bounds) per FILE -> grouped per partition
+    // (dir, rows, anyDv?, per-col split bounds) per FILE (or per
+    // pre-grouped dir slice, distributed tier) -> folded per partition
     def fold(perFile: Seq[(String, Long, Boolean,
-                           Map[String, Option[(Double, Double)]])])
+                           Map[String, Option[BoundParts]])])
         : Option[(Seq[String], Map[Seq[String], PartitionAgg])] = {
       if (perFile.isEmpty) return None
       val parsed = perFile.map { case (d, n, dv, b) =>
@@ -767,7 +810,7 @@ object TxLog {
         PartitionAgg(a.rows + b.rows, a.anyDv || b.anyDv,
           statCols.map { c =>
             c -> (for { x <- a.bounds(c); y <- b.bounds(c) }
-              yield (math.min(x._1, y._1), math.max(x._2, y._2)))
+              yield x.merge(y))
           }.toMap)
       }
       Some((cols, grouped))
@@ -782,10 +825,12 @@ object TxLog {
           c -> snap.stats.col(physName(snap.colMap, c))).toMap
         val perFile = snap.live.map { f =>
           rc.get(f).map { st =>
+            val dv = snap.dvs.contains(f)
             (relDir(f),
               st._1.toLong - snap.dvs.get(f).map(_._2).getOrElse(0L),
-              snap.dvs.contains(f),
-              statCols.map(c => c -> colStats(c).get(f)).toMap)
+              dv,
+              statCols.map(c =>
+                c -> colStats(c).get(f).map(BoundParts.of(dv, _))).toMap)
           }
         }
         if (perFile.exists(_.isEmpty)) None else fold(perFile.flatten)
@@ -809,7 +854,10 @@ object TxLog {
         val (touched, _) = touchedState(spark, m, keys)
         if (touched.exists(t => !t.stats.contains(RowCountKey))) return None
         val k = s"`mn:$RowCountKey`"
-        // one distributed aggregation, output bounded by partition count
+        // one distributed aggregation, output bounded by partition
+        // count; per stat column the bounds fold SEPARATELY over the
+        // vector-free and vector-carrying files (BoundParts — the
+        // clean-dominates rule needs both sides)
         val aggs = Seq(count(lit(1)).as("nFiles"),
           count(col(k)).as("nStat"),
           sum(expr(s"cast($k - coalesce(cast(dvRows as double), 0.0) " +
@@ -818,11 +866,17 @@ object TxLog {
           statCols.zipWithIndex.flatMap { case (c, i) =>
             val p = phys(c)
             if (!m.legend.contains(p))
-              Seq(lit(0L).as(s"nb_$i"), lit(null).as(s"mn_$i"),
-                lit(null).as(s"mx_$i"))
-            else Seq(count(col(s"`mn:$p`")).as(s"nb_$i"),
-              min(col(s"`mn:$p`")).as(s"mn_$i"),
-              max(col(s"`mx:$p`")).as(s"mx_$i"))
+              Seq(lit(0L).as(s"nb_$i"), lit(null).as(s"mnc_$i"),
+                lit(null).as(s"mxc_$i"), lit(null).as(s"mnd_$i"),
+                lit(null).as(s"mxd_$i"))
+            else {
+              val cleanSide = col("dvPath").isNull
+              Seq(count(col(s"`mn:$p`")).as(s"nb_$i"),
+                min(when(cleanSide, col(s"`mn:$p`"))).as(s"mnc_$i"),
+                max(when(cleanSide, col(s"`mx:$p`"))).as(s"mxc_$i"),
+                min(when(!cleanSide, col(s"`mn:$p`"))).as(s"mnd_$i"),
+                max(when(!cleanSide, col(s"`mx:$p`"))).as(s"mxd_$i"))
+            }
           }
         val grouped = exceptTouched(
             ckptLiveDF(spark, m, keys, withDv = true), m.touchedAll)
@@ -836,21 +890,28 @@ object TxLog {
         if (grouped.exists(r => r.getLong(1) != r.getLong(2))) return None
         val base = grouped.toSeq.map { r =>
           val nFiles = r.getLong(1)
+          def sideOf(mn: String, mx: String): Option[(Double, Double)] = {
+            val i = r.fieldIndex(mn)
+            if (r.isNullAt(i)) None
+            else Some((r.getDouble(i), r.getAs[Double](mx)))
+          }
           val bounds = statCols.zipWithIndex.map { case (c, i) =>
             val nb = r.getAs[Long](s"nb_$i")
             c -> (if (nb != nFiles) None
-                  else Some((r.getAs[Double](s"mn_$i"),
-                    r.getAs[Double](s"mx_$i"))))
+                  else Some(BoundParts(sideOf(s"mnc_$i", s"mxc_$i"),
+                    sideOf(s"mnd_$i", s"mxd_$i"))))
           }.toMap
           (r.getString(0),
             if (r.isNullAt(3)) 0L else r.getLong(3),
             r.getAs[Int]("anyDv") > 0, bounds)
         }
         val touchedPer = touched.map { t =>
+          val dv = t.dv.isDefined
           (relDir(t.file),
             t.stats(RowCountKey)._1.toLong - t.dv.map(_._2).getOrElse(0L),
-            t.dv.isDefined,
-            statCols.map(c => c -> t.stats.get(phys(c))).toMap)
+            dv,
+            statCols.map(c =>
+              c -> t.stats.get(phys(c)).map(BoundParts.of(dv, _))).toMap)
         }
         fold(base ++ touchedPer)
     }
@@ -3383,16 +3444,21 @@ object TxLog {
     if (snap.live.isEmpty) return None
     // a deletion vector may have removed exactly the row holding a
     // file's min or max, making the committed stats an over-approximation
-    // — fine for PRUNING (superset), wrong as an ANSWER. Fall back to the
-    // scan until OPTIMIZE materializes the vectors away.
-    if (snap.live.exists(snap.dvs.contains)) return None
+    // — fine for PRUNING (superset), wrong as an ANSWER. But a bound a
+    // VECTOR-FREE file dominates stays exact (the [[BoundParts]]
+    // clean-dominates rule): only when the dirty side could hide the
+    // extreme does the answer fall back to the scan, until OPTIMIZE
+    // materializes the vectors away.
     val pc = physName(snap.colMap, column) // stats key by PHYSICAL name
     val cs = snap.stats.col(pc) // pruned: one stat column read
-    val perFile = snap.live.map(cs.get)
+    val perFile = snap.live.map(f => cs.get(f).map((snap.dvs.contains(f), _)))
     if (perFile.exists(_.isEmpty)) None
     else {
-      val bs = perFile.flatten
-      Some((bs.map(_._1).min, bs.map(_._2).max))
+      val parts = perFile.flatten
+        .map { case (dv, b) => BoundParts.of(dv, b) }
+        .reduce(_ merge _)
+      for { lo <- parts.answer(takeMin = true)
+            hi <- parts.answer(takeMin = false) } yield (lo, hi)
     }
   }
 
@@ -5078,31 +5144,40 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
     val pc = physName(m.colMap, column)
     val (touched, _) = touchedState(spark, m, Seq(pc))
-    if (touched.exists(_.dv.isDefined)) return None
+    def touchedParts: Option[BoundParts] =
+      touched.map(t => t.stats.get(pc)
+          .map(BoundParts.of(t.dv.isDefined, _)))
+        .foldLeft(Option(BoundParts(None, None))) { (acc, b) =>
+          for { a <- acc; x <- b } yield a.merge(x)
+        }
+    def answer(parts: BoundParts): Option[(Double, Double)] =
+      for { lo <- parts.answer(takeMin = true)
+            hi <- parts.answer(takeMin = false) } yield (lo, hi)
     if (!m.legend.contains(pc)) {
       val untouchedN = exceptTouched(
         ckptLiveDF(spark, m, Nil, withDv = false), m.touchedAll).count()
       if (untouchedN > 0) return None // untouched files lack the stat
-      val bs = touched.map(t => t.stats.get(pc))
-      if (bs.isEmpty || bs.exists(_.isEmpty)) None
-      else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+      if (touched.isEmpty) None
+      else touchedParts.flatMap(answer)
     } else {
+      // the checkpoint fold splits clean/dirty like the driver tier —
+      // the clean-dominates rule applies across the whole live set
       val (mnC, mxC) = (col(s"`mn:$pc`"), col(s"`mx:$pc`"))
+      val cleanSide = col("dvPath").isNull
       val r = exceptTouched(ckptLiveDF(spark, m, Seq(pc), withDv = true),
           m.touchedAll)
         .agg(count(lit(1)), count(mnC),
-          count(when(col("dvPath").isNotNull, 1)), min(mnC), max(mxC))
+          min(when(cleanSide, mnC)), max(when(cleanSide, mxC)),
+          min(when(!cleanSide, mnC)), max(when(!cleanSide, mxC)))
         .collect()(0)
-      val (files, withStat, dvN) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      if (dvN > 0) return None
+      val (files, withStat) = (r.getLong(0), r.getLong(1))
       if (files + touched.size == 0) return None
       if (withStat != files || touched.exists(!_.stats.contains(pc)))
         return None
-      val lo = (Option.when(files > 0)(r.getDouble(3)) ++
-        touched.map(_.stats(pc)._1)).min
-      val hi = (Option.when(files > 0)(r.getDouble(4)) ++
-        touched.map(_.stats(pc)._2)).max
-      Some((lo, hi))
+      def sideOf(i: Int): Option[(Double, Double)] =
+        if (r.isNullAt(i)) None else Some((r.getDouble(i), r.getDouble(i + 1)))
+      val ckptParts = BoundParts(sideOf(2), sideOf(4))
+      touchedParts.map(_.merge(ckptParts)).flatMap(answer)
     }
   }
 

@@ -1710,31 +1710,66 @@ object Lake {
     // equality filter answer from live-path partition values + per-file
     // committed row counts — LocalTableScan, zero tasks, zero data
     // files opened, deletion-vector rows subtracted (the vector commit
-    // carries its cumulative count). Both shapes are plan-ASSERTED
-    // in-query; the oracle recomputes the same counts relationally over
-    // the raw parquet, dv'd keys excluded. At a 10M-file table this is
-    // the difference between a metadata fold and a full stats scan for
-    // the most common operational query there is.
+    // carries its cumulative count). MIN/MAX stays metadata-answered
+    // UNDER vectors when a vector-free file dominates the bound (the
+    // clean-dominates rule — a vector only moves a dirty file's true
+    // extreme inward): here the takedown lands entirely in per-
+    // partition "doomed" files of interior keys, so every group's
+    // extremes live in clean files and the post-delete grouped
+    // COUNT+MIN/MAX is STILL a LocalTableScan, plan-asserted. The
+    // oracle recomputes both states relationally over the raw parquet.
+    // At a 10M-file table this is the difference between a metadata
+    // fold and a full stats scan for the most common operational query
+    // there is — and the GDPR-delete path no longer turns it off.
     QDef(
       "q125_partition_metadata_agg",
       """WITH pre AS (SELECT o_orderpriority AS prio, count(*) AS n_pre,
         |                    min(o_orderkey) AS min_k,
         |                    max(o_orderkey) AS max_k
         |             FROM orders GROUP BY 1),
-        |post AS (SELECT o_orderpriority AS prio, count(*) AS n_post
-        |         FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1)
-        |SELECT pre.prio AS prio, n_pre, min_k, max_k, n_post
+        |post AS (SELECT o_orderpriority AS prio, count(*) AS n_post,
+        |                min(o_orderkey) AS min_k_post,
+        |                max(o_orderkey) AS max_k_post
+        |         FROM (SELECT o_orderkey, o_orderpriority,
+        |                 min(o_orderkey) OVER
+        |                   (PARTITION BY o_orderpriority) AS mnp,
+        |                 max(o_orderkey) OVER
+        |                   (PARTITION BY o_orderpriority) AS mxp
+        |               FROM orders)
+        |         WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey > mnp
+        |                    AND o_orderkey < mxp)
+        |         GROUP BY 1)
+        |SELECT pre.prio AS prio, n_pre, min_k, max_k,
+        |       n_post, min_k_post, max_k_post
         |FROM pre JOIN post ON pre.prio = post.prio
         |ORDER BY pre.prio""".stripMargin) { (s, dir) =>
       val root = Tables.scratch(dir, "pmeta")
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(rootPath)) fs.delete(rootPath, true)
-      TxLog.append(s,
-        t(s, dir, "orders").select(
-          col("o_orderkey").cast("long").as("k"),
-          col("o_orderpriority").as("prio")),
-        root, partitionCols = Seq("prio"), statsCols = Seq("k"))
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"))
+      // the takedown set: every 10th key STRICTLY INTERIOR to its
+      // partition's key range (window bounds — exact at any SF), staged
+      // as its OWN files per partition: the clean files keep every
+      // group extreme, the exact shape where the metadata answer must
+      // survive the vectors
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("prio")
+      val tagged = orders
+        .withColumn("mnp", min("k").over(wp))
+        .withColumn("mxp", max("k").over(wp))
+      val doomedCond =
+        col("k") % 10 === 0 && col("k") > col("mnp") && col("k") < col("mxp")
+      val keep = tagged.filter(!doomedCond).select("k", "prio")
+      val doomedRows = tagged.filter(doomedCond).select("k", "prio")
+      TxLog.append(s, keep, root,
+        partitionCols = Seq("prio"), statsCols = Seq("k"))
+      val doomedIds = doomedRows.select("k")
+        .collect().map(_.getLong(0)).toSet
+      if (doomedIds.nonEmpty)
+        TxLog.append(s, doomedRows, root,
+          partitionCols = Seq("prio"), statsCols = Seq("k"))
       def assertLocal(df: DataFrame, what: String): Unit = {
         val plan = df.queryExecution.executedPlan
         val opensFiles = plan.collectWithSubqueries {
@@ -1761,12 +1796,21 @@ object Lake {
       // materialize before the vector lands (the scan is snapshot-pinned
       // but the ASSERTION is about the pre-delete state)
       val preRows = pre.collect().toSeq
-      // sparse vector delete: grouped COUNTS must come out dv-subtracted
-      // (bounds now decline — a vector can remove the extreme row)
-      TxLog.deleteVectored(s, root, col("k") % 10 === 0)
+      // the takedown: every matched row sits in a doomed file, so each
+      // partition keeps a clean dominating file — grouped COUNT AND
+      // MIN/MAX must BOTH still answer from metadata afterwards
+      if (doomedIds.nonEmpty)
+        TxLog.deleteVectored(s, root, col("k").isInCollection(doomedIds))
       val tbl2 = s.read.format("graft").load(root)
-      val post = tbl2.groupBy("prio").agg(count(lit(1)).as("n_post"))
-      assertLocal(post, "post-delete GROUP BY prio / COUNT(*)")
+      graft.lake.GraftDataSource.lastAggPushdown = None
+      val post = tbl2.groupBy("prio")
+        .agg(count(lit(1)).as("n_post"), min("k").as("min_k_post"),
+          max("k").as("max_k_post"))
+      assertLocal(post, "post-delete GROUP BY prio / COUNT + MIN + MAX")
+      require(graft.lake.GraftDataSource.lastAggPushdown
+        .exists(d => d.contains("GROUP BY prio") && d.contains("MIN(k)")),
+        "q125: the post-delete grouped bounds did not go through the " +
+          s"partition tier: ${graft.lake.GraftDataSource.lastAggPushdown}")
       // the FILTERED metadata count agrees with its grouped row
       val f = tbl2.filter(col("prio") === "1-URGENT")
         .agg(count(lit(1)).as("n"))
@@ -1781,7 +1825,8 @@ object Lake {
           r.getLong(3)))
         .toDF("prio", "n_pre", "min_k", "max_k")
         .join(post, "prio")
-        .select("prio", "n_pre", "min_k", "max_k", "n_post")
+        .select("prio", "n_pre", "min_k", "max_k", "n_post",
+          "min_k_post", "max_k_post")
         .orderBy("prio")
     },
 

@@ -403,9 +403,19 @@ class GraftDataSourceSpec extends SparkSpec {
     val gt = t.filter(col("part") > "p1").agg(count(lit(1)).as("n"))
     isLocalPlan(gt) shouldBe false
     gt.head().getLong(0) shouldBe 20L
-    val mx = t.groupBy("part").agg(max("id").as("mx"))
-    isLocalPlan(mx) shouldBe false
     GraftDataSource.lastAggPushdown shouldBe None
+    // the vector's file holds p0's MIN: no clean file dominates it, so
+    // MIN declines to the scan (which sees the deletion: 0 is gone)...
+    val mn = t.groupBy("part").agg(min("id").as("mn"))
+    isLocalPlan(mn) shouldBe false
+    mn.orderBy("part").collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(4L, 1L, 2L, 3L)
+    // ...while MAX stays metadata-answered: p0's max lives in the
+    // clean second-append file, which dominates the dirty file's stats
+    val mx = t.groupBy("part").agg(max("id").as("mx"))
+    isLocalPlan(mx) shouldBe true
+    mx.orderBy("part").collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(100L, 37L, 38L, 39L)
   }
 
   test("partition tier: per-partition MIN/MAX answer from grouped file stats; vectors decline bounds, not counts") {
@@ -511,6 +521,48 @@ class GraftDataSourceSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     isLocalPlan(noStats) shouldBe false
     noStats.head().getLong(0) shouldBe 2L
+  }
+
+  test("clean-dominates: bounds stay metadata-answered when a vector-free file holds the extremes") {
+    val root = tmpRoot()
+    // two files per partition: the EDGE file holds each partition's
+    // extremes, the INTERIOR file only middle ids — then the vector
+    // lands entirely in the interior file
+    for (p <- 0 to 1) {
+      TxLog.append(spark,
+        Seq((p * 100L, s"p$p"), (p * 100L + 99L, s"p$p"))
+          .toDF("id", "part").repartition(1),
+        root, partitionCols = Seq("part"), statsCols = Seq("id"))
+      TxLog.append(spark,
+        (p * 100L + 40L to p * 100L + 49L).map((_, s"p$p"))
+          .toDF("id", "part").repartition(1),
+        root, partitionCols = Seq("part"), statsCols = Seq("id"))
+    }
+    TxLog.deleteVectored(spark, root, col("id") % 100 >= 40 &&
+      col("id") % 100 < 45)
+    val t = spark.read.format("graft").load(root)
+    GraftDataSource.lastAggPushdown = None
+    val g = t.groupBy("part").agg(count(lit(1)).as("n"),
+      min("id").as("mn"), max("id").as("mx"))
+    isLocalPlan(g) shouldBe true
+    g.orderBy("part").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe Seq(("p0", 7L, 0L, 99L), ("p1", 7L, 100L, 199L))
+    GraftDataSource.lastAggPushdown.get should include("MIN(id)")
+    // ungrouped over the same table: the global fold of the answered
+    // per-partition bounds, still metadata
+    val u = t.agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx"))
+    isLocalPlan(u) shouldBe true
+    u.head() shouldBe org.apache.spark.sql.Row(14L, 0L, 199L)
+    // but once the vector CAN hide an extreme (it reaches the edge
+    // file), the aggregation declines and the scan answers exactly
+    TxLog.deleteVectored(spark, root, col("id") === 199L)
+    val t2 = spark.read.format("graft").load(root)
+    val g2 = t2.groupBy("part").agg(max("id").as("mx"))
+    isLocalPlan(g2) shouldBe false
+    g2.orderBy("part").collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(99L, 149L)
   }
 
   test("a deletion vector: COUNT stays metadata-only, MIN/MAX falls back to the scan") {

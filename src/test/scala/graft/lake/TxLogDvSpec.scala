@@ -75,6 +75,14 @@ class TxLogDvSpec extends SparkSpec {
     TxLog.countRows(spark, root) shouldBe 4L
     // stats would still claim max=60 — the fast path must decline
     TxLog.minMaxFast(spark, root, "v") shouldBe None
+    // ...unless a VECTOR-FREE file dominates both bounds: append an
+    // edge file spanning the survivors' range and the answer is exact
+    // from metadata again (clean-dominates — the dirty files' true
+    // extremes can only have moved inward of their stats)
+    TxLog.append(spark,
+      Seq((100L, "lo", 5.0), (101L, "hi", 70.0)).toDF("id", "s", "v")
+        .repartition(1), root, statsCols = Seq("v"))
+    TxLog.minMaxFast(spark, root, "v") shouldBe Some((5.0, 70.0))
   }
 
   test("vector-deleted rows never resurrect through UPDATE or MERGE rewrites") {

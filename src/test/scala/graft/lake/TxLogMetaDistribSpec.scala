@@ -297,7 +297,9 @@ class TxLogMetaDistribSpec extends SparkSpec {
       expected
     TxLog.countRows(spark, root) shouldBe expectedCount
     distributed(TxLog.countRows(spark, root)) shouldBe expectedCount
-    TxLog.minMaxFast(spark, root, "id") shouldBe None // live dv: None
+    // the live vector's file holds only interior ids: the clean files
+    // dominate both bounds, so the metadata answer survives the dv
+    TxLog.minMaxFast(spark, root, "id") shouldBe Some((1.0, 1000.0))
     TxLog.readRange(spark, root, "id", 10.0, 30.0)
       .select("id").as[Long].collect().toSeq shouldBe Seq(10L)
   }
@@ -422,10 +424,13 @@ class TxLogMetaDistribSpec extends SparkSpec {
     m(Seq("p0")).anyDv shouldBe true
     m(Seq("p1")).rows shouldBe 31L
     m(Seq("p1")).anyDv shouldBe false
-    m(Seq("p1")).bounds("id") shouldBe Some((1.0, 999.0))
-    // dv'd partition: bounds still FOLD from file stats (the DECISION to
-    // decline under vectors is the consumer's — answerPartitionCounts)
-    m(Seq("p0")).bounds("id") shouldBe Some((0.0, 218.0))
+    m(Seq("p1")).bounds("id") shouldBe
+      Some(TxLog.BoundParts(Some((1.0, 999.0)), None))
+    // dv'd partition: bounds still FOLD from file stats, SPLIT by
+    // vector state (the DECISION — clean-dominates — is the consumer's,
+    // answerPartitionCounts): the vectored base file is the dirty side
+    m(Seq("p0")).bounds("id") shouldBe
+      Some(TxLog.BoundParts(Some((6.0, 218.0)), Some((0.0, 4.0))))
   }
 
   test("historySummary over a checkpointed log parses only the TAIL " +
