@@ -1,6 +1,6 @@
 package graft
 
-import graft.lake.{CommitStore, JdbcCommitStore, TxLog}
+import graft.lake.{CommitStore, JdbcCommitStore, ObjectStoreCommitStore, TxLog}
 import org.apache.spark.sql.SparkSession
 
 import java.nio.file.Files
@@ -27,6 +27,48 @@ import java.nio.file.Files
   * baseline; recorded runs live in BASELINE.md §"Metadata scale".
   */
 object CommitBench {
+
+  /** Loopback conditional-PUT arbiter for the s3http phase: create-if-
+    * absent into the table directory, decided under one monitor —
+    * exactly the arbiter role the real bucket owns. ~40 lines because
+    * the protocol IS small; the production store under test is
+    * [[ObjectStoreCommitStore]], unmodified.
+    */
+  private final class LocalCasHttp(backingDir: String) {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    private val lock = new Object
+    server.createContext("/", { ex =>
+      try {
+        val body = ex.getRequestBody.readAllBytes()
+        val ok = "*" == ex.getRequestHeaders.getFirst("If-None-Match")
+        if (ex.getRequestMethod != "PUT" || !ok) ex.sendResponseHeaders(400, -1)
+        else {
+          val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+            .map(java.net.URLDecoder.decode(_, "UTF-8"))
+          val target = java.nio.file.Paths.get(backingDir, segs.drop(1): _*)
+          val created = lock.synchronized {
+            if (java.nio.file.Files.exists(target)) false
+            else {
+              java.nio.file.Files.createDirectories(target.getParent)
+              val tmp = java.nio.file.Files.createTempFile(
+                target.getParent, ".cas-", ".tmp")
+              java.nio.file.Files.write(tmp, body)
+              java.nio.file.Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            }
+          }
+          ex.sendResponseHeaders(if (created) 200 else 412, -1)
+        }
+      } finally ex.close()
+    })
+    server.setExecutor(pool)
+    server.start()
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+  }
 
   private def timedMs[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -104,12 +146,23 @@ object CommitBench {
 
     val writerCounts = Seq(1, 4, 16)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    Seq("fs", "jdbc").foreach { storeName =>
+    Seq("fs", "jdbc", "s3http").foreach { storeName =>
       val root = Files.createTempDirectory(s"graft-commitbench-$storeName")
         .toString
+      var arbiter: Option[LocalCasHttp] = None
       if (storeName == "jdbc")
         CommitStore.install(root, new JdbcCommitStore(
           s"jdbc:derby:${Files.createTempDirectory("graft-cbderby")}/cas;create=true"))
+      if (storeName == "s3http") {
+        // conditional-PUT CAS over a loopback HTTP arbiter: the same
+        // in-process stand-in role embedded Derby plays for the row-CAS
+        // — the measured cost is the real store code + one HTTP round
+        // trip per claim; a WAN bucket adds its latency on top
+        val a = new LocalCasHttp(root)
+        arbiter = Some(a)
+        CommitStore.install(root, new ObjectStoreCommitStore(a.endpoint,
+          mapPath = ObjectStoreCommitStore.prefixMap(root, "lake")))
+      }
       try {
         val (_, buildMs) = timedMs(buildBase(root))
         results(s"${storeName}_build_sec") = buildMs / 1000.0
@@ -125,7 +178,10 @@ object CommitBench {
         val got = TxLog.currentVersion(spark, root).get + 1L
         require(got == expect,
           s"$storeName: expected $expect contiguous versions, got $got")
-      } finally if (storeName == "jdbc") CommitStore.uninstall(root)
+      } finally {
+        if (storeName != "fs") CommitStore.uninstall(root)
+        arbiter.foreach(_.stop())
+      }
     }
 
     val fields = results.map { case (k, v) => s"""${Json.str(k)}:${

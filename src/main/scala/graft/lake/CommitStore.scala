@@ -52,16 +52,29 @@ trait CommitStore {
   *    namespace operation and is used directly; there the visible-
   *    before-written window exists, which [[TxLog]]'s in-flight-tail
   *    handling covers.
-  *  - Anything else (s3/s3a/gs/...) — REFUSED. Plain create on an
-  *    eventually-CAS-less object store would turn every version race
-  *    into a silently lost commit; the error tells the operator to
-  *    install a CAS-backed [[CommitStore]] instead.
+  *  - `s3` / `s3a` — delegated to an [[ObjectStoreCommitStore]] built
+  *    from the filesystem's own S3A configuration (endpoint, region,
+  *    credentials, addressing style): S3 supports conditional writes
+  *    (`If-None-Match: *` PUT) natively since 2024, so the bucket that
+  *    holds the lake arbitrates its own commits — no shared volume, no
+  *    RDBMS. One store per filesystem, memoized. An explicitly
+  *    installed store for the root still wins (CommitStore.forPath
+  *    routes before this claim ever runs).
+  *  - Anything else (gs/...) — REFUSED. Plain create on a CAS-less
+  *    object-store connector would turn every version race into a
+  *    silently lost commit; the error tells the operator to install a
+  *    CAS-backed [[CommitStore]] instead.
   */
 object FsCommitStore extends CommitStore {
 
   /** Schemes whose create(overwrite=false) is an atomic namespace op. */
   private val AtomicCreateSchemes =
     Set("hdfs", "viewfs", "webhdfs", "abfs", "abfss", "ofs", "o3fs")
+
+  // one conditional-PUT store per S3 filesystem URI (endpoint/creds are
+  // per-filesystem configuration; the HttpClient inside is reusable)
+  private val s3Stores =
+    new ConcurrentHashMap[String, ObjectStoreCommitStore]()
 
   override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
     fs.getUri.getScheme match {
@@ -84,13 +97,19 @@ object FsCommitStore extends CommitStore {
           try out.write(bytes) finally out.close()
           true
         } catch { case _: IOException => false }
+      case "s3" | "s3a" | "s3n" =>
+        s3Stores.computeIfAbsent(fs.getUri.toString,
+          _ => ObjectStoreCommitStore.fromHadoopConf(fs))
+          .claim(fs, p, bytes)
       case s =>
         throw new UnsupportedOperationException(
           s"filesystem scheme '$s' has no atomic create-if-absent: a " +
             s"commit claim through it could silently lose a racing " +
             s"writer's commit. Install a CAS-backed CommitStore for this " +
-            s"table root (CommitStore.install) backed by an external " +
-            s"coordinator (e.g. a DynamoDB-style conditional put).")
+            s"table root (CommitStore.install) — ObjectStoreCommitStore " +
+            s"(conditional-PUT CAS) for S3-compatible stores, " +
+            s"JdbcCommitStore for a shared RDBMS, LockFileCommitStore " +
+            s"for a shared POSIX volume.")
     }
 
   override def read(fs: FileSystem, p: Path): Array[Byte] = {

@@ -1,0 +1,276 @@
+package graft.lake
+
+import java.io.IOException
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** AWS Signature Version 4 request signing — the public algorithm
+  * (HMAC-SHA256 chain over a canonical request), implemented directly so
+  * the object-store commit store needs no SDK: JDK crypto is enough.
+  * Covers exactly what the store sends (single-shot requests, payload
+  * hash in `x-amz-content-sha256`, no query signing). Verified against
+  * the published AWS reference vector in `SigV4Spec`.
+  */
+private[lake] object SigV4 {
+
+  private val AmzDate =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val ShortDate =
+    DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** RFC 3986 encode for canonical URIs/queries ('/' preserved only in
+    * paths — the caller picks via `keepSlash`).
+    */
+  private def uriEncode(s: String, keepSlash: Boolean): String = {
+    val out = new StringBuilder
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '~' ||
+          (keepSlash && c == '/')) out.append(c)
+      else out.append(f"%%${b & 0xff}%02X")
+    }
+    out.toString
+  }
+
+  /** The headers to add to a request: `x-amz-date`, `x-amz-content-sha256`
+    * (+ session token when present) and `Authorization`. `headers` must
+    * already include every header to be signed EXCEPT the amz ones this
+    * adds (at minimum `host`). `signPayloadHeader=false` omits
+    * `x-amz-content-sha256` from the signed set (non-S3 services — the
+    * published AWS reference vector `SigV4Spec` checks is one).
+    */
+  def signedHeaders(method: String, uri: URI, headers: Map[String, String],
+                    payloadSha256: String, accessKey: String,
+                    secretKey: String, sessionToken: Option[String],
+                    region: String, service: String,
+                    now: Instant,
+                    signPayloadHeader: Boolean = true): Map[String, String] = {
+    val amzDate = AmzDate.format(now)
+    val shortDate = ShortDate.format(now)
+    val all = headers ++ Map("x-amz-date" -> amzDate) ++
+      (if (signPayloadHeader) Map("x-amz-content-sha256" -> payloadSha256)
+       else Map.empty[String, String]) ++
+      sessionToken.map("x-amz-security-token" -> _)
+    val canonHeaders = all.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v.trim
+    }.toSeq.sortBy(_._1)
+    val signedList = canonHeaders.map(_._1).mkString(";")
+    val canonQuery = Option(uri.getRawQuery).filter(_.nonEmpty).map { q =>
+      q.split("&").toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    }.getOrElse("")
+    val canonPath = {
+      val p = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      // S3 canonicalizes the RAW path as-is (single-encode rule)
+      uriEncode(java.net.URLDecoder.decode(p, "UTF-8"), keepSlash = true)
+    }
+    val canonicalRequest = Seq(method, canonPath, canonQuery,
+      canonHeaders.map { case (k, v) => s"$k:$v\n" }.mkString,
+      signedList, payloadSha256).mkString("\n")
+    val scope = s"$shortDate/$region/$service/aws4_request"
+    val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(StandardCharsets.UTF_8)))
+      .mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      s"AWS4$secretKey".getBytes(StandardCharsets.UTF_8), shortDate),
+      region), service), "aws4_request")
+    val sig = hmac(kSigning, toSign).map("%02x".format(_)).mkString
+    Map("x-amz-date" -> amzDate,
+      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+        s"SignedHeaders=$signedList, Signature=$sig")) ++
+      (if (signPayloadHeader) Map("x-amz-content-sha256" -> payloadSha256)
+       else Map.empty[String, String]) ++
+      sessionToken.map("x-amz-security-token" -> _)
+  }
+}
+
+/** DURABLE shared-nothing CAS commit store for S3-COMPATIBLE OBJECT
+  * STORES: the claim is ONE conditional HTTP PUT of the entry bytes with
+  * `If-None-Match: *` — the store itself enforces create-if-absent (S3
+  * has supported conditional writes since 2024; MinIO, R2 and most
+  * S3-compatible stores honor the same header). No shared volume, no
+  * RDBMS, no coordinator table: the object store that already holds the
+  * lake IS the arbiter, and the entry is content-complete the instant it
+  * becomes visible (no torn tails, no publish window — the PUT either
+  * lands whole or not at all).
+  *
+  * Outcome mapping, per the S3 conditional-write contract:
+  *  - 2xx: the claim WON — the object now exists with our bytes.
+  *  - 412 Precondition Failed: the key exists — a racing writer won.
+  *  - 409 ConditionalRequestConflict: concurrent conditional PUTs on the
+  *    same key collided mid-decision; the outcome is UNKNOWN — retry the
+  *    same conditional PUT until the store answers 2xx or 412 (the
+  *    retry is safe precisely because the PUT is conditional).
+  *  - Other statuses / transport errors: bounded retries on 5xx, then
+  *    loud failure (a claim that cannot reach the arbiter must not
+  *    guess).
+  *
+  * Reads and listings stay on the data filesystem (S3 reads and listings
+  * are strongly consistent since 2020; the S3A connector the table root
+  * already uses serves them) — only the CLAIM needs the HTTP path,
+  * because Hadoop's FileSystem API exposes no conditional create.
+  *
+  * Auth: SigV4-signed when credentials are provided ([[SigV4]] — JDK
+  * crypto, no SDK), anonymous otherwise (IAM-less MinIO, pre-signed
+  * test endpoints). Addressing: virtual-host style
+  * (`https://bucket.endpoint/key`) or path-style
+  * (`https://endpoint/bucket/key`) — path-style is the default for
+  * custom endpoints, matching the S3A convention.
+  *
+  * Install: `CommitStore.install(tableRootPrefix, store)`, or let
+  * [[FsCommitStore]] build one from the S3A configuration automatically
+  * when a claim reaches an `s3`/`s3a` root
+  * ([[ObjectStoreCommitStore.fromHadoopConf]]).
+  */
+final class ObjectStoreCommitStore(
+    endpoint: String,
+    region: String = "us-east-1",
+    credentials: Option[(String, String)] = None,
+    sessionToken: Option[String] = None,
+    pathStyle: Boolean = true,
+    mapPath: Path => (String, String) = ObjectStoreCommitStore.s3PathMap,
+    maxAttempts: Int = 8) extends CommitStore {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NEVER)
+    .build()
+
+  private val base = URI.create(endpoint.replaceAll("/+$", ""))
+
+  private def urlFor(bucket: String, key: String): URI = {
+    val encKey = key.split("/", -1).map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8")
+        .replace("+", "%20").replace("*", "%2A")).mkString("/")
+    if (pathStyle) URI.create(s"$base/$bucket/$encKey")
+    else URI.create(s"${base.getScheme}://$bucket.${base.getAuthority}/$encKey")
+  }
+
+  override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    val (bucket, key) = mapPath(p)
+    val uri = urlFor(bucket, key)
+    var attempt = 0
+    var lastFailure: String = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val builder = HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("If-None-Match", "*")
+        .header("Content-Type", "application/octet-stream")
+      credentials.foreach { case (ak, sk) =>
+        val host = uri.getAuthority
+        SigV4.signedHeaders("PUT", uri, Map("host" -> host),
+          SigV4.sha256Hex(bytes), ak, sk, sessionToken, region, "s3",
+          Instant.now()).foreach { case (k, v) =>
+          if (!k.equalsIgnoreCase("host")) builder.header(k, v)
+        }
+      }
+      val req = builder
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()
+      val sent: Either[String, (Int, String)] =
+        try {
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          Right((resp.statusCode(), resp.body()))
+        } catch {
+          case e: IOException => Left(s"transport: $e")
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new IOException("interrupted during commit claim", e)
+        }
+      sent match {
+        case Right((s, _)) if s >= 200 && s < 300 => return true
+        case Right((412, _))                      => return false
+        case Right((409, body)) =>
+          // concurrent conditional writes collided: outcome unknown —
+          // the conditional retry converges to 2xx or 412
+          lastFailure = s"409 conflict: ${body.take(200)}"
+        case Right((s, body)) if s >= 500 =>
+          lastFailure = s"$s: ${body.take(200)}"
+        case Right((s, body)) =>
+          throw new IOException(
+            s"conditional PUT $uri failed with HTTP $s: ${body.take(500)}")
+        case Left(why) => lastFailure = why
+      }
+      Thread.sleep(math.min(100L * attempt, 1000L))
+    }
+    throw new IOException(
+      s"conditional PUT $uri: no decision after $maxAttempts attempts " +
+        s"(last: $lastFailure)")
+  }
+
+  override def read(fs: FileSystem, p: Path): Array[Byte] =
+    FsCommitStore.read(fs, p)
+
+  override def list(fs: FileSystem, dir: Path): Seq[Path] =
+    FsCommitStore.list(fs, dir)
+}
+
+object ObjectStoreCommitStore {
+
+  /** The natural map for `s3a://bucket/key...` paths. */
+  val s3PathMap: Path => (String, String) = { p =>
+    val u = p.toUri
+    require(u.getAuthority != null && u.getAuthority.nonEmpty,
+      s"object-store claim path has no bucket authority: $p")
+    (u.getAuthority, Option(u.getPath).getOrElse("").stripPrefix("/"))
+  }
+
+  /** A map for NON-object-store paths (tests, mixed deployments): strip
+    * `localRoot` from the path and claim under `bucket`.
+    */
+  def prefixMap(localRoot: String, bucket: String): Path => (String, String) = {
+    val norm = localRoot.replaceAll("/+$", "")
+    p => {
+      val full = p.toUri.getPath
+      require(full.startsWith(norm + "/") || full == norm,
+        s"claim path $p outside mapped root $norm")
+      (bucket, full.stripPrefix(norm).stripPrefix("/"))
+    }
+  }
+
+  /** Build a store from the standard public S3A configuration keys on
+    * the filesystem that owns the table root — what [[FsCommitStore]]
+    * delegates `s3`/`s3a` claims to:
+    *
+    *  - `fs.s3a.endpoint` (default `s3.<region>.amazonaws.com`),
+    *    `fs.s3a.endpoint.region` (default `us-east-1`)
+    *  - `fs.s3a.access.key` / `fs.s3a.secret.key` /
+    *    `fs.s3a.session.token` — absent keys mean anonymous requests
+    *    (the store fails loudly on 403, it never guesses)
+    *  - `fs.s3a.path.style.access` (default false — virtual-host, the
+    *    AWS convention; custom endpoints usually set it true)
+    */
+  def fromHadoopConf(fs: FileSystem): ObjectStoreCommitStore = {
+    val conf = fs.getConf
+    val region = Option(conf.getTrimmed("fs.s3a.endpoint.region"))
+      .filter(_.nonEmpty).getOrElse("us-east-1")
+    val rawEp = Option(conf.getTrimmed("fs.s3a.endpoint")).filter(_.nonEmpty)
+      .getOrElse(s"s3.$region.amazonaws.com")
+    val ep = if (rawEp.contains("://")) rawEp else s"https://$rawEp"
+    val creds = for {
+      ak <- Option(conf.getTrimmed("fs.s3a.access.key")).filter(_.nonEmpty)
+      sk <- Option(conf.getTrimmed("fs.s3a.secret.key")).filter(_.nonEmpty)
+    } yield (ak, sk)
+    new ObjectStoreCommitStore(ep, region, creds,
+      Option(conf.getTrimmed("fs.s3a.session.token")).filter(_.nonEmpty),
+      pathStyle = conf.getBoolean("fs.s3a.path.style.access", false))
+  }
+}

@@ -155,8 +155,9 @@ class TxLogFuzzSpec extends SparkSpec {
     * selects the claim store the children install (None = the default
     * filesystem store).
     */
-  private def crossProcessAudit(storeArg: Option[String]): Unit = {
+  private def crossProcessAudit(storeArgFor: String => Option[String]): Unit = {
     val root = Files.createTempDirectory("graft-xproc").toString
+    val storeArg = storeArgFor(root)
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val perWriter = 4
@@ -202,7 +203,7 @@ class TxLogFuzzSpec extends SparkSpec {
   }
 
   test("cross-process writers: no lost updates, contiguous version chain") {
-    crossProcessAudit(None)
+    crossProcessAudit(_ => None)
   }
 
   test("cross-process writers through the durable lock-file store") {
@@ -210,7 +211,25 @@ class TxLogFuzzSpec extends SparkSpec {
     // instead of the local-FS hard-link claim — the deployable CAS
     // reference implementation must carry the identical guarantee
     val coord = Files.createTempDirectory("graft-coord").toString
-    crossProcessAudit(Some(s"lockfile:$coord"))
+    crossProcessAudit(_ => Some(s"lockfile:$coord"))
+  }
+
+  test("cross-process writers through the object-store conditional-PUT store") {
+    // three shared-nothing JVMs, arbitrated ONLY by the S3-protocol
+    // conditional PUT over HTTP (the emulator plays the bucket; every
+    // 5th PUT is bounced 409 like S3's documented concurrent-conditional
+    // collision, so the retry-to-decision path runs under real
+    // cross-process contention). The identical no-lost-update /
+    // contiguous-chain audit as the local and lock-file stores.
+    var em: S3Emulator = null
+    try {
+      crossProcessAudit { root =>
+        em = new S3Emulator(root, chaosEvery = 5)
+        Some(s"s3http:${em.endpoint}|$root")
+      }
+      em.puts should be >= 12 // every commit claim crossed the wire
+      em.conflictsInjected should be >= 2
+    } finally if (em != null) em.stop()
   }
 
   test("lock-file store: same-JVM racing claims yield exactly one winner") {

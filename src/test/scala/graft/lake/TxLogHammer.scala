@@ -23,6 +23,13 @@ object TxLogHammer {
         store.split(":", 2) match {
           case Array("lockfile", dir) =>
             CommitStore.install(r, new LockFileCommitStore(dir))
+          case Array("s3http", spec) =>
+            // "s3http:<endpoint>|<rootToStrip>" — claims go to an
+            // S3-protocol conditional-PUT endpoint (the spec's emulator,
+            // or any real S3-compatible store), keys relative to root
+            val Array(ep, strip) = spec.split("\\|", 2)
+            CommitStore.install(r, new ObjectStoreCommitStore(ep,
+              mapPath = ObjectStoreCommitStore.prefixMap(strip, "lake")))
           case other => sys.error(s"unknown store spec: ${other.mkString(":")}")
         }
         (r, w, n)
