@@ -113,6 +113,36 @@ object IndexLadder {
       f""""delta_sec":$incSec%.2f,"delta_pairs":$incPairs,""" +
       f""""initial_over_delta":${initSec / math.max(incSec, 1e-9)}%.1f}""")
 
+    // ---- maintenance rung: a MANY-BATCH band table accrues one commit
+    // and one small file per update forever; the probe wall must stay
+    // flat after DedupIndex.maintain() bin-packs the files and
+    // truncates the log (the claim: self-maintenance keeps the
+    // incremental path O(delta) over the index's whole life) ----
+    val batches = sys.env.getOrElse("SPARK_GRAFT_LADDER_BATCHES", "30").toInt
+    (0 until batches).foreach { sl =>
+      TxLog.append(spark,
+        docCopy(copies + 1).filter(col("doc_id") % batches === sl),
+        dedupCorpus)
+      DedupIndex.update(spark, dedupCorpus, dedupIndex).count()
+      ()
+    }
+    def probe(k: Int): Double = {
+      TxLog.append(spark,
+        docCopy(copies + 2 + k).filter(col("doc_id") % 97 === 0),
+        dedupCorpus)
+      timed(DedupIndex.update(spark, dedupCorpus, dedupIndex).count())._1
+    }
+    val filesFrag = TxLog.liveSizes(spark, dedupIndex).size
+    val fragSec = probe(0)
+    val (maintSec, _) = timed(DedupIndex.maintain(spark, dedupIndex))
+    val filesPacked = TxLog.liveSizes(spark, dedupIndex).size
+    val flatSec = probe(1)
+    println(
+      f"""{"metric":"dedup_index_maintenance","copies":$copies,""" +
+      f""""batches":${batches + 2},"files_fragmented":$filesFrag,""" +
+      f""""files_packed":$filesPacked,"probe_fragmented_sec":$fragSec%.2f,""" +
+      f""""maintain_sec":$maintSec%.2f,"probe_maintained_sec":$flatSec%.2f}""")
+
     spark.stop()
   }
 }

@@ -321,15 +321,30 @@ private[lake] final class GraftScan(required: StructType,
     new GraftRelation(context, required, filters, options).asInstanceOf[T]
 }
 
-private[lake] final class GraftRelation(ctx: SQLContext,
-                                        required: StructType,
-                                        filters: Array[Filter],
-                                        options: CaseInsensitiveStringMap)
+private[graft] final class GraftRelation(ctx: SQLContext,
+                                         required: StructType,
+                                         filters: Array[Filter],
+                                         options: CaseInsensitiveStringMap)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
 
   override def schema: StructType = required
+
+  /** Post-pruning planned scan bytes — the [[graft.plans.ScanBudget]]
+    * seam: the committed sizes of exactly the file set [[buildScan]]
+    * would read after the same stats + bloom tiers, no data touched.
+    * Without this, a commit-log table scan (direct `format("graft")` or
+    * a catalog identifier) hides behind an opaque RowDataSourceScanExec
+    * and the budget would charge it ZERO — a 100 TB query sails under
+    * any cap.
+    */
+  private[graft] def plannedScanBytes: Long =
+    TxLog.plannedScanSizes(ctx.sparkSession,
+      GraftDataSource.rootOf(options),
+      GraftDataSource.boundsOf(filters),
+      GraftDataSource.equalityProbes(filters),
+      GraftDataSource.versionOf(ctx.sparkSession, options))
 
   // the inner plan's toRdd rows ARE InternalRows in this exact schema;
   // declaring it skips the Row re-conversion RowDataSourceScanExec would

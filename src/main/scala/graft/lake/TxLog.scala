@@ -3845,12 +3845,32 @@ object TxLog {
   def readPrunedScan(spark: SparkSession, root: String,
                      bounds: Seq[(String, Double, Double)],
                      equalities: Seq[(String, Seq[Any])],
-                     version: Option[Long] = None): DataFrame = {
+                     version: Option[Long] = None): DataFrame =
+    snapshot(spark, root,
+      prunedSnapshot(spark, root, bounds, equalities, version))
+
+  /** Planned post-pruning scan bytes of a pruned read — what the scan
+    * budget charges a commit-log table scan ([[graft.plans.ScanBudget]]):
+    * the surviving files' committed sizes after the same stats + bloom
+    * tiers [[readPrunedScan]] applies, no data touched. (Sizes fall back
+    * to one listing per live directory on pre-size-stat tables.)
+    */
+  def plannedScanSizes(spark: SparkSession, root: String,
+                       bounds: Seq[(String, Double, Double)],
+                       equalities: Seq[(String, Seq[Any])],
+                       version: Option[Long] = None): Long =
+    liveSizesOf(spark, root,
+      prunedSnapshot(spark, root, bounds, equalities, version))
+      .map(_._2).sum
+
+  private def prunedSnapshot(spark: SparkSession, root: String,
+                             bounds: Seq[(String, Double, Double)],
+                             equalities: Seq[(String, Seq[Any])],
+                             version: Option[Long]): Snapshot = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
     val snap = resolveMeta(spark, root, version) match {
       case Right(m) =>
-        return snapshot(spark, root,
-          prunedSnapMeta(spark, root, m, bounds, equalities))
+        return prunedSnapMeta(spark, root, m, bounds, equalities)
       case Left(s) => s
     }
     val schema = StructType.fromDDL(snap.schemaDdl)
@@ -3880,7 +3900,7 @@ object TxLog {
       }
     }
     if (equalities.nonEmpty) lastBloomPrune = Some((kept.size, statsKept.size))
-    snapshot(spark, root, snap.copy(live = kept))
+    snap.copy(live = kept)
   }
 
   /** Test seam, mirror of [[lastStatsPrune]]: (kept, statsSurvivors) of
@@ -6583,6 +6603,52 @@ object TxLog {
       // recursive: v2 checkpoints are directories (no-op for plain files)
       victims.foreach(v => fs.delete(new Path(s"$root/$v"), true))
     victims
+  }
+
+  /** Versions carrying a checkpoint (either format), ascending — the
+    * horizon arithmetic [[maintain]] needs and the operator preview a
+    * truncation decision wants.
+    */
+  def checkpointVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDirName")
+    if (!fs.exists(dir)) return Seq.empty
+    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
+    (names.collect { case CkptFile(v) => v.toLong } ++
+      names.collect { case CkptDirV2(v) => v.toLong }).distinct.sorted
+  }
+
+  /** One self-maintenance pass for a long-lived table: bin-pack the
+    * small files (which also materializes deletion vectors away),
+    * checkpoint, reclaim data files referenced only below the last
+    * `keepVersions` snapshots, then truncate the raw log — but only down
+    * to a horizon that keeps those snapshots READABLE. Raw entries below
+    * the truncation horizon stop resolving, so the horizon (the oldest
+    * retained checkpoint) must sit at or below tail - keepVersions + 1;
+    * [[vacuumLog]]'s keepCheckpoints is computed to land there, and the
+    * strand guard is satisfied by construction because the [[vacuum]]
+    * above already reclaimed everything unreferenced at that depth. When
+    * no existing checkpoint is old enough (a table's first maintenance
+    * pass), truncation is SKIPPED — the checkpoint just written anchors
+    * the next pass, so raw-log growth is bounded by one maintenance
+    * cycle either way. The persisted-index operators' `maintain()` calls
+    * delegate here.
+    */
+  def maintain(spark: SparkSession, root: String,
+               smallerThanBytes: Long = 64L * 1024 * 1024,
+               keepVersions: Int = 2): Unit = {
+    compact(spark, root, smallerThanBytes = smallerThanBytes)
+    checkpoint(spark, root)
+    vacuum(spark, root, keepLast = keepVersions)
+    currentVersion(spark, root).foreach { tail =>
+      val ckpts = checkpointVersions(spark, root)
+      val eligible = ckpts.count(_ <= tail - keepVersions + 1)
+      if (eligible > 0) {
+        vacuumLog(spark, root,
+          keepCheckpoints = ckpts.size - eligible + 1)
+        ()
+      }
+    }
   }
 
   private def vacuumCore(spark: SparkSession, root: String,

@@ -324,6 +324,26 @@ object AnnIndex {
     } finally { delta.unpersist(); () }
   }
 
+  /** Periodic self-maintenance for the index's OWN tables: every
+    * refresh appends one codes commit (and rewrites meta), so after
+    * hundreds of refreshes the ADC scan pays a small-file flood and
+    * every maintenance step pays a long log tail. Bin-packs the codes
+    * files (also materializing delete-refresh vectors away),
+    * checkpoints, reclaims files older than `keepVersions` snapshots,
+    * and truncates the raw logs down to a horizon that keeps those
+    * snapshots readable ([[graft.lake.TxLog.maintain]]), across all
+    * four artifact tables.
+    * Epoch and watermark transactions survive (they ride checkpoints);
+    * `graft.IndexLadder`'s maintenance rung measures the search wall
+    * staying flat.
+    */
+  def maintain(spark: SparkSession, indexRoot: String,
+               smallerThanBytes: Long = 64L << 20,
+               keepVersions: Int = 2): Unit =
+    Seq(codesRoot(indexRoot), centroidsRoot(indexRoot),
+      codebookRoot(indexRoot), metaRoot(indexRoot)).foreach(
+      TxLog.maintain(spark, _, smallerThanBytes, keepVersions))
+
   /** Top-k cosine search against the PERSISTED index — no training, no
     * session state: verify epoch coherence, load centroids (broadcast) +
     * codebooks (driver), probe each query's `nProbe` nearest cells,

@@ -62,12 +62,29 @@ object ConnectedComponents {
 
   /** Connected components of an undirected edge list.
     *
+    * Two tiers, chosen by MEASURED edge count after canonicalization —
+    * the same bounded-size dispatch a broadcast-join threshold makes:
+    *
+    *  - `<= localMaxEdges` (default 2^20 — 16 MB of endpoint longs): a
+    *    driver-side union-find. Every star round below is ~6 shuffle
+    *    stages across 3 actions, so the ITERATION FLOOR is ~1-2 s of
+    *    pure scheduling regardless of data; a dedup pipeline's verified
+    *    near-dup pair graph is usually far under a million edges even
+    *    when the corpus is 100 TB, and paying the floor there measures
+    *    Spark, not the algorithm. The result is exact and identical.
+    *  - above it: the distributed large-star/small-star rounds — the
+    *    only shape that works when the pair graph itself is billions of
+    *    edges (no per-node adjacency is ever materialized).
+    *
     * @param edges two numeric columns (endpoints); self-loops ignored.
+    * @param localMaxEdges canonical-edge count at or under which the
+    *        driver-side tier answers (0 forces the distributed rounds).
     * @return (node, component) for every node incident to an edge, where
     *         component = the minimum node id in the node's component.
     *         Isolated nodes never appear (they were never in `edges`).
     */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 20,
+                 localMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     val Seq(cu, cv) = edges.columns.take(2).toSeq
     var cur = edges
@@ -77,6 +94,26 @@ object ConnectedComponents {
       .select("u", "v")
       .distinct()
       .localCheckpoint(true)
+    val nEdges = cur.count()
+    if (nEdges <= localMaxEdges) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cur.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // roots union max -> min, so every root IS its component's
+        // minimum id — the same labeling the star rounds converge to
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("node", "component")
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {

@@ -179,4 +179,27 @@ object DedupIndex {
       pairs
     } finally { newBands.unpersist(); () }
   }
+
+  /** Periodic self-maintenance for the index's OWN tables: every batch
+    * appends one commit and one small band file forever, so after
+    * hundreds of batches the probe scan pays a small-file flood and
+    * every update pays a long log tail. This bin-packs the band files
+    * (compact — which also materializes takedown deletion vectors
+    * away), checkpoints, reclaims files older than `keepVersions`
+    * snapshots, and truncates the raw log down to a horizon that keeps
+    * those snapshots readable ([[graft.lake.TxLog.maintain]] — on a
+    * table's first pass truncation waits for the next one). Run it on
+    * whatever cadence fits the batch rate (e.g. every 100 updates);
+    * `graft.IndexLadder`'s maintenance rung measures the probe wall
+    * staying flat. Note: like any compact/vacuum, this invalidates
+    * snapshot-pinned frames still held from earlier [[update]] calls —
+    * consume the pair stream first. The watermark transactions survive
+    * (they ride checkpoints).
+    */
+  def maintain(spark: SparkSession, indexRoot: String,
+               pairsRoot: Option[String] = None,
+               smallerThanBytes: Long = 64L << 20,
+               keepVersions: Int = 2): Unit =
+    (Seq(indexRoot) ++ pairsRoot).foreach(
+      TxLog.maintain(spark, _, smallerThanBytes, keepVersions))
 }

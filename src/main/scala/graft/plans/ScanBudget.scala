@@ -55,9 +55,22 @@ object ScanBudget {
   def plannedScanBytes(plan: SparkPlan): Long = {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean]())
+    // commit-log table scans (format("graft") / catalog identifiers)
+    // plan as RowDataSourceScanExec over the V1-fallback relation — an
+    // opaque RDD with no selectedPartitions. The relation exposes its
+    // own post-pruning planned bytes (same stats+bloom tiers the scan
+    // applies), so a graft scan is charged like a file scan instead of
+    // slipping under the cap at zero.
+    val seenGraft = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[graft.lake.GraftRelation, java.lang.Boolean]())
     def visit(p: SparkPlan): Unit = p.foreach { node =>
       node match {
         case f: FileSourceScanExec => seen.add(f); ()
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+          r.relation match {
+            case g: graft.lake.GraftRelation => seenGraft.add(g); ()
+            case _ => ()
+          }
         case a: AdaptiveSparkPlanExec => visit(a.inputPlan)
         case _ => ()
       }
@@ -72,6 +85,7 @@ object ScanBudget {
     visit(plan)
     var total = 0L
     seen.forEach(f => total += f.selectedPartitions.totalFileSize)
+    seenGraft.forEach(g => total += g.plannedScanBytes)
     total
   }
 

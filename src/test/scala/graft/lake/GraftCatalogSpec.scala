@@ -303,6 +303,38 @@ class GraftCatalogSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination(60000)
     }
+    // reader OPTIONS flow through the bridge to the change-feed source:
+    // startingVersion (exclusive lower bound) skips the seed commits...
+    val q2 = s.readStream.option("startingVersion", "1").table("gcat.db.t")
+      .filter(col("_change_type") === "insert").select("id", "v")
+      .writeStream.format("memory").queryName("gcat_feed_v")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000) shouldBe true
+    s.table("gcat_feed_v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((3L, "c"))
+    // ...and startingTimestamp (at-or-after the instant) bounds the same
+    // drain by wall clock, resolved against the table's own history
+    val root = s"$wh/db/t"
+    val v2Ts = TxLog.historySummary(s, root)
+      .find(_._1 == 2L).get._3
+    val q3 = s.readStream.option("startingTimestamp", v2Ts.toString)
+      .table("gcat.db.t")
+      .filter(col("_change_type") === "insert").select("id", "v")
+      .writeStream.format("memory").queryName("gcat_feed_ts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(120000) shouldBe true
+    s.table("gcat_feed_ts").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((3L, "c"))
+    // the option pair stays mutually exclusive through the bridge
+    intercept[Exception] {
+      s.readStream.option("startingVersion", "1")
+        .option("startingTimestamp", v2Ts.toString).table("gcat.db.t")
+        .writeStream.format("memory").queryName("gcat_feed_both")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
   }
 
   test("descriptor keys are reserved; non-empty DROP NAMESPACE raises Spark's catalog error type") {

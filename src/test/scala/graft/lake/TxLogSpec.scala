@@ -342,18 +342,40 @@ class TxLogSpec extends SparkSpec {
     cas.claim(fs, p, Array[Byte](1)) shouldBe true
   }
 
-  test("FsCommitStore refuses schemes without atomic create-if-absent") {
-    val fakeS3 = new org.apache.hadoop.fs.RawLocalFileSystem {
-      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+  test("FsCommitStore refuses CAS-less schemes; s3a delegates to the conditional PUT") {
+    // gs has no conditional-write route wired: still refused loudly
+    val fakeGs = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("gs://bucket")
     }
-    fakeS3.setConf(spark.sparkContext.hadoopConfiguration)
+    fakeGs.setConf(spark.sparkContext.hadoopConfiguration)
     val err = intercept[UnsupportedOperationException] {
-      FsCommitStore.claim(fakeS3,
+      FsCommitStore.claim(fakeGs,
         new org.apache.hadoop.fs.Path("/tmp/never-written.json"),
         Array[Byte](1))
     }
     err.getMessage should include("atomic create-if-absent")
     err.getMessage should include("CommitStore.install")
+    // s3a is NOT refused anymore: the claim routes to the
+    // conditional-PUT store built from the filesystem's own fs.s3a.*
+    // conf. With an unreachable endpoint the failure is the store's
+    // loud no-decision error — proof the delegation (not a silent
+    // plain create, not the old refusal) owns the path.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.s3a.endpoint", "http://127.0.0.1:1") // closed port
+    conf.setBoolean("fs.s3a.path.style.access", true)
+    val fakeS3 = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI =
+        java.net.URI.create("s3a://bucket-" + System.nanoTime())
+    }
+    fakeS3.setConf(conf)
+    val e2 = intercept[java.io.IOException] {
+      FsCommitStore.claim(fakeS3,
+        new org.apache.hadoop.fs.Path(
+          s"${fakeS3.getUri}/t/_txlog/0.json"),
+        Array[Byte](1))
+    }
+    e2.getMessage should include("no decision")
   }
 
   test("optimizeWrite collapses the N-partitions x P-values file spray") {

@@ -194,6 +194,33 @@ class TxLogSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.ScanBudget.ConfKey)
   }
 
+  test("DESCRIBE SCAN charges a catalog-identifier commit-log scan its planned bytes") {
+    // a cat.db.t scan plans as RowDataSourceScanExec over the V1
+    // fallback — opaque to the file-scan accounting; the relation's own
+    // planned-bytes seam must charge it (zero would let any 100 TB
+    // catalog query sail under the budget)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.gsc", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsc.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-scanbudget-wh").toString)
+    s.sql("CREATE NAMESPACE gsc.db")
+    s.sql("CREATE TABLE gsc.db.t (id BIGINT, s STRING) USING graft")
+    s.sql("INSERT INTO gsc.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val root = s"${s.conf.get("spark.sql.catalog.gsc.warehouse")}/db/t"
+    val expected = TxLog.liveSizes(s, root).map(_._2).sum
+    expected should be > 0L
+    val p1 = TxLogSql.run(s, "DESCRIBE SCAN SELECT id FROM gsc.db.t")
+      .collect().head
+    p1.getLong(0) shouldBe expected
+    p1.getBoolean(2) shouldBe true
+    // the session budget binds the same number
+    s.conf.set(graft.plans.ScanBudget.ConfKey, "1")
+    try {
+      TxLogSql.run(s, "DESCRIBE SCAN SELECT id FROM gsc.db.t")
+        .collect().head.getBoolean(2) shouldBe false
+    } finally s.conf.unset(graft.plans.ScanBudget.ConfKey)
+  }
+
   test("DESCRIBE SCAN rejects commands instead of executing them") {
     fragmentedTable("mnt_scan_ro")
     // spark.sql() runs commands eagerly — a DDL payload must be rejected

@@ -220,6 +220,41 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.refresh(spark, corpusRoot, indexRoot).retrained shouldBe false
   }
 
+  test("maintain() packs the artifact tables; epoch, watermark, and answers survive") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 160), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    // four O(delta) refreshes fragment the codes table (cumulative churn
+    // 40/200 stays far under the retrain threshold)...
+    (0 until 4).foreach { b =>
+      TxLog.append(spark,
+        corpusDf(160 + b * 10 until 170 + b * 10), corpusRoot)
+      AnnIndex.refresh(spark, corpusRoot, indexRoot)
+        .retrained shouldBe false
+    }
+    // ...and a delete-refresh leaves a deletion vector on the codes
+    TxLog.deleteVectored(spark, corpusRoot, col("vec_id") === 42L)
+    AnnIndex.refresh(spark, corpusRoot, indexRoot).removed shouldBe 1L
+    val codesRoot = AnnIndex.codesRoot(indexRoot)
+    val qs = queriesOf(Seq(0L, 21L, 63L))
+    def run() = AnnIndex.search(spark, corpusRoot, indexRoot, qs,
+      kTop = 5, nProbe = 2, shortlist = 50).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val before = run()
+    val filesBefore = TxLog.liveSizes(spark, codesRoot).size
+    filesBefore should be >= 5
+    AnnIndex.maintain(spark, indexRoot)
+    TxLog.liveSizes(spark, codesRoot).size should be < filesBefore
+    // identical answers from the packed artifacts; the dead id stays dead
+    run() shouldBe before
+    TxLog.readLatest(spark, codesRoot)
+      .filter(col("vec_id") === 42L).count() shouldBe 0L
+    // epoch + watermark rode the checkpoints: refresh is still the
+    // coherent idempotent no-op, not a torn-set refusal
+    AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
+      AnnIndex.Refresh(0L, 0L, 199L, false)
+  }
+
   test("drift past the threshold retrains from the full corpus") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     TxLog.append(spark, corpusDf(0 until 50), corpusRoot)

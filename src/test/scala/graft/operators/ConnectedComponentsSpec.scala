@@ -51,4 +51,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       .filter { case (a, b) => a != b }
     cc(edges) shouldBe unionFind(edges)
   }
+
+  test("the FORCED distributed star rounds agree with the local tier and the oracle") {
+    // localMaxEdges = 0 pushes even a tiny graph through the
+    // large-star/small-star rounds — the billion-edge path must stay
+    // semantically identical to the bounded driver tier it dispatches
+    // away from
+    import spark.implicits._
+    var s = 987654L
+    def nxt(): Long = { s = (s * 1103515245L + 12345L) & 0x7FFFFFFFL; s }
+    val edges = ((1 to 200).map { _ => (nxt() % 60, nxt() % 60) } ++
+      Seq((300L, 301L), (301L, 302L), (302L, 303L), (303L, 304L)))
+      .filter { case (a, b) => a != b }
+    val dist = ConnectedComponents
+      .components(edges.toDF("u", "v"), localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe unionFind(edges)
+    dist shouldBe cc(edges)
+  }
 }

@@ -162,6 +162,54 @@ class DedupIndexSpec extends SparkSpec {
       .count() shouldBe (DedupIndex.NumHashes / DedupIndex.RowsPerBand).toLong
   }
 
+  test("maintain() packs the band table; watermark, purge, and pair stream survive") {
+    val corpusRoot = tmp(); val indexRoot = tmp(); val pairsRoot = tmp()
+    // five arrival batches fragment the band table to >= 5 small files
+    (0 until 5).foreach { b =>
+      TxLog.append(spark, docs.filter(col("doc_id") % 5 === b), corpusRoot)
+      DedupIndex.update(spark, corpusRoot, indexRoot,
+        pairsRoot = Some(pairsRoot)).count()
+      ()
+    }
+    // a takedown leaves a deletion vector on the band table
+    TxLog.deleteVectored(spark, corpusRoot, col("doc_id") === 0L)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    val filesBefore = TxLog.liveSizes(spark, indexRoot).size
+    filesBefore should be >= 5
+    DedupIndex.maintain(spark, indexRoot, pairsRoot = Some(pairsRoot))
+    // bin-packed, DV materialized away with it
+    TxLog.liveSizes(spark, indexRoot).size should be < filesBefore
+    val bands = TxLog.readLatest(spark, indexRoot)
+    bands.count() shouldBe
+      29L * (DedupIndex.NumHashes / DedupIndex.RowsPerBand)
+    bands.filter(col("doc_id") === 0L).count() shouldBe 0L
+    // the watermark txns rode the checkpoints: a replay after maintenance
+    // indexes nothing and re-delivers nothing
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    TxLog.readLatest(spark, pairsRoot).count() shouldBe 15L
+    // and the packed index still discovers pairs for the NEXT batch —
+    // a fresh doc in pair 1's vocabulary pairs with both living members
+    val text = ((0 until 11).map(j => s"w1_$j") :+ "tail1_c").mkString(" ")
+    TxLog.append(spark, Seq((100L, text)).toDF("doc_id", "text"),
+      corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet shouldBe Set((2L, 100L), (3L, 100L))
+    // a SECOND pass truncates the raw log (the first pass's checkpoint
+    // is now an old-enough horizon) without breaking the watermark:
+    // replay still indexes nothing after raw entries below it are gone
+    TxLog.checkpointVersions(spark, indexRoot) should not be empty
+    TxLog.history(spark, indexRoot).head.version shouldBe 0L
+    DedupIndex.maintain(spark, indexRoot, pairsRoot = Some(pairsRoot))
+    TxLog.history(spark, indexRoot).head.version should be > 0L
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    TxLog.readLatest(spark, pairsRoot).count() shouldBe 17L
+  }
+
   test("cross-batch pairs are found when the LATER member arrives") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     // batch 1: only the even halves — no pairs yet

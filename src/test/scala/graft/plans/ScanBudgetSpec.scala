@@ -35,6 +35,38 @@ class ScanBudgetSpec extends SparkSpec {
     pruned.toDouble / full should be < 0.5
   }
 
+  test("plannedScanBytes charges commit-log (graft) scans and credits file skipping") {
+    // four single-file stats-bearing commits with disjoint id ranges —
+    // the scan plans as RowDataSourceScanExec over the V1 fallback, so
+    // the accounting must come from the relation's own seam, not
+    // selectedPartitions (which the opaque RDD doesn't have)
+    val root = Files.createTempDirectory("scan_budget_graft").toString
+    import spark.implicits._
+    (0 until 4).foreach { c =>
+      graft.lake.TxLog.append(spark,
+        (0 until 200).map(i => (c * 200L + i, "x" * 30)).toDF("id", "s")
+          .repartition(1), root, statsCols = Seq("id"))
+    }
+    val sizes = graft.lake.TxLog.liveSizes(spark, root).map(_._2)
+    val full = ScanBudget.plannedScanBytes(
+      spark.read.format("graft").load(root))
+    full shouldBe sizes.sum
+    // a stats-pruned point-range read is charged ONE file, not four
+    val pruned = ScanBudget.plannedScanBytes(
+      spark.read.format("graft").load(root)
+        .filter(col("id") >= 210L && col("id") < 220L))
+    pruned should be < full
+    sizes should contain(pruned) // exactly one file's bytes
+    // and enforcement binds the same number
+    try {
+      spark.conf.set(ScanBudget.ConfKey, (pruned - 1).toString)
+      intercept[ScanBudget.ScanBudgetExceededException] {
+        ScanBudget.check(spark.read.format("graft").load(root)
+          .filter(col("id") >= 210L && col("id") < 220L))
+      }
+    } finally spark.conf.unset(ScanBudget.ConfKey)
+  }
+
   test("check passes under budget, throws over budget, no-ops unset") {
     val df = spark.read.parquet(dir).filter(col("p") === 1)
     val planned = ScanBudget.plannedScanBytes(df)
