@@ -41,8 +41,12 @@ private[lake] object SigV4 {
     val out = new StringBuilder
     s.getBytes(StandardCharsets.UTF_8).foreach { b =>
       val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '~' ||
-          (keepSlash && c == '/')) out.append(c)
+      // ASCII unreserved ONLY: isLetterOrDigit is true for latin-1
+      // letters >= 0x80, which would emit UTF-8 continuation bytes raw
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+        c == '~'
+      if (unreserved || (keepSlash && c == '/')) out.append(c)
       else out.append(f"%%${b & 0xff}%02X")
     }
     out.toString
@@ -79,8 +83,15 @@ private[lake] object SigV4 {
     }.getOrElse("")
     val canonPath = {
       val p = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
-      // S3 canonicalizes the RAW path as-is (single-encode rule)
-      uriEncode(java.net.URLDecoder.decode(p, "UTF-8"), keepSlash = true)
+      // S3's single-encode rule: the canonical URI is the raw path
+      // EXACTLY as sent on the wire — any re-encoding here must
+      // reproduce the client's percent-encoding byte-for-byte or the
+      // signature breaks ('~' and multi-byte UTF-8 key characters were
+      // the divergences), so for s3 it is not re-encoded at all. Other
+      // services keep the normalize-and-encode path (the published AWS
+      // reference vector SigV4Spec checks is one).
+      if (service == "s3") p
+      else uriEncode(java.net.URLDecoder.decode(p, "UTF-8"), keepSlash = true)
     }
     val canonicalRequest = Seq(method, canonPath, canonQuery,
       canonHeaders.map { case (k, v) => s"$k:$v\n" }.mkString,
@@ -147,7 +158,9 @@ final class ObjectStoreCommitStore(
     sessionToken: Option[String] = None,
     pathStyle: Boolean = true,
     mapPath: Path => (String, String) = ObjectStoreCommitStore.s3PathMap,
-    maxAttempts: Int = 8) extends CommitStore {
+    maxAttempts: Int = 8,
+    credSource: Option[() =>
+      (Option[(String, String)], Option[String])] = None) extends CommitStore {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10))
@@ -155,6 +168,13 @@ final class ObjectStoreCommitStore(
     .build()
 
   private val base = URI.create(endpoint.replaceAll("/+$", ""))
+
+  // credentials resolve PER REQUEST when a source is given (rotated STS
+  // session tokens must not be frozen at store construction — the store
+  // is memoized per filesystem for the JVM's life); the static ctor
+  // fields remain for explicitly installed stores and tests
+  private def creds(): (Option[(String, String)], Option[String]) =
+    credSource.map(_()).getOrElse((credentials, sessionToken))
 
   private def urlFor(bucket: String, key: String): URI = {
     val encKey = key.split("/", -1).map(seg =>
@@ -164,25 +184,52 @@ final class ObjectStoreCommitStore(
     else URI.create(s"${base.getScheme}://$bucket.${base.getAuthority}/$encKey")
   }
 
+  private def signInto(builder: HttpRequest.Builder, method: String,
+                       uri: URI, payloadSha: String): Unit =
+    creds() match {
+      case (Some((ak, sk)), tok) =>
+        SigV4.signedHeaders(method, uri, Map("host" -> uri.getAuthority),
+          payloadSha, ak, sk, tok, region, "s3",
+          Instant.now()).foreach { case (k, v) =>
+          if (!k.equalsIgnoreCase("host")) builder.header(k, v)
+        }
+      case _ => ()
+    }
+
+  /** Read the object back — the 412-after-ambiguity self-check. Loud on
+    * anything but 200: a claim that cannot verify ownership must not
+    * guess in either direction.
+    */
+  private def getObject(uri: URI): Array[Byte] = {
+    val builder = HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofSeconds(30)).GET()
+    signInto(builder, "GET", uri, SigV4.sha256Hex(Array.emptyByteArray))
+    val resp = http.send(builder.build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200)
+      throw new IOException(
+        s"read-back GET $uri after an ambiguous conditional PUT " +
+          s"returned HTTP ${resp.statusCode()} — cannot decide claim " +
+          "ownership")
+    resp.body()
+  }
+
   override def claim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     val (bucket, key) = mapPath(p)
     val uri = urlFor(bucket, key)
     var attempt = 0
     var lastFailure: String = ""
+    // set once any attempt ends with an UNKNOWN outcome (transport
+    // error, 409 conflict, 5xx): the server may have applied our PUT
+    // even though we never heard the 2xx
+    var ambiguous = false
     while (attempt < maxAttempts) {
       attempt += 1
       val builder = HttpRequest.newBuilder(uri)
         .timeout(java.time.Duration.ofSeconds(30))
         .header("If-None-Match", "*")
         .header("Content-Type", "application/octet-stream")
-      credentials.foreach { case (ak, sk) =>
-        val host = uri.getAuthority
-        SigV4.signedHeaders("PUT", uri, Map("host" -> host),
-          SigV4.sha256Hex(bytes), ak, sk, sessionToken, region, "s3",
-          Instant.now()).foreach { case (k, v) =>
-          if (!k.equalsIgnoreCase("host")) builder.header(k, v)
-        }
-      }
+      signInto(builder, "PUT", uri, SigV4.sha256Hex(bytes))
       val req = builder
         .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()
       val sent: Either[String, (Int, String)] =
@@ -197,17 +244,33 @@ final class ObjectStoreCommitStore(
         }
       sent match {
         case Right((s, _)) if s >= 200 && s < 300 => return true
-        case Right((412, _))                      => return false
+        case Right((412, _)) =>
+          // a 412 AFTER an ambiguous attempt can be our own earlier PUT
+          // having landed: reporting that as a lost race makes the
+          // caller re-commit the same operations at the next version —
+          // silent data duplication. Read back and compare.
+          if (!ambiguous) return false
+          return java.util.Arrays.equals(getObject(uri), bytes)
         case Right((409, body)) =>
           // concurrent conditional writes collided: outcome unknown —
           // the conditional retry converges to 2xx or 412
+          ambiguous = true
           lastFailure = s"409 conflict: ${body.take(200)}"
         case Right((s, body)) if s >= 500 =>
+          ambiguous = true
           lastFailure = s"$s: ${body.take(200)}"
+        case Right((403, body)) =>
+          throw new IOException(
+            s"conditional PUT $uri failed with HTTP 403: " +
+              s"${body.take(300)} — the commit claim signs with " +
+              "fs.s3a.access.key/secret.key (or AWS_ACCESS_KEY_ID/" +
+              "AWS_SECRET_ACCESS_KEY); instance-profile/provider-chain " +
+              "deployments must install a CommitStore with a credSource " +
+              "that resolves their credentials (CommitStore.install)")
         case Right((s, body)) =>
           throw new IOException(
             s"conditional PUT $uri failed with HTTP $s: ${body.take(500)}")
-        case Left(why) => lastFailure = why
+        case Left(why) => ambiguous = true; lastFailure = why
       }
       Thread.sleep(math.min(100L * attempt, 1000L))
     }
@@ -253,8 +316,13 @@ object ObjectStoreCommitStore {
     *  - `fs.s3a.endpoint` (default `s3.<region>.amazonaws.com`),
     *    `fs.s3a.endpoint.region` (default `us-east-1`)
     *  - `fs.s3a.access.key` / `fs.s3a.secret.key` /
-    *    `fs.s3a.session.token` — absent keys mean anonymous requests
-    *    (the store fails loudly on 403, it never guesses)
+    *    `fs.s3a.session.token`, falling back to the standard
+    *    `AWS_ACCESS_KEY_ID` / `AWS_SECRET_ACCESS_KEY` /
+    *    `AWS_SESSION_TOKEN` environment contract — re-read PER CLAIM
+    *    (the store is memoized for the JVM's life; a rotated STS token
+    *    must not be frozen at first use). Absent everywhere means
+    *    anonymous requests — the store fails loudly on 403 with the
+    *    provider-chain guidance, it never guesses.
     *  - `fs.s3a.path.style.access` (default false — virtual-host, the
     *    AWS convention; custom endpoints usually set it true)
     */
@@ -265,12 +333,18 @@ object ObjectStoreCommitStore {
     val rawEp = Option(conf.getTrimmed("fs.s3a.endpoint")).filter(_.nonEmpty)
       .getOrElse(s"s3.$region.amazonaws.com")
     val ep = if (rawEp.contains("://")) rawEp else s"https://$rawEp"
-    val creds = for {
-      ak <- Option(conf.getTrimmed("fs.s3a.access.key")).filter(_.nonEmpty)
-      sk <- Option(conf.getTrimmed("fs.s3a.secret.key")).filter(_.nonEmpty)
-    } yield (ak, sk)
-    new ObjectStoreCommitStore(ep, region, creds,
-      Option(conf.getTrimmed("fs.s3a.session.token")).filter(_.nonEmpty),
-      pathStyle = conf.getBoolean("fs.s3a.path.style.access", false))
+    def confOrEnv(k: String, env: String): Option[String] =
+      Option(conf.getTrimmed(k)).filter(_.nonEmpty)
+        .orElse(sys.env.get(env).filter(_.nonEmpty))
+    def resolve(): (Option[(String, String)], Option[String]) = {
+      val creds = for {
+        ak <- confOrEnv("fs.s3a.access.key", "AWS_ACCESS_KEY_ID")
+        sk <- confOrEnv("fs.s3a.secret.key", "AWS_SECRET_ACCESS_KEY")
+      } yield (ak, sk)
+      (creds, confOrEnv("fs.s3a.session.token", "AWS_SESSION_TOKEN"))
+    }
+    new ObjectStoreCommitStore(ep, region,
+      pathStyle = conf.getBoolean("fs.s3a.path.style.access", false),
+      credSource = Some(() => resolve()))
   }
 }

@@ -1677,11 +1677,19 @@ object TxLog {
   def overwrite(spark: SparkSession, df: DataFrame, root: String,
                 partitionCols: Seq[String] = Seq.empty,
                 statsCols: Seq[String] = Seq.empty,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                operation: String = "overwrite"): Long = {
+    // `operation` distinguishes full-state rewrites that CHANGE the data
+    // ("overwrite") from row-preserving relayouts ([[cluster]]/[[clusterZ]]
+    // commit as "cluster"); both clear the column mapping and tombstones
+    // (isFullRewrite), but the change feed skips the latter — Delta's
+    // dataChange=false
+    require(isFullRewrite(operation),
+      s"overwrite operation must be a full-state rewrite op: $operation")
     // full rewrite: files land under the LOGICAL names and the commit's
     // op clears the column mapping (+ tombstones, per foldDropped)
     val (adds, ddl, sizes) = stage(df, root, partitionCols, colMap = Map.empty)
-    val enfCons = enforceConstraints(spark, root, adds, ddl, "overwrite",
+    val enfCons = enforceConstraints(spark, root, adds, ddl, operation,
       replaceSchema = true)
     // `txn`: a (appId, version) watermark riding the replace — the
     // derived-table shape (an index REBUILT from its source records the
@@ -1690,7 +1698,7 @@ object TxLog {
     // SAME source version must still replace (the fenced skip silently
     // kept the old contents while the caller's sibling artifacts were
     // already replaced — the mixed-index bug).
-    commitLoop(spark, root, "overwrite", partitionCols,
+    commitLoop(spark, root, operation, partitionCols,
       { (commits, live) =>
         (adds, live(), ddl)
       },
@@ -3719,11 +3727,17 @@ object TxLog {
     if (!fs.exists(dir)) return (0L, 0L)
     val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
     (names.count(LogFile.matches).toLong,
-      // a version carrying both checkpoint formats counts ONCE
-      (names.collect { case CkptFile(v) => v.toLong } ++
-        names.collect { case CkptDirV2(v) => v.toLong })
-        .distinct.size.toLong)
+      ckptVersionsOf(names).size.toLong)
   }
+
+  /** Checkpoint versions in a log-directory name listing, ascending — a
+    * version carrying both checkpoint formats counts ONCE. The single
+    * parse [[logCounts]], [[checkpointVersions]], and any future format
+    * addition share.
+    */
+  private def ckptVersionsOf(names: Seq[String]): Seq[Long] =
+    (names.collect { case CkptFile(v) => v.toLong } ++
+      names.collect { case CkptDirV2(v) => v.toLong }).distinct.sorted
 
   /** Columns with a live bloom index at `root` (sidecar directories
     * under `_txlog/bloom_<column>/`) — DESCRIBE DETAIL's index listing.
@@ -3925,6 +3939,15 @@ object TxLog {
     * must still exist: `vacuum`/`cleanOrphans` bound how far back a feed
     * can start, and the error names the first missing file rather than
     * failing downstream mid-scan.
+    *
+    * Row-preserving relayouts ([[FeedSkipOps]]: compact/OPTIMIZE and
+    * cluster/ZORDER) emit NOTHING — Delta CDF's dataChange=false rule.
+    * Without the skip, a nightly compact would re-emit the whole table
+    * as delete+insert to every incremental consumer: streams would
+    * reprocess 100 TB, and the index maintainers would re-deliver every
+    * already-delivered dedup pair and count the rewrite as churn. Their
+    * file lists are also excluded from the vacuum guard (the skipped
+    * files are never read, so reclaiming them must not block the feed).
     */
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Option[Long] = None): DataFrame = {
@@ -3971,21 +3994,32 @@ object TxLog {
     // degradation any cross-overwrite feed already has for dropped or
     // re-typed columns.)
     val endColMap = resolve(spark, root, Some(commits.last.version)).colMap
+    // relayout commits are skipped below and none of their files read —
+    // guard and scan only what the emitting commits touch
+    val emitting = commits.filterNot(c => FeedSkipOps(c.operation))
     // vacuum guard BEFORE any scan: in-range files + in-range sidecars +
     // the pre-range sidecars the remove/shrink paths below will read
     val preRangeSidecars = {
       // the GROW delta path also reads the pre-range sidecar for files
       // whose vector grows in-range (c.dv minus same-commit adds)
-      val touched = commits.flatMap(c =>
+      val touched = emitting.flatMap(c =>
         c.remove ++ c.dvDrop ++ (c.dv.keySet -- c.add.toSet)).toSet
       dvState.view.filterKeys(touched).valuesIterator.map(_._1).toSeq
     }
-    val missing = (commits.flatMap(c =>
+    val missing = (emitting.flatMap(c =>
         c.add ++ c.remove ++ c.dv.valuesIterator.map(_._1)) ++ preRangeSidecars)
       .distinct.filterNot(f => fs.exists(new Path(s"$root/$f")))
     require(missing.isEmpty,
       s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")
     val parts = commits.flatMap { c =>
+      if (FeedSkipOps(c.operation)) {
+        // row-preserving relayout: every surviving row carried into the
+        // new files unchanged (compact's DV materialization drops only
+        // rows whose deletes the delete_dv commit already emitted) —
+        // fold the dv state forward, emit nothing
+        dvState = dvState -- c.remove -- c.dvDrop ++ c.dv
+        Seq.empty
+      } else {
       val insertPart =
         if (c.add.isEmpty) Seq.empty
         else Seq(
@@ -4042,6 +4076,7 @@ object TxLog {
       dvState = dvState -- c.remove -- c.dvDrop ++ c.dv
       (insertPart ++ removePart ++ dvPart ++ resurrectPart)
         .map(_.withColumn("_commit_version", lit(c.version)))
+      }
     }
     if (parts.isEmpty) {
       // a range of data-less commits (no-op rollback, empty write) is a
@@ -4278,11 +4313,28 @@ object TxLog {
     * DDL parse is skipped while the running set is empty — tables that
     * never drop pay nothing.
     */
+  /** Full-state rewrite ops: every live file replaced in one commit, so
+    * column mapping and drop tombstones reset. "overwrite" changes the
+    * data; "cluster" ([[cluster]]/[[clusterZ]]) only relays it out —
+    * [[readChanges]] keys off the difference (a relayout emits no
+    * change-feed rows, Delta's dataChange=false), the folds treat both
+    * the same.
+    */
+  private[lake] def isFullRewrite(op: String): Boolean =
+    op == "overwrite" || op == "cluster"
+
+  /** Row-preserving relayouts the change feed skips: every row of the
+    * removed files is carried into the added files unchanged ("cluster"
+    * whole-table, "compact" per-directory — its DV materialization drops
+    * only rows whose deletes the delete_dv commit already emitted).
+    */
+  private[lake] val FeedSkipOps: Set[String] = Set("compact", "cluster")
+
   private def foldDropped(base: Set[String],
                           commits: Seq[Commit]): Set[String] =
     commits.foldLeft(base) { (acc, c) =>
       val cleared =
-        if (c.operation == "overwrite") Set.empty[String] else acc
+        if (isFullRewrite(c.operation)) Set.empty[String] else acc
       val withNew =
         cleared ++ c.schemaDrop.map(_.toLowerCase(java.util.Locale.ROOT))
       // Only full-state ops can legitimately carry a tombstoned name
@@ -4447,7 +4499,7 @@ object TxLog {
     // everything else inherits
     val colMap = tail.foldLeft(
       base.map(_.colMap).getOrElse(Map.empty[String, String])) { (acc, c) =>
-      c.renames.getOrElse(if (c.operation == "overwrite") Map.empty else acc)
+      c.renames.getOrElse(if (isFullRewrite(c.operation)) Map.empty else acc)
     }
     Snapshot(live.toSeq,
       tail.lastOption.map(_.schemaDdl).getOrElse(base.get.schemaDdl),
@@ -4645,7 +4697,7 @@ object TxLog {
           val dropped = foldDropped(droppedB.result(), tail)
           val colMap = tail.foldLeft(cmB.result()) { (acc, c) =>
             c.renames.getOrElse(
-              if (c.operation == "overwrite") Map.empty else acc)
+              if (isFullRewrite(c.operation)) Map.empty else acc)
           }
           Some(MetaSnapshot(ckptPathV2(root, v).toString, legend, v,
             liveCount.get,
@@ -6081,7 +6133,7 @@ object TxLog {
     val parts = partitionColsOf(spark, root, snap)
     overwrite(spark,
       current.repartitionByRange(filesPerTable, col(column)),
-      root, parts, statsCols = Seq(column))
+      root, parts, statsCols = Seq(column), operation = "cluster")
   }
 
   /** Multi-column Z-ORDER clustering: rewrite the table so files are
@@ -6129,7 +6181,7 @@ object TxLog {
       z = z.bitwiseOR(shiftleft(
         shiftright(bc, b).bitwiseAND(1L), b * columns.size + i))
     overwrite(spark, current.repartitionByRange(filesPerTable, z),
-      root, parts, statsCols = columns)
+      root, parts, statsCols = columns, operation = "cluster")
   }
 
   /** Bin-pack small files (the OPTIMIZE of every log format): within each
@@ -6613,9 +6665,7 @@ object TxLog {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDirName")
     if (!fs.exists(dir)) return Seq.empty
-    val names = CommitStore.forPath(dir).list(fs, dir).map(_.getName)
-    (names.collect { case CkptFile(v) => v.toLong } ++
-      names.collect { case CkptDirV2(v) => v.toLong }).distinct.sorted
+    ckptVersionsOf(CommitStore.forPath(dir).list(fs, dir).map(_.getName))
   }
 
   /** One self-maintenance pass for a long-lived table: bin-pack the
@@ -6636,20 +6686,31 @@ object TxLog {
     */
   def maintain(spark: SparkSession, root: String,
                smallerThanBytes: Long = 64L * 1024 * 1024,
-               keepVersions: Int = 2): Unit = {
+               keepVersions: Int = 2): MaintainReport = {
+    val before = liveSizes(spark, root).size.toLong
     compact(spark, root, smallerThanBytes = smallerThanBytes)
     checkpoint(spark, root)
-    vacuum(spark, root, keepLast = keepVersions)
-    currentVersion(spark, root).foreach { tail =>
-      val ckpts = checkpointVersions(spark, root)
-      val eligible = ckpts.count(_ <= tail - keepVersions + 1)
-      if (eligible > 0) {
-        vacuumLog(spark, root,
-          keepCheckpoints = ckpts.size - eligible + 1)
-        ()
-      }
+    val reclaimed = vacuum(spark, root, keepLast = keepVersions)
+      .size.toLong
+    val after = liveSizes(spark, root).size.toLong
+    val truncated: Option[Long] = currentVersion(spark, root).flatMap {
+      tail =>
+        val ckpts = checkpointVersions(spark, root)
+        val eligible = ckpts.count(_ <= tail - keepVersions + 1)
+        if (eligible > 0)
+          Some(vacuumLog(spark, root,
+            keepCheckpoints = ckpts.size - eligible + 1).size.toLong)
+        else None
     }
+    MaintainReport(before, after, reclaimed,
+      truncated.getOrElse(0L), truncated.isDefined)
   }
+
+  /** What one [[maintain]] pass did — the `MAINTAIN t` result row. */
+  final case class MaintainReport(filesBefore: Long, filesAfter: Long,
+                                  dataFilesReclaimed: Long,
+                                  logEntriesDeleted: Long,
+                                  logTruncated: Boolean)
 
   private def vacuumCore(spark: SparkSession, root: String,
                          commits: Seq[Commit], keepLast: Int,

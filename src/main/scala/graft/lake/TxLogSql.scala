@@ -300,6 +300,10 @@ object TxLogSql {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|[\w.]+)(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  // the composed self-maintenance pass (TxLog.maintain)
+  private val MaintainRe =
+    ("""(?is)\s*MAINTAIN\s+(`[^`]+`|[\w.]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*""").r
   // one `col = 'value'` (or bare value) conjunct of an OPTIMIZE WHERE
   private val PartEqRe =
     """(?is)\s*(`[^`]+`|\w+)\s*=\s*(?:'([^']*)'|(\S+))\s*""".r
@@ -389,6 +393,12 @@ object TxLogSql {
     *     ([[TxLog.clusterZ]]); the target file count is derived from the
     *     table's live bytes at the standard 128 MiB target, so the
     *     statement needs no physical-layout parameter
+    *   - `MAINTAIN t [RETAIN n VERSIONS]` — the composed
+    *     self-maintenance pass ([[TxLog.maintain]]): OPTIMIZE +
+    *     CHECKPOINT + VACUUM + horizon-aware VACUUM LOG in one call,
+    *     with the truncation horizon chosen so the retained snapshots
+    *     stay readable (a table's first pass defers truncation to the
+    *     next pass's checkpoint anchor); returns a one-row report
     *   - `RESTORE [TABLE] t TO VERSION AS OF n` — logical undo
     *     ([[TxLog.rollback]]): a NEW commit restoring version n's state,
     *     every intermediate version still readable
@@ -576,6 +586,21 @@ object TxLogSql {
         }
         refresh(spark, name, reg)
         Seq((v, "optimize")).toDF("version", "operation")
+
+      // MAINTAIN t [RETAIN n VERSIONS]: the one-call maintenance pass a
+      // nightly loop schedules per table — bin-pack + checkpoint +
+      // reclaim + truncate, without the operator sequencing the four
+      // statements (and their horizon arithmetic) by hand
+      case MaintainRe(ident, keep) =>
+        val (name, reg) = lookup(spark, ident, sqlText)
+        val r = TxLog.maintain(spark, reg.root,
+          keepVersions = Option(keep).map(_.toInt)
+            .getOrElse(DefaultVacuumKeepVersions))
+        refresh(spark, name, reg)
+        Seq((r.filesBefore, r.filesAfter, r.dataFilesReclaimed,
+          r.logEntriesDeleted, r.logTruncated))
+          .toDF("files_before", "files_after", "data_files_reclaimed",
+            "log_entries_deleted", "log_truncated")
 
       case RestoreRe(ident, version) =>
         val (name, reg) = lookup(spark, ident, sqlText)

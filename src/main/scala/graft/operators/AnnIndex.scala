@@ -181,7 +181,10 @@ object AnnIndex {
       // range could prune; the epoch txn stamps the build generation
       // (the corpus watermark lives in meta — the codes append txn slot
       // stays free for refresh's exactly-once delta commits)
-      TxLog.overwrite(spark, encode(embs, centroids, cb),
+      // indexed_v: the corpus version each row was indexed at — the
+      // delete fence's lower bound (deleteIdsChunked)
+      TxLog.overwrite(spark,
+        encode(embs, centroids, cb).withColumn("indexed_v", lit(corpusV)),
         codesRoot(indexRoot), statsCols = Seq("vec_id"),
         txn = Some((EpochApp, epoch)))
       // meta LAST: its epoch declares the set coherent; every earlier
@@ -223,19 +226,32 @@ object AnnIndex {
       }.toArray
 
   /** Vector-delete `ids` ((id LONG) single-column frame) from the rows of
-    * `root` whose `idCol` matches — streamed to the driver in bounded
-    * chunks so the predicate never holds more than `chunk` ids, each
-    * chunk one idempotent deletion-vector commit (O(matched rows), the
+    * `root` whose `idCol` matches AND whose `indexed_v` is at or below
+    * `atOrBelowV` — streamed to the driver in bounded chunks so the
+    * predicate never holds more than `chunk` ids, each chunk one
+    * idempotent deletion-vector commit (O(matched rows), the
     * sparse-delete path). Shared by the index maintainers: delete feeds
     * are takedown-sized, but "bounded" is enforced, not assumed.
+    *
+    * The `indexed_v` bound (every index row carries the corpus version
+    * it was indexed at) is the RACE AND REPLAY fence for rewritten ids:
+    * without it, a racing updater that lost the watermark-fenced append
+    * — or a crash-replay re-running the delete phase after the append
+    * landed — would vector-delete the WINNER'S freshly appended rows for
+    * any rewritten id, leaving the doc silently unindexed. Bounded at
+    * the caller's observed watermark, a delete can only ever touch rows
+    * older than the feed it is consuming.
     */
   private[operators] def deleteIdsChunked(spark: SparkSession, root: String,
                                           idCol: String, ids: DataFrame,
+                                          atOrBelowV: Long,
                                           chunk: Int = 500000): Unit = {
     val it = ids.select(col(ids.columns.head).cast("long")).toLocalIterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     def flush(): Unit = if (buf.nonEmpty) {
-      TxLog.deleteVectored(spark, root, col(idCol).isInCollection(buf.toSeq))
+      TxLog.deleteVectored(spark, root,
+        col(idCol).isInCollection(buf.toSeq) &&
+          col("indexed_v") <= atOrBelowV)
       buf.clear()
     }
     while (it.hasNext) {
@@ -292,13 +308,23 @@ object AnnIndex {
     try {
       val added = delta.count()
       val preTotal = TxLog.countRows(spark, codes)
-      // deletes FIRST (idempotent — a replayed chunk matches nothing):
-      // stale codes leave the scan before anything new lands, and the
-      // exact removed count falls out of the metadata row counts
-      deleteIdsChunked(spark, codes, "vec_id", removedIds)
+      // deletes FIRST, bounded at the meta watermark (idempotent — a
+      // replayed chunk matches nothing, and neither a replay nor a
+      // racing loser can touch rows the fenced append landed at a newer
+      // indexed_v): stale codes leave the scan before anything new
+      // lands, and the exact removed count falls out of the metadata
+      // row counts
+      deleteIdsChunked(spark, codes, "vec_id", removedIds,
+        atOrBelowV = meta.corpusVersion)
       val afterDelete = TxLog.countRows(spark, codes)
       val removed = preTotal - afterDelete
-      val total = afterDelete + added
+      // crash-replay between the codes append and writeMeta: the
+      // appended rows are already IN afterDelete, so adding `added`
+      // again would overstate the total (and understate the drift
+      // ratio) — the codes txn watermark says whether the append landed
+      val alreadyAppended = TxLog.txnWatermark(spark, codes,
+        appId(corpusRoot)).exists(_ >= corpusV)
+      val total = afterDelete + (if (alreadyAppended) 0L else added)
       val churn = meta.churnSinceTrain + added + removed
       if (total > 0 && churn.toDouble / total > retrainAt) {
         // drift hook: cumulative churn now dominates what the
@@ -312,8 +338,10 @@ object AnnIndex {
       if (added > 0) {
         val centroids = TxLog.readLatest(spark, centroidsRoot(indexRoot))
         val cb = loadCodebooks(spark, indexRoot)
-        TxLog.appendIdempotent(spark, encode(delta, centroids, cb), codes,
-          appId(corpusRoot), corpusV, statsCols = Seq("vec_id"))
+        TxLog.appendIdempotent(spark,
+          encode(delta, centroids, cb)
+            .withColumn("indexed_v", lit(corpusV)),
+          codes, appId(corpusRoot), corpusV, statsCols = Seq("vec_id"))
       }
       // watermark + churn advance LAST: a crash before this line
       // replays the whole step (deletes no-op, append dedups on its

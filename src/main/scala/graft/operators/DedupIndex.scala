@@ -20,8 +20,10 @@ import graft.lake.TxLog
   * heavy term.
   *
   * The band table at `indexRoot` is a graft table
-  * (band INT, bsig BIGINT, doc_id LONG) — one row per (document, LSH
-  * band). It stores NO shingle arrays: candidate verification re-shingles
+  * (band INT, bsig BIGINT, doc_id LONG, indexed_v LONG — the corpus
+  * version the row was indexed at, the delete fence's bound) — one row
+  * per (document, LSH band). It stores NO shingle arrays: candidate
+  * verification re-shingles
   * exactly the candidate documents from the corpus by id (bounded by the
   * collision count). Same S-curve as q37 (64 hashes × bands of 2 — the
   * candidate probability at the verify threshold itself is ~0.9999, see
@@ -98,7 +100,11 @@ object DedupIndex {
     val indexExists = wm >= 0 &&
       TxLog.currentVersion(spark, indexRoot).isDefined
     if (indexExists)
-      AnnIndex.deleteIdsChunked(spark, indexRoot, "doc_id", removedIds)
+      // bounded at the watermark: a racing loser or a crash-replay can
+      // never delete band rows a fenced append landed at a newer
+      // indexed_v (the rewritten-doc race — see deleteIdsChunked)
+      AnnIndex.deleteIdsChunked(spark, indexRoot, "doc_id", removedIds,
+        atOrBelowV = wm)
     val newDocs = upserts.select(col(idCol).as("doc_id"), col(textCol))
     val newBands = newDocs
       .select(col("doc_id"),
@@ -172,7 +178,8 @@ object DedupIndex {
       // mark (an empty append would plant a stat-less file), and only
       // once the table exists to carry it
       if (newBands.limit(1).count() > 0)
-        TxLog.appendIdempotent(spark, newBands, indexRoot,
+        TxLog.appendIdempotent(spark,
+          newBands.withColumn("indexed_v", lit(corpusV)), indexRoot,
           appId(corpusRoot), corpusV)
       else if (indexExists)
         TxLog.commitTxnMark(spark, indexRoot, appId(corpusRoot), corpusV)

@@ -85,6 +85,27 @@ class ObjectStoreCommitStoreSpec extends SparkSpec {
     } finally em2.stop()
   }
 
+  test("an ambiguous win (500 after the object landed) is recognized on read-back") {
+    val dir = Files.createTempDirectory("graft-s3ambig").toString
+    // every create answers 500 AFTER the object is durable: the winner
+    // never hears its win; the conditional retry then sees 412 on its
+    // OWN bytes. Reporting that as a lost race would make the commit
+    // loop re-commit the same operations at the next version — silent
+    // data duplication — so the store must read back and compare.
+    val em = new S3Emulator(dir, ambiguousEvery = 1)
+    try {
+      val store = storeFor(em, dir)
+      val fs = fsFor(dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+      store.claim(fs, p, "mine".getBytes) shouldBe true
+      new String(store.read(fs, p)) shouldBe "mine"
+      em.conflictsInjected shouldBe 1
+      // a later claim of the taken key never saw ambiguity: plain loss,
+      // no read-back needed
+      store.claim(fs, p, "late".getBytes) shouldBe false
+    } finally em.stop()
+  }
+
   test("SigV4-signed claims verify end-to-end; wrong credentials are refused loudly") {
     val dir = Files.createTempDirectory("graft-s3auth").toString
     val creds = ("AKIDTEST", "secret/key+EXAMPLE")

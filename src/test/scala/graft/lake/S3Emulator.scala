@@ -32,7 +32,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * role the real object store owns.
   */
 final class S3Emulator(backingDir: String, chaosEvery: Int = 0,
-                       requireAuth: Option[(String, String)] = None) {
+                       requireAuth: Option[(String, String)] = None,
+                       ambiguousEvery: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 64)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -86,6 +87,19 @@ final class S3Emulator(backingDir: String, chaosEvery: Int = 0,
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      if (ex.getRequestMethod == "GET") {
+        // read-back support (the store's 412-after-ambiguity self-check)
+        val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+          .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+        if (segs.length < 2) { respond(ex, 400, "no key"); return }
+        val target = Paths.get(backingDir, segs.drop(1): _*)
+        if (!Files.exists(target)) { respond(ex, 404); return }
+        val b = Files.readAllBytes(target)
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.close()
+        return
+      }
       if (ex.getRequestMethod != "PUT") { respond(ex, 405); return }
       val body = ex.getRequestBody.readAllBytes()
       putCount.incrementAndGet()
@@ -116,6 +130,16 @@ final class S3Emulator(backingDir: String, chaosEvery: Int = 0,
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
           true
         }
+      }
+      if (created && ambiguousEvery > 0 &&
+          putCount.get() % ambiguousEvery == 0) {
+        // the "won but never heard it" fault: the object IS durable but
+        // the success response is replaced by a 500 — the store's retry
+        // then sees 412 on its own bytes and must read back, not report
+        // a lost race
+        chaosCount.incrementAndGet()
+        respond(ex, 500, "<Error><Code>InternalError</Code></Error>")
+        return
       }
       if (created) {
         ex.getResponseHeaders.set("ETag",

@@ -157,17 +157,42 @@ class TxLogDvSpec extends SparkSpec {
       .select("id", "_change_type", "_commit_version")
       .as[(Long, String, Long)].collect().toSeq.sorted
     ch shouldBe Seq((2L, "delete", v0 + 1), (4L, "delete", v0 + 2))
-    // compact materializes: its remove-side deletes must NOT include the
-    // vector-deleted ids again, and its adds re-insert only survivors
+    // compact is a row-preserving relayout: the feed SKIPS it entirely
+    // (Delta CDF's dataChange=false rule) — every surviving row is
+    // carried into the packed files unchanged, and the vector-deleted
+    // ids' deletes were already emitted by the delete_dv commits above.
+    // Without the skip a nightly OPTIMIZE re-emits the whole table to
+    // every incremental consumer.
     val vc = TxLog.compact(spark, root)
-    val ch2 = TxLog.readChanges(spark, root, fromVersion = vc - 1,
-      toVersion = Some(vc))
-    ch2.filter(col("_change_type") === "delete")
-      .select("id").as[Long].collect().toSeq
-      .sorted shouldBe Seq(1L, 3L, 5L, 6L)
-    ch2.filter(col("_change_type") === "insert")
-      .select("id").as[Long].collect().toSeq
-      .sorted shouldBe Seq(1L, 3L, 5L, 6L)
+    TxLog.readChanges(spark, root, fromVersion = vc - 1,
+      toVersion = Some(vc)).count() shouldBe 0L
+  }
+
+  test("CDC feed skips relayouts; vacuumed relayout inputs never block the feed") {
+    val root = tmpRoot()
+    // two fragmented appends, then the relayouts: a whole-table cluster
+    // (Z-order's commit shape) and a compact — both row-preserving
+    TxLog.append(spark, base.filter(col("id") <= 3).repartition(2), root)
+    TxLog.append(spark, base.filter(col("id") > 3).repartition(2), root)
+    val vPre = TxLog.currentVersion(spark, root).get
+    TxLog.cluster(spark, root, "id", 1)
+    TxLog.compact(spark, root)
+    val vPost = TxLog.currentVersion(spark, root).get
+    // real changes AFTER the relayouts
+    TxLog.append(spark, Seq((9L, "z", 90.0)).toDF("id", "s", "v"), root)
+    TxLog.deleteVectored(spark, root, col("id") === 1L)
+    // the feed across the whole range emits ONLY the real changes —
+    // no delete+insert echo of the 6 relaid-out rows
+    val ch = TxLog.readChanges(spark, root, fromVersion = vPre)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+      .sorted
+    ch shouldBe Seq((1L, "delete"), (9L, "insert"))
+    // reclaim the pre-relayout files: the feed spanning the relayout
+    // commits never reads them, so the vacuum guard must not refuse
+    TxLog.vacuum(spark, root, keepLast = 2)
+    TxLog.readChanges(spark, root, fromVersion = vPost)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+      .sorted shouldBe Seq((1L, "delete"), (9L, "insert"))
   }
 
   test("CDC feed fails loudly when the GROW path's pre-range sidecar was vacuumed") {

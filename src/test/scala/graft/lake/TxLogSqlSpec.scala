@@ -221,6 +221,28 @@ class TxLogSqlSpec extends SparkSpec {
     } finally s.conf.unset(graft.plans.ScanBudget.ConfKey)
   }
 
+  test("MAINTAIN runs the composed pass; the second pass truncates the log") {
+    val root = fragmentedTable("mnt_pass")
+    val r1 = TxLogSql.run(spark, "MAINTAIN mnt_pass RETAIN 2 VERSIONS")
+      .collect().head
+    r1.getLong(0) shouldBe 4L               // files_before
+    r1.getLong(1) should be < r1.getLong(0) // bin-packed
+    // first pass: the checkpoint just written is the only anchor, and
+    // truncating to it would cut the retained snapshots — deferred
+    r1.getBoolean(4) shouldBe false
+    spark.read.format("graft").load(root).count() shouldBe 4L
+    // one more commit, then the second pass truncates down to the first
+    // pass's checkpoint without breaking reads or stranding files
+    TxLog.append(spark,
+      Seq((9L, "r9", 9.0)).toDF("id", "s", "bal"), root)
+    val r2 = TxLogSql.run(spark, "MAINTAIN mnt_pass RETAIN 2 VERSIONS")
+      .collect().head
+    r2.getBoolean(4) shouldBe true
+    r2.getLong(3) should be > 0L  // raw log entries below the horizon
+    r2.getLong(2) should be > 0L  // the pre-compact files reclaimed
+    spark.read.format("graft").load(root).count() shouldBe 5L
+  }
+
   test("DESCRIBE SCAN rejects commands instead of executing them") {
     fragmentedTable("mnt_scan_ro")
     // spark.sql() runs commands eagerly — a DDL payload must be rejected

@@ -220,6 +220,64 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.refresh(spark, corpusRoot, indexRoot).retrained shouldBe false
   }
 
+  test("a corpus OPTIMIZE is not churn: refresh sees no delta and never drifts toward a retrain") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 60).repartition(3), corpusRoot)
+    TxLog.append(spark,
+      corpusDf(60 until 100).repartition(2), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    // nightly maintenance rewrites every corpus file; un-skipped, the
+    // feed would say delete+insert x 100 — a full vector-delete, a full
+    // re-encode, and churn 2x the corpus (an instant spurious retrain)
+    TxLog.compact(spark, corpusRoot, smallerThanBytes = 1L << 30)
+    AnnIndex.refresh(spark, corpusRoot, indexRoot) shouldBe
+      AnnIndex.Refresh(0L, 0L, 100L, false)
+    TxLog.readLatest(spark,
+      AnnIndex.codesRoot(indexRoot)).count() shouldBe 100L
+  }
+
+  test("crash-replay between the codes append and the meta commit converges") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, corpusDf(0 until 100), corpusRoot)
+    AnnIndex.build(spark, corpusRoot, indexRoot, nCells = 4, m = 4, k = 8)
+    val metaBefore = TxLog.readLatest(spark,
+      AnnIndex.metaRoot(indexRoot)).collect().head
+    // a rewrite + an insert, then the full step runs (the 'crashed'
+    // driver got through deletes AND the fenced codes append)...
+    val v60 = corpusDf(60 until 61).select(col("embedding")).head()
+      .getSeq[Float](0)
+    TxLog.updateVectored(spark, corpusRoot, col("vec_id") === 7L,
+      Map("embedding" -> typedLit(v60).cast("array<float>")))
+    TxLog.append(spark, corpusDf(200 until 210), corpusRoot)
+    val first = AnnIndex.refresh(spark, corpusRoot, indexRoot)
+    first shouldBe AnnIndex.Refresh(11L, 1L, 110L, false)
+    // ...but 'crashed' before writeMeta: rewind meta to the pre-step row
+    // (same epoch — only the watermark and churn go back)
+    TxLog.overwrite(spark,
+      spark.createDataFrame(
+        java.util.List.of(metaBefore), metaBefore.schema),
+      AnnIndex.metaRoot(indexRoot),
+      txn = Some((AnnIndex.EpochApp, metaBefore.getLong(0))))
+    // the replay: deletes are bounded at the old watermark (they must
+    // NOT remove vec 7's re-encoded code), the append self-fences, and
+    // the total is NOT double-counted (the appended rows are already in
+    // the table — naive afterDelete+added would say 121)
+    val replay = AnnIndex.refresh(spark, corpusRoot, indexRoot)
+    replay.removed shouldBe 0L
+    replay.total shouldBe 110L
+    replay.retrained shouldBe false
+    val codes = TxLog.readLatest(spark, AnnIndex.codesRoot(indexRoot))
+    codes.count() shouldBe 110L
+    codes.filter(col("vec_id") === 7L).count() shouldBe 1L
+    // a probe at 60's vector still finds the re-encoded 7 as its twin
+    val probe = corpusDf(60 until 61)
+      .select(lit(99999L).as("qid"), col("embedding").as("qe"))
+      .withColumn("qnorm", VecOps.normf(col("qe")))
+    AnnIndex.search(spark, corpusRoot, indexRoot, probe, kTop = 2,
+      nProbe = 2, shortlist = 200)
+      .select("cand_id").as[Long].collect().toSet shouldBe Set(7L, 60L)
+  }
+
   test("maintain() packs the artifact tables; epoch, watermark, and answers survive") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     TxLog.append(spark, corpusDf(0 until 160), corpusRoot)

@@ -210,6 +210,60 @@ class DedupIndexSpec extends SparkSpec {
     TxLog.readLatest(spark, pairsRoot).count() shouldBe 17L
   }
 
+  test("a corpus OPTIMIZE between batches re-delivers nothing (relayouts are not churn)") {
+    val corpusRoot = tmp(); val indexRoot = tmp(); val pairsRoot = tmp()
+    TxLog.append(spark, docs, corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 15L
+    val bandRows = TxLog.readLatest(spark, indexRoot).count()
+    // nightly maintenance rewrites every corpus file (fragment first so
+    // the compact has something to pack) — the feed must not echo the
+    // whole corpus as delete+insert into the index step
+    TxLog.compact(spark, corpusRoot, smallerThanBytes = 1L << 30)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    // no re-banding, no pair re-delivery, watermark advanced past the
+    // relayout commit
+    TxLog.readLatest(spark, indexRoot).count() shouldBe bandRows
+    TxLog.readLatest(spark, pairsRoot).count() shouldBe 15L
+    DedupIndex.watermark(spark, corpusRoot, indexRoot) shouldBe
+      TxLog.currentVersion(spark, corpusRoot).get
+  }
+
+  test("a stale delete phase cannot remove re-banded rows (the losing-racer / replay shape)") {
+    val corpusRoot = tmp(); val indexRoot = tmp()
+    TxLog.append(spark, docs, corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot).count() shouldBe 15L
+    val wmOld = DedupIndex.watermark(spark, corpusRoot, indexRoot)
+    // doc 3 is REWRITTEN; the winner completes the whole step (old bands
+    // purged, new bands fenced-appended at the new watermark)
+    val newText =
+      ((0 until 11).map(j => s"w0_$j") :+ "tail0_c").mkString(" ")
+    TxLog.updateVectored(spark, corpusRoot, col("doc_id") === 3L,
+      Map("text" -> lit(newText)))
+    DedupIndex.update(spark, corpusRoot, indexRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet shouldBe Set((0L, 3L), (1L, 3L))
+    val perDoc = (DedupIndex.NumHashes / DedupIndex.RowsPerBand).toLong
+    TxLog.readLatest(spark, indexRoot).filter(col("doc_id") === 3L)
+      .count() shouldBe perDoc
+    // NOW the racing loser (or a crash-replay) re-runs its DELETE phase
+    // with the OLD watermark — its feed said delete(3), but bounded at
+    // indexed_v <= wmOld it must match NOTHING: the winner's re-banded
+    // rows carry the newer version (unbounded, this purge left doc 3
+    // permanently unindexed — the silent-corruption interleaving)
+    AnnIndex.deleteIdsChunked(spark, indexRoot, "doc_id",
+      Seq(3L).toDF("doc_id"), atOrBelowV = wmOld)
+    TxLog.readLatest(spark, indexRoot).filter(col("doc_id") === 3L)
+      .count() shouldBe perDoc
+    // the rewritten doc is still findable, not a phantom
+    TxLog.append(spark,
+      Seq((200L, newText + " extra")).toDF("doc_id", "text"), corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet should contain((3L, 200L))
+  }
+
   test("cross-batch pairs are found when the LATER member arrives") {
     val corpusRoot = tmp(); val indexRoot = tmp()
     // batch 1: only the even halves — no pairs yet
