@@ -159,11 +159,13 @@ object Lake {
     // Change feed over the commit log: incremental consumption of exactly
     // the rows each commit added/removed — the reference's
     // `{t}_incremental` staging pattern as a first-class read. The demo
-    // commits three versions (two appends split by key parity, then a
-    // partition upsert that bumps one segment's balances) and reads the
-    // delta AFTER v0: the oracle reconstructs the same change rows from
-    // the pure fixture — v1's inserts are the odd customers, v2's
-    // deletes/inserts are the BUILDING partition before/after the bump.
+    // commits four versions (two appends split by key parity, a
+    // partition upsert that bumps one segment's balances, then an
+    // OPTIMIZE relayout the feed must SKIP) and reads the delta AFTER
+    // v0: the oracle reconstructs the same change rows from the pure
+    // fixture — v1's inserts are the odd customers, v2's
+    // deletes/inserts are the BUILDING partition before/after the bump,
+    // and the compact contributes nothing (dataChange=false semantics).
     // Feed cost is proportional to changed bytes (per-commit file lists,
     // no shuffle), which is the whole point at 100 TB: a downstream job
     // consumes a day's delta without rescanning the table.
@@ -204,6 +206,13 @@ object Lake {
         cust.filter(col("c_mktsegment") === "BUILDING")
           .withColumn("c_acctbal", col("c_acctbal") + 100),
         root, Seq("c_mktsegment"))
+      // v3: a nightly OPTIMIZE relayout in the middle of the consumed
+      // range. The oracle enumerates ONLY v1/v2's change rows — if the
+      // compact echoed its rewritten rows as delete+insert (the
+      // un-skipped amplification every downstream consumer would pay),
+      // the extra commit_version-3 groups turn this row red. Relayouts
+      // are not changes.
+      TxLog.compact(s, root, smallerThanBytes = 1L << 30)
 
       TxLog.readChanges(s, root, fromVersion = 0L)
         .select(col("_change_type").as("change_type"),

@@ -113,6 +113,17 @@ class StreamingSpec extends SparkSpec {
     got.clear()
     drain()
     got shouldBe empty
+
+    // a nightly OPTIMIZE relayout mid-stream: the offsets ADVANCE past
+    // it but NO rows arrive (un-skipped, every surviving row would
+    // re-emit as delete+insert and the downstream would reprocess the
+    // whole table); a real change after it still flows
+    got.clear()
+    TxLog.append(spark, Seq((4L, "d")).toDF("id", "s"), root)            // v3
+    TxLog.compact(spark, root, smallerThanBytes = 1L << 30)              // v4
+    TxLog.append(spark, Seq((5L, "e")).toDF("id", "s"), root)            // v5
+    drain()
+    got.toSet shouldBe Set((3L, "insert", 4L), (5L, "insert", 5L))
   }
 
   test("CdcApply replicates a table through its change feed; restart applies only the delta") {
