@@ -108,6 +108,8 @@ object FsCommitStore extends CommitStore {
             s"writer's commit. Install a CAS-backed CommitStore for this " +
             s"table root (CommitStore.install) — ObjectStoreCommitStore " +
             s"(conditional-PUT CAS) for S3-compatible stores, " +
+            s"ObjectStoreCommitStore.gcsInterop (HMAC keys + " +
+            s"x-goog-if-generation-match) for Google Cloud Storage, " +
             s"JdbcCommitStore for a shared RDBMS, LockFileCommitStore " +
             s"for a shared POSIX volume.")
     }

@@ -160,7 +160,9 @@ final class ObjectStoreCommitStore(
     mapPath: Path => (String, String) = ObjectStoreCommitStore.s3PathMap,
     maxAttempts: Int = 8,
     credSource: Option[() =>
-      (Option[(String, String)], Option[String])] = None) extends CommitStore {
+      (Option[(String, String)], Option[String])] = None,
+    createCondition: (String, String) =
+      ObjectStoreCommitStore.S3CreateCondition) extends CommitStore {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10))
@@ -227,7 +229,7 @@ final class ObjectStoreCommitStore(
       attempt += 1
       val builder = HttpRequest.newBuilder(uri)
         .timeout(java.time.Duration.ofSeconds(30))
-        .header("If-None-Match", "*")
+        .header(createCondition._1, createCondition._2)
         .header("Content-Type", "application/octet-stream")
       signInto(builder, "PUT", uri, SigV4.sha256Hex(bytes))
       val req = builder
@@ -287,6 +289,40 @@ final class ObjectStoreCommitStore(
 }
 
 object ObjectStoreCommitStore {
+
+  /** S3's create-if-absent condition (native conditional writes, 2024+;
+    * MinIO/R2 honor the same header).
+    */
+  val S3CreateCondition: (String, String) = ("If-None-Match", "*")
+
+  /** GCS's create-if-absent condition (XML API preconditions):
+    * generation 0 means "only if the object does not exist"; a taken
+    * key answers 412 Precondition Failed — the same outcome mapping
+    * [[ObjectStoreCommitStore.claim]] already speaks.
+    */
+  val GcsCreateCondition: (String, String) = ("x-goog-if-generation-match", "0")
+
+  /** A store for Google Cloud Storage through its S3-INTEROPERABILITY
+    * mode (public contract: storage.googleapis.com accepts HMAC-key
+    * requests signed with the AWS V4 algorithm) with the create claim
+    * conditioned on `x-goog-if-generation-match: 0`. This is the
+    * CAS-backed store the `gs` claim-time refusal points at — install
+    * it for the table-root prefix (`CommitStore.install`); there is no
+    * auto-delegation because the GCS Hadoop connector authenticates via
+    * OAuth service accounts, from which interop HMAC keys are not
+    * derivable. `region` rides the V4 credential scope — interop
+    * examples use "us-east-1"; override if your deployment's scope
+    * differs.
+    */
+  def gcsInterop(hmacKey: String, hmacSecret: String,
+                 endpoint: String = "https://storage.googleapis.com",
+                 region: String = "us-east-1",
+                 mapPath: Path => (String, String) = s3PathMap)
+      : ObjectStoreCommitStore =
+    new ObjectStoreCommitStore(endpoint, region,
+      credentials = Some((hmacKey, hmacSecret)),
+      pathStyle = true, mapPath = mapPath,
+      createCondition = GcsCreateCondition)
 
   /** The natural map for `s3a://bucket/key...` paths. */
   val s3PathMap: Path => (String, String) = { p =>

@@ -106,6 +106,41 @@ class ObjectStoreCommitStoreSpec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("the GCS interop store claims through x-goog-if-generation-match, same CAS contract") {
+    val dir = Files.createTempDirectory("graft-gcs").toString
+    val em = new S3Emulator(dir)
+    try {
+      // HMAC-key interop mode: AWS-V4-signed requests, the GCS
+      // precondition header carrying the create-if-absent condition —
+      // the store the gs refusal message names for CommitStore.install
+      val store = ObjectStoreCommitStore.gcsInterop("GOOGHMAC", "gsecret",
+        endpoint = em.endpoint,
+        mapPath = ObjectStoreCommitStore.prefixMap(dir, "lake"))
+      val fs = fsFor(dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/00000000000000000000.json")
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          if (store.claim(fs, p, s"gcs-$i".getBytes)) wins.incrementAndGet()
+          ()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      wins.get() shouldBe 1
+      new String(store.read(fs, p)) should startWith("gcs-")
+      store.claim(fs, p, "late".getBytes) shouldBe false
+      // the whole commit loop runs through it once installed
+      val root = s"$dir/table"
+      CommitStore.install(root, store)
+      try {
+        TxLog.append(spark, Seq(("a", 1L)).toDF("k", "n"), root)
+        TxLog.append(spark, Seq(("b", 2L)).toDF("k", "n"), root)
+        TxLog.readLatest(spark, root).as[(String, Long)].collect()
+          .toSet shouldBe Set(("a", 1L), ("b", 2L))
+      } finally CommitStore.uninstall(root)
+    } finally em.stop()
+  }
+
   test("SigV4-signed claims verify end-to-end; wrong credentials are refused loudly") {
     val dir = Files.createTempDirectory("graft-s3auth").toString
     val creds = ("AKIDTEST", "secret/key+EXAMPLE")

@@ -104,8 +104,14 @@ final class S3Emulator(backingDir: String, chaosEvery: Int = 0,
       val body = ex.getRequestBody.readAllBytes()
       putCount.incrementAndGet()
       if (!authOk(ex, body)) { respond(ex, 403, "SignatureDoesNotMatch"); return }
-      val cond = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
-      if (!cond.contains("*")) {
+      // either create-if-absent spelling: S3's If-None-Match: * or
+      // GCS's x-goog-if-generation-match: 0 (the interop-mode store)
+      val s3Cond = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        .contains("*")
+      val gcsCond = Option(
+        ex.getRequestHeaders.getFirst("x-goog-if-generation-match"))
+        .contains("0")
+      if (!s3Cond && !gcsCond) {
         respond(ex, 400, "unconditional PUT refused by this emulator")
         return
       }
