@@ -339,7 +339,10 @@ private[graft] final class GraftRelation(ctx: SQLContext,
     * and the budget would charge it ZERO — a 100 TB query sails under
     * any cap.
     */
-  private[graft] def plannedScanBytes: Long =
+  // lazy: ScanBudgetRule fires at every AQE stage preparation of the
+  // same (immutable) scan — the log resolution + sidecar reads behind
+  // this must run once per relation, not once per re-optimization
+  private[graft] lazy val plannedScanBytes: Long =
     TxLog.plannedScanSizes(ctx.sparkSession,
       GraftDataSource.rootOf(options),
       GraftDataSource.boundsOf(filters),

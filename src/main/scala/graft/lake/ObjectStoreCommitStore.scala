@@ -362,12 +362,20 @@ object ObjectStoreCommitStore {
     *  - `fs.s3a.path.style.access` (default false — virtual-host, the
     *    AWS convention; custom endpoints usually set it true)
     */
+  /** `s3.<region>.amazonaws.com` (dash, dualstack, and fips variants
+    * included) — the region S3A itself would infer from the endpoint.
+    */
+  private val AwsEndpointRegion =
+    raw"(?:.*://)?s3[.-](?:dualstack[.-])?(?:fips[.-])?([a-z0-9-]+)\.amazonaws\.com.*".r
+
   def fromHadoopConf(fs: FileSystem): ObjectStoreCommitStore = {
     val conf = fs.getConf
+    val rawEp0 = Option(conf.getTrimmed("fs.s3a.endpoint")).filter(_.nonEmpty)
     val region = Option(conf.getTrimmed("fs.s3a.endpoint.region"))
-      .filter(_.nonEmpty).getOrElse("us-east-1")
-    val rawEp = Option(conf.getTrimmed("fs.s3a.endpoint")).filter(_.nonEmpty)
-      .getOrElse(s"s3.$region.amazonaws.com")
+      .filter(_.nonEmpty)
+      .orElse(rawEp0.collect { case AwsEndpointRegion(r) => r })
+      .getOrElse("us-east-1")
+    val rawEp = rawEp0.getOrElse(s"s3.$region.amazonaws.com")
     val ep = if (rawEp.contains("://")) rawEp else s"https://$rawEp"
     def confOrEnv(k: String, env: String): Option[String] =
       Option(conf.getTrimmed(k)).filter(_.nonEmpty)

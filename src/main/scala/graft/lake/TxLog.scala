@@ -1635,10 +1635,12 @@ object TxLog {
     val pre = resolveScalars(spark, root)
     if (pre.txns.get(appId).exists(_ >= txnVersion)) return None
     try Some(commitLoop(spark, root, "txn", Seq.empty, { (commits, _) =>
+      // `commits` is the raw tail ABOVE the newest checkpoint — empty
+      // right after a checkpoint (maintain(), the every-10th auto one);
+      // the schema then comes from the resolved state, like every other
+      // write path gets via committedDdl. `pre` proves the table exists.
       (Seq.empty, Seq.empty,
-        commits.lastOption.map(_.schemaDdl).getOrElse(throw
-          new IllegalArgumentException(
-            s"txn mark on a table with no commits: $root")))
+        commits.lastOption.map(_.schemaDdl).getOrElse(pre.schemaDdl))
     }, txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
   }
@@ -4006,8 +4008,13 @@ object TxLog {
         c.remove ++ c.dvDrop ++ (c.dv.keySet -- c.add.toSet)).toSet
       dvState.view.filterKeys(touched).valuesIterator.map(_._1).toSeq
     }
+    // c.dv.keys / c.dvDrop: the DATA files whose rows the grow/shrink
+    // paths read — a file ADDED by a skipped relayout is not in any
+    // emitting commit's add list, but an emitting delete_dv on it still
+    // scans it, so it must be existence-checked here too
     val missing = (emitting.flatMap(c =>
-        c.add ++ c.remove ++ c.dv.valuesIterator.map(_._1)) ++ preRangeSidecars)
+        c.add ++ c.remove ++ c.dv.keys ++ c.dvDrop ++
+          c.dv.valuesIterator.map(_._1)) ++ preRangeSidecars)
       .distinct.filterNot(f => fs.exists(new Path(s"$root/$f")))
     require(missing.isEmpty,
       s"change feed from $fromVersion needs vacuumed file(s): ${missing.head}")

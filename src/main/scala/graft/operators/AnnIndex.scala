@@ -246,12 +246,21 @@ object AnnIndex {
                                           idCol: String, ids: DataFrame,
                                           atOrBelowV: Long,
                                           chunk: Int = 500000): Unit = {
+    // pre-indexed_v tables: rows written before the column existed read
+    // NULL after schema merge (NULL <= v is NULL — the fence would
+    // silently skip them and takedowns would no-op); treat them as
+    // indexed at -1, i.e. always below the bound — they predate every
+    // fenced append the bound exists to protect. A table with NO
+    // indexed_v column at all gets the same legacy semantics.
+    val hasFence = TxLog.readLatest(spark, root).columns.contains("indexed_v")
+    def bound: org.apache.spark.sql.Column =
+      if (hasFence) coalesce(col("indexed_v"), lit(-1L)) <= atOrBelowV
+      else lit(true)
     val it = ids.select(col(ids.columns.head).cast("long")).toLocalIterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     def flush(): Unit = if (buf.nonEmpty) {
       TxLog.deleteVectored(spark, root,
-        col(idCol).isInCollection(buf.toSeq) &&
-          col("indexed_v") <= atOrBelowV)
+        col(idCol).isInCollection(buf.toSeq) && bound)
       buf.clear()
     }
     while (it.hasNext) {
@@ -295,10 +304,38 @@ object AnnIndex {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): Refresh = {
     val codes = codesRoot(indexRoot)
-    val meta = coherentMeta(spark, indexRoot)
-    val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
+    val meta0 = coherentMeta(spark, indexRoot)
+    val head = TxLog.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(
         s"ANN index refresh: no committed corpus at $corpusRoot"))
+    val appendedThrough = TxLog.txnWatermark(spark, codes,
+      appId(corpusRoot)).getOrElse(-1L)
+    if (appendedThrough > meta0.corpusVersion && appendedThrough < head) {
+      // TORN WINDOW: a crashed refresh appended codes through
+      // `appendedThrough` but died before its meta commit, and the
+      // corpus has since moved on. Processing (meta, head] in one step
+      // would re-encode the crashed step's inserts under a fence that
+      // no longer catches them (its watermark is below head) — double
+      // codes per id. Replay THAT step to its OWN boundary first:
+      // within the sub-range the old-watermark delete bound is exact
+      // and the codes append self-fences; then process the remainder.
+      val r1 = refreshStep(spark, corpusRoot, indexRoot, retrainAt,
+        idCol, vecCol, appendedThrough)
+      val r2 = refreshStep(spark, corpusRoot, indexRoot, retrainAt,
+        idCol, vecCol, head)
+      return Refresh(r1.added + r2.added, r1.removed + r2.removed,
+        r2.total, r1.retrained || r2.retrained)
+    }
+    refreshStep(spark, corpusRoot, indexRoot, retrainAt, idCol, vecCol,
+      head)
+  }
+
+  private def refreshStep(spark: SparkSession, corpusRoot: String,
+                          indexRoot: String, retrainAt: Double,
+                          idCol: String, vecCol: String,
+                          corpusV: Long): Refresh = {
+    val codes = codesRoot(indexRoot)
+    val meta = coherentMeta(spark, indexRoot)
     if (corpusV <= meta.corpusVersion)
       return Refresh(0L, 0L, TxLog.countRows(spark, codes), false)
     val feed = TxLog.readChanges(spark, corpusRoot, meta.corpusVersion,
@@ -318,6 +355,11 @@ object AnnIndex {
         atOrBelowV = meta.corpusVersion)
       val afterDelete = TxLog.countRows(spark, codes)
       val removed = preTotal - afterDelete
+      // known undercount on crash-replay: a crashed run's deletes were
+      // applied but never persisted into churnSinceTrain, and the
+      // replay's deletes match nothing — drift from crashed-run
+      // removals is lost (the adds replay fully; bounded by one crash
+      // window per refresh, and a manual build() always resets)
       // crash-replay between the codes append and writeMeta: the
       // appended rows are already IN afterDelete, so adding `added`
       // again would overstate the total (and understate the drift

@@ -62,7 +62,7 @@ object DedupIndex {
   val NumHashes = 64
   val RowsPerBand = 2
 
-  private def appId(corpusRoot: String): String =
+  private[operators] def appId(corpusRoot: String): String =
     s"graft-dedup-index::$corpusRoot"
 
   /** The indexed-through corpus version (-1 before the first update). */
@@ -84,10 +84,39 @@ object DedupIndex {
              threshold: Double = 0.5, idCol: String = "doc_id",
              textCol: String = "text",
              pairsRoot: Option[String] = None): DataFrame = {
-    import spark.implicits._
-    val corpusV = TxLog.currentVersion(spark, corpusRoot).getOrElse(
+    val head = TxLog.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(
         s"dedup index update: no committed corpus at $corpusRoot"))
+    val wm = watermark(spark, corpusRoot, indexRoot)
+    val splitAt = pairsRoot
+      .map(pr => TxLog.txnWatermark(spark, pr, appId(corpusRoot))
+        .getOrElse(-1L))
+      .filter(pv => pv > wm && pv < head)
+    splitAt match {
+      case Some(pv) =>
+        // TORN WINDOW: a crashed update delivered pairs through `pv`
+        // but died before its band commit, and the corpus has since
+        // moved on. Processing (wm, head] in one step would re-deliver
+        // that batch's pairs (the pairs fence is below head). Replay
+        // THAT batch to its OWN boundary first — its pairs append
+        // self-fences, its band append lands — then the remainder.
+        val first = updateStep(spark, corpusRoot, indexRoot, threshold,
+          idCol, textCol, pairsRoot, pv)
+        val second = updateStep(spark, corpusRoot, indexRoot, threshold,
+          idCol, textCol, pairsRoot, head)
+        first.unionByName(second)
+      case None =>
+        updateStep(spark, corpusRoot, indexRoot, threshold, idCol,
+          textCol, pairsRoot, head)
+    }
+  }
+
+  private def updateStep(spark: SparkSession, corpusRoot: String,
+                         indexRoot: String, threshold: Double,
+                         idCol: String, textCol: String,
+                         pairsRoot: Option[String],
+                         corpusV: Long): DataFrame = {
+    import spark.implicits._
     val wm = watermark(spark, corpusRoot, indexRoot)
     def emptyPairs =
       Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")

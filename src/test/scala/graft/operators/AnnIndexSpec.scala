@@ -258,17 +258,23 @@ class AnnIndexSpec extends SparkSpec {
         java.util.List.of(metaBefore), metaBefore.schema),
       AnnIndex.metaRoot(indexRoot),
       txn = Some((AnnIndex.EpochApp, metaBefore.getLong(0))))
-    // the replay: deletes are bounded at the old watermark (they must
-    // NOT remove vec 7's re-encoded code), the append self-fences, and
-    // the total is NOT double-counted (the appended rows are already in
-    // the table — naive afterDelete+added would say 121)
+    // ...AND the corpus advances before the replay — the one-step
+    // replay would re-encode the crashed step's inserts under a fence
+    // that no longer catches them (double codes per id); the refresh
+    // must split at the codes watermark: replay the crashed step to its
+    // own boundary (deletes bounded, append self-fenced, total not
+    // double-counted), then process the remainder
+    TxLog.append(spark, corpusDf(300 until 306), corpusRoot)
     val replay = AnnIndex.refresh(spark, corpusRoot, indexRoot)
     replay.removed shouldBe 0L
-    replay.total shouldBe 110L
+    replay.total shouldBe 116L
     replay.retrained shouldBe false
     val codes = TxLog.readLatest(spark, AnnIndex.codesRoot(indexRoot))
-    codes.count() shouldBe 110L
+    codes.count() shouldBe 116L
+    codes.groupBy("vec_id").count()
+      .filter(col("count") =!= 1L).count() shouldBe 0L
     codes.filter(col("vec_id") === 7L).count() shouldBe 1L
+    codes.filter(col("vec_id") >= 300L).count() shouldBe 6L
     // a probe at 60's vector still finds the re-encoded 7 as its twin
     val probe = corpusDf(60 until 61)
       .select(lit(99999L).as("qid"), col("embedding").as("qe"))

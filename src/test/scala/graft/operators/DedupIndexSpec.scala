@@ -208,6 +208,15 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.update(spark, corpusRoot, indexRoot,
       pairsRoot = Some(pairsRoot)).count() shouldBe 0L
     TxLog.readLatest(spark, pairsRoot).count() shouldBe 17L
+    // a deletes-only batch right after the checkpointed maintenance:
+    // the data-less txn mark must ride the RESOLVED schema — the raw
+    // tail above the fresh checkpoint is empty, and failing here would
+    // wedge the watermark forever
+    TxLog.deleteVectored(spark, corpusRoot, col("doc_id") === 2L)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    DedupIndex.watermark(spark, corpusRoot, indexRoot) shouldBe
+      TxLog.currentVersion(spark, corpusRoot).get
   }
 
   test("a corpus OPTIMIZE between batches re-delivers nothing (relayouts are not churn)") {
@@ -262,6 +271,45 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.update(spark, corpusRoot, indexRoot)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
       .toSet should contain((3L, 200L))
+  }
+
+  test("a crash between the pairs and band commits replays without re-delivering") {
+    val corpusRoot = tmp(); val indexRoot = tmp(); val pairsRoot = tmp()
+    TxLog.append(spark, docs.filter(col("doc_id") % 2 === 0), corpusRoot)
+    DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot)).count() shouldBe 0L
+    // batch 2 arrives; the 'crashed' updater landed its PAIRS commit
+    // (simulated by a sentinel row under the same fenced txn) but died
+    // before the band commit...
+    TxLog.append(spark,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 15),
+      corpusRoot)
+    val v1 = TxLog.currentVersion(spark, corpusRoot).get
+    TxLog.appendIdempotent(spark,
+      Seq((-1L, -1L, 0.0)).toDF("doc_a", "doc_b", "jaccard"), pairsRoot,
+      DedupIndex.appId(corpusRoot), v1)
+    // ...and the corpus advances BEFORE the replay — the one-step replay
+    // would re-deliver batch 2's pairs (its fence sits below the head)
+    TxLog.append(spark,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") >= 15),
+      corpusRoot)
+    val returned = DedupIndex.update(spark, corpusRoot, indexRoot,
+      pairsRoot = Some(pairsRoot))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the caller re-receives the whole catch-up's pairs...
+    returned shouldBe (0 until 30 by 2).map(k => (k.toLong, k + 1L)).toSet
+    // ...but DELIVERY stays exactly-once: batch 2's slot holds only what
+    // the crashed run delivered; batch 3's pairs landed exactly once
+    val delivered = TxLog.readLatest(spark, pairsRoot)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    delivered.size shouldBe delivered.toSet.size
+    delivered.toSet shouldBe
+      Set((-1L, -1L)) ++ (14 until 30 by 2).map(k => (k.toLong, k + 1L))
+    // and every doc's bands landed exactly once across the two sub-steps
+    TxLog.readLatest(spark, indexRoot).groupBy("doc_id").count()
+      .filter(col("count") =!=
+        (DedupIndex.NumHashes / DedupIndex.RowsPerBand).toLong)
+      .count() shouldBe 0L
   }
 
   test("cross-batch pairs are found when the LATER member arrives") {
