@@ -668,12 +668,13 @@ object Lake {
     // Maintenance SQL surface (lake/TxLogSql.run): the table lifecycle a
     // SQL-only client drives — a bad DELETE undone by RESTORE ... TO
     // VERSION AS OF, the intended DELETE reissued, OPTIMIZE bin-packing
-    // the fragmented appends, and VACUUM physically reclaiming the
-    // layouts outside the retention window. The oracle pins the three
-    // invariants at once: RESTORE must be an exact logical undo, OPTIMIZE
-    // must never change a result, and VACUUM must never touch a live
-    // file (a wrongly deleted file fails the read outright). At 100 TB
-    // this is the nightly maintenance loop of every streaming-fed table.
+    // the fragmented appends, VACUUM physically reclaiming the layouts
+    // outside the retention window, and MAINTAIN running the composed
+    // pass on top. The oracle pins the invariants at once: RESTORE must
+    // be an exact logical undo, OPTIMIZE/MAINTAIN must never change a
+    // result, and VACUUM/MAINTAIN must never touch a live file (a
+    // wrongly deleted file fails the read outright). At 100 TB this is
+    // the nightly maintenance loop of every streaming-fed table.
     QDef(
       "q86_sql_maintenance",
       """SELECT c_mktsegment, COUNT(*) AS n,
@@ -702,6 +703,10 @@ object Lake {
       run(s, "DELETE FROM graft_maint WHERE bal < 0")             // v6: intended
       run(s, "OPTIMIZE graft_maint")                              // v7: pack
       run(s, "VACUUM graft_maint RETAIN 2 VERSIONS")              // reclaim
+      // the composed pass (round 13): compact + checkpoint + vacuum +
+      // horizon-aware log truncation in ONE statement — also
+      // result-invariant, also never touching a live file
+      run(s, "MAINTAIN graft_maint RETAIN 2 VERSIONS")
 
       s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
               |  CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
