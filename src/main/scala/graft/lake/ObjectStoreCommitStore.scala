@@ -362,18 +362,32 @@ object ObjectStoreCommitStore {
     *  - `fs.s3a.path.style.access` (default false — virtual-host, the
     *    AWS convention; custom endpoints usually set it true)
     */
-  /** `s3.<region>.amazonaws.com` (dash, dualstack, and fips variants
-    * included) — the region S3A itself would infer from the endpoint.
+  /** `s3.<region>.amazonaws.com` — the region S3A itself would infer
+    * from the endpoint. dualstack/fips decorations are allowed in
+    * EITHER order (`s3-fips.dualstack.<r>` is the real FIPS+dualstack
+    * spelling), and the capture demands the `xx[-gov|-iso*]-name-N`
+    * region shape so `s3-accelerate.amazonaws.com` infers NOTHING
+    * (falling back to us-east-1) instead of the non-region
+    * "accelerate".
     */
   private val AwsEndpointRegion =
-    raw"(?:.*://)?s3[.-](?:dualstack[.-])?(?:fips[.-])?([a-z0-9-]+)\.amazonaws\.com.*".r
+    (raw"(?:.*://)?s3(?:[.-](?:dualstack|fips|external-1))*" +
+      raw"[.-]([a-z]{2}(?:-gov)?(?:-iso[a-z]?)?-[a-z]+-\d+)" +
+      raw"\.amazonaws\.com.*").r
+
+  /** Test seam for the endpoint-region inference. */
+  private[lake] def regionFromEndpoint(ep: String): Option[String] =
+    ep match {
+      case AwsEndpointRegion(r) => Some(r)
+      case _ => None
+    }
 
   def fromHadoopConf(fs: FileSystem): ObjectStoreCommitStore = {
     val conf = fs.getConf
     val rawEp0 = Option(conf.getTrimmed("fs.s3a.endpoint")).filter(_.nonEmpty)
     val region = Option(conf.getTrimmed("fs.s3a.endpoint.region"))
       .filter(_.nonEmpty)
-      .orElse(rawEp0.collect { case AwsEndpointRegion(r) => r })
+      .orElse(rawEp0.flatMap(regionFromEndpoint))
       .getOrElse("us-east-1")
     val rawEp = rawEp0.getOrElse(s"s3.$region.amazonaws.com")
     val ep = if (rawEp.contains("://")) rawEp else s"https://$rawEp"

@@ -1637,10 +1637,14 @@ object TxLog {
     try Some(commitLoop(spark, root, "txn", Seq.empty, { (commits, _) =>
       // `commits` is the raw tail ABOVE the newest checkpoint — empty
       // right after a checkpoint (maintain(), the every-10th auto one);
-      // the schema then comes from the resolved state, like every other
-      // write path gets via committedDdl. `pre` proves the table exists.
+      // the schema then comes from the ATTEMPT's resolved scalars (the
+      // pre-loop `pre` could predate a concurrent evolution whose
+      // checkpoint emptied the tail — committing its stale ddl would
+      // silently regress the schema), same source committedDdl uses.
       (Seq.empty, Seq.empty,
-        commits.lastOption.map(_.schemaDdl).getOrElse(pre.schemaDdl))
+        commits.lastOption.map(_.schemaDdl).getOrElse(
+          Option(commitScalars.get).map(_.schemaDdl)
+            .getOrElse(resolveScalars(spark, root).schemaDdl)))
     }, txn = Some((appId, txnVersion))))
     catch { case _: AlreadyCommitted => None }
   }

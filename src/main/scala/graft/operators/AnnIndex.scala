@@ -246,21 +246,20 @@ object AnnIndex {
                                           idCol: String, ids: DataFrame,
                                           atOrBelowV: Long,
                                           chunk: Int = 500000): Unit = {
-    // pre-indexed_v tables: rows written before the column existed read
-    // NULL after schema merge (NULL <= v is NULL — the fence would
-    // silently skip them and takedowns would no-op); treat them as
-    // indexed at -1, i.e. always below the bound — they predate every
-    // fenced append the bound exists to protect. A table with NO
-    // indexed_v column at all gets the same legacy semantics.
-    val hasFence = TxLog.readLatest(spark, root).columns.contains("indexed_v")
-    def bound: org.apache.spark.sql.Column =
-      if (hasFence) coalesce(col("indexed_v"), lit(-1L)) <= atOrBelowV
-      else lit(true)
+    // pre-indexed_v ROWS (written before the column existed, NULL after
+    // schema merge — NULL <= v would silently skip them and takedowns
+    // would no-op) count as indexed at -1, always below the bound: they
+    // predate every fenced append the bound exists to protect. A table
+    // with NO indexed_v column at all fails LOUDLY at analysis instead
+    // (a soft `lit(true)` fallback would re-open the racing-loser purge
+    // for exactly the first post-upgrade batch); one insert-bearing
+    // batch adds the column by schema merge.
     val it = ids.select(col(ids.columns.head).cast("long")).toLocalIterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     def flush(): Unit = if (buf.nonEmpty) {
       TxLog.deleteVectored(spark, root,
-        col(idCol).isInCollection(buf.toSeq) && bound)
+        col(idCol).isInCollection(buf.toSeq) &&
+          coalesce(col("indexed_v"), lit(-1L)) <= atOrBelowV)
       buf.clear()
     }
     while (it.hasNext) {
@@ -320,22 +319,23 @@ object AnnIndex {
       // within the sub-range the old-watermark delete bound is exact
       // and the codes append self-fences; then process the remainder.
       val r1 = refreshStep(spark, corpusRoot, indexRoot, retrainAt,
-        idCol, vecCol, appendedThrough)
+        idCol, vecCol, appendedThrough, meta0)
+      // r1's meta commit moved the watermark — the remainder reads the
+      // fresh row (coherence was checked once above)
       val r2 = refreshStep(spark, corpusRoot, indexRoot, retrainAt,
-        idCol, vecCol, head)
+        idCol, vecCol, head, readMetaOpt(spark, indexRoot).get)
       return Refresh(r1.added + r2.added, r1.removed + r2.removed,
         r2.total, r1.retrained || r2.retrained)
     }
     refreshStep(spark, corpusRoot, indexRoot, retrainAt, idCol, vecCol,
-      head)
+      head, meta0)
   }
 
   private def refreshStep(spark: SparkSession, corpusRoot: String,
                           indexRoot: String, retrainAt: Double,
                           idCol: String, vecCol: String,
-                          corpusV: Long): Refresh = {
+                          corpusV: Long, meta: Meta): Refresh = {
     val codes = codesRoot(indexRoot)
-    val meta = coherentMeta(spark, indexRoot)
     if (corpusV <= meta.corpusVersion)
       return Refresh(0L, 0L, TxLog.countRows(spark, codes), false)
     val feed = TxLog.readChanges(spark, corpusRoot, meta.corpusVersion,

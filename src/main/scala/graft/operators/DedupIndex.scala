@@ -101,13 +101,15 @@ object DedupIndex {
         // THAT batch to its OWN boundary first — its pairs append
         // self-fences, its band append lands — then the remainder.
         val first = updateStep(spark, corpusRoot, indexRoot, threshold,
-          idCol, textCol, pairsRoot, pv)
+          idCol, textCol, pairsRoot, pv, wm)
+        // first's band commit moved the watermark to pv
         val second = updateStep(spark, corpusRoot, indexRoot, threshold,
-          idCol, textCol, pairsRoot, head)
+          idCol, textCol, pairsRoot, head,
+          watermark(spark, corpusRoot, indexRoot))
         first.unionByName(second)
       case None =>
         updateStep(spark, corpusRoot, indexRoot, threshold, idCol,
-          textCol, pairsRoot, head)
+          textCol, pairsRoot, head, wm)
     }
   }
 
@@ -115,9 +117,8 @@ object DedupIndex {
                          indexRoot: String, threshold: Double,
                          idCol: String, textCol: String,
                          pairsRoot: Option[String],
-                         corpusV: Long): DataFrame = {
+                         corpusV: Long, wm: Long): DataFrame = {
     import spark.implicits._
-    val wm = watermark(spark, corpusRoot, indexRoot)
     def emptyPairs =
       Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
     if (corpusV <= wm) return emptyPairs

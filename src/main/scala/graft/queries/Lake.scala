@@ -1780,16 +1780,6 @@ object Lake {
       TxLog.append(s, keep, root,
         partitionCols = Seq("prio"), statsCols = Seq("k"))
       val anyDoomed = doomedRows.limit(1).count() > 0
-      // per-partition key bounds: O(partitions) driver rows — the
-      // takedown predicate below is rebuilt from them instead of
-      // collecting every doomed key into a multi-million-literal IN
-      // (at larger SFs the doomed set is ~10% of all keys)
-      val bnds = orders.groupBy("prio")
-        .agg(min("k").as("mn"), max("k").as("mx")).collect()
-      val mnMap = map(bnds.toSeq.flatMap(r =>
-        Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
-      val mxMap = map(bnds.toSeq.flatMap(r =>
-        Seq(lit(r.getString(0)), lit(r.getLong(2)))): _*)
       if (anyDoomed)
         TxLog.append(s, doomedRows, root,
           partitionCols = Seq("prio"), statsCols = Seq("k"))
@@ -1819,6 +1809,15 @@ object Lake {
       // materialize before the vector lands (the scan is snapshot-pinned
       // but the ASSERTION is about the pre-delete state)
       val preRows = pre.collect().toSeq
+      // per-partition bounds for the takedown predicate, REUSED from the
+      // zero-task metadata answer just collected (O(partitions) rows) —
+      // neither a whole-table bounds re-aggregation nor a collect of
+      // every doomed key into a multi-million-literal IN (the doomed set
+      // is ~10% of all keys at larger SFs)
+      val mnMap = map(preRows.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(2)))): _*)
+      val mxMap = map(preRows.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(3)))): _*)
       // the takedown: every matched row sits in a doomed file, so each
       // partition keeps a clean dominating file — grouped COUNT AND
       // MIN/MAX must BOTH still answer from metadata afterwards

@@ -85,6 +85,24 @@ class ObjectStoreCommitStoreSpec extends SparkSpec {
     } finally em2.stop()
   }
 
+  test("endpoint-region inference: real AWS spellings resolve, non-regions never do") {
+    import ObjectStoreCommitStore.regionFromEndpoint
+    regionFromEndpoint("s3.eu-west-1.amazonaws.com") shouldBe
+      Some("eu-west-1")
+    regionFromEndpoint("https://s3.us-east-2.amazonaws.com") shouldBe
+      Some("us-east-2")
+    regionFromEndpoint("s3.dualstack.ap-southeast-2.amazonaws.com") shouldBe
+      Some("ap-southeast-2")
+    // FIPS dualstack is fips-THEN-dualstack on the wire
+    regionFromEndpoint("s3-fips.dualstack.us-west-2.amazonaws.com") shouldBe
+      Some("us-west-2")
+    regionFromEndpoint("s3-fips.us-gov-west-1.amazonaws.com") shouldBe
+      Some("us-gov-west-1")
+    // accelerate is NOT a region; custom endpoints infer nothing
+    regionFromEndpoint("s3-accelerate.amazonaws.com") shouldBe None
+    regionFromEndpoint("minio.internal:9000") shouldBe None
+  }
+
   test("an ambiguous win (500 after the object landed) is recognized on read-back") {
     val dir = Files.createTempDirectory("graft-s3ambig").toString
     // every create answers 500 AFTER the object is durable: the winner
