@@ -36,7 +36,7 @@ class TxLogFuzzSpec extends SparkSpec {
 
     for (step <- 1 to 35) {
       val keys = (1L to 30L).toVector
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 => // append fresh keys (avoid dup rows in the model)
           val fresh = keys.filter(!model.contains(_))
           if (fresh.nonEmpty) {
@@ -111,6 +111,12 @@ class TxLogFuzzSpec extends SparkSpec {
           // must never land INSIDE the pair (the other ops address 'x')
           TxLog.renameColumn(spark, root, "x", "x_r")
           record(TxLog.renameColumn(spark, root, "x_r", "x"))
+        case 11 => // cluster: a whole-table relayout (op "cluster") —
+          // no state change, clears the column mapping and tombstones
+          // (isFullRewrite), and the change-feed replay audit below
+          // must see NOTHING from it (the relayout-skip rule) while
+          // time travel and rollback across it stay exact
+          record(TxLog.cluster(spark, root, "x", 2))
       }
       withClue(s"after step $step: ") { state() shouldBe model }
     }
